@@ -1,0 +1,75 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/**
+ * The changelog data model: a Spark-native re-expression of the Debezium
+ * envelope the reference emits from every connector
+ * (reference: flink-connector-debezium/src/main/java/com/ververica/cdc/debezium/table/
+ * RowDataDebeziumDeserializeSchema.java:118-146 — ops c/r/u/d dispatched to
+ * INSERT / UPDATE_BEFORE / UPDATE_AFTER / DELETE row kinds).
+ *
+ * Spark has no out-of-band RowKind, so the operation travels as an ordinary
+ * column (`__op`) and Catalyst prunes/pushes around it like any other column.
+ */
+object ChangeRecord {
+
+  /** External (storage) operation codes — Debezium envelope codes. */
+  object ExternalOp {
+    val Create = "c" // insert
+    val Read   = "r" // snapshot read
+    val Update = "u"
+    val Delete = "d"
+  }
+
+  /**
+   * Emitted row kinds, mirroring Flink's RowKind short strings
+   * (reference RowDataDebeziumDeserializeSchema.java:123-145).
+   */
+  object RowKind {
+    val Insert       = "+I"
+    val UpdateBefore = "-U"
+    val UpdateAfter  = "+U"
+    val Delete       = "-D"
+  }
+
+  /**
+   * Changelog modes (reference: flink-connector-debezium/.../table/
+   * DebeziumChangelogMode.java:20-27). ALL = retract stream with -U/+U;
+   * UPSERT suppresses UPDATE_BEFORE (valid only with a primary key —
+   * MongoDB is inherently upsert-only, MongoDBTableSource.java:132-138).
+   */
+  sealed trait ChangelogMode
+  case object ChangelogAll    extends ChangelogMode
+  case object ChangelogUpsert extends ChangelogMode
+
+  // ---- metadata / envelope column names --------------------------------
+
+  /** Emitted operation kind (+I/-U/+U/-D). */
+  val OpCol = "__op"
+  /** Total order over the change stream — the "binlog position". */
+  val OffsetCol = "__offset"
+  /** Change timestamp; 0 for snapshot records, mirroring the reference's
+    * snapshot normalization (RecordUtils.java:117-148). */
+  val TsCol = "__ts_ms"
+  /** Metadata ("virtual") columns, reference MySqlReadableMetadata.java:33-86. */
+  val DbCol    = "__db"
+  val TableCol = "__table"
+
+  val MetaCols: Seq[String] = Seq(OpCol, OffsetCol, TsCol, DbCol, TableCol)
+
+  /** Envelope storage columns (before/after images as nested structs). */
+  val BeforeCol = "before"
+  val AfterCol  = "after"
+
+  /** Envelope schema for a table with the given payload schema. */
+  def envelopeSchema(payload: StructType): StructType = StructType(Seq(
+    StructField(OffsetCol, LongType, nullable = false),
+    StructField(OpCol, StringType, nullable = false), // external: c/r/u/d
+    StructField(TsCol, LongType, nullable = false),
+    StructField(DbCol, StringType, nullable = false),
+    StructField(TableCol, StringType, nullable = false),
+    StructField(BeforeCol, payload, nullable = true),
+    StructField(AfterCol, payload, nullable = true)
+  ))
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Relational capability of the engine. The reference delegates all relational
+ * work to the host engine's SQL (SURVEY §2.6 note — e.g. the ITCase
+ * aggregation MySqlConnectorITCase.java:214-215); here the host engine is
+ * Spark SQL / Catalyst. These queries are the benchmark headliners and prove
+ * joins / aggregations / windows / set ops over the standard tables.
+ *
+ * Cross-engine determinism rule: every SUM over a floating-point money column
+ * goes through DECIMAL(18,2) (exact, order-insensitive) and is cast back to
+ * DOUBLE at the end, so Spark and the DuckDB oracle hash identically.
+ */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val one = lit(1).cast(DecimalType(18, 2))
+
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // TPC-H Q1 shape: scan-heavy partial-agg pipeline; filter + projection
+    // push to the parquet scan, agg is one shuffle over 6 groups.
+    "q1_pricing_summary" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+              .cast(DoubleType).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3 shape: selective dim filter → join fact → agg → top-k.
+    // customer/orders sides are filtered before the join so AQE can
+    // broadcast them; tie-broken ORDER BY keeps the LIMIT deterministic.
+    "q3_shipping_priority" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") < ts("1997-06-01 00:00:00"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") > ts("1997-06-01 00:00:00"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00' AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q5 shape: 6-way star join; all dimension chains are broadcast,
+    // the only shuffle is lineitem⋈orders plus the final 1-row-per-nation agg.
+    "q5_local_supplier_volume" -> QueryDef(
+      (s, dir) => {
+        val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = Tables.load(s, dir, "nation")
+        val cu = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1998-01-01 00:00:00"))
+          .select("o_orderkey", "o_custkey")
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cu), col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Window function: top-3 orders per customer (rank with unique tiebreak).
+    "q_window_top_orders" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.load(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Event-time tumbling aggregation (batch form of the streaming windowed
+    // agg; exact integer outputs only — float sums are order-sensitive).
+    "q_events_hourly" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("users"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Set operation + semi/anti join capability: customers with orders in
+    // 1996 but none in 1997 (anti join pattern).
+    "q_semi_anti_join" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val y96 = o.filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00")).select("o_custkey")
+        val y97 = o.filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00")).select("o_custkey")
+        val c = Tables.load(s, dir, "customer")
+        c.join(y96, col("c_custkey") === y96("o_custkey"), "left_semi")
+          .join(y97, col("c_custkey") === y97("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+             |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+             |ORDER BY c_custkey""".stripMargin))
+  )
+}
