@@ -12,7 +12,8 @@ object SparkEntry {
 
   private lazy val queries_registry: Map[String, QueryDef] =
     graft.queries.RelationalQueries.defs ++
-      graft.queries.CdcQueries.defs
+      graft.queries.CdcQueries.defs ++
+      graft.queries.CdcSourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,99 @@
+package graft.cdc
+
+/**
+ * Snapshot chunk splitting — the reference's partitioning math
+ * (MySqlChunkSplitter.java). Chunks become Spark `InputPartition`s, so
+ * snapshot parallelism scales with the cluster exactly as the reference's
+ * chunks round-robin across readers (mysql-cdc.md:439-456).
+ */
+object ChunkSplitter {
+
+  /** Half-open PK range [lo, hi); None bound = unbounded (first/last chunk).
+    * Mirrors ChunkRange in flink-cdc-base/.../splitter/ChunkRange.java. */
+  case class ChunkRange(id: Int, lo: Option[Long], hi: Option[Long]) {
+    def contains(k: Long): Boolean =
+      lo.forall(k >= _) && hi.forall(k < _)
+  }
+
+  /** Even-distribution bounds, reference defaults
+    * (MySqlSourceOptions.java:207-231). */
+  val DistributionFactorUpper = 1000.0
+  val DistributionFactorLower = 0.05
+  /** Default rows per chunk (MySqlSourceOptions.java:104-109). */
+  val DefaultChunkSize = 8096
+
+  /** (max-min+1)/rowCount — MySqlChunkSplitter.calculateDistributionFactor
+    * (MySqlChunkSplitter.java:397-420). */
+  def distributionFactor(min: Long, max: Long, rowCount: Long): Double =
+    if (rowCount == 0) Double.MaxValue
+    else (max - min + 1).toDouble / rowCount.toDouble
+
+  /** Whether the arithmetic even split applies
+    * (MySqlChunkSplitter.java:385-395 limits this to integral key types;
+    * the caller guarantees an integral PK here). */
+  def isEvenlyDistributed(min: Long, max: Long, rowCount: Long): Boolean = {
+    val f = distributionFactor(min, max, rowCount)
+    f >= DistributionFactorLower && f <= DistributionFactorUpper
+  }
+
+  /** Dynamic chunk size for the even split: scale the row-count chunk size
+    * by the key-space density (MySqlChunkSplitter.getDynamicChunkSize,
+    * MySqlChunkSplitter.java:354-383). */
+  def dynamicChunkStep(min: Long, max: Long, rowCount: Long, chunkSize: Int): Long =
+    math.max(math.round(distributionFactor(min, max, rowCount) * chunkSize), 1L)
+
+  /**
+   * Arithmetic even split: tumble [min, min+step, …) — no per-chunk queries
+   * (MySqlChunkSplitter.splitEvenlySizedChunks, MySqlChunkSplitter.java:267-301).
+   * First chunk is left-unbounded and last right-unbounded, matching the
+   * reference's null bounds, so rows outside the observed [min,max] (e.g.
+   * inserted while splitting) still land in a chunk.
+   */
+  def splitEvenlySizedChunks(min: Long, max: Long, rowCount: Long,
+      chunkSize: Int): Seq[ChunkRange] = {
+    val step = dynamicChunkStep(min, max, rowCount, chunkSize)
+    val bounds = Iterator.iterate(min + step)(_ + step)
+      .takeWhile(b => b <= max && b > min) // overflow guard: stop on wrap
+      .toSeq
+    val cuts = bounds
+    if (cuts.isEmpty) Seq(ChunkRange(0, None, None))
+    else {
+      val first = ChunkRange(0, None, Some(cuts.head))
+      val mids = cuts.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) => ChunkRange(i + 1, Some(a), Some(b))
+      }.toSeq
+      val last = ChunkRange(cuts.size, Some(cuts.last), None)
+      (first +: mids) :+ last
+    }
+  }
+
+  /**
+   * Uneven (sparse-key) split: walk the sorted key stream and cut every
+   * `chunkSize` rows — the file-dialect analogue of the reference's
+   * per-chunk `SELECT MAX(pk) … LIMIT chunkSize` walk
+   * (MySqlChunkSplitter.splitOneUnevenlySizedChunk, :159-193/303-324; SQL in
+   * StatementUtils.java:99-130). A JDBC dialect would push this back as SQL.
+   */
+  def splitUnevenlySizedChunks(sortedKeys: Iterator[Long],
+      chunkSize: Int): Seq[ChunkRange] = {
+    val cuts = sortedKeys.zipWithIndex
+      .collect { case (k, i) if i > 0 && i % chunkSize == 0 => k }
+      .toSeq.distinct
+    if (cuts.isEmpty) Seq(ChunkRange(0, None, None))
+    else {
+      val first = ChunkRange(0, None, Some(cuts.head))
+      val mids = cuts.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) => ChunkRange(i + 1, Some(a), Some(b))
+      }.toSeq
+      (first +: mids) :+ ChunkRange(cuts.size, Some(cuts.last), None)
+    }
+  }
+
+  /** Full strategy dispatch as in MySqlChunkSplitter.splitTableIntoChunks. */
+  def split(min: Long, max: Long, rowCount: Long, chunkSize: Int,
+      sortedKeys: () => Iterator[Long]): Seq[ChunkRange] =
+    if (isEvenlyDistributed(min, max, rowCount))
+      splitEvenlySizedChunks(min, max, rowCount, chunkSize)
+    else
+      splitUnevenlySizedChunks(sortedKeys(), chunkSize)
+}

@@ -1,0 +1,165 @@
+package graft.cdc.source
+
+import graft.cdc.{ChangeRecord, FileCdcDatabase}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/**
+ * Executor-side read tasks of the CDC source.
+ *
+ * [[SnapshotChunkReader]] implements the DBLog-style chunk read (SURVEY §2.3
+ * W1/W2, public algorithm arXiv:2010.12597): capture low watermark (0 — the
+ * file snapshot's fixed point), read the chunk's rows, then replay the log
+ * slice (low, high] restricted to the chunk's key range and merge by key —
+ * CREATE/UPDATE replace, DELETE removes — exactly the normalization in the
+ * reference's RecordUtils.upsertBinlog (RecordUtils.java:77-114). Output rows
+ * are snapshot-kind inserts with ts 0 (RecordUtils.java:117-148).
+ *
+ * [[LogRangeReader]] is the stream-phase task: events in (from, to], with the
+ * per-key shouldEmit gate (BinlogSplitReader.java:222-273) — here the
+ * finished chunks share one high watermark (== from), so the gate reduces to
+ * the range lower bound, but duplicates from the snapshot merge are provably
+ * excluded either way.
+ *
+ * Memory bound: one chunk holds ≤ chunk-size merged rows (default 8096);
+ * the log reader streams line by line. Both hold O(chunk), not O(table).
+ */
+case class SnapshotChunkPartition(path: String, table: String, chunkId: Int,
+    lo: Option[Long], hi: Option[Long], high: Long) extends InputPartition
+
+case class LogRangePartition(path: String, table: String,
+    from: Long, to: Long, changelogMode: String) extends InputPartition
+
+class CdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: SnapshotChunkPartition => new SnapshotChunkReader(p)
+      case p: LogRangePartition => new LogRangeReader(p)
+    }
+}
+
+/** Shared envelope-line decoding (the P2 projection: envelope → typed row). */
+private[source] class EnvelopeDecoder(path: String, table: String) {
+  val meta: FileCdcDatabase.TableMeta = FileCdcDatabase.readMeta(path, table)
+  val payload: StructType = meta.schema
+  val codec = new JsonRowCodec(payload)
+  val pkIdx: Int = payload.fieldIndex(meta.pk)
+  val pkType = payload(pkIdx).dataType
+
+  case class Env(offset: Long, op: String, ts: Long,
+      before: InternalRow, after: InternalRow) {
+    def key: Long = CdcPlanner.toLongKey(
+      (if (after != null) after else before).get(pkIdx, pkType))
+  }
+
+  def decodeEnvelope(line: String): Env = {
+    val n = codec.parse(line)
+    Env(
+      n.get(ChangeRecord.OffsetCol).asLong(),
+      n.get(ChangeRecord.OpCol).asText(),
+      n.get(ChangeRecord.TsCol).asLong(),
+      codec.convertStruct(n.get(ChangeRecord.BeforeCol), payload),
+      codec.convertStruct(n.get(ChangeRecord.AfterCol), payload))
+  }
+
+  /** payload ++ (__op,__offset,__ts_ms,__db,__table) */
+  def emit(img: InternalRow, op: String, offset: Long, ts: Long): InternalRow = {
+    val out = new GenericInternalRow(payload.size + 5)
+    var i = 0
+    while (i < payload.size) {
+      out.update(i, if (img.isNullAt(i)) null else img.get(i, payload(i).dataType))
+      i += 1
+    }
+    out.update(payload.size, UTF8String.fromString(op))
+    out.update(payload.size + 1, offset)
+    out.update(payload.size + 2, ts)
+    out.update(payload.size + 3, UTF8String.fromString(meta.db))
+    out.update(payload.size + 4, UTF8String.fromString(meta.table))
+    out
+  }
+
+  def logLines(): Iterator[String] =
+    FileCdcDatabase.dataFiles(path, table, "log").iterator
+      .flatMap(FileCdcDatabase.lines)
+
+  def snapshotLines(): Iterator[String] =
+    FileCdcDatabase.dataFiles(path, table, "snapshot").iterator
+      .flatMap(FileCdcDatabase.lines)
+}
+
+class SnapshotChunkReader(p: SnapshotChunkPartition)
+    extends PartitionReader[InternalRow] {
+  import ChangeRecord.ExternalOp
+
+  private val dec = new EnvelopeDecoder(p.path, p.table)
+
+  private def inRange(k: Long): Boolean =
+    p.lo.forall(k >= _) && p.hi.forall(k < _)
+
+  // W2: chunk rows keyed, then log slice (0, high] merged in.
+  // (offset, image) per key; insertion order preserved for determinism.
+  private val merged: Iterator[InternalRow] = {
+    val byKey = mutable.LinkedHashMap[Long, (Long, InternalRow)]()
+    dec.snapshotLines().foreach { line =>
+      val row = dec.codec.decode(line)
+      val k = CdcPlanner.toLongKey(row.get(dec.pkIdx, dec.pkType))
+      if (inRange(k)) byKey(k) = (0L, row)
+    }
+    dec.logLines().foreach { line =>
+      val env = dec.decodeEnvelope(line)
+      if (env.offset > 0 && env.offset <= p.high) {
+        val k = env.key
+        if (inRange(k)) env.op match {
+          case ExternalOp.Delete => byKey.remove(k)
+          case _ => byKey(k) = (env.offset, env.after)
+        }
+      }
+    }
+    byKey.valuesIterator.map { case (off, img) =>
+      dec.emit(img, ChangeRecord.RowKind.Insert, off, 0L)
+    }
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (merged.hasNext) { cur = merged.next(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
+
+class LogRangeReader(p: LogRangePartition)
+    extends PartitionReader[InternalRow] {
+  import ChangeRecord.{ExternalOp, RowKind}
+
+  private val dec = new EnvelopeDecoder(p.path, p.table)
+
+  private val rows: Iterator[InternalRow] =
+    dec.logLines().map(dec.decodeEnvelope)
+      // shouldEmit (W3): only events past the key's finished-chunk high
+      // watermark; uniform high == p.from for the file dialect
+      .filter(env => env.offset > p.from && env.offset <= p.to)
+      .flatMap { env =>
+        env.op match {
+          case ExternalOp.Create | ExternalOp.Read =>
+            Seq(dec.emit(env.after, RowKind.Insert, env.offset, env.ts))
+          case ExternalOp.Delete =>
+            Seq(dec.emit(env.before, RowKind.Delete, env.offset, env.ts))
+          case ExternalOp.Update if p.changelogMode == "upsert" =>
+            Seq(dec.emit(env.after, RowKind.UpdateAfter, env.offset, env.ts))
+          case ExternalOp.Update =>
+            Seq(dec.emit(env.before, RowKind.UpdateBefore, env.offset, env.ts),
+              dec.emit(env.after, RowKind.UpdateAfter, env.offset, env.ts))
+        }
+      }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { cur = rows.next(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

@@ -1,0 +1,107 @@
+package graft.cdc.source
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+
+/**
+ * Executor-side JSON → InternalRow decoder, driven by a StructType.
+ *
+ * This is the engine's analogue of the reference's per-type
+ * deserialization-converter stack (RowDataDebeziumDeserializeSchema.java:
+ * 243-657): null-safe per-field converters over the §1.3 type set —
+ * primitives, DECIMAL, DATE, TIME-less temporals, STRING, BINARY, and nested
+ * ROW (plus ARRAY/MAP, which the reference only supports in its MongoDB BSON
+ * converter, MongoDBConnectorDeserializationSchema.java:220-272).
+ *
+ * The encode side is Spark's own `df.write.json` (fixture writer), so the
+ * wire format is Spark-JSON: ISO-8601 temporals, base64 binary.
+ */
+class JsonRowCodec(schema: StructType) extends Serializable {
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  def decode(line: String): InternalRow =
+    convertStruct(mapper.readTree(line), schema)
+
+  /** Decode only, returning the parsed tree too (for envelope routing). */
+  def parse(line: String): JsonNode = mapper.readTree(line)
+
+  def convertStruct(node: JsonNode, st: StructType): InternalRow = {
+    if (node == null || node.isNull) return null
+    val row = new GenericInternalRow(st.size)
+    var i = 0
+    while (i < st.size) {
+      val f = st(i)
+      row.update(i, convert(node.get(f.name), f.dataType))
+      i += 1
+    }
+    row
+  }
+
+  def convert(node: JsonNode, dt: DataType): Any = {
+    if (node == null || node.isNull) return null
+    dt match {
+      case BooleanType => node.asBoolean()
+      case ByteType => node.asInt().toByte
+      case ShortType => node.asInt().toShort
+      case IntegerType => node.asInt()
+      case LongType => node.asLong()
+      case FloatType => node.asDouble().toFloat
+      case DoubleType => node.asDouble()
+      case StringType => UTF8String.fromString(
+        if (node.isTextual) node.asText() else node.toString)
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(node.asText()), d.precision, d.scale)
+      case BinaryType =>
+        java.util.Base64.getDecoder.decode(node.asText())
+      case DateType =>
+        LocalDate.parse(node.asText()).toEpochDay.toInt
+      case TimestampType =>
+        JsonRowCodec.parseTimestampMicros(node.asText())
+      case TimestampNTZType =>
+        val ldt = LocalDateTime.parse(node.asText(),
+          DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+        ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      case st: StructType => convertStruct(node, st)
+      case ArrayType(et, _) =>
+        val n = node.size()
+        val arr = new Array[Any](n)
+        var i = 0
+        while (i < n) { arr(i) = convert(node.get(i), et); i += 1 }
+        new GenericArrayData(arr)
+      case MapType(StringType, vt, _) =>
+        val keys = scala.collection.mutable.ArrayBuffer[Any]()
+        val vals = scala.collection.mutable.ArrayBuffer[Any]()
+        node.properties().forEach { e =>
+          keys += UTF8String.fromString(e.getKey)
+          vals += convert(e.getValue, vt)
+        }
+        ArrayBasedMapData(keys.toArray, vals.toArray)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"JsonRowCodec: unsupported type $other")
+    }
+  }
+}
+
+object JsonRowCodec {
+  /** Parse Spark-JSON timestamps ("2024-01-01T00:09:58.778Z" or with offset /
+    * without zone) to epoch micros (UTC session zone). */
+  def parseTimestampMicros(s: String): Long = {
+    val inst: Instant =
+      try OffsetDateTime.parse(s).toInstant
+      catch {
+        case _: Exception =>
+          LocalDateTime.parse(s, DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+            .toInstant(ZoneOffset.UTC)
+      }
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+}
