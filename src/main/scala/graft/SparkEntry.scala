@@ -13,7 +13,11 @@ object SparkEntry {
   private lazy val queries_registry: Map[String, QueryDef] =
     graft.queries.RelationalQueries.defs ++
       graft.queries.CdcQueries.defs ++
-      graft.queries.CdcSourceQueries.defs
+      graft.queries.CdcSourceQueries.defs ++
+      graft.queries.TextQueries.defs ++
+      graft.queries.DedupQueries.defs ++
+      graft.queries.SimilarityQueries.defs ++
+      graft.queries.MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Opaque media payload: raw bytes + typed metadata, the schema shape for
+  * image/audio/video columns at 100 TB (payload stays binary; Parquet/
+  * columnar pruning skips it unless the decode stage is in the plan). */
+case class MediaBlob(doc_id: Long, fmt: String, content: Array[Byte])
+
+/** Decoded per-asset features (what a real codec would produce). */
+case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Long,
+    height: Long, n_frames: Long, checksum: String)
+
+/**
+ * ===== STUB CODEC =====
+ * The container has no image/audio libraries, so the decode step is a
+ * deterministic fake: features are pure arithmetic over the byte payload.
+ * The Spark-side plumbing around it is real — typed `Dataset[MediaBlob]`,
+ * partition-wise batched iteration (the batch shape a vectorized decoder
+ * wants), explicit output schema — so swapping in a real codec changes
+ * ONLY the body of [[decodeBatch]].
+ */
+object FakeCodec {
+  val BatchSize = 32
+
+  /** Batched "decode": one call per batch, as a GPU/native codec would be
+    * driven. Deterministic stand-in arithmetic (STUB — see object docs). */
+  def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] = batch.map { b =>
+    val n = b.content.length.toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val checksum = md.digest(b.content).map("%02x".format(_)).mkString
+    MediaFeatures(
+      doc_id = b.doc_id,
+      n_bytes = n,
+      width = n % 64 + 16,
+      height = (n * 31) % 48 + 16,
+      n_frames = n % 7 + 1,
+      checksum = checksum)
+  }
+}
+
+/**
+ * Multimodal-column operators: binary payload + metadata → per-partition
+ * batched decode → feature table → frame sampling / resize planning.
+ * Shuffle-free map pipeline end-to-end (the presentation sort is the only
+ * exchange); at scale the decode stage is the compute bottleneck and
+ * parallelizes per input split.
+ */
+object MultimodalQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Decode/feature-extract over binary media columns via mapPartitions.
+    "mm_decode_features" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit("fake/v1").as("fmt"),
+            encode(col("text"), "UTF-8").as("content"))
+          .as[MediaBlob]
+        blobs
+          .mapPartitions(_.grouped(FakeCodec.BatchSize)
+            .flatMap(b => FakeCodec.decodeBatch(b.toSeq)))
+          .toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS width,
+             |  CAST((octet_length(encode(text)) * 31) % 48 + 16 AS BIGINT) AS height,
+             |  CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames,
+             |  md5(text) AS checksum
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling + resize planning over the decoded feature table:
+    // every 2nd frame, half-resolution output dims (floor, min 1).
+    "mm_frame_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit("fake/v1").as("fmt"),
+            encode(col("text"), "UTF-8").as("content"))
+          .as[MediaBlob]
+        val feats = blobs
+          .mapPartitions(_.grouped(FakeCodec.BatchSize)
+            .flatMap(b => FakeCodec.decodeBatch(b.toSeq)))
+          .toDF()
+        feats
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), col("n_frames") - 1, lit(2L)))
+              .as("frame_id"),
+            greatest(floor(col("width") / 2), lit(1L)).cast(LongType)
+              .as("out_w"),
+            greatest(floor(col("height") / 2), lit(1L)).cast(LongType)
+              .as("out_h"))
+          .orderBy(col("doc_id"), col("frame_id"))
+      },
+      Some("""SELECT doc_id, frame_id, out_w, out_h FROM (
+             |  SELECT doc_id,
+             |    unnest(range(0, CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT), 2)) AS frame_id,
+             |    CAST(greatest((octet_length(encode(text)) % 64 + 16) // 2, 1) AS BIGINT) AS out_w,
+             |    CAST(greatest(((octet_length(encode(text)) * 31) % 48 + 16) // 2, 1) AS BIGINT) AS out_h
+             |  FROM documents)
+             |ORDER BY doc_id, frame_id""".stripMargin))
+  )
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Approximate-nearest-neighbor search over the `embeddings` table
+ * (`embedding: ARRAY<FLOAT>`, 64-dim).
+ *
+ * Scale story (100 TB): brute-force is the correctness baseline — a
+ * broadcast of the (small) query set against a full scan, one shuffle for
+ * the per-query top-k. The IVF variant is the scale path: a coarse
+ * quantizer assigns every vector to a cell (pure map over a broadcast
+ * centroid table), queries probe the nearest `nprobe` cells, and the
+ * candidate set shrinks by ~cells/nprobe; cell assignment would be the
+ * partitioning/bucketing key on disk. The LSH variant buckets by
+ * random-hyperplane signature — same map-only shape.
+ *
+ * Determinism: cosine = sequential double fold (bit-identical in DuckDB),
+ * rounded to 6 dp; every ranking tie-breaks on vector id.
+ */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val NumQueries = 8 // query set = vec_id < 8
+  private val TopK = 5
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+
+  /** 12 deterministic random hyperplanes: component i of plane j is
+    * ((md5("hp<j>:<i>") mod 2001) - 1000) / 1000 ∈ [-1, 1]. */
+  private def hyperplane(j: Int): Column = array(
+    (0 until Dim).map { i =>
+      ((md5Long(lit(s"hp$j:$i")) % 2001 - 1000).cast(DoubleType)) / 1000.0d
+    }: _*)
+
+  private def sqlHyperplane(j: Int): String =
+    (0 until Dim).map { i =>
+      s"CAST(${sqlMd5Long(s"'hp$j:$i'")} % 2001 - 1000 AS DOUBLE) / 1000.0"
+    }.mkString("[", ", ", "]")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Brute-force exact top-k: the baseline every ANN variant is recalled
+    // against. Query side is broadcast; ranking is one window shuffle.
+    "ann_bruteforce_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qv"), col("embedding")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+            col("vec_id").as("neighbor_id"), col("cos"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+              |          FROM embeddings WHERE vec_id < $NumQueries),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id,
+              |    ${sqlCosine("q.qv", "e.embedding", Dim)} AS cos
+              |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+              |SELECT query_id, rank, neighbor_id, cos FROM (
+              |  SELECT query_id, vec_id AS neighbor_id, cos,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+              |  FROM scored)
+              |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF-style ANN: coarse centroids (deterministically seeded as the
+    // min-vec_id member of each label), nprobe=2 cell probing, exact
+    // re-ranking inside the probed cells.
+    "ann_ivf_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val seedIds = e.groupBy(col("label").as("c_label"))
+          .agg(min(col("vec_id")).as("seed_id"))
+        val cents = seedIds.join(e, col("seed_id") === col("vec_id"))
+          .select(col("c_label"), col("embedding").as("cv"))
+        // cell assignment: nearest centroid by cosine (map over broadcast)
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("c_label"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosine(col("cv"), col("embedding")))
+          .withColumn("crank", row_number().over(wAssign))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+        // query probes: top-2 cells per query
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("pcos").desc, col("c_label"))
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("pcos", cosine(col("cv"), col("qv")))
+          .withColumn("prank", row_number().over(wProbe))
+          .filter(col("prank") <= 2)
+          .select(col("query_id"), col("qv"), col("c_label").as("cell"))
+        // exact search inside probed cells
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(probes, "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qv"), col("embedding")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+            col("vec_id").as("neighbor_id"), col("cos"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT e.label AS c_label, e.embedding AS cv FROM embeddings e
+              |  JOIN (SELECT label, min(vec_id) AS seed_id FROM embeddings
+              |        GROUP BY label) s ON e.vec_id = s.seed_id),
+              |assigned AS (
+              |  SELECT vec_id, embedding, cell FROM (
+              |    SELECT e.vec_id, e.embedding, c.c_label AS cell,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${sqlCosine("c.cv", "e.embedding", Dim)} DESC, c.c_label) AS crank
+              |    FROM embeddings e, cents c) WHERE crank = 1),
+              |probes AS (
+              |  SELECT query_id, qv, cell FROM (
+              |    SELECT q.vec_id AS query_id, q.embedding AS qv,
+              |      c.c_label AS cell,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              |        ${sqlCosine("c.cv", "q.embedding", Dim)} DESC, c.c_label) AS prank
+              |    FROM embeddings q, cents c WHERE q.vec_id < $NumQueries)
+              |  WHERE prank <= 2)
+              |SELECT query_id, rank, neighbor_id, cos FROM (
+              |  SELECT p.query_id, a.vec_id AS neighbor_id,
+              |    ${sqlCosine("p.qv", "a.embedding", Dim)} AS cos,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+              |      ${sqlCosine("p.qv", "a.embedding", Dim)} DESC, a.vec_id)
+              |      AS BIGINT) AS rank
+              |  FROM assigned a JOIN probes p ON a.cell = p.cell
+              |  WHERE a.vec_id <> p.query_id)
+              |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // Random-hyperplane LSH bucketing: 12-bit signature per vector; the
+    // bucket histogram verifies the signature computation end-to-end
+    // without materializing any O(n²) pair set.
+    "ann_lsh_buckets" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val sig = (0 until 12).map { j =>
+          when(dot(col("embedding"), hyperplane(j)) > 0d, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        e.withColumn("bucket", sig)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val sig = (0 until 12).map { j =>
+          s"(CASE WHEN ${sqlDot("embedding", sqlHyperplane(j), Dim)} > 0 " +
+            s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+        s"""SELECT bucket, count(*) AS n, min(vec_id) AS min_vec FROM (
+           |  SELECT vec_id, $sig AS bucket FROM embeddings)
+           |GROUP BY bucket ORDER BY bucket""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators over the `documents` table — the per-document
+ * scoring/statistics pass of a training-data pipeline (language ID, quality
+ * scoring, token counting, fingerprinting). All per-row, shuffle-free except
+ * the final presentation sort; at 100 TB these run as a pure map over the
+ * parquet scan with full column pruning.
+ *
+ * Every score is exact integer arithmetic or a single double division of
+ * exact integers, so the DuckDB oracle reproduces values bit-for-bit.
+ */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "to", "and")
+  private val langs = Seq("de", "en", "es", "zh")
+
+  /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
+  private val tokenPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Token counting: whitespace tokens + regex "BPE-ish" subword tokens.
+    "text_token_count" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            size(words(col("text"))).cast(LongType).as("n_ws_tokens"),
+            regexp_count(col("text"), lit(tokenPat)).cast(LongType)
+              .as("n_re_tokens"),
+            (length(col("text")).cast(DoubleType) / lit(4.0d))
+              .as("n_est_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(${sqlWords("text")}) AS BIGINT) AS n_ws_tokens,
+              |  CAST(len(regexp_extract_all(text, '$tokenPat')) AS BIGINT) AS n_re_tokens,
+              |  CAST(length(text) AS DOUBLE) / 4.0 AS n_est_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length/stopword/character-class ratios + a blended
+    // quality signal, as used for corpus filtering.
+    "text_quality_score" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ws = words(col("text"))
+        val nWords = size(ws).cast(LongType)
+        val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+        val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
+          .cast(LongType)
+        val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast(LongType)
+        val nChars = length(col("text")).cast(LongType)
+        val stopRatio = nStop.cast(DoubleType) / nWords.cast(DoubleType)
+        val lenScore = least(nWords.cast(DoubleType) / lit(50.0d), lit(1.0d))
+        d.select(
+            col("doc_id"),
+            nWords.as("n_words"),
+            round(sumLen.cast(DoubleType) / nWords.cast(DoubleType), 6)
+              .as("mean_word_len"),
+            round(stopRatio, 6).as("stop_ratio"),
+            round(nAlpha.cast(DoubleType) / nChars.cast(DoubleType), 6)
+              .as("alpha_ratio"),
+            round(lit(0.5d) * stopRatio + lit(0.5d) * lenScore, 6)
+              .as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        val nWords = s"CAST(len($ws) AS BIGINT)"
+        val sumLen = s"CAST(list_sum(list_transform($ws, w -> length(w))) AS BIGINT)"
+        val nStop = s"CAST(len(list_filter($ws, w -> w IN " +
+          stopwords.mkString("('", "','", "')") + ")) AS BIGINT)"
+        val stopRatio = s"(CAST($nStop AS DOUBLE) / CAST($nWords AS DOUBLE))"
+        val lenScore = s"least(CAST($nWords AS DOUBLE) / 50.0, 1.0)"
+        s"""SELECT doc_id,
+           |  $nWords AS n_words,
+           |  round(CAST($sumLen AS DOUBLE) / CAST($nWords AS DOUBLE), 6) AS mean_word_len,
+           |  round($stopRatio, 6) AS stop_ratio,
+           |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+           |        / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+           |  round(0.5 * $stopRatio + 0.5 * $lenScore, 6) AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Language ID: unigram-profile heuristic — per language, an additive
+    // score from a deterministic word→weight table (md5-derived); argmax
+    // with first-wins tie-break in fixed lang order. Exact integers.
+    "text_lang_id" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ws = words(col("text"))
+        val scores = langs.map { l =>
+          l -> aggregate(ws, lit(0L),
+            (acc, w) => acc + md5Long(concat(lit(l + ":"), w)) % 1000)
+        }
+        val best = greatest(scores.map(_._2): _*)
+        val pred = scores.foldRight(lit("??")) { case ((l, sc), e) =>
+          when(sc === best, lit(l)).otherwise(e)
+        }
+        d.select(
+            col("doc_id"), col("lang"),
+            pred.as("lang_pred"),
+            best.as("best_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        def score(l: String) =
+          s"CAST(list_sum(list_transform($ws, " +
+            s"w -> ${sqlMd5Long(s"concat('$l:', w)")} % 1000)) AS BIGINT)"
+        val cols = langs.map(l => s"${score(l)} AS s_$l").mkString(",\n  ")
+        val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val pred = langs.reverse.foldLeft("'??'") { (e, l) =>
+          s"CASE WHEN s_$l = best THEN '$l' ELSE $e END"
+        }
+        val sNames = langs.map(l => s"s_$l").mkString(", ")
+        s"""SELECT doc_id, lang, $pred AS lang_pred, best AS best_score FROM (
+           |  SELECT doc_id, lang, $sNames, $best AS best FROM (
+           |    SELECT doc_id, lang, $cols FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Document fingerprinting: mod-p selection over word-4-gram rolling
+    // hashes (0-mod-8 winnowing) — the compact sketch used for fast
+    // containment checks.
+    "text_fingerprint" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val fps = filter(shingleHashes(col("text"), 4), h => h % 8 === 0)
+        d.select(
+            col("doc_id"),
+            size(fps).cast(LongType).as("n_fp"),
+            coalesce(array_min(fps), lit(-1L)).as("min_fp"),
+            coalesce(array_max(fps), lit(-1L)).as("max_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val fps = s"list_filter(${sqlShingleHashes("text", 4)}, h -> h % 8 = 0)"
+        s"""SELECT doc_id,
+           |  CAST(len($fps) AS BIGINT) AS n_fp,
+           |  coalesce(list_min($fps), -1) AS min_fp,
+           |  coalesce(list_max($fps), -1) AS max_fp
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })
+  )
+}
