@@ -1,0 +1,64 @@
+package graft
+
+import graft.cdc.ChunkSplitter
+import graft.cdc.ChunkSplitter.ChunkRange
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Splitter math vs the reference semantics (MySqlChunkSplitter.java):
+  * even/uneven dispatch, bound structure, and full key-space coverage. */
+class ChunkSplitterSpec extends AnyFunSuite {
+
+  private def coverage(chunks: Seq[ChunkRange], keys: Seq[Long]): Unit = {
+    // every key in exactly one chunk
+    keys.foreach { k =>
+      assert(chunks.count(_.contains(k)) === 1, s"key $k")
+    }
+    // chunks tile the space: first lo=None, last hi=None, adjacent bounds meet
+    assert(chunks.head.lo.isEmpty && chunks.last.hi.isEmpty)
+    chunks.sliding(2).foreach {
+      case Seq(a, b) => assert(a.hi === b.lo)
+      case _ =>
+    }
+  }
+
+  test("distribution factor matches (max-min+1)/count") {
+    assert(ChunkSplitter.distributionFactor(1, 100, 100) === 1.0)
+    assert(ChunkSplitter.distributionFactor(1, 200, 100) === 2.0)
+  }
+
+  test("dense keys pick the arithmetic even split") {
+    assert(ChunkSplitter.isEvenlyDistributed(1, 100, 100))
+    val chunks = ChunkSplitter.splitEvenlySizedChunks(1, 100, 100, 25)
+    assert(chunks.size === 4)
+    coverage(chunks, 1L to 100L)
+  }
+
+  test("sparse keys (factor > upper bound) fall back to uneven split") {
+    // factor = 10^6 / 100 = 10^4 > 1000
+    assert(!ChunkSplitter.isEvenlyDistributed(1, 1000000, 100))
+    val keys = (1L to 100L).map(_ * 10000)
+    val chunks = ChunkSplitter.split(1, 1000000, 100, 30, () => keys.iterator)
+    assert(chunks.size === 4) // cuts at ranks 30, 60, 90
+    coverage(chunks, keys)
+  }
+
+  test("dynamic chunk step scales with key-space density") {
+    // factor 2.0 at chunkSize 25 -> step 50 (getDynamicChunkSize semantics)
+    assert(ChunkSplitter.dynamicChunkStep(1, 200, 100, 25) === 50L)
+    assert(ChunkSplitter.dynamicChunkStep(1, 100, 100, 25) === 25L)
+  }
+
+  test("single chunk when the table is smaller than one chunk") {
+    val chunks = ChunkSplitter.splitEvenlySizedChunks(5, 9, 5, 100)
+    assert(chunks === Seq(ChunkRange(0, None, None)))
+    val uneven = ChunkSplitter.splitUnevenlySizedChunks(
+      Seq(5L, 6L, 7L).iterator, 100)
+    assert(uneven === Seq(ChunkRange(0, None, None)))
+  }
+
+  test("keys outside the observed [min,max] still land in a chunk") {
+    val chunks = ChunkSplitter.splitEvenlySizedChunks(1, 100, 100, 25)
+    assert(chunks.count(_.contains(-50L)) === 1)  // first chunk, lo=None
+    assert(chunks.count(_.contains(1000L)) === 1) // last chunk, hi=None
+  }
+}

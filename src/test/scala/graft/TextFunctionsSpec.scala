@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Properties of the hashing/similarity primitives that back the dedup and
+  * ANN operators (the DuckDB oracle checks exact values; these check the
+  * algebraic properties that make them correct sketches). */
+class TextFunctionsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("md5Long is deterministic and 60-bit non-negative") {
+    val rows = Seq("a", "b", "hello world", "")
+      .toDF("s").select(md5Long(col("s")).as("h")).collect().map(_.getLong(0))
+    assert(rows.forall(h => h >= 0 && h < (1L << 60)))
+    assert(rows.distinct.length === rows.length)
+    val again = Seq("a").toDF("s")
+      .select(md5Long(col("s"))).collect()(0).getLong(0)
+    assert(again === rows(0))
+  }
+
+  test("shingles: correct count, short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(size(shingles(words(col("t")), 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(2, 0))
+  }
+
+  test("minhash: identical sets -> identical signatures; estimate tracks jaccard") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val df = Seq(
+      (1L, a), (2L, a),                                  // jaccard 1
+      (3L, a.replace("w20", "x20").replace("w19", "x19")) // high overlap
+    ).toDF("id", "t")
+      .select(col("id"), minHashSignature(shingleHashes(col("t"), 3), 16).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val matches13 = sigs(1L).zip(sigs(3L)).count { case (x, y) => x === y }
+    // true jaccard(1,3): 18 shingles, 14 shared, 22 union ~ 0.64
+    assert(matches13 > 4 && matches13 < 16,
+      s"minhash estimate should be between 0 and 1 exclusive: $matches13/16")
+  }
+
+  test("lsh bands: identical docs always collide in every band") {
+    val a = "q r s t u v w x y z"
+    val df = Seq((1L, a), (2L, a)).toDF("id", "t")
+      .select(col("id"),
+        bandKeys(minHashSignature(shingleHashes(col("t"), 2), 16), 4, 4)
+          .as("bands"))
+    val bands = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bands(1L) === bands(2L))
+  }
+
+  test("simhash: identical texts at hamming 0, disjoint texts differ") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa lambda"))
+      .toDF("id", "t")
+      .select(col("id"),
+        simHash(transform(words(col("t")), w => md5Long(w)), 16).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    val ham = Seq((sigs(1L), sigs(3L))).toDF("a", "b")
+      .select(hamming(col("a"), col("b"))).collect()(0).getInt(0)
+    assert(ham > 0 && ham <= 16)
+  }
+
+  test("jaccard: exact on known sets") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
+      .select(jaccard(col("a"), col("b")).as("j"))
+    assert(df.collect()(0).getDouble(0) === 0.5) // |{2,3}| / |{1,2,3,4}|
+  }
+
+  test("cosine: orthogonal -> 0, identical -> 1, antiparallel -> -1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(1f, 2f)),
+      (Seq(1f, 0f), Seq(-1f, 0f)))
+      .toDF("a", "b").select(cosine(col("a"), col("b")).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(0.0, 1.0, -1.0))
+  }
+}
