@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.RelationalQueries.defs ++
       graft.queries.CdcQueries.defs ++
       graft.queries.CdcSourceQueries.defs ++
+      graft.queries.CdcSurfaceQueries.defs ++
       graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++

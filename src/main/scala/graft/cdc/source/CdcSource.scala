@@ -35,9 +35,17 @@ import scala.jdk.CollectionConverters._
 object CdcSourceConfig {
   val PathKey = "path"
   val TableKey = "table"
-  val StartupModeKey = "scan.startup.mode" // initial | earliest | latest
+  // initial | earliest | latest | specific-offset | timestamp
+  // (reference StartupOptions.java:39-90 / StartupMode.java)
+  val StartupModeKey = "scan.startup.mode"
+  val SpecificOffsetKey = "scan.startup.specific-offset"
+  val TimestampKey = "scan.startup.timestamp-ms"
   val ChunkSizeKey = "scan.incremental.snapshot.chunk.size"
   val ChangelogModeKey = "changelog.mode" // all | upsert
+  /** Caps how far the log offset advances per micro-batch (the "keep stream
+    * batches small" knob — SURVEY §7.3; reference bounds fetch batches via
+    * Debezium max.batch.size). 0 = unbounded. */
+  val MaxEventsPerTriggerKey = "scan.stream.max-events-per-trigger"
 
   def fromOptions(o: CaseInsensitiveStringMap): CdcSourceConfig = CdcSourceConfig(
     path = Option(o.get(PathKey)).getOrElse(
@@ -47,7 +55,10 @@ object CdcSourceConfig {
     startupMode = o.getOrDefault(StartupModeKey, "initial"),
     chunkSize = o.getOrDefault(ChunkSizeKey,
       ChunkSplitter.DefaultChunkSize.toString).toInt,
-    changelogMode = o.getOrDefault(ChangelogModeKey, "all"))
+    changelogMode = o.getOrDefault(ChangelogModeKey, "all"),
+    specificOffset = o.getOrDefault(SpecificOffsetKey, "-1").toLong,
+    timestampMs = o.getOrDefault(TimestampKey, "-1").toLong,
+    maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey, "0").toLong)
 }
 
 case class CdcSourceConfig(
@@ -55,14 +66,44 @@ case class CdcSourceConfig(
     table: String,
     startupMode: String,
     chunkSize: Int,
-    changelogMode: String) {
-  require(Set("initial", "earliest", "latest").contains(startupMode),
-    s"unknown $startupMode — expected initial|earliest|latest " +
-      "(reference StartupOptions.java:39-90)")
+    changelogMode: String,
+    specificOffset: Long = -1L,
+    timestampMs: Long = -1L,
+    maxEventsPerTrigger: Long = 0L) {
+  require(Set("initial", "earliest", "latest", "specific-offset", "timestamp")
+    .contains(startupMode),
+    s"unknown $startupMode — expected initial|earliest|latest|" +
+      "specific-offset|timestamp (reference StartupOptions.java:39-90)")
   require(Set("all", "upsert").contains(changelogMode),
     "changelog.mode must be all|upsert (DebeziumChangelogMode.java:20-27)")
+  require(startupMode != "specific-offset" || specificOffset >= 0,
+    s"scan.startup.mode=specific-offset requires ${CdcSourceConfig.SpecificOffsetKey}")
+  require(startupMode != "timestamp" || timestampMs >= 0,
+    s"scan.startup.mode=timestamp requires ${CdcSourceConfig.TimestampKey}")
 
-  def meta: FileCdcDatabase.TableMeta = FileCdcDatabase.readMeta(path, table)
+  /** Captured tables: `table` is an exact name or a regex over discovered
+    * tables (reference P1 — `table-name` patterns select sharded tables with
+    * one schema, TableDiscoveryUtils / BinlogSplitReader.java:104-110). */
+  lazy val matchedTables: Seq[String] = {
+    val all = FileCdcDatabase.discoverTables(path)
+    val m =
+      if (all.contains(table)) Seq(table)
+      else all.filter(_.matches(table))
+    require(m.nonEmpty, s"no table matches '$table' under $path")
+    val schemas = m.map(t => FileCdcDatabase.readMeta(path, t).schema).distinct
+    require(schemas.size == 1,
+      s"tables matched by '$table' must share one schema, got ${schemas.size}")
+    m
+  }
+
+  /** Meta of the first captured table (schema representative). */
+  def meta: FileCdcDatabase.TableMeta =
+    FileCdcDatabase.readMeta(path, matchedTables.head)
+
+  /** Log head across all captured tables (offsets are one comparable space,
+    * like a binlog position shared by all tables of a database). */
+  def maxOffsetAll: Long =
+    matchedTables.map(t => FileCdcDatabase.readMeta(path, t).maxOffset).max
 }
 
 class CdcTableProvider extends TableProvider with DataSourceRegister {
@@ -121,8 +162,8 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType) extends Scan {
 /** Driver-side chunk planning shared by batch and stream paths — the
   * assigner role (MySqlHybridSplitAssigner.java:97-126). */
 object CdcPlanner {
-  def chunks(cfg: CdcSourceConfig): Seq[ChunkRange] = {
-    val m = cfg.meta
+  def chunks(cfg: CdcSourceConfig, table: String): Seq[ChunkRange] = {
+    val m = FileCdcDatabase.readMeta(cfg.path, table)
     ChunkSplitter.split(m.minPk, m.maxPk, m.rowCount, cfg.chunkSize,
       // uneven fallback walks the snapshot's sorted keys (file dialect);
       // a JDBC dialect pushes this as SELECT MAX(pk)… LIMIT chunkSize
@@ -131,11 +172,42 @@ object CdcPlanner {
         val codec = new JsonRowCodec(m.schema)
         val pkIdx = m.schema.fieldIndex(m.pk)
         val pkType = m.schema(pkIdx).dataType
-        FileCdcDatabase.dataFiles(cfg.path, cfg.table, "snapshot")
+        FileCdcDatabase.dataFiles(cfg.path, table, "snapshot")
           .iterator.flatMap(FileCdcDatabase.lines)
           .map(l => toLongKey(codec.decode(l).get(pkIdx, pkType)))
           .toSeq.sorted.iterator
       })
+  }
+
+  /** Driver-side scan of the captured tables' logs: distinct event offsets
+    * in (from, to], ascending. The file dialect reads the log files; a JDBC
+    * dialect asks the database (e.g. binlog index / SHOW BINARY LOGS). */
+  def offsetsBetween(cfg: CdcSourceConfig, from: Long, to: Long): Seq[Long] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    cfg.matchedTables.iterator
+      .flatMap(t => FileCdcDatabase.dataFiles(cfg.path, t, "log"))
+      .flatMap(FileCdcDatabase.lines)
+      .map(l => mapper.readTree(l).get(ChangeRecord.OffsetCol).asLong())
+      .filter(o => o > from && o <= to)
+      .toSeq.distinct.sorted
+  }
+
+  /** First offset whose source timestamp is ≥ `tsMs`, minus 1 — the startup
+    * position for timestamp mode (reference seeks the binlog by timestamp,
+    * SeekBinlogToTimestampFilter / BinlogOffsetKind.TIMESTAMP). */
+  def offsetForTimestamp(cfg: CdcSourceConfig, tsMs: Long): Long = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val first = cfg.matchedTables.iterator
+      .flatMap(t => FileCdcDatabase.dataFiles(cfg.path, t, "log"))
+      .flatMap(FileCdcDatabase.lines)
+      .map { l =>
+        val n = mapper.readTree(l)
+        (n.get(ChangeRecord.OffsetCol).asLong(),
+          n.get(ChangeRecord.TsCol).asLong())
+      }
+      .filter(_._2 >= tsMs).map(_._1)
+      .foldLeft(Long.MaxValue)(math.min)
+    if (first == Long.MaxValue) cfg.maxOffsetAll else first - 1
   }
 
   def toLongKey(v: Any): Long = v match {
@@ -149,31 +221,31 @@ object CdcPlanner {
         "BIGINT/INT/DECIMAL, MySqlChunkSplitter.java:385-395)")
   }
 
-  /** Partitions for a fully-specified read: snapshot chunks at a uniform
-    * high watermark and/or one ordered log range. */
+  /** Partitions for a fully-specified read: per captured table, snapshot
+    * chunks at a uniform high watermark and/or one ordered log range. */
   def plan(cfg: CdcSourceConfig, withSnapshot: Boolean, snapshotHigh: Long,
-      logFrom: Long, logTo: Long): Array[InputPartition] = {
-    val m = cfg.meta
-    val snap: Seq[InputPartition] =
-      if (withSnapshot)
-        chunks(cfg).map(c => SnapshotChunkPartition(cfg.path, cfg.table,
-          c.id, c.lo, c.hi, snapshotHigh))
-      else Seq.empty
-    val log: Seq[InputPartition] =
-      if (logTo > logFrom)
-        // finished-chunk high watermarks drive the stream-phase shouldEmit
-        // filter (BinlogSplitReader.shouldEmit, :222-273). With a static
-        // file snapshot all chunks share one high == logFrom.
-        Seq(LogRangePartition(cfg.path, cfg.table, logFrom, logTo,
-          cfg.changelogMode))
-      else Seq.empty
-    (snap ++ log).toArray
-  }
+      logFrom: Long, logTo: Long): Array[InputPartition] =
+    cfg.matchedTables.flatMap { table =>
+      val snap: Seq[InputPartition] =
+        if (withSnapshot)
+          chunks(cfg, table).map(c => SnapshotChunkPartition(cfg.path, table,
+            c.id, c.lo, c.hi, snapshotHigh))
+        else Seq.empty
+      val log: Seq[InputPartition] =
+        if (logTo > logFrom)
+          // finished-chunk high watermarks drive the stream-phase shouldEmit
+          // filter (BinlogSplitReader.shouldEmit, :222-273). With a static
+          // file snapshot all chunks share one high == logFrom.
+          Seq(LogRangePartition(cfg.path, table, logFrom, logTo,
+            cfg.changelogMode))
+        else Seq.empty
+      snap ++ log
+    }.toArray
 }
 
 class CdcBatch(cfg: CdcSourceConfig) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val maxOff = cfg.meta.maxOffset
+    val maxOff = cfg.maxOffsetAll
     cfg.startupMode match {
       // current state: chunks merged up to the current log end (W2)
       case "initial" => CdcPlanner.plan(cfg, withSnapshot = true,
@@ -182,6 +254,13 @@ class CdcBatch(cfg: CdcSourceConfig) extends Batch {
       case "earliest" => CdcPlanner.plan(cfg, withSnapshot = false,
         snapshotHigh = 0L, logFrom = 0L, logTo = maxOff)
       case "latest" => Array.empty
+      // replay from a known position / timestamp (T3/T4)
+      case "specific-offset" => CdcPlanner.plan(cfg, withSnapshot = false,
+        snapshotHigh = 0L, logFrom = cfg.specificOffset, logTo = maxOff)
+      case "timestamp" => CdcPlanner.plan(cfg, withSnapshot = false,
+        snapshotHigh = 0L,
+        logFrom = CdcPlanner.offsetForTimestamp(cfg, cfg.timestampMs),
+        logTo = maxOff)
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -211,19 +290,38 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig)
     case "initial" => CdcStreamOffset(snapshotDone = false, logOffset = -1L)
     case "earliest" => CdcStreamOffset(snapshotDone = true, logOffset = 0L)
     case "latest" => CdcStreamOffset(snapshotDone = true,
-      logOffset = cfg.meta.maxOffset)
+      logOffset = cfg.maxOffsetAll)
+    case "specific-offset" => CdcStreamOffset(snapshotDone = true,
+      logOffset = cfg.specificOffset)
+    case "timestamp" => CdcStreamOffset(snapshotDone = true,
+      logOffset = CdcPlanner.offsetForTimestamp(cfg, cfg.timestampMs))
   }
 
   private def current(): CdcStreamOffset =
-    CdcStreamOffset(snapshotDone = true, logOffset = cfg.meta.maxOffset)
+    CdcStreamOffset(snapshotDone = true, logOffset = cfg.maxOffsetAll)
 
   /** Trigger.AvailableNow support: pin the end offset once, drain to it. */
   @volatile private var availableTarget: CdcStreamOffset = _
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = current()
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    if (availableTarget != null) availableTarget else current()
+
+  /** End offset for the next batch: the pinned/current log head, rate-
+    * limited to `max-events-per-trigger` distinct offsets past `start`
+    * (SURVEY §7.3 — the stream phase is one ordered partition, so batches
+    * must stay small; AvailableNow then drains in several micro-batches). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdcStreamOffset]
+    val target = if (availableTarget != null) availableTarget else current()
+    if (!s.snapshotDone || cfg.maxEventsPerTrigger <= 0) target
+    else {
+      val step = CdcPlanner
+        .offsetsBetween(cfg, s.logOffset, target.logOffset)
+        .take(cfg.maxEventsPerTrigger.toInt)
+      if (step.isEmpty) target
+      else CdcStreamOffset(snapshotDone = true, logOffset = step.last)
+    }
+  }
   override def reportLatestOffset(): Offset = current()
 
   /** Heartbeat semantics (T5) fall out of micro-batching: the offset

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.cdc._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Surface-parity queries for the CDC source options (SURVEY §2.4 T3/T4,
+ * §2.5 P1, §2.6 U1): startup at a specific offset / timestamp, rate-limited
+ * micro-batches, sharded-table regex capture, and the Debezium-JSON
+ * deserialization round trip.
+ */
+object CdcSurfaceQueries {
+
+  import ChangeRecord._
+
+  private val ordersSpec = ChangelogGen.Spec(pk = "o_orderkey",
+    measure = "o_totalprice", table = "orders")
+  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private def dbDir(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/.scratch/cdcdb/$sf"
+  }
+
+  /** The `orders` CDC database (shared with CdcSourceQueries.prepare). */
+  private def prepare(spark: SparkSession, sfDir: String): String = {
+    val dir = dbDir(sfDir)
+    val base = Tables.load(spark, sfDir, "orders")
+    FileCdcDatabase.write(spark, dir, "orders", "graft", ordersSpec.pk,
+      snapshot = base,
+      changes = ChangelogGen.changes(base, ordersSpec),
+      snapshotPartitions = 4)
+    dir
+  }
+
+  /** Two shards of `orders` split by key parity — the sharded-table layout
+    * the reference's `table-name` regex captures (P1). */
+  private def prepareSharded(spark: SparkSession, sfDir: String): String = {
+    val dir = dbDir(sfDir)
+    val base = Tables.load(spark, sfDir, "orders")
+    Seq(0, 1).foreach { p =>
+      val shard = base.filter(col("o_orderkey") % 2 === p)
+      FileCdcDatabase.write(spark, dir, s"orders_$p", "graft", ordersSpec.pk,
+        snapshot = shard,
+        changes = ChangelogGen.changes(shard,
+          ordersSpec.copy(table = s"orders_$p")),
+        snapshotPartitions = 2)
+    }
+    dir
+  }
+
+  private def readBatch(spark: SparkSession, dir: String, table: String,
+      opts: Map[String, String]): DataFrame = {
+    val r = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", table)
+      .option("scan.incremental.snapshot.chunk.size", "1000")
+    opts.foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2)).load()
+  }
+
+  private def opCounts(df: DataFrame): DataFrame =
+    df.groupBy(col(OpCol)).agg(count(lit(1)).as("n")).orderBy(col(OpCol))
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Startup at a specific log position: replay strictly after the given
+    // offset (generator bands: updates ~1e6, inserts ~2e9, deletes ~4e9 —
+    // starting at 1999999999 skips every update).
+    "cdc_startup_specific_offset" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        opCounts(readBatch(s, dir, "orders", Map(
+          "scan.startup.mode" -> "specific-offset",
+          "scan.startup.specific-offset" -> "1999999999")))
+      },
+      Some("""SELECT __op, n FROM (
+             |  SELECT '+I' AS __op, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 1) AS n
+             |  UNION ALL SELECT '-D', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
+             |) ORDER BY __op""".stripMargin)),
+
+    // Startup from a source timestamp (ts == offset in the generated log):
+    // from ts 4e9 only the deletes remain.
+    "cdc_startup_timestamp" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        opCounts(readBatch(s, dir, "orders", Map(
+          "scan.startup.mode" -> "timestamp",
+          "scan.startup.timestamp-ms" -> "4000000000")))
+      },
+      Some("""SELECT '-D' AS __op,
+             |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3) AS n
+             |ORDER BY __op""".stripMargin)),
+
+    // Rate-limited stream: ≤1000 events per micro-batch; AvailableNow drains
+    // the log over several batches and the union must equal one-shot replay
+    // (exactly-once across batch boundaries).
+    "cdc_rate_limited_stream" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        val name = s"cdc_rate_${System.nanoTime()}"
+        val q = s.readStream.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("scan.startup.mode", "earliest")
+          .option("scan.stream.max-events-per-trigger", "1000")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .writeStream.format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        opCounts(s.table(name))
+      },
+      Some("""SELECT __op, n FROM (
+             |  SELECT '+I' AS __op, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 1) AS n
+             |  UNION ALL SELECT '+U', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
+             |  UNION ALL SELECT '-U', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
+             |  UNION ALL SELECT '-D', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
+             |) ORDER BY __op""".stripMargin)),
+
+    // Sharded-table capture: `table` = regex over discovered tables; both
+    // shards stream through one source (rows tagged by __table) and the
+    // merged materialized state equals the unsharded result.
+    "cdc_sharded_tables" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareSharded(s, dir0)
+        val df = readBatch(s, dir, "orders_[01]",
+          Map("scan.startup.mode" -> "initial"))
+        df.select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")
+        + "\nORDER BY o_orderkey")),
+
+    // Debezium-JSON round trip (U1): envelope → JSON strings → parsed
+    // envelope → emitted changelog; kind histogram must survive intact.
+    "cdc_json_roundtrip" -> QueryDef(
+      (s, dir0) => {
+        val base = Tables.load(s, dir0, "orders")
+        val env = ChangelogGen.full(base, ordersSpec)
+        val jsons = Deserializers.toJsonStrings(env)
+        val back = Deserializers.fromJsonStrings(jsons, base.schema)
+        opCounts(Materialize.emit(back, ChangelogAll))
+      },
+      Some("""SELECT __op, n FROM (
+             |  SELECT '+I' AS __op,
+             |    (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 1) AS n
+             |  UNION ALL SELECT '+U', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
+             |  UNION ALL SELECT '-U', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
+             |  UNION ALL SELECT '-D', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
+             |) ORDER BY __op""".stripMargin))
+  )
+}
