@@ -25,6 +25,13 @@ object FileCdcDatabase {
 
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
+  /** Per-snapshot-file PK stats (file is a basename under <table>/snapshot):
+    * rows are range-partitioned and sorted by PK at write time, so chunk
+    * readers prune non-overlapping files and stop early — the file-dialect
+    * analogue of parquet row-group min/max pruning / the WHERE-clause range
+    * scan a JDBC dialect pushes to the database (StatementUtils.java:132-188). */
+  case class FileRange(file: String, minPk: Long, maxPk: Long)
+
   case class TableMeta(
       table: String,
       db: String,
@@ -33,7 +40,8 @@ object FileCdcDatabase {
       rowCount: Long,
       minPk: Long,
       maxPk: Long,
-      maxOffset: Long) {
+      maxOffset: Long,
+      snapshotFiles: Seq[FileRange] = Seq.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -51,7 +59,10 @@ object FileCdcDatabase {
     val maxOff = changes.agg(coalesce(max(col(ChangeRecord.OffsetCol)), lit(0L)))
       .collect()(0).getLong(0)
 
-    snapshot.repartition(snapshotPartitions)
+    // Range-partition + sort the snapshot by PK so readers can prune whole
+    // files against a chunk range and early-terminate inside a file.
+    snapshot.repartitionByRange(snapshotPartitions, col(pk))
+      .sortWithinPartitions(col(pk))
       .write.mode("overwrite").option("timestampFormat", TsFmt)
       .json(root.resolve("snapshot").toString)
     changes.orderBy(col(ChangeRecord.OffsetCol))
@@ -59,8 +70,25 @@ object FileCdcDatabase {
       .write.mode("overwrite").option("timestampFormat", TsFmt)
       .json(root.resolve("log").toString)
 
+    // Per-file PK stats: files are PK-sorted, so min/max = first/last line.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fileRanges = dataFiles(dir, table, "snapshot").flatMap { f =>
+      var first: String = null; var last: String = null
+      val it = lines(f)
+      while (it.hasNext) {
+        val l = it.next()
+        if (first == null) first = l
+        last = l
+      }
+      if (first == null) None
+      else Some(FileRange(Paths.get(f).getFileName.toString,
+        mapper.readTree(first).get(pk).asLong(),
+        mapper.readTree(last).get(pk).asLong()))
+    }
+
     val meta = TableMeta(table, db, pk, snapshot.schema.toDDL,
-      stats.getLong(0), stats.getLong(1), stats.getLong(2), maxOff)
+      stats.getLong(0), stats.getLong(1), stats.getLong(2), maxOff,
+      fileRanges)
     Files.writeString(root.resolve("meta.json"), metaToJson(meta))
     Files.writeString(donePath, "ok")
   }
@@ -69,11 +97,40 @@ object FileCdcDatabase {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = mapper.readTree(
       Files.readString(Paths.get(dir, table, "meta.json")))
+    val files = Option(n.get("snapshotFiles")).map(_.elements().asScala.map {
+      e => FileRange(e.get("file").asText(), e.get("minPk").asLong(),
+        e.get("maxPk").asLong())
+    }.toSeq).getOrElse(Seq.empty)
     TableMeta(n.get("table").asText(), n.get("db").asText(),
       n.get("pk").asText(), n.get("schemaDdl").asText(),
       n.get("rowCount").asLong(), n.get("minPk").asLong(),
-      n.get("maxPk").asLong(), n.get("maxOffset").asLong())
+      n.get("maxPk").asLong(), n.get("maxOffset").asLong(), files)
   }
+
+  /** Fast path: pull the first occurrence of an integer field out of a JSONL
+    * line without building a tree. None when the pattern is absent or not a
+    * plain integer (caller falls back to a full decode). */
+  def quickLongFieldOpt(line: String, field: String): Option[Long] = {
+    val key = "\"" + field + "\":"
+    val i = line.indexOf(key)
+    if (i < 0) return None
+    val j = i + key.length
+    var end = j
+    while (end < line.length &&
+      (line.charAt(end).isDigit || (end == j && line.charAt(end) == '-')))
+      end += 1
+    if (end == j) None
+    else
+      try Some(line.substring(j, end).toLong)
+      catch { case _: NumberFormatException => None }
+  }
+
+  /** [[quickLongFieldOpt]] with a Jackson fallback — for top-level fields
+    * that are always present (e.g. `__offset` in log lines). */
+  def quickLongField(line: String, field: String): Long =
+    quickLongFieldOpt(line, field).getOrElse(
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(line).get(field).asLong())
 
   /** Tables present under `dir` (reference: discoverDataCollections,
     * DataSourceDialect.java:45-52). */
@@ -103,8 +160,12 @@ object FileCdcDatabase {
 
   private def metaToJson(m: TableMeta): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val files = m.snapshotFiles.map(f =>
+      s"""{"file":${q(f.file)},"minPk":${f.minPk},"maxPk":${f.maxPk}}""")
+      .mkString("[", ",", "]")
     s"""{"table":${q(m.table)},"db":${q(m.db)},"pk":${q(m.pk)},
        |"schemaDdl":${q(m.schemaDdl)},"rowCount":${m.rowCount},
-       |"minPk":${m.minPk},"maxPk":${m.maxPk},"maxOffset":${m.maxOffset}}""".stripMargin
+       |"minPk":${m.minPk},"maxPk":${m.maxPk},"maxOffset":${m.maxOffset},
+       |"snapshotFiles":$files}""".stripMargin
   }
 }

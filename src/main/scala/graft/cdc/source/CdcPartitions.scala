@@ -83,13 +83,48 @@ private[source] class EnvelopeDecoder(path: String, table: String) {
     out
   }
 
-  def logLines(): Iterator[String] =
+  /** Log lines with offsets in (from, to]: cheap prefix parse of the offset,
+    * per-file early stop (log files are offset-sorted), full decode only for
+    * in-range lines. */
+  def logLinesInRange(from: Long, to: Long): Iterator[String] =
     FileCdcDatabase.dataFiles(path, table, "log").iterator
-      .flatMap(FileCdcDatabase.lines)
+      .flatMap { f =>
+        FileCdcDatabase.lines(f)
+          .map(l => (FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol), l))
+          .takeWhile(_._1 <= to)
+          .collect { case (o, l) if o > from => l }
+      }
 
-  def snapshotLines(): Iterator[String] =
-    FileCdcDatabase.dataFiles(path, table, "snapshot").iterator
-      .flatMap(FileCdcDatabase.lines)
+  /** Snapshot lines possibly overlapping the chunk range [lo, hi): prune
+    * whole files via the meta's per-file PK stats (files are PK-sorted and
+    * range-partitioned at write time), early-stop inside each file once the
+    * PK passes hi. The pk is prefiltered with a cheap prefix parse only when
+    * the payload leads with the pk column; otherwise rows decode normally
+    * and the caller's range check applies. */
+  def snapshotLines(lo: Option[Long], hi: Option[Long]): Iterator[String] = {
+    val all = FileCdcDatabase.dataFiles(path, table, "snapshot")
+    val pruned =
+      if (meta.snapshotFiles.isEmpty) all
+      else {
+        val byName = meta.snapshotFiles.map(f => f.file -> f).toMap
+        all.filter { p =>
+          byName.get(java.nio.file.Paths.get(p).getFileName.toString) match {
+            case Some(fr) =>
+              lo.forall(fr.maxPk >= _) && hi.forall(fr.minPk < _)
+            case None => true
+          }
+        }
+      }
+    val sortedByPk = meta.snapshotFiles.nonEmpty
+    pruned.iterator.flatMap { f =>
+      val ls = FileCdcDatabase.lines(f)
+      if (sortedByPk && hi.isDefined)
+        ls.map(l => (FileCdcDatabase.quickLongField(l, meta.pk), l))
+          .takeWhile(_._1 < hi.get)
+          .map(_._2)
+      else ls
+    }
+  }
 }
 
 class SnapshotChunkReader(p: SnapshotChunkPartition)
@@ -103,16 +138,23 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
 
   // W2: chunk rows keyed, then log slice (0, high] merged in.
   // (offset, image) per key; insertion order preserved for determinism.
+  // Snapshot input is file-pruned to the chunk range; the log slice is
+  // offset-bounded with per-file early stop.
   private val merged: Iterator[InternalRow] = {
     val byKey = mutable.LinkedHashMap[Long, (Long, InternalRow)]()
-    dec.snapshotLines().foreach { line =>
+    dec.snapshotLines(p.lo, p.hi).foreach { line =>
       val row = dec.codec.decode(line)
       val k = CdcPlanner.toLongKey(row.get(dec.pkIdx, dec.pkType))
       if (inRange(k)) byKey(k) = (0L, row)
     }
-    dec.logLines().foreach { line =>
-      val env = dec.decodeEnvelope(line)
-      if (env.offset > 0 && env.offset <= p.high) {
+    dec.logLinesInRange(0L, p.high).foreach { line =>
+      // cheap key prefilter: the PK value is identical in before/after
+      // (key-stable rows — the reference dedups by the key Struct the same
+      // way, RecordUtils.upsertBinlog), so the first occurrence of the pk
+      // field in the line is the event's key; full decode only in-range
+      val quick = FileCdcDatabase.quickLongFieldOpt(line, dec.meta.pk)
+      if (quick.forall(inRange)) {
+        val env = dec.decodeEnvelope(line)
         val k = env.key
         if (inRange(k)) env.op match {
           case ExternalOp.Delete => byKey.remove(k)
@@ -139,10 +181,10 @@ class LogRangeReader(p: LogRangePartition)
   private val dec = new EnvelopeDecoder(p.path, p.table)
 
   private val rows: Iterator[InternalRow] =
-    dec.logLines().map(dec.decodeEnvelope)
-      // shouldEmit (W3): only events past the key's finished-chunk high
-      // watermark; uniform high == p.from for the file dialect
-      .filter(env => env.offset > p.from && env.offset <= p.to)
+    // shouldEmit (W3): only events past the key's finished-chunk high
+    // watermark; uniform high == p.from for the file dialect. Offsets are
+    // prefiltered cheaply before the full envelope decode.
+    dec.logLinesInRange(p.from, p.to).map(dec.decodeEnvelope)
       .flatMap { env =>
         env.op match {
           case ExternalOp.Create | ExternalOp.Read =>

@@ -182,15 +182,17 @@ object CdcPlanner {
   /** Driver-side scan of the captured tables' logs: distinct event offsets
     * in (from, to], ascending. The file dialect reads the log files; a JDBC
     * dialect asks the database (e.g. binlog index / SHOW BINARY LOGS). */
-  def offsetsBetween(cfg: CdcSourceConfig, from: Long, to: Long): Seq[Long] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  def offsetsBetween(cfg: CdcSourceConfig, from: Long, to: Long): Seq[Long] =
     cfg.matchedTables.iterator
       .flatMap(t => FileCdcDatabase.dataFiles(cfg.path, t, "log"))
-      .flatMap(FileCdcDatabase.lines)
-      .map(l => mapper.readTree(l).get(ChangeRecord.OffsetCol).asLong())
-      .filter(o => o > from && o <= to)
+      .flatMap { f =>
+        // log files are offset-sorted: cheap prefix parse + early stop
+        FileCdcDatabase.lines(f)
+          .map(l => FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol))
+          .takeWhile(_ <= to)
+          .filter(_ > from)
+      }
       .toSeq.distinct.sorted
-  }
 
   /** First offset whose source timestamp is ≥ `tsMs`, minus 1 — the startup
     * position for timestamp mode (reference seeks the binlog by timestamp,

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge.{column => exprCol, expression => colExpr}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -51,13 +52,22 @@ object TextFunctions {
         sequence(lit(0), size(ws) - k),
         i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
 
-  /** Distinct shingle hash set — the MinHash/Jaccard input universe. */
+  /** Distinct shingle hash set — the MinHash/Jaccard input universe.
+    * Native expression ([[ShingleMd5Hashes]]); [[shingleHashesHof]] is the
+    * bit-identical functions-only formulation it is property-tested against. */
   def shingleHashes(text: Column, k: Int): Column =
+    exprCol(ShingleMd5Hashes(colExpr(text), k))
+
+  def shingleHashesHof(text: Column, k: Int): Column =
     array_distinct(transform(shingles(words(text), k), s => md5Long(s)))
 
   /** MinHash signature (numHashes ≤ 16): per permutation, the minimum of
-    * h_i over the element hash set. Empty sets hash to P (sentinel). */
-  def minHashSignature(hashes: Column, numHashes: Int): Column = {
+    * h_i over the element hash set. Empty sets hash to P (sentinel).
+    * Native ([[MinHashSig]]); HOF twin below. */
+  def minHashSignature(hashes: Column, numHashes: Int): Column =
+    exprCol(MinHashSig(colExpr(hashes), numHashes))
+
+  def minHashSignatureHof(hashes: Column, numHashes: Int): Column = {
     val sigs = (0 until numHashes).map { i =>
       val a = MinHashA(i); val b = MinHashB(i)
       coalesce(
@@ -87,10 +97,14 @@ object TextFunctions {
       .otherwise(size(array_intersect(a, b)).cast(DoubleType) /
         size(array_union(a, b)).cast(DoubleType))
 
-  /** `bits`-bit SimHash over a token hash array: bit j set iff the count of
-    * tokens with bit j set exceeds half the token count (the ±1-sum sign
-    * test, computed in exact integer arithmetic). */
-  def simHash(hashes: Column, bits: Int): Column = {
+  /** `bits`-bit SimHash over a text's word-hash multiset: bit j set iff the
+    * count of tokens with bit j set exceeds half the token count (the ±1-sum
+    * sign test, computed in exact integer arithmetic).
+    * Native ([[SimHashText]]); HOF twin takes the hash array. */
+  def simHashText(text: Column, bits: Int): Column =
+    exprCol(SimHashText(colExpr(text), bits))
+
+  def simHashHof(hashes: Column, bits: Int): Column = {
     val n = size(hashes)
     (0 until bits).map { j =>
       val onesJ = aggregate(hashes, lit(0L),
@@ -102,10 +116,13 @@ object TextFunctions {
   /** Hamming distance between two small integer bit-sets. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Sequential-fold dot product of two float vectors in DOUBLE — the same
+  /** Sequential-fold dot product of two numeric vectors in DOUBLE — the same
     * left fold as DuckDB `list_reduce(list_transform(...), (a,b)->a+b)`,
-    * so results are bit-identical across engines. */
-  def dot(a: Column, b: Column): Column =
+    * so results are bit-identical across engines.
+    * Native ([[VecDot]]); HOF twin below. */
+  def dot(a: Column, b: Column): Column = exprCol(VecDot(colExpr(a), colExpr(b)))
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0d), (acc, v) => acc + v)
 

@@ -38,7 +38,7 @@ object CdcSourceQueries {
     FileCdcDatabase.write(spark, dir, "orders", "graft", ordersSpec.pk,
       snapshot = base,
       changes = ChangelogGen.changes(base, ordersSpec),
-      snapshotPartitions = 4)
+      snapshotPartitions = 32)
     dir
   }
 

@@ -33,7 +33,7 @@ object CdcSurfaceQueries {
     FileCdcDatabase.write(spark, dir, "orders", "graft", ordersSpec.pk,
       snapshot = base,
       changes = ChangelogGen.changes(base, ordersSpec),
-      snapshotPartitions = 4)
+      snapshotPartitions = 32)
     dir
   }
 
@@ -48,7 +48,7 @@ object CdcSurfaceQueries {
         snapshot = shard,
         changes = ChangelogGen.changes(shard,
           ordersSpec.copy(table = s"orders_$p")),
-        snapshotPartitions = 2)
+        snapshotPartitions = 16)
     }
     dir
   }
@@ -94,7 +94,7 @@ object CdcSurfaceQueries {
              |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3) AS n
              |ORDER BY __op""".stripMargin)),
 
-    // Rate-limited stream: ≤1000 events per micro-batch; AvailableNow drains
+    // Rate-limited stream: ≤4000 events per micro-batch; AvailableNow drains
     // the log over several batches and the union must equal one-shot replay
     // (exactly-once across batch boundaries).
     "cdc_rate_limited_stream" -> QueryDef(
@@ -104,7 +104,7 @@ object CdcSurfaceQueries {
         val q = s.readStream.format("graft-cdc")
           .option("path", dir).option("table", "orders")
           .option("scan.startup.mode", "earliest")
-          .option("scan.stream.max-events-per-trigger", "1000")
+          .option("scan.stream.max-events-per-trigger", "4000")
           .option("scan.incremental.snapshot.chunk.size", "1000")
           .load()
           .writeStream.format("memory").queryName(name)

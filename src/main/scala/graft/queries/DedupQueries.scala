@@ -108,8 +108,7 @@ object DedupQueries {
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         val sigs = d.select(col("doc_id"), col("lang"),
-          simHash(transform(words(col("text")), w => md5Long(w)), 16)
-            .as("sig"))
+          simHashText(col("text"), 16).as("sig"))
           .cache()
         sigs.as("a")
           .join(sigs.as("b"), col("a.lang") === col("b.lang")
@@ -134,32 +133,55 @@ object DedupQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
-    // n-gram Jaccard near-dup with (lang, source) blocking: exact word-2-gram
-    // Jaccard ≥ 0.3 inside each block.
+    // word-4-gram Jaccard near-dup with (lang, source) blocking, computed as a
+    // sparse similarity join: explode distinct shingles, equi-join on
+    // (block, shingle), count intersections, |∪| = |a|+|b|-|∩|. All codegen
+    // joins/aggregates — no per-pair array work — and pairs sharing nothing
+    // never materialize, which is what survives at corpus scale.
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         val docs = d.select(col("doc_id"), col("lang"), col("source"),
-          shingleHashes(col("text"), 2).as("sh"))
-        docs.as("a")
-          .join(docs.as("b"), col("a.lang") === col("b.lang")
+          shingleHashes(col("text"), 4).as("sh"))
+          .cache()
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+        val tok = docs.select(col("doc_id"), col("lang"), col("source"),
+          explode(col("sh")).as("h"))
+        val inter = tok.as("a")
+          .join(tok.as("b"), col("a.lang") === col("b.lang")
             && col("a.source") === col("b.source")
+            && col("a.h") === col("b.h")
             && col("a.doc_id") < col("b.doc_id"))
-          .withColumn("jac", round(jaccard(col("a.sh"), col("b.sh")), 6))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("ni"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+            "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+            "id_b")
+          .withColumn("jac", round(col("ni").cast(DoubleType) /
+            (col("na") + col("nb") - col("ni")).cast(DoubleType), 6))
           .filter(col("jac") >= 0.3d)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("jac"))
+          .select(col("id_a"), col("id_b"), col("jac"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some {
-        val sh = sqlShingleHashes("text", 2)
-        s"""WITH docs AS (SELECT doc_id, lang, source, $sh AS sh FROM documents)
+        val sh = sqlShingleHashes("text", 4)
+        s"""WITH docs AS (SELECT doc_id, lang, source, $sh AS sh FROM documents),
+           |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+           |tok AS (SELECT doc_id, lang, source, unnest(sh) AS h FROM docs),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+           |  FROM tok a JOIN tok b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
+           |    AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
            |SELECT id_a, id_b, jac FROM (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |    round(${sqlJaccard("a.sh", "b.sh")}, 6) AS jac
-           |  FROM docs a JOIN docs b
-           |    ON a.lang = b.lang AND a.source = b.source
-           |    AND a.doc_id < b.doc_id)
+           |  SELECT id_a, id_b,
+           |    round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jac
+           |  FROM inter
+           |  JOIN sizes na ON na.doc_id = id_a
+           |  JOIN sizes nb ON nb.doc_id = id_b)
            |WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin
       }),
 
@@ -167,12 +189,18 @@ object DedupQueries {
     // stand-in); sequential-fold double cosine is bit-identical in DuckDB.
     "dedup_embedding_cosine" -> QueryDef(
       (s, dir) => {
+        // norms precomputed per vector (cached) instead of per pair — same
+        // sequential fold as the oracle's sqrt(dot(a,a)), just hoisted
         val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"), col("embedding"))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+          .cache()
         e.as("a")
           .join(e.as("b"), col("a.label") === col("b.label")
             && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+          .withColumn("cos", round(
+            dot(col("a.embedding"), col("b.embedding"))
+              / (col("a.nrm") * col("b.nrm")), 6))
           .filter(col("cos") >= 0.4d)
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
             col("cos"))

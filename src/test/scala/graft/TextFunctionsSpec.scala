@@ -57,8 +57,7 @@ class TextFunctionsSpec extends SparkSpecBase {
       (2L, "alpha beta gamma delta epsilon"),
       (3L, "zeta eta theta iota kappa lambda"))
       .toDF("id", "t")
-      .select(col("id"),
-        simHash(transform(words(col("t")), w => md5Long(w)), 16).as("sig"))
+      .select(col("id"), simHashText(col("t"), 16).as("sig"))
     val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
@@ -71,6 +70,26 @@ class TextFunctionsSpec extends SparkSpecBase {
     val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
       .select(jaccard(col("a"), col("b")).as("j"))
     assert(df.collect()(0).getDouble(0) === 0.5) // |{2,3}| / |{1,2,3,4}|
+  }
+
+  test("native expressions are bit-identical to the HOF formulations") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val cmp = df.select(
+      shingleHashes(col("text"), 3).as("n_sh"),
+      shingleHashesHof(col("text"), 3).as("h_sh"),
+      minHashSignature(shingleHashes(col("text"), 3), 16).as("n_sig"),
+      minHashSignatureHof(shingleHashesHof(col("text"), 3), 16).as("h_sig"),
+      simHashText(col("text"), 16).as("n_sim"),
+      simHashHof(transform(words(col("text")), w => md5Long(w)), 16)
+        .as("h_sim"))
+    val bad = cmp.filter(col("n_sh") =!= col("h_sh")
+      || col("n_sig") =!= col("h_sig") || col("n_sim") =!= col("h_sim"))
+    assert(bad.count() === 0)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20).select(col("embedding").as("a"), col("embedding").as("b"))
+    val badDot = e.filter(dot(col("a"), col("b")) =!= dotHof(col("a"), col("b")))
+    assert(badDot.count() === 0)
   }
 
   test("cosine: orthogonal -> 0, identical -> 1, antiparallel -> -1") {
