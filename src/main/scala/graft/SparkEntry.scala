@@ -15,6 +15,7 @@ object SparkEntry {
       graft.queries.CdcQueries.defs ++
       graft.queries.CdcSourceQueries.defs ++
       graft.queries.CdcSurfaceQueries.defs ++
+      graft.queries.StreamingQueries.defs ++
       graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.cdc._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Stateful streaming materialization queries: the CDC source feeds
+ * `flatMapGroupsWithState` (per-key newest-image state → upsert stream) and
+ * the `foreachBatch` MERGE sink. Both run rate-limited so the log drains
+ * over several micro-batches — state survival across batches is the point.
+ */
+object StreamingQueries {
+
+  import ChangeRecord._
+
+  private val ordersSpec = ChangelogGen.Spec(pk = "o_orderkey",
+    measure = "o_totalprice", table = "orders")
+  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private def dbDir(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/.scratch/cdcdb/$sf"
+  }
+
+  private def prepare(spark: SparkSession, sfDir: String): String = {
+    val dir = dbDir(sfDir)
+    val base = Tables.load(spark, sfDir, "orders")
+    FileCdcDatabase.write(spark, dir, "orders", "graft", ordersSpec.pk,
+      snapshot = base,
+      changes = ChangelogGen.changes(base, ordersSpec),
+      snapshotPartitions = 32)
+    dir
+  }
+
+  private def readStreamEarliest(s: SparkSession, dir: String): DataFrame =
+    s.readStream.format("graft-cdc")
+      .option("path", dir).option("table", "orders")
+      .option("scan.startup.mode", "earliest")
+      .option("scan.stream.max-events-per-trigger", "4000")
+      .option("scan.incremental.snapshot.chunk.size", "1000")
+      .load()
+
+  /** Final state of the keys the log touches (log-only replay): updated
+    * non-deleted rows (measure doubled) plus the inserted copies. */
+  private def changedKeysOracle: String = {
+    val upd = orderCols.map {
+      case c if c == ordersSpec.measure => s"$c * 2 AS $c"
+      case c => c
+    }.mkString(", ")
+    val ins = orderCols.map {
+      case c if c == ordersSpec.pk => s"$c + ${ordersSpec.insertKeyOffset} AS $c"
+      case c => c
+    }.mkString(", ")
+    s"""SELECT $upd FROM orders
+       |WHERE o_orderkey % 10 = 7 AND o_orderkey % 13 <> 3
+       |UNION ALL
+       |SELECT $ins FROM orders WHERE o_orderkey % 100 = 1
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // flatMapGroupsWithState: per-key newest-image state across rate-limited
+    // micro-batches; the upsert stream reduces to exactly the changed keys'
+    // final state (delete markers win over earlier updates).
+    "cdc_stream_stateful_upserts" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        val name = s"stateful_${System.nanoTime()}"
+        val ups = StreamMaterialize.upserts(
+          readStreamEarliest(s, dir), Seq(ordersSpec.pk))
+        val q = ups.writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // collapse the upsert stream: newest op per key, deletes drop out
+        val collected = s.table(name)
+        val last = collected.groupBy(col("k"))
+          .agg(max_by(struct(col("op"), col("off"), col("img")), col("off"))
+            .as("v"))
+          .filter(col("v.op") =!= RowKind.Delete)
+          .select(col("v.off").as("off"), lit(RowKind.UpdateAfter).as("op"),
+            col("v.img").as("img"))
+        StreamMaterialize
+          .decodeUpserts(last, Tables.load(s, dir0, "orders").schema)
+          .select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(changedKeysOracle)),
+
+    // foreachBatch MERGE sink: parquet state equals the materialized
+    // changelog after every batch; idempotent newest-wins merge.
+    "cdc_upsert_sink_merge" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        val out = s"/root/repo/.scratch/upsert_sink/${System.nanoTime()}"
+        val q = readStreamEarliest(s, dir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            UpsertSink.mergeInto(s, batch, Seq(ordersSpec.pk), out)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(changedKeysOracle))
+  )
+}
