@@ -1,5 +1,6 @@
 package graft.cdc.source
 
+import graft.cdc.dialect.CdcDialects
 import graft.cdc.{ChangeRecord, FileCdcDatabase}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -29,10 +30,11 @@ import scala.collection.mutable
  * Memory bound: one chunk holds ≤ chunk-size merged rows (default 8096);
  * the log reader streams line by line. Both hold O(chunk), not O(table).
  */
-case class SnapshotChunkPartition(path: String, table: String, chunkId: Int,
-    lo: Option[Long], hi: Option[Long], high: Long) extends InputPartition
+case class SnapshotChunkPartition(dialect: String, path: String,
+    table: String, chunkId: Int, lo: Option[Long], hi: Option[Long],
+    high: Long) extends InputPartition
 
-case class LogRangePartition(path: String, table: String,
+case class LogRangePartition(dialect: String, path: String, table: String,
     from: Long, to: Long, changelogMode: String) extends InputPartition
 
 class CdcReaderFactory extends PartitionReaderFactory {
@@ -44,8 +46,10 @@ class CdcReaderFactory extends PartitionReaderFactory {
 }
 
 /** Shared envelope-line decoding (the P2 projection: envelope → typed row). */
-private[source] class EnvelopeDecoder(path: String, table: String) {
-  val meta: FileCdcDatabase.TableMeta = FileCdcDatabase.readMeta(path, table)
+private[source] class EnvelopeDecoder(dialectName: String, path: String,
+    table: String) {
+  val dialect = CdcDialects.byName(dialectName)
+  val meta: FileCdcDatabase.TableMeta = dialect.tableMeta(path, table)
   val payload: StructType = meta.schema
   val codec = new JsonRowCodec(payload)
   val pkIdx: Int = payload.fieldIndex(meta.pk)
@@ -83,55 +87,23 @@ private[source] class EnvelopeDecoder(path: String, table: String) {
     out
   }
 
-  /** Log lines with offsets in (from, to]: cheap prefix parse of the offset,
-    * per-file early stop (log files are offset-sorted), full decode only for
-    * in-range lines. */
+  /** Log lines with offsets in (from, to] — dialect-served (offset-sorted,
+    * prefilter + early stop inside the file dialect). */
   def logLinesInRange(from: Long, to: Long): Iterator[String] =
-    FileCdcDatabase.dataFiles(path, table, "log").iterator
-      .flatMap { f =>
-        FileCdcDatabase.lines(f)
-          .map(l => (FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol), l))
-          .takeWhile(_._1 <= to)
-          .collect { case (o, l) if o > from => l }
-      }
+    dialect.logLines(path, table, from, to)
 
-  /** Snapshot lines possibly overlapping the chunk range [lo, hi): prune
-    * whole files via the meta's per-file PK stats (files are PK-sorted and
-    * range-partitioned at write time), early-stop inside each file once the
-    * PK passes hi. The pk is prefiltered with a cheap prefix parse only when
-    * the payload leads with the pk column; otherwise rows decode normally
-    * and the caller's range check applies. */
-  def snapshotLines(lo: Option[Long], hi: Option[Long]): Iterator[String] = {
-    val all = FileCdcDatabase.dataFiles(path, table, "snapshot")
-    val pruned =
-      if (meta.snapshotFiles.isEmpty) all
-      else {
-        val byName = meta.snapshotFiles.map(f => f.file -> f).toMap
-        all.filter { p =>
-          byName.get(java.nio.file.Paths.get(p).getFileName.toString) match {
-            case Some(fr) =>
-              lo.forall(fr.maxPk >= _) && hi.forall(fr.minPk < _)
-            case None => true
-          }
-        }
-      }
-    val sortedByPk = meta.snapshotFiles.nonEmpty
-    pruned.iterator.flatMap { f =>
-      val ls = FileCdcDatabase.lines(f)
-      if (sortedByPk && hi.isDefined)
-        ls.map(l => (FileCdcDatabase.quickLongField(l, meta.pk), l))
-          .takeWhile(_._1 < hi.get)
-          .map(_._2)
-      else ls
-    }
-  }
+  /** Snapshot lines possibly overlapping the chunk range [lo, hi) —
+    * dialect-served (file pruning via per-file PK stats + early stop in the
+    * file dialect; SQL range pushdown in a JDBC dialect). */
+  def snapshotLines(lo: Option[Long], hi: Option[Long]): Iterator[String] =
+    dialect.snapshotLines(path, table, lo, hi)
 }
 
 class SnapshotChunkReader(p: SnapshotChunkPartition)
     extends PartitionReader[InternalRow] {
   import ChangeRecord.ExternalOp
 
-  private val dec = new EnvelopeDecoder(p.path, p.table)
+  private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table)
 
   private def inRange(k: Long): Boolean =
     p.lo.forall(k >= _) && p.hi.forall(k < _)
@@ -178,7 +150,7 @@ class LogRangeReader(p: LogRangePartition)
     extends PartitionReader[InternalRow] {
   import ChangeRecord.{ExternalOp, RowKind}
 
-  private val dec = new EnvelopeDecoder(p.path, p.table)
+  private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table)
 
   private val rows: Iterator[InternalRow] =
     // shouldEmit (W3): only events past the key's finished-chunk high

@@ -1,6 +1,7 @@
 package graft.cdc.source
 
 import graft.cdc.ChunkSplitter.ChunkRange
+import graft.cdc.dialect.{CdcDialect, CdcDialects}
 import graft.cdc.{ChangeRecord, ChunkSplitter, FileCdcDatabase}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -46,6 +47,8 @@ object CdcSourceConfig {
     * batches small" knob — SURVEY §7.3; reference bounds fetch batches via
     * Debezium max.batch.size). 0 = unbounded. */
   val MaxEventsPerTriggerKey = "scan.stream.max-events-per-trigger"
+  /** Which CdcDialect serves this source (SURVEY §2.6 U5). */
+  val DialectKey = "dialect"
 
   def fromOptions(o: CaseInsensitiveStringMap): CdcSourceConfig = CdcSourceConfig(
     path = Option(o.get(PathKey)).getOrElse(
@@ -58,7 +61,8 @@ object CdcSourceConfig {
     changelogMode = o.getOrDefault(ChangelogModeKey, "all"),
     specificOffset = o.getOrDefault(SpecificOffsetKey, "-1").toLong,
     timestampMs = o.getOrDefault(TimestampKey, "-1").toLong,
-    maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey, "0").toLong)
+    maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey, "0").toLong,
+    dialectName = o.getOrDefault(DialectKey, "file"))
 }
 
 case class CdcSourceConfig(
@@ -69,7 +73,10 @@ case class CdcSourceConfig(
     changelogMode: String,
     specificOffset: Long = -1L,
     timestampMs: Long = -1L,
-    maxEventsPerTrigger: Long = 0L) {
+    maxEventsPerTrigger: Long = 0L,
+    dialectName: String = "file") {
+
+  def dialect: CdcDialect = CdcDialects.byName(dialectName)
   require(Set("initial", "earliest", "latest", "specific-offset", "timestamp")
     .contains(startupMode),
     s"unknown $startupMode — expected initial|earliest|latest|" +
@@ -85,12 +92,12 @@ case class CdcSourceConfig(
     * tables (reference P1 — `table-name` patterns select sharded tables with
     * one schema, TableDiscoveryUtils / BinlogSplitReader.java:104-110). */
   lazy val matchedTables: Seq[String] = {
-    val all = FileCdcDatabase.discoverTables(path)
+    val all = dialect.discoverTables(path)
     val m =
       if (all.contains(table)) Seq(table)
       else all.filter(_.matches(table))
     require(m.nonEmpty, s"no table matches '$table' under $path")
-    val schemas = m.map(t => FileCdcDatabase.readMeta(path, t).schema).distinct
+    val schemas = m.map(t => dialect.tableMeta(path, t).schema).distinct
     require(schemas.size == 1,
       s"tables matched by '$table' must share one schema, got ${schemas.size}")
     m
@@ -98,12 +105,12 @@ case class CdcSourceConfig(
 
   /** Meta of the first captured table (schema representative). */
   def meta: FileCdcDatabase.TableMeta =
-    FileCdcDatabase.readMeta(path, matchedTables.head)
+    dialect.tableMeta(path, matchedTables.head)
 
   /** Log head across all captured tables (offsets are one comparable space,
     * like a binlog position shared by all tables of a database). */
   def maxOffsetAll: Long =
-    matchedTables.map(t => FileCdcDatabase.readMeta(path, t).maxOffset).max
+    matchedTables.map(t => dialect.tableMeta(path, t).maxOffset).max
 }
 
 class CdcTableProvider extends TableProvider with DataSourceRegister {
@@ -163,17 +170,16 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType) extends Scan {
   * assigner role (MySqlHybridSplitAssigner.java:97-126). */
 object CdcPlanner {
   def chunks(cfg: CdcSourceConfig, table: String): Seq[ChunkRange] = {
-    val m = FileCdcDatabase.readMeta(cfg.path, table)
+    val m = cfg.dialect.tableMeta(cfg.path, table)
     ChunkSplitter.split(m.minPk, m.maxPk, m.rowCount, cfg.chunkSize,
       // uneven fallback walks the snapshot's sorted keys (file dialect);
       // a JDBC dialect pushes this as SELECT MAX(pk)… LIMIT chunkSize
-      // (StatementUtils.java:99-130)
+      // (JdbcChunkStatements.selectNextChunkMax / StatementUtils.java:99-130)
       () => {
         val codec = new JsonRowCodec(m.schema)
         val pkIdx = m.schema.fieldIndex(m.pk)
         val pkType = m.schema(pkIdx).dataType
-        FileCdcDatabase.dataFiles(cfg.path, table, "snapshot")
-          .iterator.flatMap(FileCdcDatabase.lines)
+        cfg.dialect.snapshotLines(cfg.path, table, None, None)
           .map(l => toLongKey(codec.decode(l).get(pkIdx, pkType)))
           .toSeq.sorted.iterator
       })
@@ -183,34 +189,13 @@ object CdcPlanner {
     * in (from, to], ascending. The file dialect reads the log files; a JDBC
     * dialect asks the database (e.g. binlog index / SHOW BINARY LOGS). */
   def offsetsBetween(cfg: CdcSourceConfig, from: Long, to: Long): Seq[Long] =
-    cfg.matchedTables.iterator
-      .flatMap(t => FileCdcDatabase.dataFiles(cfg.path, t, "log"))
-      .flatMap { f =>
-        // log files are offset-sorted: cheap prefix parse + early stop
-        FileCdcDatabase.lines(f)
-          .map(l => FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol))
-          .takeWhile(_ <= to)
-          .filter(_ > from)
-      }
-      .toSeq.distinct.sorted
+    cfg.dialect.offsetsBetween(cfg.path, cfg.matchedTables, from, to)
 
   /** First offset whose source timestamp is ≥ `tsMs`, minus 1 — the startup
     * position for timestamp mode (reference seeks the binlog by timestamp,
     * SeekBinlogToTimestampFilter / BinlogOffsetKind.TIMESTAMP). */
-  def offsetForTimestamp(cfg: CdcSourceConfig, tsMs: Long): Long = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val first = cfg.matchedTables.iterator
-      .flatMap(t => FileCdcDatabase.dataFiles(cfg.path, t, "log"))
-      .flatMap(FileCdcDatabase.lines)
-      .map { l =>
-        val n = mapper.readTree(l)
-        (n.get(ChangeRecord.OffsetCol).asLong(),
-          n.get(ChangeRecord.TsCol).asLong())
-      }
-      .filter(_._2 >= tsMs).map(_._1)
-      .foldLeft(Long.MaxValue)(math.min)
-    if (first == Long.MaxValue) cfg.maxOffsetAll else first - 1
-  }
+  def offsetForTimestamp(cfg: CdcSourceConfig, tsMs: Long): Long =
+    cfg.dialect.offsetForTimestamp(cfg.path, cfg.matchedTables, tsMs)
 
   def toLongKey(v: Any): Long = v match {
     case l: Long => l
@@ -230,16 +215,16 @@ object CdcPlanner {
     cfg.matchedTables.flatMap { table =>
       val snap: Seq[InputPartition] =
         if (withSnapshot)
-          chunks(cfg, table).map(c => SnapshotChunkPartition(cfg.path, table,
-            c.id, c.lo, c.hi, snapshotHigh))
+          chunks(cfg, table).map(c => SnapshotChunkPartition(cfg.dialectName,
+            cfg.path, table, c.id, c.lo, c.hi, snapshotHigh))
         else Seq.empty
       val log: Seq[InputPartition] =
         if (logTo > logFrom)
           // finished-chunk high watermarks drive the stream-phase shouldEmit
           // filter (BinlogSplitReader.shouldEmit, :222-273). With a static
           // file snapshot all chunks share one high == logFrom.
-          Seq(LogRangePartition(cfg.path, table, logFrom, logTo,
-            cfg.changelogMode))
+          Seq(LogRangePartition(cfg.dialectName, cfg.path, table,
+            logFrom, logTo, cfg.changelogMode))
         else Seq.empty
       snap ++ log
     }.toArray
