@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Relational operators beyond the TPC-H-shaped headliners: as-of join
+ * (the classic CDC/event-stream temporal join), semi-structured JSON
+ * extraction, ROLLUP, and EXISTS — all Spark built-ins (SURVEY §2.6 note:
+ * relational capability is the host engine's job), each oracle-checked.
+ */
+object AdvancedQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // As-of join: each purchase matched to the user's most recent
+    // prior-or-simultaneous click. Implemented the scalable way — tag,
+    // union, one window pass (last non-null carry-forward) — which is one
+    // shuffle on user_id and no range-join pair explosion; the oracle uses
+    // DuckDB's native ASOF JOIN. Clicks are deduped to one per (user, ts)
+    // so ties are deterministic in both engines.
+    "q_asof_join" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("cid"))
+          .select(col("user_id"), col("ts"), col("cid"),
+            lit(0).as("kind"), lit(null).cast(LongType).as("event_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            lit(null).cast(LongType).as("cid"),
+            lit(1).as("kind"), col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("kind"), col("cid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("prior_click_id",
+            last(col("cid"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("prior_click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, ts, max(event_id) AS cid FROM events
+             |  WHERE event_type = 'click' GROUP BY 1, 2),
+             |p AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase')
+             |SELECT p.event_id, c.cid AS prior_click_id
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Semi-structured extraction: pull a JSON field out of the props column
+    // and aggregate — the props path stays codegen'd (get_json_object).
+    "q_json_extract" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+             |  COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ROLLUP: per-type and grand-total event stats in one pass (partial
+    // aggregation handles both grouping sets map-side).
+    "q_rollup_events" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.rollup(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("users"))
+          .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            col("n"), col("users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+             |FROM events GROUP BY ROLLUP(event_type)
+             |ORDER BY event_type""".stripMargin)),
+
+    // EXISTS (TPC-H Q4 shape on the available columns): orders in a window
+    // having at least one returned line item — left-semi join in Spark.
+    "q_exists_returned" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >=
+            lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")) &&
+            col("o_orderdate") <
+              lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00")))
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R").select("l_orderkey")
+        o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  )
+}
