@@ -255,37 +255,55 @@ class CdcBatch(cfg: CdcSourceConfig) extends Batch {
 }
 
 /** Streaming offset: assigner state as JSON (SURVEY §4 — the reference's
-  * PendingSplitsState serialized into the offset log). */
-case class CdcStreamOffset(snapshotDone: Boolean, logOffset: Long)
+  * PendingSplitsState serialized into the offset log). `snapshotted` is the
+  * set of tables whose snapshot phase completed; a table discovered later
+  * (newly matching the table regex) is missing from it, which makes the
+  * next batch snapshot it — the reference's newly-added-table flow
+  * (T6: AssignerStatus suspend → snapshot new tables → resume,
+  * MySqlSourceReader.java:147-241) becomes pure offset bookkeeping here. */
+case class CdcStreamOffset(logOffset: Long, snapshotted: Seq[String])
     extends Offset {
-  override def json(): String =
-    s"""{"snapshotDone":$snapshotDone,"logOffset":$logOffset}"""
+  override def json(): String = {
+    val ts = snapshotted.sorted.map(t => "\"" + t + "\"").mkString("[", ",", "]")
+    s"""{"logOffset":$logOffset,"snapshotted":$ts}"""
+  }
 }
 
 object CdcStreamOffset {
   def fromJson(s: String): CdcStreamOffset = {
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
-    CdcStreamOffset(n.get("snapshotDone").asBoolean(),
-      n.get("logOffset").asLong())
+    val ts = Option(n.get("snapshotted"))
+      .map(a => (0 until a.size()).map(a.get(_).asText()))
+      .getOrElse(Seq.empty)
+    CdcStreamOffset(n.get("logOffset").asLong(), ts.toSeq)
   }
 }
 
 class CdcMicroBatchStream(cfg: CdcSourceConfig)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  /** Fresh discovery each call (unlike cfg.matchedTables' lazy cache) so
+    * tables that newly match the regex are picked up between batches /
+    * across restarts (T6, `scan.newly-added-table.enabled` semantics). */
+  private def discovered(): Seq[String] = {
+    val all = cfg.dialect.discoverTables(cfg.path)
+    if (all.contains(cfg.table)) Seq(cfg.table)
+    else all.filter(_.matches(cfg.table))
+  }
+
   override def initialOffset(): Offset = cfg.startupMode match {
-    case "initial" => CdcStreamOffset(snapshotDone = false, logOffset = -1L)
-    case "earliest" => CdcStreamOffset(snapshotDone = true, logOffset = 0L)
-    case "latest" => CdcStreamOffset(snapshotDone = true,
-      logOffset = cfg.maxOffsetAll)
-    case "specific-offset" => CdcStreamOffset(snapshotDone = true,
-      logOffset = cfg.specificOffset)
-    case "timestamp" => CdcStreamOffset(snapshotDone = true,
-      logOffset = CdcPlanner.offsetForTimestamp(cfg, cfg.timestampMs))
+    // initial: nothing snapshotted yet — first batch snapshots everything
+    case "initial" => CdcStreamOffset(-1L, Seq.empty)
+    // the rest skip the snapshot phase: mark current tables as done
+    case "earliest" => CdcStreamOffset(0L, discovered())
+    case "latest" => CdcStreamOffset(cfg.maxOffsetAll, discovered())
+    case "specific-offset" => CdcStreamOffset(cfg.specificOffset, discovered())
+    case "timestamp" => CdcStreamOffset(
+      CdcPlanner.offsetForTimestamp(cfg, cfg.timestampMs), discovered())
   }
 
   private def current(): CdcStreamOffset =
-    CdcStreamOffset(snapshotDone = true, logOffset = cfg.maxOffsetAll)
+    CdcStreamOffset(cfg.maxOffsetAll, discovered())
 
   /** Trigger.AvailableNow support: pin the end offset once, drain to it. */
   @volatile private var availableTarget: CdcStreamOffset = _
@@ -296,17 +314,20 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig)
   /** End offset for the next batch: the pinned/current log head, rate-
     * limited to `max-events-per-trigger` distinct offsets past `start`
     * (SURVEY §7.3 — the stream phase is one ordered partition, so batches
-    * must stay small; AvailableNow then drains in several micro-batches). */
+    * must stay small; AvailableNow then drains in several micro-batches).
+    * A batch that snapshots tables is never capped — the cap applies to
+    * log replay only. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcStreamOffset]
     val target = if (availableTarget != null) availableTarget else current()
-    if (!s.snapshotDone || cfg.maxEventsPerTrigger <= 0) target
+    val hasNewTables = !target.snapshotted.forall(s.snapshotted.contains)
+    if (hasNewTables || cfg.maxEventsPerTrigger <= 0) target
     else {
       val step = CdcPlanner
         .offsetsBetween(cfg, s.logOffset, target.logOffset)
         .take(cfg.maxEventsPerTrigger.toInt)
       if (step.isEmpty) target
-      else CdcStreamOffset(snapshotDone = true, logOffset = step.last)
+      else CdcStreamOffset(step.last, target.snapshotted)
     }
   }
   override def reportLatestOffset(): Offset = current()
@@ -315,17 +336,21 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig)
     * advances to the current log end even when no rows flow. */
   override def latestOffset(): Offset = current()
 
+  /** Per table: not yet snapshotted → hybrid chunk merge to the batch-end
+    * watermark (log ≤ high is consumed by the merge, not re-emitted —
+    * W2/W3); already snapshotted → log range (s.logOffset, e.logOffset]. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcStreamOffset]
     val e = end.asInstanceOf[CdcStreamOffset]
-    if (!s.snapshotDone)
-      // hybrid batch: snapshot chunks merged to the high watermark; log
-      // events ≤ high are consumed by the merge, not re-emitted (W2/W3)
-      CdcPlanner.plan(cfg, withSnapshot = true, snapshotHigh = e.logOffset,
-        logFrom = e.logOffset, logTo = e.logOffset)
-    else
-      CdcPlanner.plan(cfg, withSnapshot = false, snapshotHigh = s.logOffset,
-        logFrom = s.logOffset, logTo = e.logOffset)
+    e.snapshotted.flatMap { table =>
+      if (!s.snapshotted.contains(table))
+        CdcPlanner.chunks(cfg, table).map(c => SnapshotChunkPartition(
+          cfg.dialectName, cfg.path, table, c.id, c.lo, c.hi, e.logOffset))
+      else if (e.logOffset > s.logOffset)
+        Seq(LogRangePartition(cfg.dialectName, cfg.path, table,
+          s.logOffset, e.logOffset, cfg.changelogMode))
+      else Seq.empty
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -88,6 +88,41 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(read(dir, "latest").count() === 0L)
   }
 
+  test("newly-added table: restart snapshots tables that newly match the regex") {
+    val dir = tmpDir("cdc-newtable")
+    val out = tmpDir("cdc-newtable-out")
+    val ckpt = tmpDir("cdc-newtable-ckpt")
+
+    def writeTable(name: String, ids: Range): Unit =
+      FileCdcDatabase.write(spark, dir, name, "graft", "id",
+        snapshot = ids.map(i => (i.toLong, s"$name-v$i")).toDF("id", "v"),
+        changes = changesDf(Seq.empty), force = true)
+
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", dir).option("table", "t[0-9]")
+        .option("scan.startup.mode", "initial")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeTable("t1", 1 to 5)
+    runStream()
+    assert(spark.read.parquet(out).count() === 5L)
+
+    writeTable("t2", 10 to 16) // new table now matches t[0-9]
+    runStream()                // resume: t2 snapshot only, no t1 re-read
+
+    val all = spark.read.parquet(out)
+    assert(all.count() === 12L)
+    val byTable = all.groupBy(TableCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTable === Map("t1" -> 5L, "t2" -> 7L))
+  }
+
   test("restart exactly-once: snapshot batch, stop, more log, resume") {
     val dir = tmpDir("cdc-restart")
     val out = tmpDir("cdc-restart-out")
