@@ -64,6 +64,46 @@ object StreamingQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // Structured Streaming windowed aggregation with an event-time
+    // watermark over the events table read as a file stream (update mode →
+    // the final emission per window equals the complete aggregate; the
+    // single-file input arrives in one batch, so no late rows are dropped
+    // and the result is deterministic against the batch oracle).
+    "q_stream_hourly_agg" -> QueryDef(
+      (s, dir0) => {
+        import org.apache.spark.sql.types._
+        val raw = Tables.load(s, dir0, "events")
+        val name = s"hourly_${System.nanoTime()}"
+        val streamed = s.readStream
+          .schema(StructType(raw.schema.fields.map(f =>
+            if (f.name == "ts") StructField("ts", LongType) else f)))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir0)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = streamed
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+              .as("sum_value"))
+          .select(col("window.start").as("hour"), col("event_type"),
+            col("n"), col("sum_value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy(col("hour"), col("event_type"))
+          .agg(max_by(struct(col("n"), col("sum_value")), col("n")).as("v"))
+          .select(col("hour"), col("event_type"), col("v.n").as("n"),
+            col("v.sum_value").as("sum_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // flatMapGroupsWithState: per-key newest-image state across rate-limited
     // micro-batches; the upsert stream reduces to exactly the changed keys'
     // final state (delete markers win over earlier updates).

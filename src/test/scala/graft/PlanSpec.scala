@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan contracts for the headline queries — the properties that
+  * keep them fast at 100 TB (filter/column pushdown into the parquet scan,
+  * broadcast of dimension sides, bounded shuffle counts). A regression that
+  * silently turns a broadcast join into a shuffle join or stops pushing a
+  * filter fails here, not in a benchmark eyeball. */
+class PlanSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def formatted(df: DataFrame): String = executed(df).toString
+
+  test("q1: ship-date filter and column pruning reach the parquet scan") {
+    val plan = formatted(q("q1_pricing_summary"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), plan)
+    // projection needs 7 of 11 lineitem columns — scan must not read e.g. l_partkey
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_partkey"), "scan reads pruned column l_partkey")
+  }
+
+  test("q5: all dimension joins broadcast; no shuffle join of dims") {
+    // string-match the final plan: AQE hides stage subtrees from collect()
+    val plan = formatted(q("q5_local_supplier_volume"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    // the only non-broadcast join allowed is lineitem⋈orders (fact-fact)
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1, s"unexpected shuffle joins: $smj")
+  }
+
+  test("dedup_exact: exactly one shuffle (the hash-groupBy)") {
+    val plan = executed(q("dedup_exact"))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // one for the groupBy, one for the presentation orderBy (range part.)
+    assert(shuffles.size <= 2, s"got ${shuffles.size} shuffles")
+  }
+
+  test("text analysis queries are map-only before the presentation sort") {
+    for (name <- Seq("text_token_count", "text_quality_score",
+        "text_lang_id", "text_fingerprint")) {
+      val plan = executed(q(name))
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 1, s"$name: ${shuffles.size} shuffles (want <=1)")
+    }
+  }
+
+  test("ann_bruteforce: query side broadcast, no cartesian shuffle") {
+    val plan = formatted(q("ann_bruteforce_topk"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+}
