@@ -89,6 +89,46 @@ object ChunkSplitter {
     }
   }
 
+  /** Reference sampling defaults (flink-connector-mongodb-cdc/.../splitters/
+    * SampleBucketSplitStrategy.java:70-72). */
+  val SamplingThreshold = 102400
+  val SamplingRate = 0.05
+
+  /**
+   * Sample-quantile split — the reference's MongoDB `$sample`+`$bucketAuto`
+   * strategy (SampleBucketSplitStrategy.java:67-168) re-expressed for any
+   * dialect that can cheaply sample keys but not walk them in order: cut the
+   * sorted sample at even quantiles into `numChunks` buckets, then unbound
+   * the first/last so unsampled extremes (and rows inserted while splitting)
+   * still land in a chunk. At 100 TB this is the strategy for huge tables
+   * with non-arithmetic key spaces: O(sample) driver work, no per-chunk
+   * queries.
+   */
+  def splitSampledChunks(sampledKeys: Seq[Long], numChunks: Int): Seq[ChunkRange] = {
+    val sorted = sampledKeys.sorted
+    if (sorted.isEmpty || numChunks <= 1) Seq(ChunkRange(0, None, None))
+    else {
+      val n = sorted.size
+      val cuts = (1 until numChunks)
+        .map(i => sorted((i.toLong * n / numChunks).toInt.min(n - 1)))
+        .distinct
+      if (cuts.isEmpty) Seq(ChunkRange(0, None, None))
+      else {
+        val first = ChunkRange(0, None, Some(cuts.head))
+        val mids = cuts.sliding(2).zipWithIndex.collect {
+          case (Seq(a, b), i) => ChunkRange(i + 1, Some(a), Some(b))
+        }.toSeq
+        (first +: mids) :+ ChunkRange(cuts.size, Some(cuts.last), None)
+      }
+    }
+  }
+
+  /** How many keys to sample for [[splitSampledChunks]]
+    * (SampleBucketSplitStrategy.java:89-97). */
+  def sampleSize(rowCount: Long): Int =
+    if (rowCount < SamplingThreshold) rowCount.toInt
+    else math.floor(rowCount * SamplingRate).toInt
+
   /** Full strategy dispatch as in MySqlChunkSplitter.splitTableIntoChunks. */
   def split(min: Long, max: Long, rowCount: Long, chunkSize: Int,
       sortedKeys: () => Iterator[Long]): Seq[ChunkRange] =

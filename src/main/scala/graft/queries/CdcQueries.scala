@@ -121,6 +121,45 @@ object CdcQueries {
              |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 1)
              |    + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
              |    + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
-             |) ORDER BY __db, __table, is_snapshot""".stripMargin))
+             |) ORDER BY __db, __table, is_snapshot""".stripMargin)),
+
+    // TiDB-style prewrite/commit resolution (SURVEY §2.4 T7): a txn log
+    // derived from `orders` — every row prewrites at start_ts=key*10;
+    // key%7=3 rolls back, key%11=0 commits past the resolved frontier,
+    // the rest commit at start_ts+5. Visible state = committed rows only,
+    // resolved relationally (anti-join rollbacks, equi-join commits).
+    "cdc_txn_log_resolution" -> QueryDef(
+      (s, dir) => {
+        val resolvedTs = 1000000000000L
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        def nulls = Seq(lit(null).cast(LongType).as("o_custkey"),
+          lit(null).cast(DoubleType).as("o_totalprice"))
+        val pre = orders.select(
+          lit(TxnLogResolver.Prewrite).as("kind"),
+          col("o_orderkey").as("key"),
+          (col("o_orderkey") * 10).as("start_ts"),
+          lit(null).cast(LongType).as("commit_ts"),
+          col("o_custkey"), col("o_totalprice"))
+        val cm = orders.filter(col("o_orderkey") % 7 =!= 3)
+          .select(Seq(lit(TxnLogResolver.Commit).as("kind"),
+            col("o_orderkey").as("key"),
+            (col("o_orderkey") * 10).as("start_ts"),
+            when(col("o_orderkey") % 11 === 0, lit(10000000000000L))
+              .otherwise(col("o_orderkey") * 10 + 5).as("commit_ts"))
+            ++ nulls: _*)
+        val rb = orders.filter(col("o_orderkey") % 7 === 3)
+          .select(Seq(lit(TxnLogResolver.Rollback).as("kind"),
+            col("o_orderkey").as("key"),
+            (col("o_orderkey") * 10).as("start_ts"),
+            lit(null).cast(LongType).as("commit_ts")) ++ nulls: _*)
+        TxnLogResolver.resolve(pre.unionByName(cm).unionByName(rb), resolvedTs)
+          .select(col("key").as("o_orderkey"), col("commit_ts"),
+            col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderkey*10+5 AS commit_ts, o_custkey, o_totalprice
+             |FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 <> 0
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -56,6 +56,30 @@ class ChunkSplitterSpec extends AnyFunSuite {
     assert(uneven === Seq(ChunkRange(0, None, None)))
   }
 
+  test("sample-quantile split: skewed keys get balanced buckets") {
+    // 90% of keys in [0,100), 10% in [1M, 1M+100) — arithmetic split would
+    // put everything in one chunk; quantile cuts follow the density
+    val keys = (0L until 900L) ++ (0L until 100L).map(_ + 1000000L)
+    val chunks = ChunkSplitter.splitSampledChunks(keys, 10)
+    assert(chunks.size === 10)
+    coverage(chunks, keys)
+    // no chunk holds more than ~2x its fair share of the sample
+    val sizes = chunks.map(c => keys.count(c.contains))
+    assert(sizes.max <= 200, sizes.toString)
+  }
+
+  test("sample-quantile split: duplicate-heavy sample dedupes cuts") {
+    val keys = Seq.fill(500)(7L) ++ Seq.fill(500)(9L)
+    val chunks = ChunkSplitter.splitSampledChunks(keys, 8)
+    coverage(chunks, keys)
+    assert(chunks.map(_.hi).distinct.size === chunks.size) // strict bounds
+  }
+
+  test("sample size follows the reference thresholds") {
+    assert(ChunkSplitter.sampleSize(1000) === 1000)      // full sample
+    assert(ChunkSplitter.sampleSize(1000000) === 50000)  // 5% sample
+  }
+
   test("keys outside the observed [min,max] still land in a chunk") {
     val chunks = ChunkSplitter.splitEvenlySizedChunks(1, 100, 100, 25)
     assert(chunks.count(_.contains(-50L)) === 1)  // first chunk, lo=None

@@ -1,6 +1,6 @@
 package graft
 
-import graft.cdc.dialect.JdbcChunkStatements
+import graft.cdc.dialect._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SQL a JDBC dialect runs per chunk — shapes mirror the reference's
@@ -34,5 +34,42 @@ class JdbcChunkStatementsSpec extends AnyFunSuite {
     assert(S.logScan("cdc_orders", "lsn", 5L, 10L) ===
       "SELECT * FROM `cdc_orders` WHERE `lsn` > 5 AND `lsn` <= 10 " +
         "ORDER BY `lsn` ASC")
+  }
+
+  test("oracle flavor: double quotes + ROWNUM walk (OracleUtils.java:121-139)") {
+    assert(OracleChunkStatements.selectNextChunkMax("ORDERS", "ID", 8096) ===
+      "SELECT MAX(\"ID\") FROM (SELECT \"ID\" FROM \"ORDERS\" " +
+        "WHERE \"ID\" >= ? ORDER BY \"ID\" ASC) WHERE ROWNUM <= 8096")
+    assert(OracleChunkStatements.selectMinMax("ORDERS", "ID") ===
+      "SELECT MIN(\"ID\"), MAX(\"ID\") FROM \"ORDERS\"")
+    // ROWID chunk key stays unquoted (ChunkUtils.java:53-58 default key)
+    assert(OracleChunkStatements.chunkScan("ORDERS",
+      OracleChunkStatements.RowIdChunkKey, Some(1L), None) ===
+      "SELECT * FROM \"ORDERS\" WHERE ROWID >= 1")
+  }
+
+  test("sqlserver flavor: brackets + TOP-n") {
+    assert(SqlServerChunkStatements.selectNextChunkMax("orders", "id", 100) ===
+      "SELECT MAX([id]) FROM (SELECT TOP 100 [id] FROM [orders] " +
+        "WHERE [id] >= ? ORDER BY [id] ASC) AS T")
+  }
+
+  test("db2 flavor: FETCH FIRST n ROWS ONLY") {
+    assert(Db2ChunkStatements.selectNextChunkMax("orders", "id", 100) ===
+      "SELECT MAX(\"id\") FROM (SELECT \"id\" FROM \"orders\" " +
+        "WHERE \"id\" >= ? ORDER BY \"id\" ASC " +
+        "FETCH FIRST 100 ROWS ONLY) AS T")
+  }
+
+  test("postgres flavor: double quotes, standard LIMIT") {
+    assert(PostgresChunkStatements.selectNextChunkMax("orders", "id", 100) ===
+      "SELECT MAX(\"id\") FROM (SELECT \"id\" FROM \"orders\" " +
+        "WHERE \"id\" >= ? ORDER BY \"id\" ASC LIMIT 100) AS T")
+  }
+
+  test("flavor registry keyed by reference connector names") {
+    assert(DialectStatements.byConnector.keySet ===
+      Set("mysql-cdc", "oracle-cdc", "postgres-cdc", "sqlserver-cdc",
+        "db2-cdc"))
   }
 }
