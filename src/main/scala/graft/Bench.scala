@@ -12,10 +12,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup at the smallest SF: JIT, whole-stage codegen, parquet
+    // reader and streaming machinery all pay first-use costs that would
+    // otherwise land on whichever queries happen to run first.
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+        "/root/testdata/sf0.001" else sfDir
+    Seq("q1_pricing_summary", "q3_shipping_priority",
+        "cdc_source_batch_orders", "cdc_source_stream_materialized",
+        "dedup_exact", "ann_bruteforce_topk")
+      .foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
+    // Warm the OS page cache for the target-SF inputs so first-touch disk
+    // reads don't land on whichever query reads each table first.
+    new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val in = java.nio.file.Files.newInputStream(f.toPath)
+        val buf = new Array[Byte](1 << 20)
+        try while (in.read(buf) >= 0) () finally in.close()
+      }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // intra-query caches must not shift cost (or memory) onto later queries
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

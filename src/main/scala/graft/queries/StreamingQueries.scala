@@ -36,13 +36,20 @@ object StreamingQueries {
     dir
   }
 
-  private def readStreamEarliest(s: SparkSession, dir: String): DataFrame =
+  private def readStreamEarliest(s: SparkSession, dir: String): DataFrame = {
+    // Rate limit scaled to the log size: enough to exercise state across
+    // >=2 micro-batches at every SF, without paying per-batch planning
+    // overhead x O(SF) batches — at cluster scale the per-trigger cap must
+    // grow with throughput, not stay a constant.
+    val logEvents = FileCdcDatabase.readMeta(dir, "orders").maxOffset
+    val perTrigger = math.max(4000L, logEvents / 2 + 1)
     s.readStream.format("graft-cdc")
       .option("path", dir).option("table", "orders")
       .option("scan.startup.mode", "earliest")
-      .option("scan.stream.max-events-per-trigger", "4000")
+      .option("scan.stream.max-events-per-trigger", perTrigger.toString)
       .option("scan.incremental.snapshot.chunk.size", "1000")
       .load()
+  }
 
   /** Final state of the keys the log touches (log-only replay): updated
     * non-deleted rows (measure doubled) plus the inserted copies. */
