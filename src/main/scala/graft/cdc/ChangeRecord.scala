@@ -20,6 +20,11 @@ object ChangeRecord {
     val Read   = "r" // snapshot read
     val Update = "u"
     val Delete = "d"
+    /** Schema-change event (reference: surfaced when includeSchemaChanges,
+      * MySqlRecordEmitter.java:95-107; tracked in the database history,
+      * FlinkDatabaseHistory / EmbeddedFlinkDatabaseHistory). Routed to the
+      * schema history, never into the data stream. */
+    val SchemaChange = "ddl"
   }
 
   /**
@@ -61,6 +66,12 @@ object ChangeRecord {
   /** Envelope storage columns (before/after images as nested structs). */
   val BeforeCol = "before"
   val AfterCol  = "after"
+
+  /** Schema-change record columns (only on `__op = "ddl"` log lines): the
+    * DDL statement and the full post-change schema as Spark DDL — what the
+    * reference serializes per TableChange (FlinkJsonTableChangeSerializer). */
+  val DdlCol       = "__ddl"
+  val SchemaDdlCol = "__schema_ddl"
 
   /** Envelope schema for a table with the given payload schema. */
   def envelopeSchema(payload: StructType): StructType = StructType(Seq(

@@ -38,6 +38,10 @@ object ChangelogGen {
     val updBand = 1000000L
     val insBand = 2000000000L
     val delBand = 4000000000L
+    // Schema-evolution bands (fullWithDdl): the DDL lands after inserts,
+    // note-updates follow it, deletes come last.
+    val ddlBand  = 3000000000L
+    val noteBand = 3500000000L
   }
 
   import ChangeRecord._
@@ -115,6 +119,76 @@ object ChangelogGen {
   /** Full envelope stream: snapshot followed by changes. */
   def full(base: DataFrame, spec: Spec): DataFrame =
     snapshotRecords(base, spec).unionByName(changes(base, spec))
+
+  /**
+   * Schema-evolution changelog (SURVEY §1.4): the [[full]] stream with, in
+   * offset order after the inserts, one `__op="ddl"` record adding a STRING
+   * column `note`, then UPDATEs that set `note = 'n' || pk` on the
+   * measure-updated keys (pk % updEvery == updSel). Pre-DDL records simply
+   * lack the column (null on decode); the DDL record carries the statement
+   * and the full widened schema for [[SchemaHistory]].
+   */
+  def changesWithDdl(base: DataFrame, spec: Spec): DataFrame = {
+    val widened = base.withColumn("note", lit(null).cast(StringType))
+    val widenedSchema = StructType(base.schema.fields :+
+      StructField("note", StringType))
+    val pk = col(spec.pk)
+    val doubled = col(spec.measure) * 2
+
+    // pre-DDL events generated over the widened image (note = null
+    // everywhere; the JSON writer drops null fields, so the wire bytes are
+    // identical to base-schema lines)
+    val preDdl = changes(widened, spec)
+
+    val ddlRecord = base.limit(1).select(
+      lit(spec.ddlBand).as(OffsetCol),
+      lit(ExternalOp.SchemaChange).as(OpCol),
+      lit(spec.ddlBand).as(TsCol),
+      lit(spec.db).as(DbCol),
+      lit(spec.table).as(TableCol),
+      nullImage(widened).as(BeforeCol),
+      nullImage(widened).as(AfterCol),
+      lit(s"ALTER TABLE ${spec.table} ADD COLUMN note STRING").as(DdlCol),
+      lit(widenedSchema.toDDL).as(SchemaDdlCol))
+
+    val noteUpdates = widened
+      .filter(pk % spec.updEvery === spec.updSel)
+      .select(
+        (lit(spec.noteBand) + pk.cast(LongType)).as(OffsetCol),
+        lit(ExternalOp.Update).as(OpCol),
+        (lit(spec.noteBand) + pk.cast(LongType)).as(TsCol),
+        lit(spec.db).as(DbCol),
+        lit(spec.table).as(TableCol),
+        // these keys were measure-updated earlier (same selector)
+        image(widened, Map(spec.measure -> doubled)).as(BeforeCol),
+        image(widened, Map(spec.measure -> doubled,
+          "note" -> concat(lit("n"), pk.cast(StringType)))).as(AfterCol))
+
+    val withDdlCols = preDdl.unionByName(noteUpdates)
+      .withColumn(DdlCol, lit(null).cast(StringType))
+      .withColumn(SchemaDdlCol, lit(null).cast(StringType))
+    withDdlCols.unionByName(ddlRecord)
+  }
+
+  /** Oracle SQL for the final state after [[fullWithDdl]]'s stream. */
+  def oracleFinalStateWithDdlSql(spec: Spec, cols: Seq[String],
+      table: String): String = {
+    val noteExpr = s"CASE WHEN ${spec.pk} % ${spec.updEvery} = ${spec.updSel} " +
+      s"THEN 'n' || CAST(${spec.pk} AS VARCHAR) END"
+    val updatedCols = (cols.map {
+      case c if c == spec.measure =>
+        s"CASE WHEN ${spec.pk} % ${spec.updEvery} = ${spec.updSel} " +
+          s"THEN ${spec.measure} * 2 ELSE ${spec.measure} END AS ${spec.measure}"
+      case c => c
+    } :+ s"$noteExpr AS note").mkString(", ")
+    val insertCols = (cols.map {
+      case c if c == spec.pk => s"${spec.pk} + ${spec.insertKeyOffset} AS ${spec.pk}"
+      case c => c
+    } :+ "NULL AS note").mkString(", ")
+    s"""SELECT $updatedCols FROM $table WHERE ${spec.pk} % ${spec.delEvery} <> ${spec.delSel}
+       |UNION ALL
+       |SELECT $insertCols FROM $table WHERE ${spec.pk} % ${spec.insEvery} = ${spec.insSel}""".stripMargin
+  }
 
   /**
    * DuckDB-oracle SQL for the post-change ("materialized") state of `table`,

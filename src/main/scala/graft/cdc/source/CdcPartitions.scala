@@ -30,12 +30,18 @@ import scala.collection.mutable
  * Memory bound: one chunk holds ≤ chunk-size merged rows (default 8096);
  * the log reader streams line by line. Both hold O(chunk), not O(table).
  */
+/** Partitions carry their payload schema DDL (resolved on the driver from
+  * the snapshot schema + DDL history at analysis time) — the same move as
+  * the reference's snapshot splits carrying their `TableChange` schemas
+  * (MySqlSnapshotSplit.tableSchemas, SURVEY §1.4): executors decode with
+  * exactly the analyzed schema, never a fresher one. */
 case class SnapshotChunkPartition(dialect: String, path: String,
     table: String, chunkId: Int, lo: Option[Long], hi: Option[Long],
-    high: Long) extends InputPartition
+    high: Long, schemaDdl: String) extends InputPartition
 
 case class LogRangePartition(dialect: String, path: String, table: String,
-    from: Long, to: Long, changelogMode: String) extends InputPartition
+    from: Long, to: Long, changelogMode: String,
+    schemaDdl: String) extends InputPartition
 
 class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -47,10 +53,14 @@ class CdcReaderFactory extends PartitionReaderFactory {
 
 /** Shared envelope-line decoding (the P2 projection: envelope → typed row). */
 private[source] class EnvelopeDecoder(dialectName: String, path: String,
-    table: String) {
+    table: String, schemaDdl: String) {
   val dialect = CdcDialects.byName(dialectName)
   val meta: FileCdcDatabase.TableMeta = dialect.tableMeta(path, table)
-  val payload: StructType = meta.schema
+  /** The analyzed payload schema, carried by the partition — NOT re-read
+    * from the store, which may have evolved since analysis. */
+  val payload: StructType =
+    if (schemaDdl == null || schemaDdl.isEmpty) meta.schema
+    else StructType.fromDDL(schemaDdl)
   val codec = new JsonRowCodec(payload)
   val pkIdx: Int = payload.fieldIndex(meta.pk)
   val pkType = payload(pkIdx).dataType
@@ -103,7 +113,7 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
     extends PartitionReader[InternalRow] {
   import ChangeRecord.ExternalOp
 
-  private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table)
+  private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table, p.schemaDdl)
 
   private def inRange(k: Long): Boolean =
     p.lo.forall(k >= _) && p.hi.forall(k < _)
@@ -127,10 +137,13 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
       val quick = FileCdcDatabase.quickLongFieldOpt(line, dec.meta.pk)
       if (quick.forall(inRange)) {
         val env = dec.decodeEnvelope(line)
-        val k = env.key
-        if (inRange(k)) env.op match {
-          case ExternalOp.Delete => byKey.remove(k)
-          case _ => byKey(k) = (env.offset, env.after)
+        // schema-change records go to the history, not the data merge (T2)
+        if (env.op != ExternalOp.SchemaChange) {
+          val k = env.key
+          if (inRange(k)) env.op match {
+            case ExternalOp.Delete => byKey.remove(k)
+            case _ => byKey(k) = (env.offset, env.after)
+          }
         }
       }
     }
@@ -150,7 +163,7 @@ class LogRangeReader(p: LogRangePartition)
     extends PartitionReader[InternalRow] {
   import ChangeRecord.{ExternalOp, RowKind}
 
-  private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table)
+  private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table, p.schemaDdl)
 
   private val rows: Iterator[InternalRow] =
     // shouldEmit (W3): only events past the key's finished-chunk high
@@ -159,6 +172,9 @@ class LogRangeReader(p: LogRangePartition)
     dec.logLinesInRange(p.from, p.to).map(dec.decodeEnvelope)
       .flatMap { env =>
         env.op match {
+          // schema changes route to SchemaHistory, not the row stream (the
+          // reference emits them only under includeSchemaChanges)
+          case ExternalOp.SchemaChange => Seq.empty
           case ExternalOp.Create | ExternalOp.Read =>
             Seq(dec.emit(env.after, RowKind.Insert, env.offset, env.ts))
           case ExternalOp.Delete =>

@@ -107,6 +107,13 @@ case class CdcSourceConfig(
   def meta: FileCdcDatabase.TableMeta =
     dialect.tableMeta(path, matchedTables.head)
 
+  /** Payload schema at the current log head: snapshot-time schema evolved
+    * by the DDL history (SURVEY §1.4 restart-time re-derivation — the
+    * running query's schema is then pinned via the partitions). */
+  def payloadSchema: StructType =
+    graft.cdc.SchemaHistory.effectiveSchema(path, matchedTables.head,
+      Long.MaxValue, dialect)
+
   /** Log head across all captured tables (offsets are one comparable space,
     * like a binlog position shared by all tables of a database). */
   def maxOffsetAll: Long =
@@ -118,7 +125,7 @@ class CdcTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val cfg = CdcSourceConfig.fromOptions(options)
-    CdcTable.fullSchema(cfg.meta.schema)
+    CdcTable.fullSchema(cfg.payloadSchema)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -161,9 +168,14 @@ class CdcScanBuilder(cfg: CdcSourceConfig, schema: StructType)
 class CdcScan(cfg: CdcSourceConfig, schema: StructType) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String = s"CdcScan(${cfg.table}, ${cfg.startupMode})"
-  override def toBatch: Batch = new CdcBatch(cfg)
+  /** Analyzed payload schema (full schema minus the 5 metadata columns) —
+    * pinned here and carried by every partition, so reads stay consistent
+    * even if the store's schema evolves mid-query. */
+  private def payloadDdl: String =
+    StructType(schema.fields.dropRight(ChangeRecord.MetaCols.size)).toDDL
+  override def toBatch: Batch = new CdcBatch(cfg, payloadDdl)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(cfg)
+    new CdcMicroBatchStream(cfg, payloadDdl)
 }
 
 /** Driver-side chunk planning shared by batch and stream paths — the
@@ -211,12 +223,12 @@ object CdcPlanner {
   /** Partitions for a fully-specified read: per captured table, snapshot
     * chunks at a uniform high watermark and/or one ordered log range. */
   def plan(cfg: CdcSourceConfig, withSnapshot: Boolean, snapshotHigh: Long,
-      logFrom: Long, logTo: Long): Array[InputPartition] =
+      logFrom: Long, logTo: Long, schemaDdl: String): Array[InputPartition] =
     cfg.matchedTables.flatMap { table =>
       val snap: Seq[InputPartition] =
         if (withSnapshot)
           chunks(cfg, table).map(c => SnapshotChunkPartition(cfg.dialectName,
-            cfg.path, table, c.id, c.lo, c.hi, snapshotHigh))
+            cfg.path, table, c.id, c.lo, c.hi, snapshotHigh, schemaDdl))
         else Seq.empty
       val log: Seq[InputPartition] =
         if (logTo > logFrom)
@@ -224,30 +236,31 @@ object CdcPlanner {
           // filter (BinlogSplitReader.shouldEmit, :222-273). With a static
           // file snapshot all chunks share one high == logFrom.
           Seq(LogRangePartition(cfg.dialectName, cfg.path, table,
-            logFrom, logTo, cfg.changelogMode))
+            logFrom, logTo, cfg.changelogMode, schemaDdl))
         else Seq.empty
       snap ++ log
     }.toArray
 }
 
-class CdcBatch(cfg: CdcSourceConfig) extends Batch {
+class CdcBatch(cfg: CdcSourceConfig, schemaDdl: String) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val maxOff = cfg.maxOffsetAll
     cfg.startupMode match {
       // current state: chunks merged up to the current log end (W2)
       case "initial" => CdcPlanner.plan(cfg, withSnapshot = true,
-        snapshotHigh = maxOff, logFrom = maxOff, logTo = maxOff)
+        snapshotHigh = maxOff, logFrom = maxOff, logTo = maxOff, schemaDdl)
       // full history replay, no snapshot phase
       case "earliest" => CdcPlanner.plan(cfg, withSnapshot = false,
-        snapshotHigh = 0L, logFrom = 0L, logTo = maxOff)
+        snapshotHigh = 0L, logFrom = 0L, logTo = maxOff, schemaDdl)
       case "latest" => Array.empty
       // replay from a known position / timestamp (T3/T4)
       case "specific-offset" => CdcPlanner.plan(cfg, withSnapshot = false,
-        snapshotHigh = 0L, logFrom = cfg.specificOffset, logTo = maxOff)
+        snapshotHigh = 0L, logFrom = cfg.specificOffset, logTo = maxOff,
+        schemaDdl)
       case "timestamp" => CdcPlanner.plan(cfg, withSnapshot = false,
         snapshotHigh = 0L,
         logFrom = CdcPlanner.offsetForTimestamp(cfg, cfg.timestampMs),
-        logTo = maxOff)
+        logTo = maxOff, schemaDdl)
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -279,7 +292,7 @@ object CdcStreamOffset {
   }
 }
 
-class CdcMicroBatchStream(cfg: CdcSourceConfig)
+class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** Fresh discovery each call (unlike cfg.matchedTables' lazy cache) so
@@ -345,10 +358,11 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig)
     e.snapshotted.flatMap { table =>
       if (!s.snapshotted.contains(table))
         CdcPlanner.chunks(cfg, table).map(c => SnapshotChunkPartition(
-          cfg.dialectName, cfg.path, table, c.id, c.lo, c.hi, e.logOffset))
+          cfg.dialectName, cfg.path, table, c.id, c.lo, c.hi, e.logOffset,
+          schemaDdl))
       else if (e.logOffset > s.logOffset)
         Seq(LogRangePartition(cfg.dialectName, cfg.path, table,
-          s.logOffset, e.logOffset, cfg.changelogMode))
+          s.logOffset, e.logOffset, cfg.changelogMode, schemaDdl))
       else Seq.empty
     }.toArray
   }

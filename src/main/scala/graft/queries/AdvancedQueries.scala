@@ -108,6 +108,94 @@ object AdvancedQueries {
              |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
              |  AND EXISTS (SELECT 1 FROM lineitem
              |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Set operations: INTERSECT (users who clicked and purchased) and
+    // EXCEPT (users who viewed but never clicked), tagged and unioned.
+    // Both compile to aggregate/anti-join shapes — one shuffle each on
+    // user_id, no driver-side set building.
+    "q_setops" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        def ids(t: String) =
+          e.filter(col("event_type") === t).select(col("user_id"))
+        val both = ids("click").intersect(ids("purchase"))
+          .select(lit("click_and_purchase").as("cohort"), col("user_id"))
+        val viewOnly = ids("view").except(ids("click"))
+          .select(lit("view_no_click").as("cohort"), col("user_id"))
+        both.unionByName(viewOnly).orderBy(col("cohort"), col("user_id"))
+      },
+      Some("""SELECT 'click_and_purchase' AS cohort, user_id FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'click'
+             |  INTERSECT
+             |  SELECT user_id FROM events WHERE event_type = 'purchase')
+             |UNION ALL
+             |SELECT 'view_no_click', user_id FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'view'
+             |  EXCEPT
+             |  SELECT user_id FROM events WHERE event_type = 'click')
+             |ORDER BY cohort, user_id""".stripMargin)),
+
+    // CUBE over (event_type, user bucket): all four grouping sets in one
+    // pass; grouping() columns disambiguate data NULLs from subtotal rows.
+    "q_cube_events" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("bucket", col("user_id") % 4)
+        e.cube(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            coalesce(col("bucket"), lit(-1)).as("bucket"), col("n"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |  coalesce(bucket, -1) AS bucket, COUNT(*) AS n
+             |FROM (SELECT event_type, user_id % 4 AS bucket FROM events)
+             |GROUP BY CUBE(event_type, bucket)
+             |ORDER BY event_type, bucket""".stripMargin)),
+
+    // PIVOT: event counts per user bucket, one column per event type. With
+    // explicit pivot values the plan is a single partial-aggregated
+    // groupBy — no second pass to discover the domain.
+    "q_pivot_events" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("bucket", col("user_id") % 8)
+        e.groupBy(col("bucket"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT user_id % 8 AS bucket,
+             |  count(*) FILTER (event_type = 'click') AS click,
+             |  count(*) FILTER (event_type = 'error') AS error,
+             |  count(*) FILTER (event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (event_type = 'signup') AS signup,
+             |  count(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Exact interpolated percentiles (one sort-based agg per group; both
+    // engines use h = (n-1)*q linear interpolation, bit-identical on the
+    // integral l_quantity domain).
+    "q_percentiles" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"),
+            expr("percentile(l_quantity, 0.9)").as("p90"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS p25,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.75) AS p75,
+             |  quantile_cont(l_quantity, 0.9) AS p90
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

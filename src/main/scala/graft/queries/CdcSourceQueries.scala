@@ -154,6 +154,44 @@ object CdcSourceQueries {
              |SELECT CAST(FLOOR((o_orderkey - mn) * 1.0 / step) AS BIGINT) AS chunk_id,
              |       COUNT(*) AS n, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
              |FROM orders, params
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Schema evolution (SURVEY §1.4): the log carries an ALTER TABLE ADD
+    // COLUMN mid-stream; the source's analysis-time schema is re-derived
+    // from the DDL history, pre-DDL rows decode the new column as NULL, and
+    // the chunk merge applies post-DDL updates — the final state has `note`
+    // set exactly on the note-updated surviving keys.
+    "cdc_schema_evolution" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareDdl(s, dir0)
+        readBatch(s, dir, "initial")
+          .select((orderCols :+ "note").map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(ChangelogGen.oracleFinalStateWithDdlSql(ordersSpec, orderCols,
+        "orders") + "\nORDER BY o_orderkey")),
+
+    // The schema-change event stream itself (reference includeSchemaChanges,
+    // MySqlRecordEmitter.java:95-107): one deterministic DDL event.
+    "cdc_schema_ddl_events" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareDdl(s, dir0)
+        SchemaHistory.eventsDf(s, dir, "orders")
+          .select(col(OffsetCol), col("ddl"))
+      },
+      Some(s"""SELECT CAST(${ordersSpec.ddlBand} AS BIGINT) AS __offset,
+              |  'ALTER TABLE orders ADD COLUMN note STRING' AS ddl""".stripMargin))
   )
+
+  /** File CDC database whose log contains the DDL + post-DDL note updates. */
+  private def prepareDdl(spark: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_ddl/$sf"
+    val base = Tables.load(spark, sfDir, "orders")
+    FileCdcDatabase.write(spark, dir, "orders", "graft", ordersSpec.pk,
+      snapshot = base,
+      changes = ChangelogGen.changesWithDdl(base, ordersSpec),
+      snapshotPartitions = 32)
+    dir
+  }
 }
