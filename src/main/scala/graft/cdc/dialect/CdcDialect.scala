@@ -44,6 +44,12 @@ trait CdcDialect extends Serializable {
   /** Startup position for timestamp mode: first offset with source ts ≥
     * `tsMs`, minus 1; log head if none. */
   def offsetForTimestamp(path: String, tables: Seq[String], tsMs: Long): Long
+
+  /** Precondition check at scan start — the reference validates server
+    * config before reading (MySqlValidator.java:78-141 binlog_format=ROW,
+    * SqlServerValidator CDC-enabled). Throw with an actionable message on
+    * failure. */
+  def validate(path: String, tables: Seq[String]): Unit = ()
 }
 
 /** Dialect registry: resolution by name on driver and executors. */
@@ -68,6 +74,21 @@ object FileCdcDialect extends CdcDialect {
 
   override def discoverTables(path: String): Seq[String] =
     FileCdcDatabase.discoverTables(path)
+
+  /** File-dialect preconditions: meta readable, PK integral (the chunk key
+    * contract — MySqlChunkSplitter.java:385-395 limits splits the same way). */
+  override def validate(path: String, tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      val m = tableMeta(path, t)
+      val pkType = m.schema(m.schema.fieldIndex(m.pk)).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(pkType) ||
+        pkType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+        s"table $t: chunk key '${m.pk}' must be integral, got $pkType")
+    }
 
   override def tableMeta(path: String, table: String): TableMeta =
     FileCdcDatabase.readMeta(path, table)

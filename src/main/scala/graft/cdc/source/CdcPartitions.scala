@@ -34,9 +34,18 @@ import scala.collection.mutable
   * the snapshot schema + DDL history at analysis time) — the same move as
   * the reference's snapshot splits carrying their `TableChange` schemas
   * (MySqlSnapshotSplit.tableSchemas, SURVEY §1.4): executors decode with
-  * exactly the analyzed schema, never a fresher one. */
+  * exactly the analyzed schema, never a fresher one.
+  *
+  * A snapshot partition holds one or more consecutive chunk ranges: at
+  * 100 TB a table splits into millions of 8096-row chunks, and one Spark
+  * partition per chunk would melt the scheduler — so the planner groups
+  * consecutive chunks up to `scan.snapshot.max-partitions` partitions
+  * (the scheduling analogue of the reference's chunk-meta groups,
+  * MySqlSourceOptions.java:199-205). The reader still merges ONE chunk at
+  * a time, so task memory stays O(chunk), not O(group). */
 case class SnapshotChunkPartition(dialect: String, path: String,
-    table: String, chunkId: Int, lo: Option[Long], hi: Option[Long],
+    table: String, chunkId: Int,
+    ranges: Seq[(Option[Long], Option[Long])],
     high: Long, schemaDdl: String) extends InputPartition
 
 case class LogRangePartition(dialect: String, path: String, table: String,
@@ -115,16 +124,15 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
 
   private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table, p.schemaDdl)
 
-  private def inRange(k: Long): Boolean =
-    p.lo.forall(k >= _) && p.hi.forall(k < _)
-
-  // W2: chunk rows keyed, then log slice (0, high] merged in.
-  // (offset, image) per key; insertion order preserved for determinism.
+  // W2 per chunk range: chunk rows keyed, then log slice (0, high] merged
+  // in. (offset, image) per key; insertion order preserved for determinism.
   // Snapshot input is file-pruned to the chunk range; the log slice is
-  // offset-bounded with per-file early stop.
-  private val merged: Iterator[InternalRow] = {
+  // offset-bounded with per-file early stop. Ranges evaluate lazily one at
+  // a time (flatMap), so a grouped partition still holds O(chunk) rows.
+  private def mergeRange(lo: Option[Long], hi: Option[Long]): Iterator[InternalRow] = {
+    def inRange(k: Long): Boolean = lo.forall(k >= _) && hi.forall(k < _)
     val byKey = mutable.LinkedHashMap[Long, (Long, InternalRow)]()
-    dec.snapshotLines(p.lo, p.hi).foreach { line =>
+    dec.snapshotLines(lo, hi).foreach { line =>
       val row = dec.codec.decode(line)
       val k = CdcPlanner.toLongKey(row.get(dec.pkIdx, dec.pkType))
       if (inRange(k)) byKey(k) = (0L, row)
@@ -151,6 +159,9 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
       dec.emit(img, ChangeRecord.RowKind.Insert, off, 0L)
     }
   }
+
+  private val merged: Iterator[InternalRow] =
+    p.ranges.iterator.flatMap { case (lo, hi) => mergeRange(lo, hi) }
 
   private var cur: InternalRow = _
   override def next(): Boolean =

@@ -6,7 +6,7 @@ import graft.cdc.{ChangeRecord, ChunkSplitter, FileCdcDatabase}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,6 +49,11 @@ object CdcSourceConfig {
   val MaxEventsPerTriggerKey = "scan.stream.max-events-per-trigger"
   /** Which CdcDialect serves this source (SURVEY §2.6 U5). */
   val DialectKey = "dialect"
+  /** Cap on snapshot-phase Spark partitions: consecutive chunks group until
+    * the partition count fits (scheduler protection at 100 TB — millions of
+    * 8096-row chunks must not become millions of tasks; cf. the reference's
+    * chunk-meta groups, MySqlSourceOptions.java:199-205). */
+  val MaxSnapshotPartitionsKey = "scan.snapshot.max-partitions"
 
   def fromOptions(o: CaseInsensitiveStringMap): CdcSourceConfig = CdcSourceConfig(
     path = Option(o.get(PathKey)).getOrElse(
@@ -62,7 +67,8 @@ object CdcSourceConfig {
     specificOffset = o.getOrDefault(SpecificOffsetKey, "-1").toLong,
     timestampMs = o.getOrDefault(TimestampKey, "-1").toLong,
     maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey, "0").toLong,
-    dialectName = o.getOrDefault(DialectKey, "file"))
+    dialectName = o.getOrDefault(DialectKey, "file"),
+    maxSnapshotPartitions = o.getOrDefault(MaxSnapshotPartitionsKey, "4096").toInt)
 }
 
 case class CdcSourceConfig(
@@ -74,7 +80,8 @@ case class CdcSourceConfig(
     specificOffset: Long = -1L,
     timestampMs: Long = -1L,
     maxEventsPerTrigger: Long = 0L,
-    dialectName: String = "file") {
+    dialectName: String = "file",
+    maxSnapshotPartitions: Int = 4096) {
 
   def dialect: CdcDialect = CdcDialects.byName(dialectName)
   require(Set("initial", "earliest", "latest", "specific-offset", "timestamp")
@@ -173,9 +180,14 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType) extends Scan {
     * even if the store's schema evolves mid-query. */
   private def payloadDdl: String =
     StructType(schema.fields.dropRight(ChangeRecord.MetaCols.size)).toDDL
-  override def toBatch: Batch = new CdcBatch(cfg, payloadDdl)
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toBatch: Batch = {
+    cfg.dialect.validate(cfg.path, cfg.matchedTables)
+    new CdcBatch(cfg, payloadDdl)
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    cfg.dialect.validate(cfg.path, cfg.matchedTables)
     new CdcMicroBatchStream(cfg, payloadDdl)
+  }
 }
 
 /** Driver-side chunk planning shared by batch and stream paths — the
@@ -220,6 +232,20 @@ object CdcPlanner {
         "BIGINT/INT/DECIMAL, MySqlChunkSplitter.java:385-395)")
   }
 
+  /** Consecutive chunks grouped so the snapshot phase yields at most
+    * `maxSnapshotPartitions` Spark partitions (scale note on
+    * [[SnapshotChunkPartition]]). */
+  def snapshotPartitions(cfg: CdcSourceConfig, table: String, high: Long,
+      schemaDdl: String): Seq[InputPartition] = {
+    val cs = chunks(cfg, table)
+    val group = math.max(1,
+      math.ceil(cs.size.toDouble / cfg.maxSnapshotPartitions).toInt)
+    cs.grouped(group).zipWithIndex.map { case (g, i) =>
+      SnapshotChunkPartition(cfg.dialectName, cfg.path, table, i,
+        g.map(c => (c.lo, c.hi)), high, schemaDdl)
+    }.toSeq
+  }
+
   /** Partitions for a fully-specified read: per captured table, snapshot
     * chunks at a uniform high watermark and/or one ordered log range. */
   def plan(cfg: CdcSourceConfig, withSnapshot: Boolean, snapshotHigh: Long,
@@ -227,8 +253,7 @@ object CdcPlanner {
     cfg.matchedTables.flatMap { table =>
       val snap: Seq[InputPartition] =
         if (withSnapshot)
-          chunks(cfg, table).map(c => SnapshotChunkPartition(cfg.dialectName,
-            cfg.path, table, c.id, c.lo, c.hi, snapshotHigh, schemaDdl))
+          snapshotPartitions(cfg, table, snapshotHigh, schemaDdl)
         else Seq.empty
       val log: Seq[InputPartition] =
         if (logTo > logFrom)
@@ -293,7 +318,24 @@ object CdcStreamOffset {
 }
 
 class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
+
+  /** Source metrics in StreamingQueryProgress (reference
+    * SourceReaderMetrics: fetch/emit lag — here, how far the consumed
+    * offset trails the log head). */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val head = cfg.maxOffsetAll
+    val consumed =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.asInstanceOf[CdcStreamOffset].logOffset
+      else -1L
+    java.util.Map.of(
+      "logHeadOffset", head.toString,
+      "consumedOffset", consumed.toString,
+      "pendingOffsets", math.max(0L, head - math.max(consumed, 0L)).toString)
+  }
 
   /** Fresh discovery each call (unlike cfg.matchedTables' lazy cache) so
     * tables that newly match the regex are picked up between batches /
@@ -357,9 +399,7 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String)
     val e = end.asInstanceOf[CdcStreamOffset]
     e.snapshotted.flatMap { table =>
       if (!s.snapshotted.contains(table))
-        CdcPlanner.chunks(cfg, table).map(c => SnapshotChunkPartition(
-          cfg.dialectName, cfg.path, table, c.id, c.lo, c.hi, e.logOffset,
-          schemaDdl))
+        CdcPlanner.snapshotPartitions(cfg, table, e.logOffset, schemaDdl)
       else if (e.logOffset > s.logOffset)
         Seq(LogRangePartition(cfg.dialectName, cfg.path, table,
           s.logOffset, e.logOffset, cfg.changelogMode, schemaDdl))

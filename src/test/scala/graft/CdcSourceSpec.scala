@@ -72,6 +72,23 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(ops === Set("+I"))
   }
 
+  test("snapshot partition cap: grouped chunks read identically") {
+    val dir = tmpDir("cdc-cap")
+    writeDb(dir, 6L)
+    // chunk.size=5 over ids 1..20 -> 4 chunks; cap to 2 partitions
+    val capped = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option("scan.incremental.snapshot.chunk.size", "5")
+      .option("scan.snapshot.max-partitions", "2")
+      .load()
+    assert(capped.rdd.getNumPartitions === 2)
+    val rows = capped.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length === rows.distinct.length, "no duplicate keys")
+    assert(rows.toSet === finalState)
+  }
+
   test("batch earliest: full changelog replay with retract rows") {
     val dir = tmpDir("cdc-earliest")
     writeDb(dir, 6L)
