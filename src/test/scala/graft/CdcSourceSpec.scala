@@ -140,6 +140,77 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(byTable === Map("t1" -> 5L, "t2" -> 7L))
   }
 
+  test("schema evolution across restart: widened schema, pre-DDL rows null") {
+    val dir = tmpDir("cdc-evolve")
+    val ckpt = tmpDir("cdc-evolve-ckpt")
+    val collected = scala.collection.mutable.ArrayBuffer[(StructType, Seq[Row])]()
+
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("scan.startup.mode", "initial")
+        .option("scan.incremental.snapshot.chunk.size", "5")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          collected.synchronized {
+            collected += ((batch.schema, batch.collect().toSeq))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // phase 1: base schema, events 1..3
+    writeDb(dir, 3L)
+    runStream()
+    assert(collected.forall(!_._1.fieldNames.contains("note")))
+    val phase1Rows = collected.map(_._2.size).sum
+
+    // phase 2: same log plus ALTER TABLE ADD COLUMN note at offset 7 and a
+    // post-DDL update at offset 8 setting note on id 4
+    val payload2 = StructType(payload.fields :+ StructField("note", StringType))
+    val env2 = StructType(envelopeSchema(payload2).fields ++ Seq(
+      StructField(DdlCol, StringType), StructField(SchemaDdlCol, StringType)))
+    def img(id: Long, v: String, note: String) = Row(id, v, note)
+    val log2 = allEvents.map { case (off, op, b, a) =>
+      Row(off, op, off * 10L, "graft", "t",
+        b.map { case (i, v) => img(i, v, null) }.orNull,
+        a.map { case (i, v) => img(i, v, null) }.orNull, null, null)
+    } ++ Seq(
+      Row(7L, "ddl", 70L, "graft", "t", null, null,
+        "ALTER TABLE t ADD COLUMN note STRING", payload2.toDDL),
+      Row(8L, "u", 80L, "graft", "t",
+        img(4L, "v4", null), img(4L, "v4", "annotated"), null, null))
+    FileCdcDatabase.write(spark, dir, "t", "graft", "id",
+      snapshot = snapshotDf,
+      changes = spark.createDataFrame(
+        spark.sparkContext.parallelize(log2), env2),
+      snapshotPartitions = 2, force = true)
+
+    runStream() // restart re-derives the widened schema from the history
+
+    val phase2 = collected.drop(collected.indexWhere(
+      _._1.fieldNames.contains("note")))
+    assert(phase2.nonEmpty, "restarted run must analyze the widened schema")
+    val rows2 = phase2.flatMap { case (sc, rs) =>
+      rs.map(r => (r.getLong(sc.fieldIndex("id")),
+        r.getString(sc.fieldIndex("v")),
+        r.getString(sc.fieldIndex("note")),
+        r.getLong(sc.fieldIndex(OffsetCol)),
+        r.getString(sc.fieldIndex(OpCol))))
+    }
+    // events 4..6 replay with note = null; the DDL record itself never
+    // surfaces as a data row; offset 8 carries the note
+    assert(rows2.map(_._4).toSet === Set(4L, 5L, 6L, 8L))
+    assert(rows2.filter(_._4 < 7L).forall(_._3 == null))
+    val noted = rows2.filter(r => r._4 == 8L && r._5 == RowKind.UpdateAfter)
+    assert(noted.map(r => (r._1, r._2, r._3)) === Seq((4L, "v4", "annotated")))
+    assert(phase1Rows > 0)
+  }
+
   test("restart exactly-once: snapshot batch, stop, more log, resume") {
     val dir = tmpDir("cdc-restart")
     val out = tmpDir("cdc-restart-out")
