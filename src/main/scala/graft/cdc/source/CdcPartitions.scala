@@ -60,19 +60,38 @@ class CdcReaderFactory extends PartitionReaderFactory {
     }
 }
 
-/** Shared envelope-line decoding (the P2 projection: envelope → typed row). */
+/** Shared envelope-line decoding (the P2 projection: envelope → typed row).
+  *
+  * `schemaDdl` is the partition-carried OUTPUT schema: the analyzed table
+  * schema after Catalyst column pruning — payload columns interleaved (in
+  * original order) with whichever metadata columns the query references.
+  * Decode runs over only the required payload fields (plus the chunk key,
+  * which the merge always needs) — at 100 TB a 2-column projection over a
+  * 40-column table must not JSON-decode the other 38. */
 private[source] class EnvelopeDecoder(dialectName: String, path: String,
     table: String, schemaDdl: String) {
   val dialect = CdcDialects.byName(dialectName)
   val meta: FileCdcDatabase.TableMeta = dialect.tableMeta(path, table)
-  /** The analyzed payload schema, carried by the partition — NOT re-read
-    * from the store, which may have evolved since analysis. */
-  val payload: StructType =
-    if (schemaDdl == null || schemaDdl.isEmpty) meta.schema
+
+  /** Output schema (payload subset + metadata subset), as analyzed. */
+  val outSchema: StructType =
+    if (schemaDdl == null || schemaDdl.isEmpty)
+      StructType(meta.schema.fields ++ CdcTable.metaFields)
     else StructType.fromDDL(schemaDdl)
-  val codec = new JsonRowCodec(payload)
-  val pkIdx: Int = payload.fieldIndex(meta.pk)
-  val pkType = payload(pkIdx).dataType
+
+  private val metaNames = ChangeRecord.MetaCols.toSet
+  /** Requested payload columns, in output order. */
+  val payload: StructType =
+    StructType(outSchema.fields.filterNot(f => metaNames.contains(f.name)))
+  /** Decode schema = requested payload + the chunk key if pruned away. */
+  val decodeSchema: StructType =
+    if (payload.fieldNames.contains(meta.pk)) payload
+    else StructType(payload.fields :+
+      meta.schema(meta.schema.fieldIndex(meta.pk)))
+
+  val codec = new JsonRowCodec(decodeSchema)
+  val pkIdx: Int = decodeSchema.fieldIndex(meta.pk)
+  val pkType = decodeSchema(pkIdx).dataType
 
   case class Env(offset: Long, op: String, ts: Long,
       before: InternalRow, after: InternalRow) {
@@ -86,23 +105,40 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
       n.get(ChangeRecord.OffsetCol).asLong(),
       n.get(ChangeRecord.OpCol).asText(),
       n.get(ChangeRecord.TsCol).asLong(),
-      codec.convertStruct(n.get(ChangeRecord.BeforeCol), payload),
-      codec.convertStruct(n.get(ChangeRecord.AfterCol), payload))
+      codec.convertStruct(n.get(ChangeRecord.BeforeCol), decodeSchema),
+      codec.convertStruct(n.get(ChangeRecord.AfterCol), decodeSchema))
   }
 
-  /** payload ++ (__op,__offset,__ts_ms,__db,__table) */
+  // out position -> decodeSchema position (payload) or -1-tag (meta col)
+  private val MetaOp = -1; private val MetaOffset = -2; private val MetaTs = -3
+  private val MetaDb = -4; private val MetaTable = -5
+  private val outMap: Array[Int] = outSchema.fields.map { f =>
+    f.name match {
+      case ChangeRecord.OpCol => MetaOp
+      case ChangeRecord.OffsetCol => MetaOffset
+      case ChangeRecord.TsCol => MetaTs
+      case ChangeRecord.DbCol => MetaDb
+      case ChangeRecord.TableCol => MetaTable
+      case n => decodeSchema.fieldIndex(n)
+    }
+  }
+
+  /** Project a decoded image + event metadata onto the output schema. */
   def emit(img: InternalRow, op: String, offset: Long, ts: Long): InternalRow = {
-    val out = new GenericInternalRow(payload.size + 5)
+    val out = new GenericInternalRow(outSchema.size)
     var i = 0
-    while (i < payload.size) {
-      out.update(i, if (img.isNullAt(i)) null else img.get(i, payload(i).dataType))
+    while (i < outSchema.size) {
+      outMap(i) match {
+        case MetaOp => out.update(i, UTF8String.fromString(op))
+        case MetaOffset => out.update(i, offset)
+        case MetaTs => out.update(i, ts)
+        case MetaDb => out.update(i, UTF8String.fromString(meta.db))
+        case MetaTable => out.update(i, UTF8String.fromString(meta.table))
+        case j => out.update(i,
+          if (img.isNullAt(j)) null else img.get(j, decodeSchema(j).dataType))
+      }
       i += 1
     }
-    out.update(payload.size, UTF8String.fromString(op))
-    out.update(payload.size + 1, offset)
-    out.update(payload.size + 2, ts)
-    out.update(payload.size + 3, UTF8String.fromString(meta.db))
-    out.update(payload.size + 4, UTF8String.fromString(meta.table))
     out
   }
 

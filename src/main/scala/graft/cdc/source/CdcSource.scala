@@ -144,17 +144,20 @@ class CdcTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object CdcTable {
-  /** Source schema = payload columns + always-present metadata columns
-    * (reference exposes these via SupportsReadingMetadata,
-    * MySqlReadableMetadata.java:33-86; with Spark, Catalyst column pruning
-    * drops unused ones for free — SURVEY §2.5 P3). */
-  def fullSchema(payload: StructType): StructType = StructType(
-    payload.fields ++ Seq(
-      StructField(ChangeRecord.OpCol, StringType, nullable = false),
-      StructField(ChangeRecord.OffsetCol, LongType, nullable = false),
-      StructField(ChangeRecord.TsCol, LongType, nullable = false),
-      StructField(ChangeRecord.DbCol, StringType, nullable = false),
-      StructField(ChangeRecord.TableCol, StringType, nullable = false)))
+  /** The always-present metadata columns (reference exposes these via
+    * SupportsReadingMetadata, MySqlReadableMetadata.java:33-86). */
+  def metaFields: Seq[StructField] = Seq(
+    StructField(ChangeRecord.OpCol, StringType, nullable = false),
+    StructField(ChangeRecord.OffsetCol, LongType, nullable = false),
+    StructField(ChangeRecord.TsCol, LongType, nullable = false),
+    StructField(ChangeRecord.DbCol, StringType, nullable = false),
+    StructField(ChangeRecord.TableCol, StringType, nullable = false))
+
+  /** Source schema = payload columns + metadata columns; Catalyst prunes
+    * unused ones and the pruning is pushed into the source decode
+    * (SupportsPushDownRequiredColumns — SURVEY §2.5 P3/P5). */
+  def fullSchema(payload: StructType): StructType =
+    StructType(payload.fields ++ metaFields)
 }
 
 class CdcTable(cfg: CdcSourceConfig, tableSchema: StructType)
@@ -168,25 +171,31 @@ class CdcTable(cfg: CdcSourceConfig, tableSchema: StructType)
 }
 
 class CdcScanBuilder(cfg: CdcSourceConfig, schema: StructType)
-    extends ScanBuilder {
-  override def build(): Scan = new CdcScan(cfg, schema)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = schema
+  /** Catalyst's required-column set reaches the source: executors decode
+    * only these payload fields (P5 upgrade — the reference always reads
+    * full rows, MySqlTableSource.java:56; at 100 TB pruned decode is the
+    * difference between parsing 2 columns and parsing 40). */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new CdcScan(cfg, required)
 }
 
 class CdcScan(cfg: CdcSourceConfig, schema: StructType) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String = s"CdcScan(${cfg.table}, ${cfg.startupMode})"
-  /** Analyzed payload schema (full schema minus the 5 metadata columns) —
-    * pinned here and carried by every partition, so reads stay consistent
-    * even if the store's schema evolves mid-query. */
-  private def payloadDdl: String =
-    StructType(schema.fields.dropRight(ChangeRecord.MetaCols.size)).toDDL
+  /** Analyzed (and column-pruned) output schema — pinned here and carried
+    * by every partition, so reads stay consistent even if the store's
+    * schema evolves mid-query. */
+  private def schemaDdl: String = schema.toDDL
   override def toBatch: Batch = {
     cfg.dialect.validate(cfg.path, cfg.matchedTables)
-    new CdcBatch(cfg, payloadDdl)
+    new CdcBatch(cfg, schemaDdl)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     cfg.dialect.validate(cfg.path, cfg.matchedTables)
-    new CdcMicroBatchStream(cfg, payloadDdl)
+    new CdcMicroBatchStream(cfg, schemaDdl)
   }
 }
 

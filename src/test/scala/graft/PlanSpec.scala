@@ -61,6 +61,27 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("cdc source: column pruning is pushed into the scan") {
+    // build a tiny file CDC db and project 1 payload + 1 metadata column
+    val dir = tmpDir("plan-cdc-prune")
+    import spark.implicits._
+    graft.cdc.FileCdcDatabase.write(spark, dir, "t", "graft", "id",
+      snapshot = (1L to 10L).map(i => (i, s"v$i", i * 2)).toDF("id", "v", "w"),
+      changes = spark.emptyDataFrame.sparkSession.createDataFrame(
+        spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row]),
+        graft.cdc.ChangeRecord.envelopeSchema(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, v STRING, w BIGINT"))),
+      force = true)
+    val df = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial").load()
+      .select("id", "__offset")
+    val scanOut = executed(df).collectLeaves().head.output.map(_.name)
+    assert(scanOut === Seq("id", "__offset"),
+      s"scan must emit only required columns, got $scanOut")
+  }
+
   test("ann_bruteforce: query side broadcast, no cartesian shuffle") {
     val plan = formatted(q("ann_bruteforce_topk"))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
