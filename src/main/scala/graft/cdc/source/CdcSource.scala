@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -171,18 +171,75 @@ class CdcTable(cfg: CdcSourceConfig, tableSchema: StructType)
 }
 
 class CdcScanBuilder(cfg: CdcSourceConfig, schema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
   /** Catalyst's required-column set reaches the source: executors decode
     * only these payload fields (P5 upgrade — the reference always reads
     * full rows, MySqlTableSource.java:56; at 100 TB pruned decode is the
     * difference between parsing 2 columns and parsing 40). */
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new CdcScan(cfg, required)
+
+  /** Chunk-key predicates narrow the snapshot phase to overlapping chunks
+    * (a `pk = x` point lookup reads ONE chunk at any table size). All
+    * filters stay residual — Spark re-evaluates them — so pushing is
+    * purely an I/O reduction, never a correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => CdcKeyBounds.fromFilter(f, keyCol).isDefined)
+    filters // all residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def keyCol: String = cfg.meta.pk
+
+  override def build(): Scan = {
+    val bounds = pushed.flatMap(CdcKeyBounds.fromFilter(_, keyCol))
+      .foldLeft(CdcKeyBounds(None, None))(_ intersect _)
+    new CdcScan(cfg, required, bounds)
+  }
 }
 
-class CdcScan(cfg: CdcSourceConfig, schema: StructType) extends Scan {
+/** Closed interval [lo, hi] on the chunk key implied by pushed filters. */
+case class CdcKeyBounds(lo: Option[Long], hi: Option[Long]) {
+  def intersect(o: CdcKeyBounds): CdcKeyBounds = CdcKeyBounds(
+    (lo ++ o.lo).reduceOption(_ max _), (hi ++ o.hi).reduceOption(_ min _))
+  def overlaps(rangeLo: Option[Long], rangeHi: Option[Long]): Boolean =
+    // chunk range is half-open [rangeLo, rangeHi); bounds are closed
+    hi.forall(h => rangeLo.forall(_ <= h)) &&
+      lo.forall(l => rangeHi.forall(_ > l))
+  def isUnbounded: Boolean = lo.isEmpty && hi.isEmpty
+}
+
+object CdcKeyBounds {
+  import org.apache.spark.sql.sources._
+  /** The filter shapes that imply chunk-key bounds (numeric literals only —
+    * the chunk key is integral by the dialect validator's contract). */
+  def fromFilter(f: Filter, key: String): Option[CdcKeyBounds] = {
+    def lit(v: Any): Option[Long] = v match {
+      case l: Long => Some(l); case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, v) if c == key =>
+        lit(v).map(l => CdcKeyBounds(Some(l), Some(l)))
+      case GreaterThan(c, v) if c == key =>
+        lit(v).map(l => CdcKeyBounds(Some(l + 1), None))
+      case GreaterThanOrEqual(c, v) if c == key =>
+        lit(v).map(l => CdcKeyBounds(Some(l), None))
+      case LessThan(c, v) if c == key =>
+        lit(v).map(l => CdcKeyBounds(None, Some(l - 1)))
+      case LessThanOrEqual(c, v) if c == key =>
+        lit(v).map(l => CdcKeyBounds(None, Some(l)))
+      case _ => None
+    }
+  }
+}
+
+class CdcScan(cfg: CdcSourceConfig, schema: StructType,
+    keyBounds: CdcKeyBounds = CdcKeyBounds(None, None)) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String = s"CdcScan(${cfg.table}, ${cfg.startupMode})"
   /** Analyzed (and column-pruned) output schema — pinned here and carried
@@ -191,11 +248,11 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType) extends Scan {
   private def schemaDdl: String = schema.toDDL
   override def toBatch: Batch = {
     cfg.dialect.validate(cfg.path, cfg.matchedTables)
-    new CdcBatch(cfg, schemaDdl)
+    new CdcBatch(cfg, schemaDdl, keyBounds)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     cfg.dialect.validate(cfg.path, cfg.matchedTables)
-    new CdcMicroBatchStream(cfg, schemaDdl)
+    new CdcMicroBatchStream(cfg, schemaDdl, keyBounds)
   }
 }
 
@@ -243,10 +300,13 @@ object CdcPlanner {
 
   /** Consecutive chunks grouped so the snapshot phase yields at most
     * `maxSnapshotPartitions` Spark partitions (scale note on
-    * [[SnapshotChunkPartition]]). */
+    * [[SnapshotChunkPartition]]); chunks outside pushed key bounds are
+    * dropped before grouping (a point lookup plans one chunk). */
   def snapshotPartitions(cfg: CdcSourceConfig, table: String, high: Long,
-      schemaDdl: String): Seq[InputPartition] = {
+      schemaDdl: String,
+      bounds: CdcKeyBounds = CdcKeyBounds(None, None)): Seq[InputPartition] = {
     val cs = chunks(cfg, table)
+      .filter(c => bounds.overlaps(c.lo, c.hi))
     val group = math.max(1,
       math.ceil(cs.size.toDouble / cfg.maxSnapshotPartitions).toInt)
     cs.grouped(group).zipWithIndex.map { case (g, i) =>
@@ -258,11 +318,12 @@ object CdcPlanner {
   /** Partitions for a fully-specified read: per captured table, snapshot
     * chunks at a uniform high watermark and/or one ordered log range. */
   def plan(cfg: CdcSourceConfig, withSnapshot: Boolean, snapshotHigh: Long,
-      logFrom: Long, logTo: Long, schemaDdl: String): Array[InputPartition] =
+      logFrom: Long, logTo: Long, schemaDdl: String,
+      bounds: CdcKeyBounds = CdcKeyBounds(None, None)): Array[InputPartition] =
     cfg.matchedTables.flatMap { table =>
       val snap: Seq[InputPartition] =
         if (withSnapshot)
-          snapshotPartitions(cfg, table, snapshotHigh, schemaDdl)
+          snapshotPartitions(cfg, table, snapshotHigh, schemaDdl, bounds)
         else Seq.empty
       val log: Seq[InputPartition] =
         if (logTo > logFrom)
@@ -276,13 +337,15 @@ object CdcPlanner {
     }.toArray
 }
 
-class CdcBatch(cfg: CdcSourceConfig, schemaDdl: String) extends Batch {
+class CdcBatch(cfg: CdcSourceConfig, schemaDdl: String,
+    bounds: CdcKeyBounds = CdcKeyBounds(None, None)) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val maxOff = cfg.maxOffsetAll
     cfg.startupMode match {
       // current state: chunks merged up to the current log end (W2)
       case "initial" => CdcPlanner.plan(cfg, withSnapshot = true,
-        snapshotHigh = maxOff, logFrom = maxOff, logTo = maxOff, schemaDdl)
+        snapshotHigh = maxOff, logFrom = maxOff, logTo = maxOff, schemaDdl,
+        bounds)
       // full history replay, no snapshot phase
       case "earliest" => CdcPlanner.plan(cfg, withSnapshot = false,
         snapshotHigh = 0L, logFrom = 0L, logTo = maxOff, schemaDdl)
@@ -326,7 +389,8 @@ object CdcStreamOffset {
   }
 }
 
-class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String)
+class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
+    bounds: CdcKeyBounds = CdcKeyBounds(None, None))
     extends MicroBatchStream with SupportsTriggerAvailableNow
     with ReportsSourceMetrics {
 
@@ -408,7 +472,8 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String)
     val e = end.asInstanceOf[CdcStreamOffset]
     e.snapshotted.flatMap { table =>
       if (!s.snapshotted.contains(table))
-        CdcPlanner.snapshotPartitions(cfg, table, e.logOffset, schemaDdl)
+        CdcPlanner.snapshotPartitions(cfg, table, e.logOffset, schemaDdl,
+          bounds)
       else if (e.logOffset > s.logOffset)
         Seq(LogRangePartition(cfg.dialectName, cfg.path, table,
           s.logOffset, e.logOffset, cfg.changelogMode, schemaDdl))

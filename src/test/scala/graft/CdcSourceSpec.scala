@@ -89,6 +89,24 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(rows.toSet === finalState)
   }
 
+  test("chunk-key filter pushdown: point lookup plans a single chunk") {
+    val dir = tmpDir("cdc-pushdown")
+    writeDb(dir, 6L)
+    // chunk.size=5 over ids 1..20 -> 4 chunks
+    val lookup = read(dir, "initial").filter("id = 17")
+    assert(lookup.rdd.getNumPartitions === 1, "one overlapping chunk")
+    assert(lookup.select("id", "v").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq === Seq((17L, "v17")))
+    // range predicate: 2 of 4 chunks; results identical to post-filtering
+    val ranged = read(dir, "initial").filter("id >= 6 AND id < 15")
+    assert(ranged.rdd.getNumPartitions === 2)
+    val want = finalState.filter(kv => kv._1 >= 6 && kv._1 < 15)
+    assert(ranged.select("id", "v").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet === want)
+    // updated key inside the range still reflects the log merge
+    assert(want.contains((14L, "v14")))
+  }
+
   test("batch earliest: full changelog replay with retract rows") {
     val dir = tmpDir("cdc-earliest")
     writeDb(dir, 6L)
