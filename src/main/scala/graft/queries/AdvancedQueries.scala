@@ -196,6 +196,96 @@ object AdvancedQueries {
              |  quantile_cont(l_quantity, 0.75) AS p75,
              |  quantile_cont(l_quantity, 0.9) AS p90
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Sessionization: gap-based sessions (30 min) per user via the classic
+    // lag → boundary flag → running count — one shuffle on user_id, every
+    // window reuses that partitioning. The streaming twin is
+    // session_window; this is the batch/backfill formulation.
+    "q_sessionize" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast(LongType).as("tse"))
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("tse"), col("event_id"))
+        val sessions = e
+          .withColumn("prev_ts", lag(col("tse"), 1).over(byUser))
+          .withColumn("new_sess",
+            (col("prev_ts").isNull || col("tse") - col("prev_ts") > 1800)
+              .cast(IntegerType))
+          .withColumn("sess_no", sum(col("new_sess")).over(byUser))
+        sessions
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tse")).as("sess_start"),
+            max(col("tse")).as("sess_end"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            sum(col("sess_end") - col("sess_start")).as("total_session_sec"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+             |    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+             |      OR CAST(floor(epoch(ts)) AS BIGINT)
+             |         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)),
+             |sess AS (
+             |  SELECT user_id, tse,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sess_no
+             |  FROM flagged),
+             |per_sess AS (
+             |  SELECT user_id, sess_no, COUNT(*) AS n_events,
+             |    MIN(tse) AS sess_start, MAX(tse) AS sess_end
+             |  FROM sess GROUP BY 1, 2)
+             |SELECT user_id, COUNT(*) AS n_sessions,
+             |  MAX(n_events) AS max_session_events,
+             |  CAST(SUM(sess_end - sess_start) AS BIGINT) AS total_session_sec
+             |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Interval (range) join, bucketized: errors within ±5 min of a purchase
+    // by the same user. The naive formulation is an equi-join on user_id
+    // with a range residual — fine when users are small; the bucketed form
+    // here joins on (user_id, 5-min bucket) with each error copied into the
+    // neighbor buckets, which bounds the per-key pair explosion at scale.
+    "q_interval_join" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val W = 300L
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").cast(LongType).as("pts"))
+          .withColumn("bucket", (col("pts") / W).cast(LongType))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+            col("ts").cast(LongType).as("ets"))
+          .withColumn("bucket",
+            explode(array((col("ets") / W - 1).cast(LongType),
+              (col("ets") / W).cast(LongType),
+              (col("ets") / W + 1).cast(LongType))))
+        purchases.join(errors,
+            col("user_id") === col("e_user") &&
+              purchases("bucket") === errors("bucket") &&
+              col("ets") >= col("pts") - W && col("ets") <= col("pts") + W)
+          .groupBy(col("user_id"), col("purchase_id"))
+          .agg(countDistinct(col("error_id")).as("nearby_errors"))
+          .orderBy(col("user_id"), col("purchase_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+             |  COUNT(DISTINCT e.event_id) AS nearby_errors
+             |FROM events p JOIN events e
+             |  ON p.user_id = e.user_id
+             |  AND e.event_type = 'error' AND p.event_type = 'purchase'
+             |  AND CAST(floor(epoch(e.ts)) AS BIGINT)
+             |      BETWEEN CAST(floor(epoch(p.ts)) AS BIGINT) - 300
+             |          AND CAST(floor(epoch(p.ts)) AS BIGINT) + 300
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

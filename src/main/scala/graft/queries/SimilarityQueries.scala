@@ -87,14 +87,18 @@ object SimilarityQueries {
           .agg(min(col("vec_id")).as("seed_id"))
         val cents = seedIds.join(e, col("seed_id") === col("vec_id"))
           .select(col("c_label"), col("embedding").as("cv"))
-        // cell assignment: nearest centroid by cosine (map over broadcast)
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("c_label"))
+        // cell assignment: nearest centroid by cosine. argmax as max_by over
+        // (ccos, -label) — ties pick the smaller label, identical to a
+        // (ccos DESC, c_label ASC) window rank 1, but with map-side partial
+        // aggregation the shuffle carries one row per vector instead of one
+        // per (vector × centroid) — the term that matters at 100 TB.
         val assigned = e.crossJoin(broadcast(cents))
           .withColumn("ccos", cosine(col("cv"), col("embedding")))
-          .withColumn("crank", row_number().over(wAssign))
-          .filter(col("crank") === 1)
-          .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("c_label"), col("embedding")),
+            struct(col("ccos"), (-col("c_label")).as("nl"))).as("v"))
+          .select(col("vec_id"), col("v.embedding").as("embedding"),
+            col("v.c_label").as("cell"))
         // query probes: top-2 cells per query
         val q = e.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
