@@ -111,6 +111,89 @@ object StreamingQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Stream-stream inner join with event-time watermarks and a range
+    // condition (Spark's watermarked interval join): purchases matched to
+    // same-user clicks within the prior 10 minutes. AvailableNow drains the
+    // single input file in one batch, so no matches are watermark-dropped
+    // and the result equals the batch join.
+    "q_stream_stream_join" -> QueryDef(
+      (s, dir0) => {
+        val name = s"ssj_${System.nanoTime()}"
+        def eventsStream = {
+          import org.apache.spark.sql.types._
+          val raw = Tables.load(s, dir0, "events")
+          s.readStream
+            .schema(StructType(raw.schema.fields.map(f =>
+              if (f.name == "ts") StructField("ts", LongType) else f)))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir0)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        }
+        import org.apache.spark.sql.types.LongType
+        val clicks = eventsStream.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = eventsStream.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("p_ts", "1 hour")
+        // range at whole-second granularity (timestamp->long truncates),
+        // matching the oracle's floor(epoch(...)) exactly
+        // stream-stream joins emit append-only pairs; the rollup runs as a
+        // batch aggregation over the drained sink
+        val q = purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts").cast(LongType) >= col("p_ts").cast(LongType) - 600 &&
+              col("c_ts").cast(LongType) <= col("p_ts").cast(LongType))
+          .select(col("user_id"), col("purchase_id"), col("click_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy(col("user_id"), col("purchase_id"))
+          .agg(count(lit(1)).as("n_prior_clicks"))
+          .orderBy(col("user_id"), col("purchase_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+             |  COUNT(*) AS n_prior_clicks
+             |FROM events p JOIN events c
+             |  ON p.user_id = c.user_id
+             |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND CAST(floor(epoch(c.ts)) AS BIGINT)
+             |      BETWEEN CAST(floor(epoch(p.ts)) AS BIGINT) - 600
+             |          AND CAST(floor(epoch(p.ts)) AS BIGINT)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming deduplication with watermark state (dropDuplicates on the
+    // natural key): first arrival wins, per-key state expires past the
+    // watermark. Counts per event_type after dedup match batch DISTINCT.
+    "q_stream_dedup" -> QueryDef(
+      (s, dir0) => {
+        val name = s"sdd_${System.nanoTime()}"
+        import org.apache.spark.sql.types._
+        val raw = Tables.load(s, dir0, "events")
+        val streamed = s.readStream
+          .schema(StructType(raw.schema.fields.map(f =>
+            if (f.name == "ts") StructField("ts", LongType) else f)))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir0)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = streamed
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("user_id", "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // flatMapGroupsWithState: per-key newest-image state across rate-limited
     // micro-batches; the upsert stream reduces to exactly the changed keys'
     // final state (delete markers win over earlier updates).
