@@ -85,4 +85,19 @@ class ChunkSplitterSpec extends AnyFunSuite {
     assert(chunks.count(_.contains(-50L)) === 1)  // first chunk, lo=None
     assert(chunks.count(_.contains(1000L)) === 1) // last chunk, hi=None
   }
+
+  test("100 TB shape: 12B rows split into 1.5M chunks in O(chunks) time") {
+    // 12e9 dense rows / 8096-row chunks — the planner math must stay
+    // arithmetic (no per-chunk queries) and finish instantly
+    val rows = 12000000000L
+    val t0 = System.nanoTime()
+    val chunks = ChunkSplitter.splitEvenlySizedChunks(1L, rows, rows,
+      ChunkSplitter.DefaultChunkSize)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(chunks.size === (rows / ChunkSplitter.DefaultChunkSize + 1).toInt)
+    assert(ms < 5000.0, s"split took $ms ms")
+    // bounds tile: every boundary meets its neighbor
+    assert(chunks.head.lo.isEmpty && chunks.last.hi.isEmpty)
+    assert(chunks(1000).hi === chunks(1001).lo)
+  }
 }
