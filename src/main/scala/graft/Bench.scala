@@ -20,6 +20,7 @@ object Bench {
         "/root/testdata/sf0.001" else sfDir
     Seq("q1_pricing_summary", "q3_shipping_priority",
         "cdc_source_batch_orders", "cdc_source_stream_materialized",
+        "cdc_stream_stateful_upserts", "q_stream_dedup",
         "dedup_exact", "ann_bruteforce_topk")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir).count()
