@@ -30,10 +30,14 @@ object ChunkSplitter {
 
   /** Whether the arithmetic even split applies
     * (MySqlChunkSplitter.java:385-395 limits this to integral key types;
-    * the caller guarantees an integral PK here). */
-  def isEvenlyDistributed(min: Long, max: Long, rowCount: Long): Boolean = {
+    * the caller guarantees an integral PK here). Bounds are configurable as
+    * in the reference (`chunk-key.even-distribution.factor.{upper,lower}-
+    * bound`, MySqlSourceOptions.java:207-231). */
+  def isEvenlyDistributed(min: Long, max: Long, rowCount: Long,
+      upper: Double = DistributionFactorUpper,
+      lower: Double = DistributionFactorLower): Boolean = {
     val f = distributionFactor(min, max, rowCount)
-    f >= DistributionFactorLower && f <= DistributionFactorUpper
+    f >= lower && f <= upper
   }
 
   /** Dynamic chunk size for the even split: scale the row-count chunk size
@@ -131,8 +135,10 @@ object ChunkSplitter {
 
   /** Full strategy dispatch as in MySqlChunkSplitter.splitTableIntoChunks. */
   def split(min: Long, max: Long, rowCount: Long, chunkSize: Int,
-      sortedKeys: () => Iterator[Long]): Seq[ChunkRange] =
-    if (isEvenlyDistributed(min, max, rowCount))
+      sortedKeys: () => Iterator[Long],
+      factorUpper: Double = DistributionFactorUpper,
+      factorLower: Double = DistributionFactorLower): Seq[ChunkRange] =
+    if (isEvenlyDistributed(min, max, rowCount, factorUpper, factorLower))
       splitEvenlySizedChunks(min, max, rowCount, chunkSize)
     else
       splitUnevenlySizedChunks(sortedKeys(), chunkSize)

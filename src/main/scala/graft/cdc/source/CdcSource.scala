@@ -54,6 +54,10 @@ object CdcSourceConfig {
     * 8096-row chunks must not become millions of tasks; cf. the reference's
     * chunk-meta groups, MySqlSourceOptions.java:199-205). */
   val MaxSnapshotPartitionsKey = "scan.snapshot.max-partitions"
+  /** Even-distribution factor bounds steering arithmetic-vs-lazy splitting
+    * (names and defaults from MySqlSourceOptions.java:207-231). */
+  val FactorUpperKey = "chunk-key.even-distribution.factor.upper-bound"
+  val FactorLowerKey = "chunk-key.even-distribution.factor.lower-bound"
 
   def fromOptions(o: CaseInsensitiveStringMap): CdcSourceConfig = CdcSourceConfig(
     path = Option(o.get(PathKey)).getOrElse(
@@ -68,7 +72,11 @@ object CdcSourceConfig {
     timestampMs = o.getOrDefault(TimestampKey, "-1").toLong,
     maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey, "0").toLong,
     dialectName = o.getOrDefault(DialectKey, "file"),
-    maxSnapshotPartitions = o.getOrDefault(MaxSnapshotPartitionsKey, "4096").toInt)
+    maxSnapshotPartitions = o.getOrDefault(MaxSnapshotPartitionsKey, "4096").toInt,
+    distributionFactorUpper = o.getOrDefault(FactorUpperKey,
+      ChunkSplitter.DistributionFactorUpper.toString).toDouble,
+    distributionFactorLower = o.getOrDefault(FactorLowerKey,
+      ChunkSplitter.DistributionFactorLower.toString).toDouble)
 }
 
 case class CdcSourceConfig(
@@ -81,7 +89,9 @@ case class CdcSourceConfig(
     timestampMs: Long = -1L,
     maxEventsPerTrigger: Long = 0L,
     dialectName: String = "file",
-    maxSnapshotPartitions: Int = 4096) {
+    maxSnapshotPartitions: Int = 4096,
+    distributionFactorUpper: Double = ChunkSplitter.DistributionFactorUpper,
+    distributionFactorLower: Double = ChunkSplitter.DistributionFactorLower) {
 
   def dialect: CdcDialect = CdcDialects.byName(dialectName)
   require(Set("initial", "earliest", "latest", "specific-offset", "timestamp")
@@ -272,7 +282,8 @@ object CdcPlanner {
         cfg.dialect.snapshotLines(cfg.path, table, None, None)
           .map(l => toLongKey(codec.decode(l).get(pkIdx, pkType)))
           .toSeq.sorted.iterator
-      })
+      },
+      cfg.distributionFactorUpper, cfg.distributionFactorLower)
   }
 
   /** Driver-side scan of the captured tables' logs: distinct event offsets

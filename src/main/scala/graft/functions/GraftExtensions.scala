@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/**
+ * SQL surface for the native sketching expressions — `spark.sql(...)` users
+ * get the same codepaths as the Column API (SURVEY §2.6: the UDF/extension
+ * boundary; the reference's equivalent is the per-connector factory SPI).
+ * Register with
+ * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+ * `spark.sql.extensions=graft.functions.GraftExtensions`:
+ *
+ *   graft_shingle_hashes(text, k)   -> ARRAY<BIGINT>  60-bit shingle hashes
+ *   graft_minhash(hashes, n)        -> ARRAY<BIGINT>  minhash signature
+ *   graft_simhash(text, bits)       -> BIGINT         simhash
+ *   graft_vec_dot(a, b)             -> DOUBLE         sequential-fold dot
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleMd5Hashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) =>
+        ShingleMd5Hashes(args.head, intLit(args(1), "graft_shingle_hashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args.head, intLit(args(1), "graft_minhash"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashText].getName, "graft_simhash"),
+      (args: Seq[Expression]) =>
+        SimHashText(args.head, intLit(args(1), "graft_simhash"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
+      (args: Seq[Expression]) => VecDot(args.head, args(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative registration on an existing session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder)
+    def intLit(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal INT, got $other")
+    }
+    add("graft_shingle_hashes",
+      args => ShingleMd5Hashes(args.head, intLit(args(1), "graft_shingle_hashes")))
+    add("graft_minhash",
+      args => MinHashSig(args.head, intLit(args(1), "graft_minhash")))
+    add("graft_simhash",
+      args => SimHashText(args.head, intLit(args(1), "graft_simhash")))
+    add("graft_vec_dot", args => VecDot(args.head, args(1)))
+  }
+}

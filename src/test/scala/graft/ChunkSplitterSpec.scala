@@ -86,6 +86,18 @@ class ChunkSplitterSpec extends AnyFunSuite {
     assert(chunks.count(_.contains(1000L)) === 1) // last chunk, hi=None
   }
 
+  test("configurable distribution-factor bounds flip the strategy") {
+    // factor 2.0: even under default bounds, uneven when upper < 2
+    assert(ChunkSplitter.isEvenlyDistributed(1, 200, 100))
+    assert(!ChunkSplitter.isEvenlyDistributed(1, 200, 100, upper = 1.5))
+    val keys = (1L to 100L).map(_ * 2)
+    val chunks = ChunkSplitter.split(1, 200, 100, 30, () => keys.iterator,
+      factorUpper = 1.5)
+    // uneven split cuts at sample ranks, not arithmetic steps
+    assert(chunks.size === 4)
+    coverage(chunks, keys)
+  }
+
   test("100 TB shape: 12B rows split into 1.5M chunks in O(chunks) time") {
     // 12e9 dense rows / 8096-row chunks — the planner math must stay
     // arithmetic (no per-chunk queries) and finish instantly

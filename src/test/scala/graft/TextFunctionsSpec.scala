@@ -92,6 +92,33 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(badDot.count() === 0)
   }
 
+  test("SQL-registered functions match the Column API bit-for-bit") {
+    graft.functions.GraftExtensions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_shingle_hashes(text, 3) AS sh,
+        |  graft_minhash(graft_shingle_hashes(text, 3), 16) AS sig,
+        |  graft_simhash(text, 16) AS sim
+        |FROM ext_docs""".stripMargin)
+    val viaCol = docs.select(col("doc_id"),
+      shingleHashes(col("text"), 3).as("sh"),
+      minHashSignature(shingleHashes(col("text"), 3), 16).as("sig"),
+      simHashText(col("text"), 16).as("sim"))
+    assert(viaSql.exceptAll(viaCol).count() === 0)
+    assert(viaCol.exceptAll(viaSql).count() === 0)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(10)
+    embs.createOrReplaceTempView("ext_embs")
+    val d1 = spark.sql(
+      "SELECT graft_vec_dot(embedding, embedding) AS d FROM ext_embs")
+      .collect().map(_.getDouble(0)).toSeq
+    val d2 = embs.select(dot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(d1 === d2)
+  }
+
   test("cosine: orthogonal -> 0, identical -> 1, antiparallel -> -1") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f)),
