@@ -133,6 +133,12 @@ object TextFunctions {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** Cosine with per-side norms precomputed BEFORE a join: each candidate
+    * pair costs one fold instead of three. Bit-identical to [[cosine]] —
+    * the norm fold is deterministic regardless of where it runs. */
+  def cosineHoisted(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+
   // ---------------------------------------------------------------- oracle
   // SQL fragments mirroring the above for the DuckDB side. Each takes SQL
   // expressions (column names / subexpressions) and returns a SQL string.

@@ -65,8 +65,10 @@ object AdvancedQueries {
           .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
           .orderBy(col("event_type"))
       },
+      // DuckDB SUM(BIGINT) yields HUGEINT (hashes as float64); cast back to
+      // BIGINT so the oracle's value hashes identically to Spark's LongType.
       Some("""SELECT event_type,
-             |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 

@@ -32,7 +32,7 @@ object CdcSourceQueries {
 
   /** Idempotently materialize the file CDC database for `orders` at this sf.
     * Chunk size forces multiple snapshot chunks even at sf0.001. */
-  private def prepare(spark: SparkSession, sfDir: String): String = {
+  private[queries] def prepare(spark: SparkSession, sfDir: String): String = {
     val dir = dbDir(sfDir)
     val base = Tables.load(spark, sfDir, "orders")
     FileCdcDatabase.write(spark, dir, "orders", "graft", ordersSpec.pk,
@@ -184,7 +184,7 @@ object CdcSourceQueries {
   )
 
   /** File CDC database whose log contains the DDL + post-DDL note updates. */
-  private def prepareDdl(spark: SparkSession, sfDir: String): String = {
+  private[queries] def prepareDdl(spark: SparkSession, sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
     val dir = s"/root/repo/.scratch/cdcdb_ddl/$sf"
     val base = Tables.load(spark, sfDir, "orders")

@@ -27,7 +27,7 @@ object CdcSurfaceQueries {
   }
 
   /** The `orders` CDC database (shared with CdcSourceQueries.prepare). */
-  private def prepare(spark: SparkSession, sfDir: String): String = {
+  private[queries] def prepare(spark: SparkSession, sfDir: String): String = {
     val dir = dbDir(sfDir)
     val base = Tables.load(spark, sfDir, "orders")
     FileCdcDatabase.write(spark, dir, "orders", "graft", ordersSpec.pk,
@@ -39,7 +39,7 @@ object CdcSurfaceQueries {
 
   /** Two shards of `orders` split by key parity — the sharded-table layout
     * the reference's `table-name` regex captures (P1). */
-  private def prepareSharded(spark: SparkSession, sfDir: String): String = {
+  private[queries] def prepareSharded(spark: SparkSession, sfDir: String): String = {
     val dir = dbDir(sfDir)
     val base = Tables.load(spark, sfDir, "orders")
     Seq(0, 1).foreach { p =>

@@ -51,13 +51,16 @@ object SimilarityQueries {
     // against. Query side is broadcast; ranking is one window shuffle.
     "ann_bruteforce_topk" -> QueryDef(
       (s, dir) => {
-        val e = emb(s, dir)
+        // norms hoisted to one fold per vector (vs 2 extra folds per pair)
+        val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
         val q = e.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-          .withColumn("cos", cosine(col("qv"), col("embedding")))
+          .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
+            col("qn"), col("nrm")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= TopK)
           .select(col("query_id"), col("rank").cast(LongType).as("rank"),
@@ -82,39 +85,46 @@ object SimilarityQueries {
     // re-ranking inside the probed cells.
     "ann_ivf_topk" -> QueryDef(
       (s, dir) => {
-        val e = emb(s, dir)
+        // norms hoisted to one fold per vector (vs 2 extra folds per pair)
+        val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
         val seedIds = e.groupBy(col("label").as("c_label"))
           .agg(min(col("vec_id")).as("seed_id"))
         val cents = seedIds.join(e, col("seed_id") === col("vec_id"))
-          .select(col("c_label"), col("embedding").as("cv"))
+          .select(col("c_label"), col("embedding").as("cv"),
+            col("nrm").as("cn"))
         // cell assignment: nearest centroid by cosine. argmax as max_by over
         // (ccos, -label) — ties pick the smaller label, identical to a
         // (ccos DESC, c_label ASC) window rank 1, but with map-side partial
         // aggregation the shuffle carries one row per vector instead of one
         // per (vector × centroid) — the term that matters at 100 TB.
         val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("ccos", cosine(col("cv"), col("embedding")))
+          .withColumn("ccos", cosineHoisted(col("cv"), col("embedding"),
+            col("cn"), col("nrm")))
           .groupBy(col("vec_id"))
-          .agg(max_by(struct(col("c_label"), col("embedding")),
+          .agg(max_by(struct(col("c_label"), col("embedding"), col("nrm")),
             struct(col("ccos"), (-col("c_label")).as("nl"))).as("v"))
           .select(col("vec_id"), col("v.embedding").as("embedding"),
-            col("v.c_label").as("cell"))
+            col("v.nrm").as("nrm"), col("v.c_label").as("cell"))
         // query probes: top-2 cells per query
         val q = e.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"))
         val wProbe = Window.partitionBy(col("query_id"))
           .orderBy(col("pcos").desc, col("c_label"))
         val probes = q.crossJoin(broadcast(cents))
-          .withColumn("pcos", cosine(col("cv"), col("qv")))
+          .withColumn("pcos", cosineHoisted(col("cv"), col("qv"),
+            col("cn"), col("qn")))
           .withColumn("prank", row_number().over(wProbe))
           .filter(col("prank") <= 2)
-          .select(col("query_id"), col("qv"), col("c_label").as("cell"))
+          .select(col("query_id"), col("qv"), col("qn"),
+            col("c_label").as("cell"))
         // exact search inside probed cells
         val wTop = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         assigned.join(probes, "cell")
           .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", cosine(col("qv"), col("embedding")))
+          .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
+            col("qn"), col("nrm")))
           .withColumn("rank", row_number().over(wTop))
           .filter(col("rank") <= TopK)
           .select(col("query_id"), col("rank").cast(LongType).as("rank"),

@@ -26,7 +26,7 @@ object StreamingQueries {
     s"/root/repo/.scratch/cdcdb/$sf"
   }
 
-  private def prepare(spark: SparkSession, sfDir: String): String = {
+  private[queries] def prepare(spark: SparkSession, sfDir: String): String = {
     val dir = dbDir(sfDir)
     val base = Tables.load(spark, sfDir, "orders")
     FileCdcDatabase.write(spark, dir, "orders", "graft", ordersSpec.pk,
