@@ -107,22 +107,61 @@ object FileCdcDatabase {
       n.get("maxPk").asLong(), n.get("maxOffset").asLong(), files)
   }
 
-  /** Fast path: pull the first occurrence of an integer field out of a JSONL
-    * line without building a tree. None when the pattern is absent or not a
-    * plain integer (caller falls back to a full decode). */
-  def quickLongFieldOpt(line: String, field: String): Option[Long] = {
-    val key = "\"" + field + "\":"
-    val i = line.indexOf(key)
-    if (i < 0) return None
-    val j = i + key.length
-    var end = j
-    while (end < line.length &&
-      (line.charAt(end).isDigit || (end == j && line.charAt(end) == '-')))
-      end += 1
-    if (end == j) None
-    else
-      try Some(line.substring(j, end).toLong)
-      catch { case _: NumberFormatException => None }
+  /** Fast path: pull a TOP-LEVEL integer field out of a JSONL line without
+    * building a tree. The scan tracks brace depth and string context, so a
+    * same-named key inside a nested struct (envelope `before`/`after`) or
+    * key-looking text inside a string VALUE can never mis-match — a naive
+    * first-occurrence scan silently returned wrong values there, and the
+    * early-stop/prefilter call sites would then drop data. None when the
+    * key is absent at depth 1 or its value is not a plain integer (caller
+    * falls back to a full decode). */
+  def quickLongFieldOpt(line: String, field: String): Option[Long] =
+    scanLongField(line, field, topLevelOnly = true)
+
+  /** Like [[quickLongFieldOpt]] but matches a key at ANY nesting depth —
+    * for fields that live inside the envelope's `before`/`after` structs
+    * and are value-identical in both (the chunk key: key-stable rows, same
+    * contract as the reference's RecordUtils.upsertBinlog dedup). Still
+    * key-position only: text inside a string value never matches. */
+  def quickNestedLongFieldOpt(line: String, field: String): Option[Long] =
+    scanLongField(line, field, topLevelOnly = false)
+
+  private def scanLongField(line: String, field: String,
+      topLevelOnly: Boolean): Option[Long] = {
+    val key = "\"" + field + "\""
+    var i = 0; var depth = 0; var inStr = false; var esc = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+        i += 1
+      } else c match {
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case '"' =>
+          if ((!topLevelOnly || depth == 1) && line.startsWith(key, i)) {
+            var j = i + key.length
+            while (j < line.length && line.charAt(j).isWhitespace) j += 1
+            if (j < line.length && line.charAt(j) == ':') {
+              j += 1
+              while (j < line.length && line.charAt(j).isWhitespace) j += 1
+              var end = j
+              while (end < line.length && (line.charAt(end).isDigit ||
+                (end == j && line.charAt(end) == '-'))) end += 1
+              return if (end == j) None
+              else try Some(line.substring(j, end).toLong)
+              catch { case _: NumberFormatException => None }
+            }
+            // string token equal to the key text but not a key — skip it
+            // as an ordinary string
+            inStr = true; i += 1
+          } else { inStr = true; i += 1 }
+        case _ => i += 1
+      }
+    }
+    None
   }
 
   /** [[quickLongFieldOpt]] with a Jackson fallback — for top-level fields
@@ -152,11 +191,73 @@ object FileCdcDatabase {
       .toSeq.sorted
   }
 
-  /** Iterate the lines of a JSONL file (executor-side). */
-  def lines(file: String): Iterator[String] = {
-    val src = scala.io.Source.fromFile(file, StandardCharsets.UTF_8.name())
-    src.getLines()
+  /** Line iterator that owns its file descriptor: closes on exhaustion, on
+    * an early stop via [[takeWhileClosing]], or explicitly. Open instances
+    * register per-thread so a PartitionReader's `close()` can sweep
+    * whatever a lazily-consumed composition left open — an abandoned fd per
+    * early-stopped chunk scan is executor fd exhaustion at many-chunk
+    * scale. */
+  final class ClosingLineIterator private[FileCdcDatabase] (file: String)
+      extends Iterator[String] with AutoCloseable {
+    private val reader = Files.newBufferedReader(
+      Paths.get(file), StandardCharsets.UTF_8)
+    private var closed = false
+    openOnThread.get().add(this)
+    private var nextLine: String = advance()
+
+    private def advance(): String = {
+      if (closed) return null
+      val l = reader.readLine()
+      if (l == null) close()
+      l
+    }
+    override def hasNext: Boolean = nextLine != null
+    override def next(): String = {
+      val l = nextLine
+      if (l == null) throw new NoSuchElementException(file)
+      nextLine = advance()
+      l
+    }
+    override def close(): Unit = if (!closed) {
+      closed = true
+      nextLine = null
+      reader.close()
+      openOnThread.get().remove(this)
+    }
+
+    /** `takeWhile` that closes the underlying file the moment the predicate
+      * first fails — plain `takeWhile` would abandon the open fd. */
+    def takeWhileClosing(p: String => Boolean): Iterator[String] =
+      new Iterator[String] {
+        override def hasNext: Boolean = {
+          val ok = nextLine != null && p(nextLine)
+          if (!ok) close()
+          ok
+        }
+        override def next(): String =
+          if (hasNext) ClosingLineIterator.this.next()
+          else throw new NoSuchElementException(file)
+      }
   }
+
+  private val openOnThread =
+    new ThreadLocal[java.util.Set[ClosingLineIterator]] {
+      override def initialValue(): java.util.Set[ClosingLineIterator] =
+        java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[ClosingLineIterator, java.lang.Boolean]())
+    }
+
+  /** Close every line iterator this thread still holds open — the safety
+    * net for consumers abandoned mid-file (e.g. a task stopped by a limit).
+    * PartitionReader.close() calls this; reads and closes happen on the
+    * same task thread. */
+  def closeAllOnThread(): Unit = {
+    val s = openOnThread.get()
+    new java.util.ArrayList(s).forEach(_.close())
+  }
+
+  /** Iterate the lines of a JSONL file (executor-side). */
+  def lines(file: String): ClosingLineIterator = new ClosingLineIterator(file)
 
   private def metaToJson(m: TableMeta): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

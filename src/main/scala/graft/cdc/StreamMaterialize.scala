@@ -44,7 +44,9 @@ object StreamMaterialize {
     val evs = emitted
       .filter(col(OpCol) =!= RowKind.UpdateBefore)
       .select(
-        concat_ws(" ", keyCols.map(col): _*).as("k"),
+        // unambiguous composite key: concat_ws would collide ("a b","c") with
+        // ("a","b c") and silently drops NULL components — JSON does neither
+        to_json(struct(keyCols.map(col): _*)).as("k"),
         col(OffsetCol).as("off"),
         col(OpCol).as("op"),
         to_json(struct(payload.map(col): _*)).as("img"))
@@ -79,47 +81,132 @@ object StreamMaterialize {
 }
 
 /**
- * `foreachBatch` upsert sink: maintains a parquet directory equal to the
+ * `foreachBatch` upsert sink: maintains a parquet "table" equal to the
  * materialized state of the changelog consumed so far. The stored state
  * keeps each key's `__offset`, so the merge is a keyed newest-wins
  * reduction and replayed micro-batches are idempotent — the exactly-once
  * story for non-transactional sinks (the reference's e2e tests assert sink
  * contents the same way, MySqlE2eITCase.java:89-133).
+ *
+ * Scale: state is hash-bucketed into `path/bkt=<hash(pk) % N>` directories
+ * and a batch rewrites ONLY the buckets its keys touch — per-trigger I/O is
+ * O(touched state), not O(total state), and the bucket count is the knob
+ * that bounds rewrite amplification at large key cardinality (a production
+ * deployment would swap this directory protocol for a transactional table
+ * format's MERGE, which has the same partition-level replace shape).
+ *
+ * Crash safety: the merged buckets are written to a dot-prefixed staging
+ * directory (invisible to parquet readers), then committed per bucket as
+ * move-live-aside → move-staged-in → drop-aside. A crash at any point
+ * leaves either the old or the new bucket recoverable: [[recover]] runs at
+ * the start of every merge and restores an orphaned aside (crash between
+ * the two moves) or drops it (crash after the second move); checkpoint
+ * replay of the interrupted batch then converges every bucket, because the
+ * merge is an idempotent newest-wins reduction.
  */
 object UpsertSink {
 
   import ChangeRecord._
 
+  /** Bucket partition column / directory prefix (`bkt=<i>`). Deliberately
+    * not `__`-prefixed: Spark's file index skips `_`/`.`-prefixed paths, so
+    * an underscore name would hide the state from `spark.read.parquet`. */
+  private val BucketCol = "bkt"
+  private def asidePrefix = ".old-bkt-"
+
   /** Merge one micro-batch of emitted changelog rows into `path`.
-    * Stored schema: payload columns ++ `__offset`. */
+    * Stored layout: `path/bkt=<i>/part-*.parquet` with schema
+    * payload columns ++ `__offset` (+ the `bkt` partition column when read
+    * through the root). */
   def mergeInto(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
-      path: String): Unit = {
+      path: String, numBuckets: Int = 32): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
     val payload = batch.schema.fieldNames.filterNot(MetaCols.contains).toSeq
-    val incoming = batch.select(
-      (payload.map(col) :+ col(OpCol) :+ col(OffsetCol)): _*)
-    val dir = new java.io.File(path)
-    val combined =
-      if (dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty) {
-        val st = spark.read.parquet(path)
-          .withColumn(OpCol, lit(RowKind.Insert))
-          .select((payload.map(col) :+ col(OpCol) :+ col(OffsetCol)): _*)
-        st.unionByName(incoming)
-      } else incoming
+    require(!payload.contains(BucketCol) && !keyCols.contains(BucketCol),
+      s"payload must not use the reserved bucket column name '$BucketCol'")
+    val root = new java.io.File(path)
+    root.mkdirs()
+    recover(root)
+    val bucketOf = pmod(hash(keyCols.map(col): _*), lit(numBuckets))
+    val incoming = batch
+      .select((payload.map(col) :+ col(OpCol) :+ col(OffsetCol)): _*)
+      .withColumn(BucketCol, bucketOf)
+    // ≤ numBuckets values — a driver-side planning stat, same pattern as
+    // Spark's own JDBC columnPartition
+    val touched = incoming.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val liveDirs = touched.map(bucketDir(root, _)).filter(_.isDirectory)
+    val existing =
+      if (liveDirs.isEmpty) None
+      else Some(spark.read.parquet(liveDirs.map(_.getPath): _*)
+        .withColumn(OpCol, lit(RowKind.Insert))
+        .select((payload.map(col) :+ col(OpCol) :+ col(OffsetCol)): _*)
+        // recomputed, not stored: bkt is a pure function of the key
+        .withColumn(BucketCol, bucketOf))
+    val combined = existing.map(_.unionByName(incoming)).getOrElse(incoming)
     // newest image per key; deletes drop the key
     val img = struct((col(OpCol) +: col(OffsetCol) +: payload.map(col)): _*)
     val merged = combined
       .filter(col(OpCol) =!= RowKind.UpdateBefore)
-      .groupBy(keyCols.map(col): _*)
+      .groupBy((keyCols :+ BucketCol).map(col): _*)
       .agg(max_by(img, col(OffsetCol)).as("__v"))
       .filter(col(s"__v.$OpCol") =!= RowKind.Delete)
-      .select((payload :+ OffsetCol).map(c => col(s"__v.$c").as(c)): _*)
-    // overwrite via temp-dir swap — the move is the batch commit point;
-    // checkpoint replay regenerates identical state
-    val tmpDir = path + ".tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-    deleteRecursively(dir)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmpDir),
-      java.nio.file.Paths.get(path))
+      .select(col(BucketCol) +:
+        (payload :+ OffsetCol).map(c => col(s"__v.$c").as(c)): _*)
+    val staging = new java.io.File(root, ".staging")
+    deleteRecursively(staging)
+    merged.repartition(touched.length, col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(staging.getPath)
+    touched.foreach { b =>
+      val live = bucketDir(root, b)
+      val aside = new java.io.File(root, s"$asidePrefix$b")
+      val staged = new java.io.File(staging, s"$BucketCol=$b")
+      if (live.isDirectory)
+        java.nio.file.Files.move(live.toPath, aside.toPath)
+      // a bucket whose keys were all deleted has no staged dir — it simply
+      // stays absent
+      if (staged.isDirectory)
+        java.nio.file.Files.move(staged.toPath, live.toPath)
+      deleteRecursively(aside)
+    }
+    deleteRecursively(staging)
+    // all state deleted: leave a schema-only bucket so the root stays
+    // readable (rare; only when every key in the table is gone)
+    if (listBuckets(root).isEmpty)
+      merged.drop(BucketCol).limit(0).coalesce(1)
+        .write.parquet(bucketDir(root, touched.head).getPath)
+  }
+
+  /** Read the materialized state (payload ++ `__offset`), dropping the
+    * bucket partition column. */
+  def readState(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(BucketCol)
+
+  private def bucketDir(root: java.io.File, b: Int) =
+    new java.io.File(root, s"$BucketCol=$b")
+
+  private def listBuckets(root: java.io.File): Seq[java.io.File] = {
+    val fs = root.listFiles()
+    if (fs == null) Seq.empty
+    else fs.toSeq.filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
+  }
+
+  /** Repair after a crash mid-commit: an aside dir with no live bucket means
+    * the crash hit between the two moves — restore it; with a live bucket,
+    * after the second move — drop it. Stale staging is always discarded
+    * (the replayed batch rewrites it). */
+  private def recover(root: java.io.File): Unit = {
+    val fs = root.listFiles()
+    if (fs == null) return
+    fs.filter(f => f.isDirectory && f.getName.startsWith(asidePrefix))
+      .foreach { aside =>
+        val b = aside.getName.stripPrefix(asidePrefix)
+        val live = new java.io.File(root, s"$BucketCol=$b")
+        if (live.isDirectory) deleteRecursively(aside)
+        else java.nio.file.Files.move(aside.toPath, live.toPath)
+      }
+    deleteRecursively(new java.io.File(root, ".staging"))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

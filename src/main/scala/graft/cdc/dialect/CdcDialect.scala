@@ -36,10 +36,14 @@ trait CdcDialect extends Serializable {
   /** Log records with offsets in (from, to], offset-ordered. */
   def logLines(path: String, table: String, from: Long, to: Long): Iterator[String]
 
-  /** Distinct event offsets in (from, to] across `tables` — drives rate
-    * limiting; a JDBC dialect asks the database instead of scanning. */
+  /** Up to `limit` distinct event offsets in (from, to] across `tables`,
+    * ascending — drives rate limiting; a JDBC dialect asks the database
+    * instead of scanning. Implementations must stop enumerating once
+    * `limit` offsets past `from` are found (an AvailableNow drain calls
+    * this once per micro-batch — unbounded enumeration makes the drain
+    * quadratic in log size). */
   def offsetsBetween(path: String, tables: Seq[String],
-      from: Long, to: Long): Seq[Long]
+      from: Long, to: Long, limit: Int = Int.MaxValue): Seq[Long]
 
   /** Startup position for timestamp mode: first offset with source ts ≥
     * `tsMs`, minus 1; log head if none. */
@@ -113,9 +117,9 @@ object FileCdcDialect extends CdcDialect {
     pruned.iterator.flatMap { f =>
       val ls = FileCdcDatabase.lines(f)
       if (sortedByPk && hi.isDefined)
-        ls.map(l => (FileCdcDatabase.quickLongField(l, meta.pk), l))
-          .takeWhile(_._1 < hi.get)
-          .map(_._2)
+        // closing takeWhile: the early stop releases the fd immediately
+        ls.takeWhileClosing(l =>
+          FileCdcDatabase.quickLongField(l, meta.pk) < hi.get)
       else ls
     }
   }
@@ -125,36 +129,78 @@ object FileCdcDialect extends CdcDialect {
     FileCdcDatabase.dataFiles(path, table, "log").iterator
       .flatMap { f =>
         FileCdcDatabase.lines(f)
-          .map(l => (FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol), l))
-          .takeWhile(_._1 <= to)
-          .collect { case (o, l) if o > from => l }
+          .takeWhileClosing(l =>
+            FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol) <= to)
+          .filter(l =>
+            FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol) > from)
       }
+
+  /** Distinct offsets of immutable, offset-sorted log files, memoized per
+    * (file, size) on first touch — every later rate-limit probe is a binary
+    * search instead of a rescan (a live JDBC dialect asks the database the
+    * same question; the memo is this dialect's stand-in for that index).
+    * A file that grew (size change) re-reads. */
+  private val offsetMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Long]]()
+
+  private def fileOffsets(f: String): Array[Long] = {
+    val size =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      catch { case _: java.io.IOException => -1L }
+    offsetMemo.computeIfAbsent((f, size), _ => {
+      val it = FileCdcDatabase.lines(f)
+      try it.map(FileCdcDatabase.quickLongField(_, ChangeRecord.OffsetCol))
+        .toArray
+      finally it.close()
+    })
+  }
 
   override def offsetsBetween(path: String, tables: Seq[String],
-      from: Long, to: Long): Seq[Long] =
-    tables.iterator
+      from: Long, to: Long, limit: Int = Int.MaxValue): Seq[Long] = {
+    val perFile = tables.iterator
       .flatMap(t => FileCdcDatabase.dataFiles(path, t, "log"))
-      .flatMap { f =>
-        FileCdcDatabase.lines(f)
-          .map(l => FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol))
-          .takeWhile(_ <= to)
-          .filter(_ > from)
+      .map { f =>
+        val offs = fileOffsets(f)
+        // first index with offset > from (array is sorted ascending)
+        var lo = 0; var hi = offs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (offs(mid) <= from) lo = mid + 1 else hi = mid
+        }
+        offs.iterator.slice(lo, offs.length)
+          .takeWhile(_ <= to).take(limit).toSeq
       }
-      .toSeq.distinct.sorted
+      .toSeq
+    // merge across files/tables (offsets may interleave): ≤ tables×limit
+    // values in memory
+    val merged = perFile.flatten.distinct.sorted
+    if (limit == Int.MaxValue) merged else merged.take(limit)
+  }
 
+  /** Timestamp seek: log files are offset-sorted and source timestamps are
+    * commit times, monotone with log position (the same assumption behind
+    * the reference's binlog timestamp startup) — so per file the scan
+    * prefix-parses `__ts_ms` and stops at the FIRST event at/after the
+    * target, never full-parsing lines or reading the tail. */
   override def offsetForTimestamp(path: String, tables: Seq[String],
       tsMs: Long): Long = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val first = tables.iterator
-      .flatMap(t => FileCdcDatabase.dataFiles(path, t, "log"))
-      .flatMap(FileCdcDatabase.lines)
-      .map { l =>
-        val n = mapper.readTree(l)
-        (n.get(ChangeRecord.OffsetCol).asLong(),
-          n.get(ChangeRecord.TsCol).asLong())
+    var first = Long.MaxValue
+    tables.foreach { t =>
+      FileCdcDatabase.dataFiles(path, t, "log").foreach { f =>
+        val it = FileCdcDatabase.lines(f)
+        try {
+          var found = false
+          while (!found && it.hasNext) {
+            val l = it.next()
+            if (FileCdcDatabase.quickLongField(l, ChangeRecord.TsCol) >= tsMs) {
+              first = math.min(first,
+                FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol))
+              found = true
+            }
+          }
+        } finally it.close()
       }
-      .filter(_._2 >= tsMs).map(_._1)
-      .foldLeft(Long.MaxValue)(math.min)
+    }
     if (first == Long.MaxValue)
       tables.map(t => tableMeta(path, t).maxOffset).max
     else first - 1

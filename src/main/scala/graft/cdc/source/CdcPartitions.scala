@@ -160,11 +160,46 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
 
   private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table, p.schemaDdl)
 
-  // W2 per chunk range: chunk rows keyed, then log slice (0, high] merged
-  // in. (offset, image) per key; insertion order preserved for determinism.
-  // Snapshot input is file-pruned to the chunk range; the log slice is
-  // offset-bounded with per-file early stop. Ranges evaluate lazily one at
-  // a time (flatMap), so a grouped partition still holds O(chunk) rows.
+  // The partition's chunk ranges are consecutive, so the whole partition
+  // spans one contiguous key interval.
+  private val spanLo: Option[Long] = p.ranges.head._1
+  private val spanHi: Option[Long] = p.ranges.last._2
+  private def inSpan(k: Long): Boolean =
+    spanLo.forall(k >= _) && spanHi.forall(k < _)
+
+  // ONE log pass per partition (not per chunk range): the final surviving
+  // (offset, image) per log-touched key in the span; None = deleted.
+  // Sequential newest-wins application over the offset-sorted slice equals
+  // replaying events per key. Memory is O(changed keys in span) — change
+  // volume, not table volume — where the per-range replay re-read and
+  // re-decoded the whole log slice once per chunk range in the group.
+  private lazy val overlay: mutable.LinkedHashMap[Long, Option[(Long, InternalRow)]] = {
+    val m = mutable.LinkedHashMap[Long, Option[(Long, InternalRow)]]()
+    dec.logLinesInRange(0L, p.high).foreach { line =>
+      // cheap key prefilter: the PK value is identical in before/after
+      // (key-stable rows — the reference dedups by the key Struct the same
+      // way, RecordUtils.upsertBinlog), so the pk key inside the envelope
+      // structs is the event's key; full decode only in-span
+      val quick = FileCdcDatabase.quickNestedLongFieldOpt(line, dec.meta.pk)
+      if (quick.forall(inSpan)) {
+        val env = dec.decodeEnvelope(line)
+        // schema-change records go to the history, not the data merge (T2)
+        if (env.op != ExternalOp.SchemaChange) {
+          val k = env.key
+          if (inSpan(k)) env.op match {
+            case ExternalOp.Delete => m(k) = None
+            case _ => m(k) = Some((env.offset, env.after))
+          }
+        }
+      }
+    }
+    m
+  }
+
+  // W2 per chunk range: chunk rows keyed, then the partition's log overlay
+  // applied — CREATE/UPDATE replace, DELETE removes. Snapshot input is
+  // file-pruned to the chunk range. Ranges evaluate lazily one at a time
+  // (flatMap), so a grouped partition holds O(chunk + span changes) rows.
   private def mergeRange(lo: Option[Long], hi: Option[Long]): Iterator[InternalRow] = {
     def inRange(k: Long): Boolean = lo.forall(k >= _) && hi.forall(k < _)
     val byKey = mutable.LinkedHashMap[Long, (Long, InternalRow)]()
@@ -173,22 +208,10 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
       val k = CdcPlanner.toLongKey(row.get(dec.pkIdx, dec.pkType))
       if (inRange(k)) byKey(k) = (0L, row)
     }
-    dec.logLinesInRange(0L, p.high).foreach { line =>
-      // cheap key prefilter: the PK value is identical in before/after
-      // (key-stable rows — the reference dedups by the key Struct the same
-      // way, RecordUtils.upsertBinlog), so the first occurrence of the pk
-      // field in the line is the event's key; full decode only in-range
-      val quick = FileCdcDatabase.quickLongFieldOpt(line, dec.meta.pk)
-      if (quick.forall(inRange)) {
-        val env = dec.decodeEnvelope(line)
-        // schema-change records go to the history, not the data merge (T2)
-        if (env.op != ExternalOp.SchemaChange) {
-          val k = env.key
-          if (inRange(k)) env.op match {
-            case ExternalOp.Delete => byKey.remove(k)
-            case _ => byKey(k) = (env.offset, env.after)
-          }
-        }
+    overlay.foreach { case (k, v) =>
+      if (inRange(k)) v match {
+        case None => byKey.remove(k)
+        case Some(offImg) => byKey(k) = offImg
       }
     }
     byKey.valuesIterator.map { case (off, img) =>
@@ -203,7 +226,9 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
   override def next(): Boolean =
     if (merged.hasNext) { cur = merged.next(); true } else false
   override def get(): InternalRow = cur
-  override def close(): Unit = ()
+  // sweep any line iterator an early-stopped scan left open on this task
+  // thread (fd hygiene at many-chunk scale)
+  override def close(): Unit = FileCdcDatabase.closeAllOnThread()
 }
 
 class LogRangeReader(p: LogRangePartition)
@@ -238,5 +263,5 @@ class LogRangeReader(p: LogRangePartition)
   override def next(): Boolean =
     if (rows.hasNext) { cur = rows.next(); true } else false
   override def get(): InternalRow = cur
-  override def close(): Unit = ()
+  override def close(): Unit = FileCdcDatabase.closeAllOnThread()
 }

@@ -104,6 +104,11 @@ case class CdcSourceConfig(
     s"scan.startup.mode=specific-offset requires ${CdcSourceConfig.SpecificOffsetKey}")
   require(startupMode != "timestamp" || timestampMs >= 0,
     s"scan.startup.mode=timestamp requires ${CdcSourceConfig.TimestampKey}")
+  // a value past Int.MaxValue would overflow the downstream take() into a
+  // no-op and silently disable the cap
+  require(maxEventsPerTrigger >= 0 && maxEventsPerTrigger <= Int.MaxValue,
+    s"scan.stream.max-events-per-trigger out of range [0, ${Int.MaxValue}]: " +
+      s"$maxEventsPerTrigger")
 
   /** Captured tables: `table` is an exact name or a regex over discovered
     * tables (reference P1 — `table-name` patterns select sharded tables with
@@ -256,12 +261,24 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
     * by every partition, so reads stay consistent even if the store's
     * schema evolves mid-query. */
   private def schemaDdl: String = schema.toDDL
-  override def toBatch: Batch = {
+  /** Scan-start validation: dialect preconditions plus the config/schema
+    * cross-check — upsert changelog mode needs a primary key to collapse
+    * on (the reference rejects the same combination,
+    * PostgreSQLTableFactory.java:105-113). */
+  private def validateAll(): Unit = {
+    require(cfg.changelogMode != "upsert" ||
+      cfg.matchedTables.forall(t =>
+        cfg.dialect.tableMeta(cfg.path, t).pk.nonEmpty),
+      "changelog.mode=upsert requires a primary-key table " +
+        "(reference PostgreSQLTableFactory.java:105-113)")
     cfg.dialect.validate(cfg.path, cfg.matchedTables)
+  }
+  override def toBatch: Batch = {
+    validateAll()
     new CdcBatch(cfg, schemaDdl, keyBounds)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    cfg.dialect.validate(cfg.path, cfg.matchedTables)
+    validateAll()
     new CdcMicroBatchStream(cfg, schemaDdl, keyBounds)
   }
 }
@@ -289,8 +306,9 @@ object CdcPlanner {
   /** Driver-side scan of the captured tables' logs: distinct event offsets
     * in (from, to], ascending. The file dialect reads the log files; a JDBC
     * dialect asks the database (e.g. binlog index / SHOW BINARY LOGS). */
-  def offsetsBetween(cfg: CdcSourceConfig, from: Long, to: Long): Seq[Long] =
-    cfg.dialect.offsetsBetween(cfg.path, cfg.matchedTables, from, to)
+  def offsetsBetween(cfg: CdcSourceConfig, from: Long, to: Long,
+      limit: Int = Int.MaxValue): Seq[Long] =
+    cfg.dialect.offsetsBetween(cfg.path, cfg.matchedTables, from, to, limit)
 
   /** First offset whose source timestamp is ≥ `tsMs`, minus 1 — the startup
     * position for timestamp mode (reference seeks the binlog by timestamp,
@@ -462,9 +480,11 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
     val hasNewTables = !target.snapshotted.forall(s.snapshotted.contains)
     if (hasNewTables || cfg.maxEventsPerTrigger <= 0) target
     else {
-      val step = CdcPlanner
-        .offsetsBetween(cfg, s.logOffset, target.logOffset)
-        .take(cfg.maxEventsPerTrigger.toInt)
+      // cfg validated maxEventsPerTrigger ≤ Int.MaxValue; the dialect stops
+      // enumerating after `limit` offsets past `start` (no full-log rescan
+      // per trigger)
+      val step = CdcPlanner.offsetsBetween(cfg, s.logOffset,
+        target.logOffset, cfg.maxEventsPerTrigger.toInt)
       if (step.isEmpty) target
       else CdcStreamOffset(step.last, target.snapshotted)
     }

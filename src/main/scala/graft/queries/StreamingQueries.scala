@@ -235,7 +235,7 @@ object StreamingQueries {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.read.parquet(out)
+        UpsertSink.readState(s, out)
           .select(orderCols.map(col): _*)
           .orderBy(col("o_orderkey"))
       },

@@ -271,4 +271,81 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(state.toSet === finalState)
     assert(state.length === state.distinct.length)
   }
+
+  test("quick field scan: top-level only, never fooled by nesting or strings") {
+    import FileCdcDatabase.{quickLongFieldOpt, quickNestedLongFieldOpt}
+    // top-level match
+    assert(quickLongFieldOpt("""{"__offset":42,"v":"x"}""", "__offset")
+      === Some(42L))
+    // same-named key in an EARLIER nested struct must not win
+    assert(quickLongFieldOpt(
+      """{"before":{"__offset":7},"__offset":42}""", "__offset") === Some(42L))
+    // key text inside a string VALUE must not match at all
+    assert(quickLongFieldOpt(
+      """{"note":"contains \"id\":123 text","id":9}""", "id") === Some(9L))
+    assert(quickLongFieldOpt("""{"note":"\"id\":123"}""", "id") === None)
+    // non-integer value → None (caller full-parses)
+    assert(quickLongFieldOpt("""{"id":"x"}""", "id") === None)
+    // nested variant: finds the pk inside before/after (key position only)
+    assert(quickNestedLongFieldOpt(
+      """{"__op":"u","before":{"id":5,"v":"a"},"after":{"id":5,"v":"b"}}""",
+      "id") === Some(5L))
+    assert(quickNestedLongFieldOpt(
+      """{"v":"look \"id\":99 here","after":{"id":5}}""", "id") === Some(5L))
+  }
+
+  test("takeWhileClosing closes the reader at the early stop") {
+    val dir = tmpDir("closing-it")
+    val f = new java.io.File(dir, "x.jsonl")
+    java.nio.file.Files.writeString(f.toPath,
+      (1 to 100).map(i => s"""{"n":$i}""").mkString("\n"))
+    val src = FileCdcDatabase.lines(f.getPath)
+    val taken = src.takeWhileClosing(l =>
+      FileCdcDatabase.quickLongField(l, "n") <= 3).toList
+    assert(taken.size === 3)
+    // the stop closed the underlying reader: the source is exhausted even
+    // though 97 lines were never read
+    assert(!src.hasNext)
+  }
+
+  test("offsetsBetween honors the enumeration limit") {
+    val dir = tmpDir("cdc-limit")
+    writeDb(dir, 6L)
+    val d = graft.cdc.dialect.FileCdcDialect
+    assert(d.offsetsBetween(dir, Seq("t"), 0L, 6L) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(d.offsetsBetween(dir, Seq("t"), 2L, 6L, limit = 2) === Seq(3L, 4L))
+    assert(d.offsetsBetween(dir, Seq("t"), 6L, 6L) === Seq.empty)
+  }
+
+  test("max-events-per-trigger rejects values past Int.MaxValue") {
+    val dir = tmpDir("cdc-clamp")
+    writeDb(dir, 3L)
+    val e = intercept[Exception] {
+      spark.read.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("scan.startup.mode", "earliest")
+        .option("scan.stream.max-events-per-trigger",
+          (Int.MaxValue.toLong + 1).toString)
+        .load().count()
+    }
+    assert(e.getMessage.contains("max-events-per-trigger"))
+  }
+
+  test("changelog.mode=upsert rejected when the table has no primary key") {
+    val dir = tmpDir("cdc-nopk")
+    writeDb(dir, 3L)
+    // simulate a keyless table: blank the pk in meta.json
+    val metaPath = java.nio.file.Paths.get(dir, "t", "meta.json")
+    val meta = java.nio.file.Files.readString(metaPath)
+    java.nio.file.Files.writeString(metaPath,
+      meta.replace("\"pk\":\"id\"", "\"pk\":\"\""))
+    val e = intercept[Exception] {
+      spark.read.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("scan.startup.mode", "earliest")
+        .option("changelog.mode", "upsert")
+        .load().count()
+    }
+    assert(e.getMessage.contains("upsert"), e.getMessage)
+  }
 }

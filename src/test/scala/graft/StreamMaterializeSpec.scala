@@ -77,6 +77,71 @@ class StreamMaterializeSpec extends SparkSpecBase {
       .select("k", "off", "op").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     // id1 upserted twice (state advanced), id2 deleted
-    assert(rows === Set(("1", 1L, "+U"), ("2", 2L, "-D"), ("1", 3L, "+U")))
+    assert(rows === Set(("""{"id":1}""", 1L, "+U"), ("""{"id":2}""", 2L, "-D"),
+      ("""{"id":1}""", 3L, "+U")))
+  }
+
+  test("upserts: composite keys with spaces/nulls do not collide") {
+    val pl = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    val schema = StructType(pl.fields ++ Seq(
+      StructField(OpCol, StringType), StructField(OffsetCol, LongType),
+      StructField(TsCol, LongType), StructField(DbCol, StringType),
+      StructField(TableCol, StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a b", "c", "+I", 1L, 10L, "db", "t"),
+        Row("a", "b c", "+I", 2L, 20L, "db", "t"),
+        Row(null, "x", "+I", 3L, 30L, "db", "t"),
+        Row("x", null, "+I", 4L, 40L, "db", "t"))), schema)
+    // batch path of the same keying: 4 distinct composite keys must stay 4
+    val keys = df.select(to_json(struct(col("a"), col("b"))).as("k"))
+      .distinct().count()
+    assert(keys === 4L)
+  }
+
+  test("mergeInto rewrites only touched buckets") {
+    val out = tmpDir("sink-buckets") + "/state"
+    val n = 8
+    // seed every bucket: 64 sequential ids cover all 8 buckets
+    val b1 = emitted((1L to 64L).map(i => (i, s"v$i", i, "+I")))
+    UpsertSink.mergeInto(spark, b1, Seq("id"), out, numBuckets = n)
+    val root = new java.io.File(out)
+    def bucketFiles(): Map[String, Set[String]] =
+      root.listFiles().filter(_.getName.startsWith("bkt="))
+        .map(d => d.getName ->
+          d.listFiles().map(f => s"${f.getName}:${f.lastModified}").toSet)
+        .toMap
+    val before = bucketFiles()
+    assert(before.size === n) // all buckets populated
+    // one-key batch → exactly one bucket's files may change
+    val b2 = emitted(Seq((1L, "v1b", 100L, "+U")))
+    UpsertSink.mergeInto(spark, b2, Seq("id"), out, numBuckets = n)
+    val after = bucketFiles()
+    val changed = before.keySet.filter(k => before(k) != after.getOrElse(k, Set()))
+    assert(changed.size === 1, s"expected 1 rewritten bucket, got $changed")
+    // and the state is correct
+    val st = UpsertSink.readState(spark, out).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(st(1L) === "v1b" && st.size === 64)
+  }
+
+  test("mergeInto recovers from a crash between the commit moves") {
+    val out = tmpDir("sink-crash") + "/state"
+    val b1 = emitted(Seq((1L, "v1", 1L, "+I"), (2L, "v2", 2L, "+I")))
+    UpsertSink.mergeInto(spark, b1, Seq("id"), out, numBuckets = 4)
+    val root = new java.io.File(out)
+    // simulate a crash after move-live-aside but before move-staged-in:
+    // a bucket exists only as its aside copy
+    val live = root.listFiles().filter(_.getName.startsWith("bkt=")).head
+    val b = live.getName.stripPrefix("bkt=")
+    java.nio.file.Files.move(live.toPath,
+      new java.io.File(root, s".old-bkt-$b").toPath)
+    // replaying the batch must first restore the aside, then converge
+    UpsertSink.mergeInto(spark, b1, Seq("id"), out, numBuckets = 4)
+    val st = UpsertSink.readState(spark, out).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(st === Set((1L, "v1"), (2L, "v2")))
+    assert(!root.listFiles().exists(_.getName.startsWith(".old-bkt-")))
   }
 }
