@@ -93,6 +93,45 @@ object ChunkSplitter {
     }
   }
 
+  /**
+   * Uneven split driven by the store itself: repeatedly ask the dialect for
+   * the max of the next `chunkSize` keys past the cursor — the reference's
+   * actual JDBC walk (MySqlChunkSplitter.splitUnevenlySizedChunks /
+   * splitOneUnevenlySizedChunk, MySqlChunkSplitter.java:159-193/303-324;
+   * SQL in StatementUtils.java:99-130, built here by
+   * [[graft.cdc.dialect.JdbcChunkStatements.selectNextChunkMax]]). O(chunks)
+   * point queries on the driver, never a full key scan — the shape that
+   * survives a 10^9-row sparse-key table.
+   *
+   * `nextChunkMax(lowerInclusive)` = max of the `chunkSize` smallest keys ≥
+   * lowerInclusive; None when no keys remain.
+   */
+  def splitUnevenlyByQuery(min: Long, max: Long, chunkSize: Int,
+      nextChunkMax: Long => Option[Long]): Seq[ChunkRange] = {
+    val cuts = Seq.newBuilder[Long]
+    var cursor = min
+    var prev = Long.MinValue
+    var done = false
+    while (!done) {
+      nextChunkMax(cursor) match {
+        // m == cursor (chunkSize 1 / single key left) cannot advance — stop
+        // and let the unbounded last chunk absorb the tail
+        case Some(m) if m < max && m > prev && m > cursor =>
+          cuts += m; prev = m; cursor = m
+        case _ => done = true
+      }
+    }
+    val cs = cuts.result()
+    if (cs.isEmpty) Seq(ChunkRange(0, None, None))
+    else {
+      val first = ChunkRange(0, None, Some(cs.head))
+      val mids = cs.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) => ChunkRange(i + 1, Some(a), Some(b))
+      }.toSeq
+      (first +: mids) :+ ChunkRange(cs.size, Some(cs.last), None)
+    }
+  }
+
   /** Reference sampling defaults (flink-connector-mongodb-cdc/.../splitters/
     * SampleBucketSplitStrategy.java:70-72). */
   val SamplingThreshold = 102400

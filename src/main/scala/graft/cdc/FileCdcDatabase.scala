@@ -202,7 +202,7 @@ object FileCdcDatabase {
     private val reader = Files.newBufferedReader(
       Paths.get(file), StandardCharsets.UTF_8)
     private var closed = false
-    openOnThread.get().add(this)
+    registerOpen(this)
     private var nextLine: String = advance()
 
     private def advance(): String = {
@@ -222,7 +222,7 @@ object FileCdcDatabase {
       closed = true
       nextLine = null
       reader.close()
-      openOnThread.get().remove(this)
+      deregisterOpen(this)
     }
 
     /** `takeWhile` that closes the underlying file the moment the predicate
@@ -241,14 +241,19 @@ object FileCdcDatabase {
   }
 
   private val openOnThread =
-    new ThreadLocal[java.util.Set[ClosingLineIterator]] {
-      override def initialValue(): java.util.Set[ClosingLineIterator] =
+    new ThreadLocal[java.util.Set[AutoCloseable]] {
+      override def initialValue(): java.util.Set[AutoCloseable] =
         java.util.Collections.newSetFromMap(
-          new java.util.IdentityHashMap[ClosingLineIterator, java.lang.Boolean]())
+          new java.util.IdentityHashMap[AutoCloseable, java.lang.Boolean]())
     }
 
-  /** Close every line iterator this thread still holds open — the safety
-    * net for consumers abandoned mid-file (e.g. a task stopped by a limit).
+  /** Track a resource owned by a lazily-consumed iterator on this thread
+    * (file reader, JDBC cursor); pair with [[deregisterOpen]] on close. */
+  def registerOpen(c: AutoCloseable): Unit = openOnThread.get().add(c)
+  def deregisterOpen(c: AutoCloseable): Unit = openOnThread.get().remove(c)
+
+  /** Close every resource this thread still holds open — the safety net for
+    * consumers abandoned mid-scan (e.g. a task stopped by a limit).
     * PartitionReader.close() calls this; reads and closes happen on the
     * same task thread. */
   def closeAllOnThread(): Unit = {

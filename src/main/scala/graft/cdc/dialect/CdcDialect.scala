@@ -54,12 +54,25 @@ trait CdcDialect extends Serializable {
     * SqlServerValidator CDC-enabled). Throw with an actionable message on
     * failure. */
   def validate(path: String, tables: Seq[String]): Unit = ()
+
+  /** Uneven-split capability: dialects that can answer "max of the next
+    * `chunkSize` keys ≥ lower" as a store-side query (StatementUtils.java:
+    * 99-130) return true and implement [[nextChunkMax]]; the planner then
+    * walks chunks with O(chunks) point queries instead of a full key scan. */
+  def supportsChunkMaxQuery: Boolean = false
+
+  /** Max key of the `chunkSize` smallest keys ≥ `lowerInclusive`; None when
+    * no keys remain. Only called when [[supportsChunkMaxQuery]]. */
+  def nextChunkMax(path: String, table: String, lowerInclusive: Long,
+      chunkSize: Int): Option[Long] =
+    throw new UnsupportedOperationException(s"$name: no chunk-max query")
 }
 
 /** Dialect registry: resolution by name on driver and executors. */
 object CdcDialects {
   val all: Map[String, CdcDialect] = Map(
-    FileCdcDialect.name -> FileCdcDialect)
+    FileCdcDialect.name -> FileCdcDialect,
+    JdbcCdcDialect.name -> JdbcCdcDialect)
   def byName(n: String): CdcDialect = all.getOrElse(n,
     throw new IllegalArgumentException(
       s"unknown cdc dialect '$n' (have: ${all.keys.mkString(",")})"))

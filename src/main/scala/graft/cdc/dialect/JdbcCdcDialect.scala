@@ -1,0 +1,502 @@
+package graft.cdc.dialect
+
+import graft.cdc.{ChangeRecord, FileCdcDatabase}
+import graft.cdc.FileCdcDatabase.TableMeta
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.sql.{Connection, DriverManager, PreparedStatement, ResultSet}
+import java.util.concurrent.{ConcurrentHashMap, LinkedBlockingQueue}
+
+/**
+ * A live-JDBC dialect of the CDC source, backed by the in-process Apache
+ * Derby engine that ships with Spark — the executed-path counterpart of the
+ * reference's database dialects (SURVEY §2.1 S4–S10): chunk scans, the lazy
+ * uneven-chunk walk and log slices all run as real SQL built by
+ * [[JdbcChunkStatements]] with streaming fetch sizes, against a real JDBC
+ * engine, exactly as the reference's fetch tasks do
+ * (flink-connector-mysql-cdc/.../source/utils/StatementUtils.java:99-224).
+ * Derby accepts the Db2 statement flavor (double-quoted identifiers,
+ * FETCH FIRST n ROWS ONLY), so [[Db2ChunkStatements]] is the flavor under
+ * test here.
+ *
+ * Database layout (the stand-in for a server + its transaction log, the
+ * role Testcontainers databases play in the reference's tests):
+ *
+ *   <table>        snapshot state at offset 0
+ *   <table>__log   envelope log: __offset PK, __op, __ts_ms, before/after
+ *                  as JSON text (what Debezium value converters would emit)
+ *   graft_meta     per-table pk / schema DDL / stats / log head
+ *
+ * Row streaming: the dialect serves rows as JSON lines (the generic
+ * source's wire format, decoded by JsonRowCodec executor-side), built
+ * directly off the streaming ResultSet — O(1) rows in memory per cursor,
+ * with the cursor registered for the PartitionReader.close() sweep.
+ */
+object JdbcCdcDialect extends CdcDialect {
+
+  val name = "jdbc"
+
+  /** Reference default snapshot fetch size
+    * (MySqlSourceOptions.java:111-116). */
+  val FetchSize = 1024
+
+  private val stmts: JdbcChunkStatements = Db2ChunkStatements
+  private def q(ident: String): String = stmts.quote(ident)
+  private def logTable(table: String): String = s"${table}__log"
+
+  import ChangeRecord.{OffsetCol, OpCol, TsCol, BeforeCol, AfterCol}
+
+  // ------------------------------------------------------------- pooling
+
+  /** Minimal per-database connection pool — the role of the reference's
+    * JdbcConnectionPools (mysql/source/connection/JdbcConnectionPools.java):
+    * bounded idle set, create-on-miss, close-on-overflow. Embedded Derby
+    * connections are cheap after first boot, but every chunk task asking
+    * for a fresh one would still serialize on engine boot locks. */
+  private val pools =
+    new ConcurrentHashMap[String, LinkedBlockingQueue[Connection]]()
+  private val MaxIdlePerDb = 8
+
+  // keep Derby's engine log out of the repo / query directories
+  System.setProperty("derby.stream.error.file",
+    s"${System.getProperty("java.io.tmpdir")}/graft-derby.log")
+
+  // create-on-first-boot is a no-op when the database already exists
+  private def url(path: String) = s"jdbc:derby:$path/derbydb;create=true"
+
+  private[dialect] def borrow(path: String): Connection = {
+    val pool = pools.computeIfAbsent(path,
+      _ => new LinkedBlockingQueue[Connection](MaxIdlePerDb))
+    val c = pool.poll()
+    if (c != null && !c.isClosed) c
+    else DriverManager.getConnection(url(path))
+  }
+
+  private[dialect] def giveBack(path: String, c: Connection): Unit = {
+    val pool = pools.computeIfAbsent(path,
+      _ => new LinkedBlockingQueue[Connection](MaxIdlePerDb))
+    if (c.isClosed || !pool.offer(c)) c.close()
+  }
+
+  // ---------------------------------------------------------- discovery
+
+  override def discoverTables(path: String): Seq[String] =
+    withConn(path) { c =>
+      val rs = c.createStatement().executeQuery(
+        s"""SELECT "table_name" FROM ${q("graft_meta")} ORDER BY "table_name"""")
+      val b = Seq.newBuilder[String]
+      while (rs.next()) b += rs.getString(1)
+      rs.close()
+      b.result()
+    }
+
+  override def tableMeta(path: String, table: String): TableMeta =
+    withConn(path) { c =>
+      val ps = c.prepareStatement(
+        s"""SELECT "db", "pk", "schema_ddl", "row_count", "min_pk",
+           | "max_pk", "max_offset"
+           | FROM ${q("graft_meta")} WHERE "table_name" = ?""".stripMargin)
+      ps.setString(1, table)
+      val rs = ps.executeQuery()
+      require(rs.next(), s"jdbc dialect: no meta row for table '$table'")
+      val m = TableMeta(table, rs.getString(1), rs.getString(2),
+        rs.getString(3), rs.getLong(4), rs.getLong(5), rs.getLong(6),
+        rs.getLong(7))
+      rs.close(); ps.close()
+      m
+    }
+
+  override def validate(path: String, tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      val m = tableMeta(path, t)
+      val pkType = m.schema(m.schema.fieldIndex(m.pk)).dataType
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+        .contains(pkType) || pkType.isInstanceOf[DecimalType],
+        s"table $t: chunk key '${m.pk}' must be integral, got $pkType")
+    }
+
+  // ------------------------------------------------------------- chunks
+
+  override def supportsChunkMaxQuery: Boolean = true
+
+  /** The reference's lazy uneven-chunk walk, executed:
+    * StatementUtils.queryNextChunkMax (:99-130) via the Db2/Derby flavor. */
+  override def nextChunkMax(path: String, table: String,
+      lowerInclusive: Long, chunkSize: Int): Option[Long] =
+    withConn(path) { c =>
+      val m = tableMeta(path, table)
+      val ps = c.prepareStatement(
+        stmts.selectNextChunkMax(table, m.pk, chunkSize))
+      ps.setLong(1, lowerInclusive)
+      val rs = ps.executeQuery()
+      val res =
+        if (rs.next()) { val v = rs.getLong(1); if (rs.wasNull()) None else Some(v) }
+        else None
+      rs.close(); ps.close()
+      res
+    }
+
+  // -------------------------------------------------------------- scans
+
+  override def snapshotLines(path: String, table: String,
+      lo: Option[Long], hi: Option[Long]): Iterator[String] = {
+    val meta = tableMeta(path, table)
+    new JdbcLineIterator(path,
+      c => {
+        val ps = c.prepareStatement(stmts.chunkScan(table, meta.pk, lo, hi),
+          ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_READ_ONLY)
+        ps.setFetchSize(FetchSize)
+        ps
+      },
+      rs => snapshotRowJson(rs, meta.schema))
+  }
+
+  override def logLines(path: String, table: String,
+      from: Long, to: Long): Iterator[String] = {
+    val meta = tableMeta(path, table)
+    new JdbcLineIterator(path,
+      c => {
+        val ps = c.prepareStatement(
+          stmts.logScan(logTable(table), OffsetCol, from, to),
+          ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_READ_ONLY)
+        ps.setFetchSize(FetchSize)
+        ps
+      },
+      rs => envelopeJson(rs, meta))
+  }
+
+  /** Rate-limit probe answered by the database (the reference asks the
+    * server the same question instead of scanning the log itself). */
+  override def offsetsBetween(path: String, tables: Seq[String],
+      from: Long, to: Long, limit: Int = Int.MaxValue): Seq[Long] =
+    withConn(path) { c =>
+      val per = tables.map { t =>
+        val fetch = if (limit == Int.MaxValue) ""
+          else s" FETCH FIRST $limit ROWS ONLY"
+        val ps = c.prepareStatement(
+          s"SELECT DISTINCT ${q(OffsetCol)} FROM ${q(logTable(t))} " +
+            s"WHERE ${q(OffsetCol)} > ? AND ${q(OffsetCol)} <= ? " +
+            s"ORDER BY ${q(OffsetCol)} ASC" + fetch)
+        ps.setLong(1, from); ps.setLong(2, to)
+        val rs = ps.executeQuery()
+        val b = Seq.newBuilder[Long]
+        while (rs.next()) b += rs.getLong(1)
+        rs.close(); ps.close()
+        b.result()
+      }
+      val merged = per.flatten.distinct.sorted
+      if (limit == Int.MaxValue) merged else merged.take(limit)
+    }
+
+  override def offsetForTimestamp(path: String, tables: Seq[String],
+      tsMs: Long): Long =
+    withConn(path) { c =>
+      val firsts = tables.flatMap { t =>
+        val ps = c.prepareStatement(
+          s"SELECT MIN(${q(OffsetCol)}) FROM ${q(logTable(t))} " +
+            s"WHERE ${q(TsCol)} >= ?")
+        ps.setLong(1, tsMs)
+        val rs = ps.executeQuery()
+        val res =
+          if (rs.next()) { val v = rs.getLong(1); if (rs.wasNull()) None else Some(v) }
+          else None
+        rs.close(); ps.close()
+        res
+      }
+      if (firsts.isEmpty) tables.map(t => tableMeta(path, t).maxOffset).max
+      else firsts.min - 1
+    }
+
+  // ---------------------------------------------------------- row → json
+
+  /** One snapshot row as a JSON line in the codec's wire format. */
+  private def snapshotRowJson(rs: ResultSet, schema: StructType): String = {
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('{')
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(',')
+      val f = schema(i)
+      sb.append('"').append(f.name).append("\":")
+      appendJsonValue(sb, rs, i + 1, f.dataType)
+      i += 1
+    }
+    sb.append('}')
+    sb.toString
+  }
+
+  /** One log row as an envelope JSON line; before/after are stored as JSON
+    * text already (what a Debezium value converter would hand over). */
+  private def envelopeJson(rs: ResultSet, meta: TableMeta): String = {
+    val off = rs.getLong(OffsetCol)
+    val op = rs.getString(OpCol)
+    val ts = rs.getLong(TsCol)
+    val before = rs.getString("before_json")
+    val after = rs.getString("after_json")
+    val sb = new java.lang.StringBuilder(96)
+    sb.append("{\"").append(OffsetCol).append("\":").append(off)
+      .append(",\"").append(OpCol).append("\":\"").append(op).append('"')
+      .append(",\"").append(TsCol).append("\":").append(ts)
+      .append(",\"").append(ChangeRecord.DbCol).append("\":\"")
+      .append(meta.db).append('"')
+      .append(",\"").append(ChangeRecord.TableCol).append("\":\"")
+      .append(meta.table).append('"')
+      .append(",\"").append(BeforeCol).append("\":")
+      .append(if (before == null) "null" else before)
+      .append(",\"").append(AfterCol).append("\":")
+      .append(if (after == null) "null" else after)
+      .append('}')
+    sb.toString
+  }
+
+  private def appendJsonValue(sb: java.lang.StringBuilder, rs: ResultSet,
+      col: Int, dt: DataType): Unit = {
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val v = rs.getLong(col)
+        if (rs.wasNull()) sb.append("null") else sb.append(v)
+      case DoubleType | FloatType =>
+        val v = rs.getDouble(col)
+        if (rs.wasNull()) sb.append("null") else sb.append(v)
+      case BooleanType =>
+        val v = rs.getBoolean(col)
+        if (rs.wasNull()) sb.append("null") else sb.append(v)
+      case d: DecimalType =>
+        val v = rs.getBigDecimal(col)
+        if (v == null) sb.append("null") else sb.append(v.toPlainString)
+      case DateType =>
+        val v = rs.getDate(col)
+        if (v == null) sb.append("null")
+        else sb.append('"').append(v.toLocalDate.toString).append('"')
+      case TimestampType | TimestampNTZType =>
+        val v = rs.getTimestamp(col)
+        if (v == null) sb.append("null")
+        else sb.append('"').append(v.toLocalDateTime.toString).append('"')
+      case StringType =>
+        val v = rs.getString(col)
+        if (v == null) sb.append("null") else appendJsonString(sb, v)
+      case other => throw new UnsupportedOperationException(
+        s"jdbc dialect: unsupported column type $other")
+    }
+  }
+
+  private[dialect] def appendJsonString(sb: java.lang.StringBuilder,
+      s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  private def withConn[A](path: String)(f: Connection => A): A = {
+    val c = borrow(path)
+    try f(c) finally giveBack(path, c)
+  }
+
+  /** Streaming ResultSet → JSON-line iterator. Owns connection, statement
+    * and cursor: closes them on exhaustion or via the per-thread sweep
+    * ([[FileCdcDatabase.closeAllOnThread]]) — the JDBC twin of the file
+    * dialect's ClosingLineIterator. */
+  private final class JdbcLineIterator(path: String,
+      prepare: Connection => PreparedStatement,
+      render: ResultSet => String)
+      extends Iterator[String] with AutoCloseable {
+    private val conn = borrow(path)
+    private val ps = prepare(conn)
+    private val rs = ps.executeQuery()
+    private var closed = false
+    FileCdcDatabase.registerOpen(this)
+    private var ready: Boolean = advance()
+
+    private def advance(): Boolean = {
+      if (closed) return false
+      val has = rs.next()
+      if (!has) close()
+      has
+    }
+    override def hasNext: Boolean = ready
+    override def next(): String = {
+      if (!ready) throw new NoSuchElementException(path)
+      val line = render(rs)
+      ready = advance()
+      line
+    }
+    override def close(): Unit = if (!closed) {
+      closed = true
+      ready = false
+      rs.close(); ps.close()
+      giveBack(path, conn)
+      FileCdcDatabase.deregisterOpen(this)
+    }
+  }
+}
+
+/**
+ * Fixture writer for [[JdbcCdcDialect]] — materializes a Derby database
+ * (snapshot table + envelope log table + meta) from the same DataFrames the
+ * file fixture uses, so both dialects can be driven by one changelog spec
+ * and checked against one oracle. Driver-side, test-scale only (the
+ * production analogue is a real server owning its own data).
+ */
+object JdbcCdcDatabase {
+
+  import ChangeRecord._
+
+  private val stmts: JdbcChunkStatements = Db2ChunkStatements
+  private def q(ident: String): String = stmts.quote(ident)
+
+  private def derbyType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case ByteType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType => "VARCHAR(32672)"
+    case other => throw new UnsupportedOperationException(
+      s"jdbc fixture: unsupported column type $other")
+  }
+
+  /** Idempotent (marker file per table); `force` recreates. */
+  def write(spark: SparkSession, dir: String, table: String, db: String,
+      pk: String, snapshot: DataFrame, changes: DataFrame,
+      force: Boolean = false): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(root)
+    val marker = root.resolve(s"_WRITTEN_$table")
+    if (!force && java.nio.file.Files.exists(marker)) return
+
+    val schema = snapshot.schema
+    val stats = snapshot.agg(count(lit(1)), min(col(pk)).cast("long"),
+      max(col(pk)).cast("long")).collect()(0)
+    val maxOff = changes
+      .agg(coalesce(max(col(OffsetCol)), lit(0L))).collect()(0).getLong(0)
+
+    val c = JdbcCdcDialect.borrow(dir)
+    try {
+      c.setAutoCommit(false)
+      val st = c.createStatement()
+      def dropIfExists(t: String): Unit =
+        try st.executeUpdate(s"DROP TABLE ${q(t)}")
+        catch { case _: java.sql.SQLException => () } // 42Y55: no such table
+
+      dropIfExists(table); dropIfExists(s"${table}__log")
+      val cols = schema.fields
+        .map(f => s"${q(f.name)} ${derbyType(f.dataType)}").mkString(", ")
+      st.executeUpdate(
+        s"CREATE TABLE ${q(table)} ($cols, PRIMARY KEY (${q(pk)}))")
+      st.executeUpdate(
+        s"""CREATE TABLE ${q(s"${table}__log")} (
+           | ${q(OffsetCol)} BIGINT NOT NULL PRIMARY KEY,
+           | ${q(OpCol)} VARCHAR(8) NOT NULL,
+           | ${q(TsCol)} BIGINT NOT NULL,
+           | ${q("before_json")} VARCHAR(32672),
+           | ${q("after_json")} VARCHAR(32672))""".stripMargin)
+      try st.executeUpdate(
+        s"""CREATE TABLE ${q("graft_meta")} (
+           | ${q("table_name")} VARCHAR(256) NOT NULL PRIMARY KEY,
+           | ${q("db")} VARCHAR(256), ${q("pk")} VARCHAR(256),
+           | ${q("schema_ddl")} VARCHAR(32672),
+           | ${q("row_count")} BIGINT, ${q("min_pk")} BIGINT,
+           | ${q("max_pk")} BIGINT, ${q("max_offset")} BIGINT)""".stripMargin)
+      catch { case _: java.sql.SQLException => () } // already exists
+
+      // snapshot rows (driver-collected: fixture generation is test-scale)
+      val ins = c.prepareStatement(
+        s"INSERT INTO ${q(table)} VALUES (${schema.map(_ => "?").mkString(",")})")
+      snapshot.collect().foreach { row =>
+        var i = 0
+        while (i < schema.length) {
+          setParam(ins, i + 1, schema(i).dataType, row.get(i))
+          i += 1
+        }
+        ins.addBatch()
+      }
+      ins.executeBatch(); ins.close()
+
+      // log rows: before/after serialized to JSON by Spark itself
+      val logRows = changes.select(col(OffsetCol), col(OpCol), col(TsCol),
+        to_json(col(BeforeCol)).as("b"), to_json(col(AfterCol)).as("a"))
+        .orderBy(col(OffsetCol)).collect()
+      val insLog = c.prepareStatement(
+        s"INSERT INTO ${q(s"${table}__log")} VALUES (?,?,?,?,?)")
+      logRows.foreach { r =>
+        insLog.setLong(1, r.getLong(0))
+        insLog.setString(2, r.getString(1))
+        insLog.setLong(3, r.getLong(2))
+        insLog.setString(4, if (r.isNullAt(3)) null else r.getString(3))
+        insLog.setString(5, if (r.isNullAt(4)) null else r.getString(4))
+        insLog.addBatch()
+      }
+      insLog.executeBatch(); insLog.close()
+
+      val delMeta = c.prepareStatement(
+        s"""DELETE FROM ${q("graft_meta")} WHERE ${q("table_name")} = ?""")
+      delMeta.setString(1, table); delMeta.executeUpdate(); delMeta.close()
+      val insMeta = c.prepareStatement(
+        s"INSERT INTO ${q("graft_meta")} VALUES (?,?,?,?,?,?,?,?)")
+      insMeta.setString(1, table)
+      insMeta.setString(2, db)
+      insMeta.setString(3, pk)
+      insMeta.setString(4, schema.toDDL)
+      insMeta.setLong(5, stats.getLong(0))
+      insMeta.setLong(6, stats.getLong(1))
+      insMeta.setLong(7, stats.getLong(2))
+      insMeta.setLong(8, maxOff)
+      insMeta.executeUpdate(); insMeta.close()
+
+      st.close()
+      c.commit()
+      c.setAutoCommit(true)
+    } finally JdbcCdcDialect.giveBack(dir, c)
+    java.nio.file.Files.writeString(marker, "ok")
+  }
+
+  private def setParam(ps: PreparedStatement, idx: Int, dt: DataType,
+      v: Any): Unit =
+    if (v == null) ps.setNull(idx, java.sql.Types.NULL)
+    else dt match {
+      case LongType => ps.setLong(idx, v.asInstanceOf[Long])
+      case IntegerType => ps.setInt(idx, v.asInstanceOf[Int])
+      case ShortType => ps.setShort(idx, v.asInstanceOf[Short])
+      case ByteType => ps.setShort(idx, v.asInstanceOf[Byte].toShort)
+      case DoubleType => ps.setDouble(idx, v.asInstanceOf[Double])
+      case FloatType => ps.setFloat(idx, v.asInstanceOf[Float])
+      case BooleanType => ps.setBoolean(idx, v.asInstanceOf[Boolean])
+      // Row.get yields java.sql or java.time values depending on
+      // spark.sql.datetime.java8API.enabled — accept both
+      case DateType => v match {
+        case d: java.sql.Date => ps.setDate(idx, d)
+        case d: java.time.LocalDate => ps.setDate(idx, java.sql.Date.valueOf(d))
+      }
+      case TimestampType | TimestampNTZType => v match {
+        case t: java.sql.Timestamp => ps.setTimestamp(idx, t)
+        case t: java.time.LocalDateTime =>
+          ps.setTimestamp(idx, java.sql.Timestamp.valueOf(t))
+        case t: java.time.Instant =>
+          ps.setTimestamp(idx, java.sql.Timestamp.from(t))
+      }
+      case _: DecimalType =>
+        ps.setBigDecimal(idx, v.asInstanceOf[java.math.BigDecimal])
+      case StringType => ps.setString(idx, v.asInstanceOf[String])
+      case other => throw new UnsupportedOperationException(
+        s"jdbc fixture: unsupported column type $other")
+    }
+}

@@ -288,10 +288,15 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
 object CdcPlanner {
   def chunks(cfg: CdcSourceConfig, table: String): Seq[ChunkRange] = {
     val m = cfg.dialect.tableMeta(cfg.path, table)
-    ChunkSplitter.split(m.minPk, m.maxPk, m.rowCount, cfg.chunkSize,
-      // uneven fallback walks the snapshot's sorted keys (file dialect);
-      // a JDBC dialect pushes this as SELECT MAX(pk)… LIMIT chunkSize
-      // (JdbcChunkStatements.selectNextChunkMax / StatementUtils.java:99-130)
+    if (!ChunkSplitter.isEvenlyDistributed(m.minPk, m.maxPk, m.rowCount,
+        cfg.distributionFactorUpper, cfg.distributionFactorLower)
+        && cfg.dialect.supportsChunkMaxQuery)
+      // uneven split pushed to the store: O(chunks) point queries
+      // (SELECT MAX(pk)… LIMIT chunkSize, StatementUtils.java:99-130)
+      ChunkSplitter.splitUnevenlyByQuery(m.minPk, m.maxPk, cfg.chunkSize,
+        lo => cfg.dialect.nextChunkMax(cfg.path, table, lo, cfg.chunkSize))
+    else ChunkSplitter.split(m.minPk, m.maxPk, m.rowCount, cfg.chunkSize,
+      // uneven fallback walks the snapshot's sorted keys (file dialect)
       () => {
         val codec = new JsonRowCodec(m.schema)
         val pkIdx = m.schema.fieldIndex(m.pk)

@@ -42,6 +42,18 @@ object CdcSourceQueries {
     dir
   }
 
+  /** Idempotently materialize the embedded-Derby CDC database for `orders`
+    * at this sf (same changelog spec as the file fixture). */
+  private[queries] def prepareJdbc(spark: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/jdbccdc/$sf"
+    val base = Tables.load(spark, sfDir, "orders")
+    graft.cdc.dialect.JdbcCdcDatabase.write(spark, dir, "orders", "graft",
+      ordersSpec.pk, snapshot = base,
+      changes = ChangelogGen.changes(base, ordersSpec))
+    dir
+  }
+
   private def readBatch(spark: SparkSession, dir: String, mode: String,
       changelogMode: String = "all"): DataFrame =
     spark.read.format("graft-cdc")
@@ -125,6 +137,27 @@ object CdcSourceQueries {
              |  UNION ALL SELECT '+U', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
              |  UNION ALL SELECT '-D', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
              |) ORDER BY __op""".stripMargin)),
+
+    // Live-JDBC dialect end-to-end: the same orders changelog materialized
+    // into an embedded Derby database, read back through the generic source
+    // with dialect=jdbc — chunk range scans, the log slice and the rate
+    // probe all execute as real SQL (Db2/Derby statement flavor) with
+    // streaming fetch. Same oracle as the file dialect: the dialect layer
+    // must be invisible in the result.
+    "cdc_source_jdbc_orders" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareJdbc(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("dialect", "jdbc")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")
+        + "\nORDER BY o_orderkey")),
 
     // Chunk-splitting math surfaced as data: assign every key to its chunk
     // (even split, MySqlChunkSplitter.java:267-301) and count per chunk —

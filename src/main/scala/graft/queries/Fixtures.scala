@@ -13,6 +13,7 @@ object Fixtures {
   def prepareAll(spark: SparkSession, sfDir: String): Unit = {
     CdcSourceQueries.prepare(spark, sfDir)
     CdcSourceQueries.prepareDdl(spark, sfDir)
+    CdcSourceQueries.prepareJdbc(spark, sfDir)
     CdcSurfaceQueries.prepare(spark, sfDir)
     CdcSurfaceQueries.prepareSharded(spark, sfDir)
     StreamingQueries.prepare(spark, sfDir)

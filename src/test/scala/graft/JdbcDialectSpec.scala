@@ -1,0 +1,156 @@
+package graft
+
+import graft.cdc.ChangeRecord._
+import graft.cdc.dialect.{JdbcCdcDatabase, JdbcCdcDialect}
+import graft.cdc.Materialize
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** The embedded-Derby JDBC dialect under the same battery as the file
+  * dialect (CdcSourceSpec): chunked snapshot + watermark merge, changelog
+  * replay, restart exactly-once — plus the dialect-specific surfaces: the
+  * store-side uneven-chunk walk (selectNextChunkMax executed), the
+  * database-answered rate probe, and the timestamp seek. */
+class JdbcDialectSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private val payload = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def snapshotDf: DataFrame =
+    (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+
+  private def changesDf(rows: Seq[(Long, String, Option[(Long, String)], Option[(Long, String)])]): DataFrame = {
+    val schema = envelopeSchema(payload)
+    val data = rows.map { case (off, op, before, after) =>
+      Row(off, op, off * 10L, "graft", "t",
+        before.map { case (i, v) => Row(i, v) }.orNull,
+        after.map { case (i, v) => Row(i, v) }.orNull)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data), schema)
+  }
+
+  private val allEvents = Seq(
+    (1L, "u", Some((1L, "v1")), Some((1L, "v1b"))),
+    (2L, "d", Some((2L, "v2")), None),
+    (3L, "c", None, Some((21L, "v21"))),
+    (4L, "u", Some((3L, "v3")), Some((3L, "v3b"))),
+    (5L, "d", Some((21L, "v21")), None),
+    (6L, "c", None, Some((22L, "v22"))))
+
+  private def writeDb(dir: String, upToOffset: Long): Unit =
+    JdbcCdcDatabase.write(spark, dir, "t", "graft", "id",
+      snapshot = snapshotDf,
+      changes = changesDf(allEvents.filter(_._1 <= upToOffset)),
+      force = true)
+
+  private def read(dir: String, mode: String): DataFrame =
+    spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("dialect", "jdbc")
+      .option("scan.startup.mode", mode)
+      .option("scan.incremental.snapshot.chunk.size", "5")
+      .load()
+
+  private val finalState: Set[(Long, String)] =
+    ((1L to 20L).toSet - 2L).map {
+      case 1L => (1L, "v1b"); case 3L => (3L, "v3b")
+      case i => (i, s"v$i")
+    } + ((22L, "v22"))
+
+  test("batch initial: chunked snapshot merged with the full log") {
+    val dir = tmpDir("jdbc-initial")
+    writeDb(dir, 6L)
+    val rows = read(dir, "initial").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet === finalState)
+    assert(rows.length === rows.distinct.length)
+  }
+
+  test("batch earliest: full changelog replay with retract rows") {
+    val dir = tmpDir("jdbc-earliest")
+    writeDb(dir, 6L)
+    val ops = read(dir, "earliest")
+      .groupBy(OpCol).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // 2 updates → 2×(-U,+U); 2 deletes → -D; 2 creates → +I
+    assert(ops === Map("+I" -> 2L, "+U" -> 2L, "-U" -> 2L, "-D" -> 2L))
+  }
+
+  test("store-side uneven chunk walk: sparse keys split by query") {
+    val dir = tmpDir("jdbc-sparse")
+    // sparse keys: factor (max-min+1)/count >> upper bound → uneven split
+    val sparse = Seq(1L, 2L, 3L, 100000L, 100001L, 100002L, 200000L,
+      200001L, 300000L).map(i => (i, s"v$i")).toDF("id", "v")
+    JdbcCdcDatabase.write(spark, dir, "t", "graft", "id",
+      snapshot = sparse, changes = changesDf(Seq.empty), force = true)
+    // the walk itself (executed selectNextChunkMax)
+    assert(JdbcCdcDialect.nextChunkMax(dir, "t", 1L, 3) === Some(3L))
+    assert(JdbcCdcDialect.nextChunkMax(dir, "t", 3L, 3) === Some(100001L))
+    assert(JdbcCdcDialect.nextChunkMax(dir, "t", 300001L, 3) === None)
+    // end-to-end: all rows exactly once through the chunked read
+    val df = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("dialect", "jdbc")
+      .option("scan.startup.mode", "initial")
+      .option("scan.incremental.snapshot.chunk.size", "3")
+      .load()
+    val ids = df.select("id").collect().map(_.getLong(0))
+    assert(ids.sorted === sparse.collect().map(_.getLong(0)).sorted)
+    assert(ids.length === ids.distinct.length)
+  }
+
+  test("database-answered rate probe and timestamp seek") {
+    val dir = tmpDir("jdbc-probe")
+    writeDb(dir, 6L)
+    assert(JdbcCdcDialect.offsetsBetween(dir, Seq("t"), 0L, 6L)
+      === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(JdbcCdcDialect.offsetsBetween(dir, Seq("t"), 2L, 6L, limit = 2)
+      === Seq(3L, 4L))
+    // ts = offset*10 → first event at/after ts 30 is offset 3 → start at 2
+    assert(JdbcCdcDialect.offsetForTimestamp(dir, Seq("t"), 30L) === 2L)
+    // past the log end → head
+    assert(JdbcCdcDialect.offsetForTimestamp(dir, Seq("t"), 1000L) === 6L)
+  }
+
+  test("restart exactly-once: snapshot batch, stop, more log, resume") {
+    val dir = tmpDir("jdbc-restart")
+    val out = tmpDir("jdbc-restart-out")
+    val ckpt = tmpDir("jdbc-restart-ckpt")
+
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("dialect", "jdbc")
+        .option("scan.startup.mode", "initial")
+        .option("scan.incremental.snapshot.chunk.size", "5")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeDb(dir, 3L)
+    runStream()
+    val phase1 = spark.read.parquet(out)
+    assert(phase1.agg(org.apache.spark.sql.functions.max(OffsetCol))
+      .collect()(0).getLong(0) === 3L)
+
+    writeDb(dir, 6L) // recreate with the full log (offsets stable)
+    runStream()      // resumes from committed offset 3
+
+    val all = spark.read.parquet(out)
+    val tail = all.filter(s"$OffsetCol > 3")
+      .groupBy(OffsetCol, OpCol).count().collect()
+    assert(tail.forall(_.getLong(2) === 1L), tail.mkString(","))
+    assert(tail.map(_.getLong(0)).toSet === Set(4L, 5L, 6L))
+
+    val state = Materialize.materialize(all, Seq("id"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(state.toSet === finalState)
+    assert(state.length === state.distinct.length)
+  }
+}
