@@ -172,6 +172,50 @@ object ChunkSplitter {
     if (rowCount < SamplingThreshold) rowCount.toInt
     else math.floor(rowCount * SamplingRate).toInt
 
+  /** Chunks from store-provided boundary keys — the `splitVector` strategy
+    * (flink-connector-mongodb-cdc/.../splitters/SplitVectorSplitStrategy
+    * .java:60-95: the server's splitVector command computes the split keys;
+    * the splitter only assembles ranges). Boundaries are deduped/sorted and
+    * the extremes unbounded, so rows outside the observed key span still
+    * land in a chunk. */
+  def splitByProvidedBoundaries(boundaries: Seq[Long]): Seq[ChunkRange] =
+    fromCuts(boundaries.distinct.sorted)
+
+  /** Chunks from a sharded cluster's pre-existing range metadata — the
+    * sharded strategy (ShardedSplitStrategy.java:58-94 reads config.chunks
+    * and emits one split per cluster chunk). The internal bounds become the
+    * cuts; extremes are unbounded for full coverage even if the metadata
+    * misses the key-space edges. */
+  def splitFromShardRanges(
+      ranges: Seq[(Option[Long], Option[Long])]): Seq[ChunkRange] =
+    fromCuts(ranges.flatMap { case (lo, hi) => lo.toSeq ++ hi.toSeq }
+      .distinct.sorted)
+
+  /** Mongo-style strategy selection (MongoDBChunkSplitter.java:30-46):
+    * a sharded collection splits by its cluster chunk ranges; an unsharded
+    * one by server-computed splitVector boundaries when the store permits;
+    * else by sample quantiles. Arguments are by-name so only the chosen
+    * strategy touches the store. */
+  def splitMongoStyle(
+      shardRanges: => Option[Seq[(Option[Long], Option[Long])]],
+      splitVectorBoundaries: => Option[Seq[Long]],
+      sampledKeys: => Seq[Long],
+      numChunks: Int): Seq[ChunkRange] =
+    shardRanges.map(splitFromShardRanges)
+      .orElse(splitVectorBoundaries.map(splitByProvidedBoundaries))
+      .getOrElse(splitSampledChunks(sampledKeys, numChunks))
+
+  /** Ranges from ascending cut keys: (-∞, c0), [c0, c1) … [cn, ∞). */
+  private def fromCuts(cuts: Seq[Long]): Seq[ChunkRange] =
+    if (cuts.isEmpty) Seq(ChunkRange(0, None, None))
+    else {
+      val first = ChunkRange(0, None, Some(cuts.head))
+      val mids = cuts.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) => ChunkRange(i + 1, Some(a), Some(b))
+      }.toSeq
+      (first +: mids) :+ ChunkRange(cuts.size, Some(cuts.last), None)
+    }
+
   /** Full strategy dispatch as in MySqlChunkSplitter.splitTableIntoChunks. */
   def split(min: Long, max: Long, rowCount: Long, chunkSize: Int,
       sortedKeys: () => Iterator[Long],

@@ -49,6 +49,13 @@ object CdcSourceConfig {
   val MaxEventsPerTriggerKey = "scan.stream.max-events-per-trigger"
   /** Which CdcDialect serves this source (SURVEY §2.6 U5). */
   val DialectKey = "dialect"
+  /** Decode parallelism of the log phase: a log range fans out into at most
+    * this many offset sub-ranges per table. The reference's log phase is
+    * deliberately parallelism-1 (mysql-cdc.md:495) and 1 is the default;
+    * at large scale a single partition caps stream throughput at one
+    * core's decode rate, and consumers already order by `__offset`, never
+    * by partition layout — so decode parallelism is semantics-free. */
+  val LogPartitionsKey = "scan.stream.log-partitions"
   /** Cap on snapshot-phase Spark partitions: consecutive chunks group until
     * the partition count fits (scheduler protection at 100 TB — millions of
     * 8096-row chunks must not become millions of tasks; cf. the reference's
@@ -73,6 +80,7 @@ object CdcSourceConfig {
     maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey, "0").toLong,
     dialectName = o.getOrDefault(DialectKey, "file"),
     maxSnapshotPartitions = o.getOrDefault(MaxSnapshotPartitionsKey, "4096").toInt,
+    logPartitions = o.getOrDefault(LogPartitionsKey, "1").toInt,
     distributionFactorUpper = o.getOrDefault(FactorUpperKey,
       ChunkSplitter.DistributionFactorUpper.toString).toDouble,
     distributionFactorLower = o.getOrDefault(FactorLowerKey,
@@ -90,6 +98,7 @@ case class CdcSourceConfig(
     maxEventsPerTrigger: Long = 0L,
     dialectName: String = "file",
     maxSnapshotPartitions: Int = 4096,
+    logPartitions: Int = 1,
     distributionFactorUpper: Double = ChunkSplitter.DistributionFactorUpper,
     distributionFactorLower: Double = ChunkSplitter.DistributionFactorLower) {
 
@@ -109,6 +118,8 @@ case class CdcSourceConfig(
   require(maxEventsPerTrigger >= 0 && maxEventsPerTrigger <= Int.MaxValue,
     s"scan.stream.max-events-per-trigger out of range [0, ${Int.MaxValue}]: " +
       s"$maxEventsPerTrigger")
+  require(logPartitions >= 1,
+    s"${CdcSourceConfig.LogPartitionsKey} must be >= 1: $logPartitions")
 
   /** Captured tables: `table` is an exact name or a regex over discovered
     * tables (reference P1 — `table-name` patterns select sharded tables with
@@ -364,11 +375,25 @@ object CdcPlanner {
           // finished-chunk high watermarks drive the stream-phase shouldEmit
           // filter (BinlogSplitReader.shouldEmit, :222-273). With a static
           // file snapshot all chunks share one high == logFrom.
-          Seq(LogRangePartition(cfg.dialectName, cfg.path, table,
-            logFrom, logTo, cfg.changelogMode, schemaDdl))
+          logRanges(logFrom, logTo, cfg.logPartitions).map { case (lo, hi) =>
+            LogRangePartition(cfg.dialectName, cfg.path, table,
+              lo, hi, cfg.changelogMode, schemaDdl)
+          }
         else Seq.empty
       snap ++ log
     }.toArray
+
+  /** Fan a log range (from, to] into ≤ k contiguous offset sub-ranges —
+    * the decode-parallelism scale hedge (LogPartitionsKey). Offsets are a
+    * total order, so sub-ranges tile exactly: (b0=from, b1], (b1, b2] …
+    * (b_{n-1}, bn=to]. */
+  def logRanges(from: Long, to: Long, k: Int): Seq[(Long, Long)] = {
+    val n = math.max(1L, math.min(k.toLong, to - from)).toInt
+    val bounds = (0 to n).map(i => from + (to - from) * i / n)
+    bounds.sliding(2).collect {
+      case Seq(lo, hi) if hi > lo => (lo, hi)
+    }.toSeq
+  }
 }
 
 class CdcBatch(cfg: CdcSourceConfig, schemaDdl: String,
@@ -511,8 +536,11 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
         CdcPlanner.snapshotPartitions(cfg, table, e.logOffset, schemaDdl,
           bounds)
       else if (e.logOffset > s.logOffset)
-        Seq(LogRangePartition(cfg.dialectName, cfg.path, table,
-          s.logOffset, e.logOffset, cfg.changelogMode, schemaDdl))
+        CdcPlanner.logRanges(s.logOffset, e.logOffset, cfg.logPartitions)
+          .map { case (lo, hi) =>
+            LogRangePartition(cfg.dialectName, cfg.path, table,
+              lo, hi, cfg.changelogMode, schemaDdl)
+          }
       else Seq.empty
     }.toArray
   }

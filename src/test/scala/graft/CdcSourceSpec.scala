@@ -272,6 +272,34 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(state.length === state.distinct.length)
   }
 
+  test("parallel log decode: sub-ranges tile and results are unchanged") {
+    // planner math: exact tiling, never more ranges than offsets
+    assert(graft.cdc.source.CdcPlanner.logRanges(0L, 6L, 3)
+      === Seq((0L, 2L), (2L, 4L), (4L, 6L)))
+    assert(graft.cdc.source.CdcPlanner.logRanges(3L, 5L, 8)
+      === Seq((3L, 4L), (4L, 5L)))
+    assert(graft.cdc.source.CdcPlanner.logRanges(3L, 3L, 8) === Seq.empty)
+
+    // two-table regex source: decode parallelism = tables × sub-ranges
+    val dir = tmpDir("cdc-logpar")
+    Seq("t1", "t2").foreach { t =>
+      FileCdcDatabase.write(spark, dir, t, "graft", "id",
+        snapshot = snapshotDf, changes = changesDf(allEvents), force = true)
+    }
+    def earliest(parts: Int) = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t[12]")
+      .option("scan.startup.mode", "earliest")
+      .option("scan.stream.log-partitions", parts.toString)
+      .load()
+    val serial = earliest(1)
+    val fanned = earliest(3)
+    assert(serial.rdd.getNumPartitions === 2) // one per table
+    assert(fanned.rdd.getNumPartitions === 6) // 2 tables × 3 sub-ranges
+    val key = Seq(OffsetCol, OpCol, "id", "v")
+    assert(fanned.select(key.head, key.tail: _*).collect().toSet
+      === serial.select(key.head, key.tail: _*).collect().toSet)
+  }
+
   test("quick field scan: top-level only, never fooled by nesting or strings") {
     import FileCdcDatabase.{quickLongFieldOpt, quickNestedLongFieldOpt}
     // top-level match

@@ -112,4 +112,34 @@ class ChunkSplitterSpec extends AnyFunSuite {
     assert(chunks.head.lo.isEmpty && chunks.last.hi.isEmpty)
     assert(chunks(1000).hi === chunks(1001).lo)
   }
+
+  test("splitVector strategy: store-provided boundaries become ranges") {
+    val cs = ChunkSplitter.splitByProvidedBoundaries(Seq(30L, 10L, 20L, 20L))
+    assert(cs.map(c => (c.lo, c.hi)) === Seq(
+      (None, Some(10L)), (Some(10L), Some(20L)), (Some(20L), Some(30L)),
+      (Some(30L), None)))
+  }
+
+  test("sharded strategy: config.chunks ranges tile with unbounded extremes") {
+    val cs = ChunkSplitter.splitFromShardRanges(Seq(
+      (None, Some(100L)), (Some(100L), Some(250L)), (Some(250L), None)))
+    assert(cs.map(c => (c.lo, c.hi)) === Seq(
+      (None, Some(100L)), (Some(100L), Some(250L)), (Some(250L), None)))
+    // rows past the metadata's edges are still covered
+    assert(cs.exists(_.contains(Long.MinValue)) && cs.exists(_.contains(Long.MaxValue)))
+  }
+
+  test("mongo strategy selection: sharded > splitVector > sample") {
+    val shard = Seq((Option.empty[Long], Some(5L)), (Some(5L), None))
+    // sharded wins even when splitVector would be permitted
+    assert(ChunkSplitter.splitMongoStyle(Some(shard), Some(Seq(1L, 2L)),
+      sys.error("sample must not run"), 4).size === 2)
+    // unsharded + splitVector permitted
+    assert(ChunkSplitter.splitMongoStyle(None, Some(Seq(1L, 2L)),
+      sys.error("sample must not run"), 4).size === 3)
+    // neither → sample-quantile buckets
+    val sampled = ChunkSplitter.splitMongoStyle(None, None,
+      (1L to 100L), 4)
+    assert(sampled.size === 4)
+  }
 }
