@@ -205,6 +205,18 @@ object ChunkSplitter {
       .orElse(splitVectorBoundaries.map(splitByProvidedBoundaries))
       .getOrElse(splitSampledChunks(sampledKeys, numChunks))
 
+  /** TiKV region split (C7): a TiDB table's rows live in region key-ranges
+    * over the encoded row-id space; each parallel reader takes one range
+    * (flink-connector-tidb-cdc/.../table/utils/TableKeyRangeUtils.java,
+    * task assignment TiKVRichParallelSourceFunction.java:118-129). Region
+    * start keys inside the table's row-id span become the chunk cuts;
+    * boundaries outside the span are dropped (regions can pre-split wider
+    * than the data), extremes unbounded. */
+  def splitByRegionBoundaries(regionStarts: Seq[Long], minId: Long,
+      maxId: Long): Seq[ChunkRange] =
+    fromCuts(regionStarts.filter(k => k > minId && k <= maxId)
+      .distinct.sorted)
+
   /** Ranges from ascending cut keys: (-∞, c0), [c0, c1) … [cn, ∞). */
   private def fromCuts(cuts: Seq[Long]): Seq[ChunkRange] =
     if (cuts.isEmpty) Seq(ChunkRange(0, None, None))

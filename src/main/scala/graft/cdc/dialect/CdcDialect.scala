@@ -28,10 +28,17 @@ trait CdcDialect extends Serializable {
     * + displayCurrentOffset). */
   def tableMeta(path: String, table: String): TableMeta
 
-  /** Snapshot rows possibly overlapping chunk range [lo, hi) — a dialect
-    * pushes the range to the store (SQL WHERE / file pruning). */
-  def snapshotLines(path: String, table: String,
+  /** Snapshot rows possibly overlapping chunk range [lo, hi) on
+    * `keyColumn` — a dialect pushes the range to the store (SQL WHERE /
+    * file pruning). `keyColumn` is the table's chunk key: the primary key
+    * unless overridden (`scan.incremental.snapshot.chunk-key.column`). */
+  def snapshotLines(path: String, table: String, keyColumn: String,
       lo: Option[Long], hi: Option[Long]): Iterator[String]
+
+  /** (min, max) of an integral column — drives chunk planning when the
+    * chunk key is overridden away from the PK (stats SQL of the reference,
+    * StatementUtils.java:38-77). */
+  def columnStats(path: String, table: String, column: String): (Long, Long)
 
   /** Log records with offsets in (from, to], offset-ordered. */
   def logLines(path: String, table: String, from: Long, to: Long): Iterator[String]
@@ -61,10 +68,10 @@ trait CdcDialect extends Serializable {
     * walks chunks with O(chunks) point queries instead of a full key scan. */
   def supportsChunkMaxQuery: Boolean = false
 
-  /** Max key of the `chunkSize` smallest keys ≥ `lowerInclusive`; None when
-    * no keys remain. Only called when [[supportsChunkMaxQuery]]. */
-  def nextChunkMax(path: String, table: String, lowerInclusive: Long,
-      chunkSize: Int): Option[Long] =
+  /** Max of the `chunkSize` smallest `keyColumn` values ≥ `lowerInclusive`;
+    * None when no keys remain. Only called when [[supportsChunkMaxQuery]]. */
+  def nextChunkMax(path: String, table: String, keyColumn: String,
+      lowerInclusive: Long, chunkSize: Int): Option[Long] =
     throw new UnsupportedOperationException(s"$name: no chunk-max query")
 }
 
@@ -110,12 +117,17 @@ object FileCdcDialect extends CdcDialect {
   override def tableMeta(path: String, table: String): TableMeta =
     FileCdcDatabase.readMeta(path, table)
 
-  override def snapshotLines(path: String, table: String,
+  override def snapshotLines(path: String, table: String, keyColumn: String,
       lo: Option[Long], hi: Option[Long]): Iterator[String] = {
     val meta = tableMeta(path, table)
+    // file layout is PK-range-partitioned/sorted: pruning and early stop
+    // only apply when the chunk key IS the pk; an overridden chunk key
+    // degrades to full-file scans (a store with an index on the override
+    // column — the JDBC dialect — keeps the pushdown)
+    val prunable = keyColumn == meta.pk
     val all = FileCdcDatabase.dataFiles(path, table, "snapshot")
     val pruned =
-      if (meta.snapshotFiles.isEmpty) all
+      if (!prunable || meta.snapshotFiles.isEmpty) all
       else {
         val byName = meta.snapshotFiles.map(f => f.file -> f).toMap
         all.filter { p =>
@@ -126,7 +138,7 @@ object FileCdcDialect extends CdcDialect {
           }
         }
       }
-    val sortedByPk = meta.snapshotFiles.nonEmpty
+    val sortedByPk = prunable && meta.snapshotFiles.nonEmpty
     pruned.iterator.flatMap { f =>
       val ls = FileCdcDatabase.lines(f)
       if (sortedByPk && hi.isDefined)
@@ -134,6 +146,26 @@ object FileCdcDialect extends CdcDialect {
         ls.takeWhileClosing(l =>
           FileCdcDatabase.quickLongField(l, meta.pk) < hi.get)
       else ls
+    }
+  }
+
+  override def columnStats(path: String, table: String,
+      column: String): (Long, Long) = {
+    val meta = tableMeta(path, table)
+    if (column == meta.pk) (meta.minPk, meta.maxPk)
+    else {
+      // one prefix-parsing driver pass; chunk planning is one-time work
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      FileCdcDatabase.dataFiles(path, table, "snapshot").foreach { f =>
+        val it = FileCdcDatabase.lines(f)
+        try it.foreach { l =>
+          val v = FileCdcDatabase.quickLongField(l, column)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        } finally it.close()
+      }
+      require(mn <= mx, s"no rows to derive stats for $table.$column")
+      (mn, mx)
     }
   }
 

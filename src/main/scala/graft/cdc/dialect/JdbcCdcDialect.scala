@@ -123,12 +123,11 @@ object JdbcCdcDialect extends CdcDialect {
 
   /** The reference's lazy uneven-chunk walk, executed:
     * StatementUtils.queryNextChunkMax (:99-130) via the Db2/Derby flavor. */
-  override def nextChunkMax(path: String, table: String,
+  override def nextChunkMax(path: String, table: String, keyColumn: String,
       lowerInclusive: Long, chunkSize: Int): Option[Long] =
     withConn(path) { c =>
-      val m = tableMeta(path, table)
       val ps = c.prepareStatement(
-        stmts.selectNextChunkMax(table, m.pk, chunkSize))
+        stmts.selectNextChunkMax(table, keyColumn, chunkSize))
       ps.setLong(1, lowerInclusive)
       val rs = ps.executeQuery()
       val res =
@@ -138,14 +137,28 @@ object JdbcCdcDialect extends CdcDialect {
       res
     }
 
+  /** Stats query executed (StatementUtils.java:38-77 via the Derby
+    * flavor) — drives planning for an overridden chunk key. */
+  override def columnStats(path: String, table: String,
+      column: String): (Long, Long) =
+    withConn(path) { c =>
+      val rs = c.createStatement()
+        .executeQuery(stmts.selectMinMax(table, column))
+      require(rs.next(), s"no stats row for $table.$column")
+      val res = (rs.getLong(1), rs.getLong(2))
+      rs.close()
+      res
+    }
+
   // -------------------------------------------------------------- scans
 
-  override def snapshotLines(path: String, table: String,
+  override def snapshotLines(path: String, table: String, keyColumn: String,
       lo: Option[Long], hi: Option[Long]): Iterator[String] = {
     val meta = tableMeta(path, table)
     new JdbcLineIterator(path,
       c => {
-        val ps = c.prepareStatement(stmts.chunkScan(table, meta.pk, lo, hi),
+        val ps = c.prepareStatement(
+          stmts.chunkScan(table, keyColumn, lo, hi),
           ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_READ_ONLY)
         ps.setFetchSize(FetchSize)
         ps

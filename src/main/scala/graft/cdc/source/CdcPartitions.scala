@@ -46,7 +46,8 @@ import scala.collection.mutable
 case class SnapshotChunkPartition(dialect: String, path: String,
     table: String, chunkId: Int,
     ranges: Seq[(Option[Long], Option[Long])],
-    high: Long, schemaDdl: String) extends InputPartition
+    high: Long, schemaDdl: String,
+    chunkKey: String = "") extends InputPartition
 
 case class LogRangePartition(dialect: String, path: String, table: String,
     from: Long, to: Long, changelogMode: String,
@@ -69,9 +70,13 @@ class CdcReaderFactory extends PartitionReaderFactory {
   * which the merge always needs) — at 100 TB a 2-column projection over a
   * 40-column table must not JSON-decode the other 38. */
 private[source] class EnvelopeDecoder(dialectName: String, path: String,
-    table: String, schemaDdl: String) {
+    table: String, schemaDdl: String, chunkKeyOpt: String = "") {
   val dialect = CdcDialects.byName(dialectName)
   val meta: FileCdcDatabase.TableMeta = dialect.tableMeta(path, table)
+  /** Snapshot split key: pk unless overridden (chunk-key.column). Range
+    * membership uses this; merge identity always uses the pk. */
+  val chunkKey: String =
+    if (chunkKeyOpt == null || chunkKeyOpt.isEmpty) meta.pk else chunkKeyOpt
 
   /** Output schema (payload subset + metadata subset), as analyzed. */
   val outSchema: StructType =
@@ -83,20 +88,29 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
   /** Requested payload columns, in output order. */
   val payload: StructType =
     StructType(outSchema.fields.filterNot(f => metaNames.contains(f.name)))
-  /** Decode schema = requested payload + the chunk key if pruned away. */
-  val decodeSchema: StructType =
-    if (payload.fieldNames.contains(meta.pk)) payload
-    else StructType(payload.fields :+
-      meta.schema(meta.schema.fieldIndex(meta.pk)))
+  /** Decode schema = requested payload + pk and chunk key if pruned away
+    * (the merge always needs the identity; range checks need the split
+    * key). */
+  val decodeSchema: StructType = {
+    val need = Seq(meta.pk, chunkKey).distinct
+      .filterNot(payload.fieldNames.contains)
+    StructType(payload.fields ++
+      need.map(n => meta.schema(meta.schema.fieldIndex(n))))
+  }
 
   val codec = new JsonRowCodec(decodeSchema)
   val pkIdx: Int = decodeSchema.fieldIndex(meta.pk)
   val pkType = decodeSchema(pkIdx).dataType
+  val ckIdx: Int = decodeSchema.fieldIndex(chunkKey)
+  val ckType = decodeSchema(ckIdx).dataType
 
   case class Env(offset: Long, op: String, ts: Long,
       before: InternalRow, after: InternalRow) {
-    def key: Long = CdcPlanner.toLongKey(
-      (if (after != null) after else before).get(pkIdx, pkType))
+    private def img: InternalRow = if (after != null) after else before
+    /** Merge identity (primary key). */
+    def key: Long = CdcPlanner.toLongKey(img.get(pkIdx, pkType))
+    /** Range membership (chunk key; key-stable by contract). */
+    def chunkKeyVal: Long = CdcPlanner.toLongKey(img.get(ckIdx, ckType))
   }
 
   def decodeEnvelope(line: String): Env = {
@@ -147,18 +161,19 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
   def logLinesInRange(from: Long, to: Long): Iterator[String] =
     dialect.logLines(path, table, from, to)
 
-  /** Snapshot lines possibly overlapping the chunk range [lo, hi) —
-    * dialect-served (file pruning via per-file PK stats + early stop in the
-    * file dialect; SQL range pushdown in a JDBC dialect). */
+  /** Snapshot lines possibly overlapping the chunk range [lo, hi) on the
+    * chunk key — dialect-served (file pruning via per-file PK stats + early
+    * stop in the file dialect; SQL range pushdown in a JDBC dialect). */
   def snapshotLines(lo: Option[Long], hi: Option[Long]): Iterator[String] =
-    dialect.snapshotLines(path, table, lo, hi)
+    dialect.snapshotLines(path, table, chunkKey, lo, hi)
 }
 
 class SnapshotChunkReader(p: SnapshotChunkPartition)
     extends PartitionReader[InternalRow] {
   import ChangeRecord.ExternalOp
 
-  private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table, p.schemaDdl)
+  private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table,
+    p.schemaDdl, p.chunkKey)
 
   // The partition's chunk ranges are consecutive, so the whole partition
   // spans one contiguous key interval.
@@ -167,28 +182,36 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
   private def inSpan(k: Long): Boolean =
     spanLo.forall(k >= _) && spanHi.forall(k < _)
 
+  /** Final surviving state of one log-touched key: its chunk-key value
+    * (range membership at apply time) and newest (offset, image), None =
+    * deleted. */
+  private case class OverlayEntry(ckVal: Long, value: Option[(Long, InternalRow)])
+
   // ONE log pass per partition (not per chunk range): the final surviving
-  // (offset, image) per log-touched key in the span; None = deleted.
-  // Sequential newest-wins application over the offset-sorted slice equals
-  // replaying events per key. Memory is O(changed keys in span) — change
-  // volume, not table volume — where the per-range replay re-read and
-  // re-decoded the whole log slice once per chunk range in the group.
-  private lazy val overlay: mutable.LinkedHashMap[Long, Option[(Long, InternalRow)]] = {
-    val m = mutable.LinkedHashMap[Long, Option[(Long, InternalRow)]]()
+  // entry per log-touched merge key (pk) in the span. Sequential
+  // newest-wins application over the offset-sorted slice equals replaying
+  // events per key. Memory is O(changed keys in span) — change volume, not
+  // table volume — where the per-range replay re-read and re-decoded the
+  // whole log slice once per chunk range in the group.
+  private lazy val overlay: mutable.LinkedHashMap[Long, OverlayEntry] = {
+    val m = mutable.LinkedHashMap[Long, OverlayEntry]()
     dec.logLinesInRange(0L, p.high).foreach { line =>
-      // cheap key prefilter: the PK value is identical in before/after
-      // (key-stable rows — the reference dedups by the key Struct the same
-      // way, RecordUtils.upsertBinlog), so the pk key inside the envelope
-      // structs is the event's key; full decode only in-span
-      val quick = FileCdcDatabase.quickNestedLongFieldOpt(line, dec.meta.pk)
+      // cheap key prefilter: the chunk-key value is identical in before/
+      // after (key-stable by the chunk-key contract — the reference dedups
+      // by the key Struct the same way, RecordUtils.upsertBinlog), so the
+      // chunk-key field inside the envelope structs gives range membership;
+      // full decode only in-span
+      val quick = FileCdcDatabase.quickNestedLongFieldOpt(line, dec.chunkKey)
       if (quick.forall(inSpan)) {
         val env = dec.decodeEnvelope(line)
         // schema-change records go to the history, not the data merge (T2)
-        if (env.op != ExternalOp.SchemaChange) {
-          val k = env.key
-          if (inSpan(k)) env.op match {
-            case ExternalOp.Delete => m(k) = None
-            case _ => m(k) = Some((env.offset, env.after))
+        if (env.op != ExternalOp.SchemaChange && inSpan(env.chunkKeyVal)) {
+          env.op match {
+            case ExternalOp.Delete =>
+              m(env.key) = OverlayEntry(env.chunkKeyVal, None)
+            case _ =>
+              m(env.key) = OverlayEntry(env.chunkKeyVal,
+                Some((env.offset, env.after)))
           }
         }
       }
@@ -196,20 +219,21 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
     m
   }
 
-  // W2 per chunk range: chunk rows keyed, then the partition's log overlay
-  // applied — CREATE/UPDATE replace, DELETE removes. Snapshot input is
-  // file-pruned to the chunk range. Ranges evaluate lazily one at a time
+  // W2 per chunk range: chunk rows keyed by pk, then the partition's log
+  // overlay applied — CREATE/UPDATE replace, DELETE removes. Snapshot input
+  // is range-pushed to the dialect. Ranges evaluate lazily one at a time
   // (flatMap), so a grouped partition holds O(chunk + span changes) rows.
   private def mergeRange(lo: Option[Long], hi: Option[Long]): Iterator[InternalRow] = {
     def inRange(k: Long): Boolean = lo.forall(k >= _) && hi.forall(k < _)
     val byKey = mutable.LinkedHashMap[Long, (Long, InternalRow)]()
     dec.snapshotLines(lo, hi).foreach { line =>
       val row = dec.codec.decode(line)
-      val k = CdcPlanner.toLongKey(row.get(dec.pkIdx, dec.pkType))
-      if (inRange(k)) byKey(k) = (0L, row)
+      val ck = CdcPlanner.toLongKey(row.get(dec.ckIdx, dec.ckType))
+      if (inRange(ck))
+        byKey(CdcPlanner.toLongKey(row.get(dec.pkIdx, dec.pkType))) = (0L, row)
     }
-    overlay.foreach { case (k, v) =>
-      if (inRange(k)) v match {
+    overlay.foreach { case (k, e) =>
+      if (inRange(e.ckVal)) e.value match {
         case None => byKey.remove(k)
         case Some(offImg) => byKey(k) = offImg
       }

@@ -49,6 +49,14 @@ object CdcSourceConfig {
   val MaxEventsPerTriggerKey = "scan.stream.max-events-per-trigger"
   /** Which CdcDialect serves this source (SURVEY §2.6 U5). */
   val DialectKey = "dialect"
+  /** Override the snapshot chunk key away from the primary key (reference
+    * `scan.incremental.snapshot.chunk-key.column`, MySqlSourceOptions —
+    * meant for picking a better-distributed column, e.g. out of a composite
+    * key). The column must be integral and KEY-STABLE (its value never
+    * changes for a given primary key — the reference guarantees this by
+    * restricting the choice to primary-key columns); merge identity stays
+    * the primary key. */
+  val ChunkKeyColumnKey = "scan.incremental.snapshot.chunk-key.column"
   /** Decode parallelism of the log phase: a log range fans out into at most
     * this many offset sub-ranges per table. The reference's log phase is
     * deliberately parallelism-1 (mysql-cdc.md:495) and 1 is the default;
@@ -81,6 +89,7 @@ object CdcSourceConfig {
     dialectName = o.getOrDefault(DialectKey, "file"),
     maxSnapshotPartitions = o.getOrDefault(MaxSnapshotPartitionsKey, "4096").toInt,
     logPartitions = o.getOrDefault(LogPartitionsKey, "1").toInt,
+    chunkKeyColumn = Option(o.get(ChunkKeyColumnKey)),
     distributionFactorUpper = o.getOrDefault(FactorUpperKey,
       ChunkSplitter.DistributionFactorUpper.toString).toDouble,
     distributionFactorLower = o.getOrDefault(FactorLowerKey,
@@ -99,6 +108,7 @@ case class CdcSourceConfig(
     dialectName: String = "file",
     maxSnapshotPartitions: Int = 4096,
     logPartitions: Int = 1,
+    chunkKeyColumn: Option[String] = None,
     distributionFactorUpper: Double = ChunkSplitter.DistributionFactorUpper,
     distributionFactorLower: Double = ChunkSplitter.DistributionFactorLower) {
 
@@ -139,6 +149,10 @@ case class CdcSourceConfig(
   /** Meta of the first captured table (schema representative). */
   def meta: FileCdcDatabase.TableMeta =
     dialect.tableMeta(path, matchedTables.head)
+
+  /** The snapshot split key: the configured override, else the primary key
+    * (reference ChunkUtils.getChunkKeyColumn). Validated at scan start. */
+  def chunkKey: String = chunkKeyColumn.getOrElse(meta.pk)
 
   /** Payload schema at the current log head: snapshot-time schema evolved
     * by the DDL history (SURVEY §1.4 restart-time re-derivation — the
@@ -218,7 +232,7 @@ class CdcScanBuilder(cfg: CdcSourceConfig, schema: StructType)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  private def keyCol: String = cfg.meta.pk
+  private def keyCol: String = cfg.chunkKey
 
   override def build(): Scan = {
     val bounds = pushed.flatMap(CdcKeyBounds.fromFilter(_, keyCol))
@@ -282,6 +296,19 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
         cfg.dialect.tableMeta(cfg.path, t).pk.nonEmpty),
       "changelog.mode=upsert requires a primary-key table " +
         "(reference PostgreSQLTableFactory.java:105-113)")
+    cfg.chunkKeyColumn.foreach { ck =>
+      val sch = cfg.meta.schema
+      require(sch.fieldNames.contains(ck),
+        s"${CdcSourceConfig.ChunkKeyColumnKey}: no column '$ck' in " +
+          s"table ${cfg.meta.table} (${sch.fieldNames.mkString(", ")})")
+      val dt = sch(sch.fieldIndex(ck)).dataType
+      require(Set[org.apache.spark.sql.types.DataType](LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(dt),
+        s"${CdcSourceConfig.ChunkKeyColumnKey}: '$ck' must be integral, " +
+          s"got $dt")
+    }
     cfg.dialect.validate(cfg.path, cfg.matchedTables)
   }
   override def toBatch: Batch = {
@@ -299,21 +326,28 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
 object CdcPlanner {
   def chunks(cfg: CdcSourceConfig, table: String): Seq[ChunkRange] = {
     val m = cfg.dialect.tableMeta(cfg.path, table)
-    if (!ChunkSplitter.isEvenlyDistributed(m.minPk, m.maxPk, m.rowCount,
+    val ck = cfg.chunkKey
+    // chunk-key stats: meta carries them for the pk; an override asks the
+    // dialect (stats SQL for JDBC, prefix-parse pass for the file dialect)
+    val (mn, mx) =
+      if (ck == m.pk) (m.minPk, m.maxPk)
+      else cfg.dialect.columnStats(cfg.path, table, ck)
+    if (!ChunkSplitter.isEvenlyDistributed(mn, mx, m.rowCount,
         cfg.distributionFactorUpper, cfg.distributionFactorLower)
         && cfg.dialect.supportsChunkMaxQuery)
       // uneven split pushed to the store: O(chunks) point queries
       // (SELECT MAX(pk)… LIMIT chunkSize, StatementUtils.java:99-130)
-      ChunkSplitter.splitUnevenlyByQuery(m.minPk, m.maxPk, cfg.chunkSize,
-        lo => cfg.dialect.nextChunkMax(cfg.path, table, lo, cfg.chunkSize))
-    else ChunkSplitter.split(m.minPk, m.maxPk, m.rowCount, cfg.chunkSize,
-      // uneven fallback walks the snapshot's sorted keys (file dialect)
+      ChunkSplitter.splitUnevenlyByQuery(mn, mx, cfg.chunkSize,
+        lo => cfg.dialect.nextChunkMax(cfg.path, table, ck, lo,
+          cfg.chunkSize))
+    else ChunkSplitter.split(mn, mx, m.rowCount, cfg.chunkSize,
+      // uneven fallback walks the snapshot's sorted chunk-key values
       () => {
         val codec = new JsonRowCodec(m.schema)
-        val pkIdx = m.schema.fieldIndex(m.pk)
-        val pkType = m.schema(pkIdx).dataType
-        cfg.dialect.snapshotLines(cfg.path, table, None, None)
-          .map(l => toLongKey(codec.decode(l).get(pkIdx, pkType)))
+        val ckIdx = m.schema.fieldIndex(ck)
+        val ckType = m.schema(ckIdx).dataType
+        cfg.dialect.snapshotLines(cfg.path, table, ck, None, None)
+          .map(l => toLongKey(codec.decode(l).get(ckIdx, ckType)))
           .toSeq.sorted.iterator
       },
       cfg.distributionFactorUpper, cfg.distributionFactorLower)
@@ -356,7 +390,7 @@ object CdcPlanner {
       math.ceil(cs.size.toDouble / cfg.maxSnapshotPartitions).toInt)
     cs.grouped(group).zipWithIndex.map { case (g, i) =>
       SnapshotChunkPartition(cfg.dialectName, cfg.path, table, i,
-        g.map(c => (c.lo, c.hi)), high, schemaDdl)
+        g.map(c => (c.lo, c.hi)), high, schemaDdl, cfg.chunkKey)
     }.toSeq
   }
 

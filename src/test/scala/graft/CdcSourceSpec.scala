@@ -272,6 +272,47 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(state.length === state.distinct.length)
   }
 
+  test("chunk-key override: split by a non-pk key-stable column") {
+    val dir = tmpDir("cdc-ckey")
+    val pl = StructType(Seq(StructField("id", LongType),
+      StructField("k2", LongType), StructField("v", StringType)))
+    // k2 reverses the id order → chunking by k2 ≠ chunking by id
+    val snap = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 20L).map(i =>
+        Row(i, 1000L - i, s"v$i"))), pl)
+    val env = envelopeSchema(pl)
+    val changes = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "u", 10L, "graft", "t", Row(3L, 997L, "v3"), Row(3L, 997L, "v3b")),
+      Row(2L, "d", 20L, "graft", "t", Row(7L, 993L, "v7"), null))), env)
+    FileCdcDatabase.write(spark, dir, "t", "graft", "id", snap, changes,
+      snapshotPartitions = 2, force = true)
+    def readWith(opts: Map[String, String]) = {
+      val r = spark.read.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("scan.startup.mode", "initial")
+        .option("scan.incremental.snapshot.chunk.size", "5")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load()
+    }
+    val expect = readWith(Map.empty).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val overridden = readWith(
+      Map("scan.incremental.snapshot.chunk-key.column" -> "k2"))
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(overridden === expect)
+    assert(expect.contains((3L, "v3b")) && !expect.exists(_._1 == 7L))
+    // invalid override columns rejected at scan start
+    val missing = intercept[Exception](
+      readWith(Map("scan.incremental.snapshot.chunk-key.column" -> "nope"))
+        .count())
+    assert(missing.getMessage.contains("chunk-key"))
+    val nonIntegral = intercept[Exception](
+      readWith(Map("scan.incremental.snapshot.chunk-key.column" -> "v"))
+        .count())
+    assert(nonIntegral.getMessage.contains("integral"))
+  }
+
   test("parallel log decode: sub-ranges tile and results are unchanged") {
     // planner math: exact tiling, never more ranges than offsets
     assert(graft.cdc.source.CdcPlanner.logRanges(0L, 6L, 3)

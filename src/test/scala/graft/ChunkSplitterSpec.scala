@@ -129,6 +129,15 @@ class ChunkSplitterSpec extends AnyFunSuite {
     assert(cs.exists(_.contains(Long.MinValue)) && cs.exists(_.contains(Long.MaxValue)))
   }
 
+  test("tikv region split: region starts inside the row-id span cut chunks") {
+    val cs = ChunkSplitter.splitByRegionBoundaries(
+      regionStarts = Seq(-500L, 0L, 1000L, 2000L, 9999L), minId = 1L,
+      maxId = 2500L)
+    // -500/0 precede the span, 9999 follows it → cuts at 1000, 2000
+    assert(cs.map(c => (c.lo, c.hi)) === Seq(
+      (None, Some(1000L)), (Some(1000L), Some(2000L)), (Some(2000L), None)))
+  }
+
   test("mongo strategy selection: sharded > splitVector > sample") {
     val shard = Seq((Option.empty[Long], Some(5L)), (Some(5L), None))
     // sharded wins even when splitVector would be permitted

@@ -87,9 +87,9 @@ class JdbcDialectSpec extends SparkSpecBase {
     JdbcCdcDatabase.write(spark, dir, "t", "graft", "id",
       snapshot = sparse, changes = changesDf(Seq.empty), force = true)
     // the walk itself (executed selectNextChunkMax)
-    assert(JdbcCdcDialect.nextChunkMax(dir, "t", 1L, 3) === Some(3L))
-    assert(JdbcCdcDialect.nextChunkMax(dir, "t", 3L, 3) === Some(100001L))
-    assert(JdbcCdcDialect.nextChunkMax(dir, "t", 300001L, 3) === None)
+    assert(JdbcCdcDialect.nextChunkMax(dir, "t", "id", 1L, 3) === Some(3L))
+    assert(JdbcCdcDialect.nextChunkMax(dir, "t", "id", 3L, 3) === Some(100001L))
+    assert(JdbcCdcDialect.nextChunkMax(dir, "t", "id", 300001L, 3) === None)
     // end-to-end: all rows exactly once through the chunked read
     val df = spark.read.format("graft-cdc")
       .option("path", dir).option("table", "t")
@@ -100,6 +100,30 @@ class JdbcDialectSpec extends SparkSpecBase {
     val ids = df.select("id").collect().map(_.getLong(0))
     assert(ids.sorted === sparse.collect().map(_.getLong(0)).sorted)
     assert(ids.length === ids.distinct.length)
+  }
+
+  test("chunk-key override: stats + chunk scans run on the override column") {
+    val dir = tmpDir("jdbc-ckey")
+    val pl = StructType(Seq(StructField("id", LongType),
+      StructField("k2", LongType), StructField("v", StringType)))
+    val snap = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 20L).map(i =>
+        Row(i, 1000L - i, s"v$i"))), pl)
+    JdbcCdcDatabase.write(spark, dir, "t", "graft", "id", snap,
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq.empty[Row]), envelopeSchema(pl)), force = true)
+    // executed stats SQL on the override column
+    assert(JdbcCdcDialect.columnStats(dir, "t", "k2") === (980L, 999L))
+    val rows = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("dialect", "jdbc")
+      .option("scan.startup.mode", "initial")
+      .option("scan.incremental.snapshot.chunk.size", "5")
+      .option("scan.incremental.snapshot.chunk-key.column", "k2")
+      .load()
+      .select("id").collect().map(_.getLong(0))
+    assert(rows.sorted === (1L to 20L).toArray)
+    assert(rows.length === rows.distinct.length)
   }
 
   test("database-answered rate probe and timestamp seek") {
