@@ -24,20 +24,31 @@ object Bench {
     catch { case _: Throwable => () }
     Seq("q1_pricing_summary", "q3_shipping_priority",
         "cdc_source_batch_orders", "cdc_source_stream_materialized",
+        "cdc_source_jdbc_orders", "cdc_txn_log_resolution",
         "cdc_stream_stateful_upserts", "q_stream_dedup",
-        "dedup_exact", "ann_bruteforce_topk")
+        "q_stream_stream_join", "dedup_exact", "ann_bruteforce_topk")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
-    // Warm the OS page cache for the target-SF inputs so first-touch disk
-    // reads don't land on whichever query reads each table first.
-    new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet"))
-      .foreach { f =>
+    // Warm the OS page cache for the target-SF inputs (base tables AND the
+    // generated CDC fixtures) so first-touch disk reads don't land on
+    // whichever query reads each file first.
+    def warmRead(f: java.io.File): Unit =
+      if (f.isDirectory) {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(warmRead)
+      } else {
         val in = java.nio.file.Files.newInputStream(f.toPath)
         val buf = new Array[Byte](1 << 20)
         try while (in.read(buf) >= 0) () finally in.close()
       }
+    new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet"))
+      .foreach(warmRead)
+    val sfName = new java.io.File(sfDir).getName
+    Seq(s"/root/repo/.scratch/cdcdb/$sfName",
+        s"/root/repo/.scratch/cdcdb_ddl/$sfName",
+        s"/root/repo/.scratch/jdbccdc/$sfName")
+      .map(new java.io.File(_)).filter(_.isDirectory).foreach(warmRead)
     spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -151,7 +151,10 @@ object CdcSourceQueries {
           .option("path", dir).option("table", "orders")
           .option("dialect", "jdbc")
           .option("scan.startup.mode", "initial")
-          .option("scan.incremental.snapshot.chunk.size", "1000")
+          // larger chunks than the file variant: each chunk is a SQL round
+          // trip, and the fetch-size stream keeps per-chunk memory bounded
+          // regardless of chunk size
+          .option("scan.incremental.snapshot.chunk.size", "5000")
           .load()
           .select(orderCols.map(col): _*)
           .orderBy(col("o_orderkey"))

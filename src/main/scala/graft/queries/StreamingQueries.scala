@@ -77,7 +77,8 @@ object StreamingQueries {
     // single-file input arrives in one batch, so no late rows are dropped
     // and the result is deterministic against the batch oracle).
     "q_stream_hourly_agg" -> QueryDef(
-      (s, dir0) => {
+      // streaming state is O(windows×types): size stores to state volume
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
         import org.apache.spark.sql.types._
         val raw = Tables.load(s, dir0, "events")
         val name = s"hourly_${System.nanoTime()}"
@@ -117,7 +118,8 @@ object StreamingQueries {
     // single input file in one batch, so no matches are watermark-dropped
     // and the result equals the batch join.
     "q_stream_stream_join" -> QueryDef(
-      (s, dir0) => {
+      // 4 state stores per partition per batch: size to in-flight rows
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val name = s"ssj_${System.nanoTime()}"
         def eventsStream = {
           import org.apache.spark.sql.types._
@@ -170,7 +172,7 @@ object StreamingQueries {
     // natural key): first arrival wins, per-key state expires past the
     // watermark. Counts per event_type after dedup match batch DISTINCT.
     "q_stream_dedup" -> QueryDef(
-      (s, dir0) => {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val name = s"sdd_${System.nanoTime()}"
         import org.apache.spark.sql.types._
         val raw = Tables.load(s, dir0, "events")
@@ -198,7 +200,7 @@ object StreamingQueries {
     // micro-batches; the upsert stream reduces to exactly the changed keys'
     // final state (delete markers win over earlier updates).
     "cdc_stream_stateful_upserts" -> QueryDef(
-      (s, dir0) => {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val dir = prepare(s, dir0)
         val name = s"stateful_${System.nanoTime()}"
         val ups = StreamMaterialize.upserts(
@@ -225,7 +227,7 @@ object StreamingQueries {
     // foreachBatch MERGE sink: parquet state equals the materialized
     // changelog after every batch; idempotent newest-wins merge.
     "cdc_upsert_sink_merge" -> QueryDef(
-      (s, dir0) => {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val dir = prepare(s, dir0)
         val out = s"/root/repo/.scratch/upsert_sink/${System.nanoTime()}"
         val q = readStreamEarliest(s, dir)
