@@ -205,6 +205,72 @@ object DedupQueries {
            |WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // Doc-frequency-capped n-gram Jaccard — the 100 TB shape of the sparse
+    // similarity join. The uncapped inverted index skews on hot shingles:
+    // a shingle appearing in d docs of a block contributes d² join rows, so
+    // boilerplate n-grams turn one reducer key into the whole corpus.
+    // Contract here (exactly mirrored in the oracle): Jaccard is computed
+    // over the CAPPED shingle sets — shingles with block doc-frequency >
+    // cap are excluded from both the intersection and the set sizes (the
+    // stopword-removal analogue for shingles). Per-key join fan-in is then
+    // ≤ cap by construction.
+    "dedup_ngram_jaccard_capped" -> QueryDef(
+      (s, dir) => {
+        val cap = 100
+        val d = Tables.load(s, dir, "documents")
+        val docs = d.select(col("doc_id"), col("lang"), col("source"),
+          shingleHashes(col("text"), 4).as("sh"))
+          .cache()
+        val tok = docs.select(col("doc_id"), col("lang"), col("source"),
+          explode(col("sh")).as("h"))
+        val dfreq = tok.groupBy(col("lang"), col("source"), col("h"))
+          .agg(count(lit(1)).as("df"))
+        val kept = tok.join(dfreq.filter(col("df") <= cap),
+          Seq("lang", "source", "h"))
+        val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = kept.as("a")
+          .join(kept.as("b"), col("a.lang") === col("b.lang")
+            && col("a.source") === col("b.source")
+            && col("a.h") === col("b.h")
+            && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("ni"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+            "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+            "id_b")
+          .withColumn("jac", round(col("ni").cast(DoubleType) /
+            (col("na") + col("nb") - col("ni")).cast(DoubleType), 6))
+          .filter(col("jac") >= 0.3d)
+          .select(col("id_a"), col("id_b"), col("jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 4)
+        s"""WITH docs AS (SELECT doc_id, lang, source, $sh AS sh FROM documents),
+           |tok AS (SELECT doc_id, lang, source, unnest(sh) AS h FROM docs),
+           |dfreq AS (SELECT lang, source, h, count(*) AS df FROM tok
+           |          GROUP BY 1, 2, 3),
+           |kept AS (SELECT t.doc_id, t.lang, t.source, t.h FROM tok t
+           |         JOIN dfreq f ON t.lang = f.lang AND t.source = f.source
+           |           AND t.h = f.h WHERE f.df <= 100),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+           |  FROM kept a JOIN kept b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
+           |    AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, jac FROM (
+           |  SELECT id_a, id_b,
+           |    round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jac
+           |  FROM inter
+           |  JOIN sizes na ON na.doc_id = id_a
+           |  JOIN sizes nb ON nb.doc_id = id_b)
+           |WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // Embedding-cosine near-dup blocked by cluster label (coarse-quantizer
     // stand-in); sequential-fold double cosine is bit-identical in DuckDB.
     "dedup_embedding_cosine" -> QueryDef(
@@ -231,6 +297,62 @@ object DedupQueries {
               |    ${sqlCosine("a.embedding", "b.embedding", 64)} AS cos
               |  FROM embeddings a JOIN embeddings b
               |    ON a.label = b.label AND a.vec_id < b.vec_id)
+              |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Embedding-cosine near-dup blocked by a REAL coarse quantizer: every
+    // vector is assigned to its nearest centroid (the IVF cell map — one
+    // broadcast pass, one row per vector shuffled), and candidate pairs
+    // only form inside a cell. This is the label-blocked variant's 100 TB
+    // story made executable: the blocking key comes from the data's own
+    // geometry, not a given column, and cell granularity (centroid count)
+    // is the knob bounding per-block pair counts. Assignment is
+    // deterministic (ties → smaller centroid label) so the oracle mirrors
+    // it exactly.
+    "dedup_embedding_cosine_ivf" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+        val seedIds = e.groupBy(col("label").as("c_label"))
+          .agg(min(col("vec_id")).as("seed_id"))
+        val cents = seedIds.join(e, col("seed_id") === col("vec_id"))
+          .select(col("c_label"), col("embedding").as("cv"),
+            col("nrm").as("cn"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosineHoisted(col("cv"), col("embedding"),
+            col("cn"), col("nrm")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("c_label"), col("embedding"), col("nrm")),
+            struct(col("ccos"), (-col("c_label")).as("nl"))).as("v"))
+          .select(col("vec_id"), col("v.embedding").as("embedding"),
+            col("v.nrm").as("nrm"), col("v.c_label").as("cell"))
+          .cache()
+        assigned.as("a")
+          .join(assigned.as("b"), col("a.cell") === col("b.cell")
+            && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", round(
+            dot(col("a.embedding"), col("b.embedding"))
+              / (col("a.nrm") * col("b.nrm")), 6))
+          .filter(col("cos") >= 0.4d)
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            col("cos"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT e.label AS c_label, e.embedding AS cv FROM embeddings e
+              |  JOIN (SELECT label, min(vec_id) AS seed_id FROM embeddings
+              |        GROUP BY label) s ON e.vec_id = s.seed_id),
+              |assigned AS (
+              |  SELECT vec_id, embedding, cell FROM (
+              |    SELECT e.vec_id, e.embedding, c.c_label AS cell,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${sqlCosine("c.cv", "e.embedding", 64)} DESC, c.c_label) AS crank
+              |    FROM embeddings e, cents c) WHERE crank = 1)
+              |SELECT id_a, id_b, cos FROM (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |    ${sqlCosine("a.embedding", "b.embedding", 64)} AS cos
+              |  FROM assigned a JOIN assigned b
+              |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
               |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin))
   )
 }

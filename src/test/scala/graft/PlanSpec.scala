@@ -87,4 +87,28 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("dedup_simhash: banded self-join, never a per-language cross product") {
+    val plan = formatted(q("dedup_simhash"))
+    // the candidate join must be an equi-join on the band key — a
+    // language-only block would surface as BroadcastNestedLoopJoin/cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ann queries: norms computed map-side, not per candidate pair") {
+    // the join output must carry precomputed norm columns; a per-pair norm
+    // recomputation would fold the 64-dim array 3x per candidate
+    val plan = formatted(q("ann_ivf_topk"))
+    assert(plan.contains("nrm"), plan.take(2000))
+  }
+
+  test("dedup_embedding_cosine_ivf: centroids broadcast for assignment") {
+    val plan = formatted(q("dedup_embedding_cosine_ivf"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
