@@ -57,7 +57,8 @@ object JdbcCdcDialect extends CdcDialect {
     * for a fresh one would still serialize on engine boot locks. */
   private val pools =
     new ConcurrentHashMap[String, LinkedBlockingQueue[Connection]]()
-  private val MaxIdlePerDb = 8
+  private val DefaultMaxIdlePerDb = 8
+  private val poolSizes = new ConcurrentHashMap[String, Integer]()
 
   // keep Derby's engine log out of the repo / query directories
   System.setProperty("derby.stream.error.file",
@@ -66,19 +67,27 @@ object JdbcCdcDialect extends CdcDialect {
   // create-on-first-boot is a no-op when the database already exists
   private def url(path: String) = s"jdbc:derby:$path/derbydb;create=true"
 
+  /** Per-database idle cap (`connection.pool.size` option); applies to
+    * connections returned after the call. */
+  def setPoolSize(path: String, n: Int): Unit = {
+    require(n > 0, s"pool size must be positive: $n")
+    poolSizes.put(path, n)
+    pools.remove(path) // recreated at the new capacity on next use
+  }
+
+  private def poolFor(path: String): LinkedBlockingQueue[Connection] =
+    pools.computeIfAbsent(path, p => new LinkedBlockingQueue[Connection](
+      Option(poolSizes.get(p)).map(_.intValue)
+        .getOrElse(DefaultMaxIdlePerDb)))
+
   private[dialect] def borrow(path: String): Connection = {
-    val pool = pools.computeIfAbsent(path,
-      _ => new LinkedBlockingQueue[Connection](MaxIdlePerDb))
-    val c = pool.poll()
+    val c = poolFor(path).poll()
     if (c != null && !c.isClosed) c
     else DriverManager.getConnection(url(path))
   }
 
-  private[dialect] def giveBack(path: String, c: Connection): Unit = {
-    val pool = pools.computeIfAbsent(path,
-      _ => new LinkedBlockingQueue[Connection](MaxIdlePerDb))
-    if (c.isClosed || !pool.offer(c)) c.close()
-  }
+  private[dialect] def giveBack(path: String, c: Connection): Unit =
+    if (c.isClosed || !poolFor(path).offer(c)) c.close()
 
   // ---------------------------------------------------------- discovery
 

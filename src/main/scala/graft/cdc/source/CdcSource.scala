@@ -49,6 +49,14 @@ object CdcSourceConfig {
   val MaxEventsPerTriggerKey = "scan.stream.max-events-per-trigger"
   /** Which CdcDialect serves this source (SURVEY §2.6 U5). */
   val DialectKey = "dialect"
+  /** Disable incremental (chunked) snapshotting: the snapshot phase becomes
+    * ONE unbounded range read — the reference's legacy single-reader
+    * snapshot mode (`scan.incremental.snapshot.enabled`,
+    * MySqlSourceOptions.java:44-50). Chunked is the default. */
+  val IncrementalSnapshotKey = "scan.incremental.snapshot.enabled"
+  /** Idle connections kept per database by a pooling dialect (reference
+    * `connection.pool.size`, MySqlSourceOptions.java:141-146). */
+  val ConnectionPoolSizeKey = "connection.pool.size"
   /** Override the snapshot chunk key away from the primary key (reference
     * `scan.incremental.snapshot.chunk-key.column`, MySqlSourceOptions —
     * meant for picking a better-distributed column, e.g. out of a composite
@@ -90,6 +98,8 @@ object CdcSourceConfig {
     maxSnapshotPartitions = o.getOrDefault(MaxSnapshotPartitionsKey, "4096").toInt,
     logPartitions = o.getOrDefault(LogPartitionsKey, "1").toInt,
     chunkKeyColumn = Option(o.get(ChunkKeyColumnKey)),
+    incrementalSnapshot = o.getOrDefault(IncrementalSnapshotKey, "true").toBoolean,
+    connectionPoolSize = o.getOrDefault(ConnectionPoolSizeKey, "0").toInt,
     distributionFactorUpper = o.getOrDefault(FactorUpperKey,
       ChunkSplitter.DistributionFactorUpper.toString).toDouble,
     distributionFactorLower = o.getOrDefault(FactorLowerKey,
@@ -109,6 +119,8 @@ case class CdcSourceConfig(
     maxSnapshotPartitions: Int = 4096,
     logPartitions: Int = 1,
     chunkKeyColumn: Option[String] = None,
+    incrementalSnapshot: Boolean = true,
+    connectionPoolSize: Int = 0,
     distributionFactorUpper: Double = ChunkSplitter.DistributionFactorUpper,
     distributionFactorLower: Double = ChunkSplitter.DistributionFactorLower) {
 
@@ -309,6 +321,12 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
         s"${CdcSourceConfig.ChunkKeyColumnKey}: '$ck' must be integral, " +
           s"got $dt")
     }
+    require(cfg.connectionPoolSize >= 0,
+      s"${CdcSourceConfig.ConnectionPoolSizeKey} must be >= 0: " +
+        s"${cfg.connectionPoolSize}")
+    if (cfg.connectionPoolSize > 0)
+      graft.cdc.dialect.JdbcCdcDialect
+        .setPoolSize(cfg.path, cfg.connectionPoolSize)
     cfg.dialect.validate(cfg.path, cfg.matchedTables)
   }
   override def toBatch: Batch = {
@@ -325,6 +343,9 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
   * assigner role (MySqlHybridSplitAssigner.java:97-126). */
 object CdcPlanner {
   def chunks(cfg: CdcSourceConfig, table: String): Seq[ChunkRange] = {
+    // legacy single-reader snapshot: one unbounded range, no splitting
+    if (!cfg.incrementalSnapshot)
+      return Seq(ChunkRange(0, None, None))
     val m = cfg.dialect.tableMeta(cfg.path, table)
     val ck = cfg.chunkKey
     // chunk-key stats: meta carries them for the pk; an override asks the

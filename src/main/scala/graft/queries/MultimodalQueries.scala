@@ -13,6 +13,10 @@ case class MediaBlob(doc_id: Long, fmt: String, content: Array[Byte])
 case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Long,
     height: Long, n_frames: Long, checksum: String)
 
+/** A resized asset: output dims + transformed payload summary. */
+case class MediaResized(doc_id: Long, out_w: Long, out_h: Long,
+    out_chars: Long, out_checksum: String)
+
 /**
  * ===== STUB CODEC =====
  * The container has no image/audio libraries, so the decode step is a
@@ -38,6 +42,26 @@ object FakeCodec {
       height = (n * 31) % 48 + 16,
       n_frames = n % 7 + 1,
       checksum = checksum)
+  }
+
+  /** Batched "resize" to half resolution: the stand-in transform crops the
+    * payload to out_w×out_h units (STUB — a real codec rescales pixels;
+    * the batch shape, dim arithmetic and output contract are the real
+    * part). Units are Unicode codepoints so the oracle's `substr` mirrors
+    * the crop exactly. */
+  def resizeBatch(batch: Seq[MediaBlob]): Seq[MediaResized] = batch.map { b =>
+    val n = b.content.length.toLong
+    val outW = math.max((n % 64 + 16) / 2, 1L)
+    val outH = math.max(((n * 31) % 48 + 16) / 2, 1L)
+    val s = new String(b.content, java.nio.charset.StandardCharsets.UTF_8)
+    val total = s.codePointCount(0, s.length)
+    val keep = math.min(total.toLong, outW * outH).toInt
+    val resized = s.substring(0, s.offsetByCodePoints(0, keep))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val checksum = md.digest(
+      resized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    MediaResized(b.doc_id, outW, outH, keep.toLong, checksum)
   }
 }
 
@@ -103,6 +127,32 @@ object MultimodalQueries {
              |    CAST(greatest((octet_length(encode(text)) % 64 + 16) // 2, 1) AS BIGINT) AS out_w,
              |    CAST(greatest(((octet_length(encode(text)) * 31) % 48 + 16) // 2, 1) AS BIGINT) AS out_h
              |  FROM documents)
-             |ORDER BY doc_id, frame_id""".stripMargin))
+             |ORDER BY doc_id, frame_id""".stripMargin)),
+
+    // Half-resolution resize over the binary payload (batched stub codec:
+    // codepoint crop to out_w×out_h stands in for pixel rescaling; the
+    // oracle reproduces the crop with substr + md5 over the same units).
+    "mm_resize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit("fake/v1").as("fmt"),
+            encode(col("text"), "UTF-8").as("content"))
+          .as[MediaBlob]
+        blobs
+          .mapPartitions(_.grouped(FakeCodec.BatchSize)
+            .flatMap(b => FakeCodec.resizeBatch(b.toSeq)))
+          .toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, out_w, out_h,
+             |  CAST(length(substr(text, 1, CAST(out_w * out_h AS INTEGER))) AS BIGINT) AS out_chars,
+             |  md5(substr(text, 1, CAST(out_w * out_h AS INTEGER))) AS out_checksum
+             |FROM (
+             |  SELECT doc_id, text,
+             |    CAST(greatest((octet_length(encode(text)) % 64 + 16) // 2, 1) AS BIGINT) AS out_w,
+             |    CAST(greatest(((octet_length(encode(text)) * 31) % 48 + 16) // 2, 1) AS BIGINT) AS out_h
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

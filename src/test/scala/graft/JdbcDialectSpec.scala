@@ -126,6 +126,22 @@ class JdbcDialectSpec extends SparkSpecBase {
     assert(rows.length === rows.distinct.length)
   }
 
+  test("legacy non-incremental snapshot: one unbounded range read") {
+    val dir = tmpDir("jdbc-legacy")
+    writeDb(dir, 6L)
+    val df = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("dialect", "jdbc")
+      .option("scan.startup.mode", "initial")
+      .option("scan.incremental.snapshot.enabled", "false")
+      .option("connection.pool.size", "4")
+      .load()
+    assert(df.rdd.getNumPartitions === 1)
+    val rows = df.select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet === finalState)
+  }
+
   test("database-answered rate probe and timestamp seek") {
     val dir = tmpDir("jdbc-probe")
     writeDb(dir, 6L)
