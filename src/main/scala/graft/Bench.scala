@@ -22,15 +22,14 @@ object Bench {
     // One-time target-SF CDC fixture writes belong to setup, not queries.
     try graft.queries.Fixtures.prepareAll(spark, sfDir)
     catch { case _: Throwable => () }
-    Seq("q1_pricing_summary", "q3_shipping_priority",
-        "cdc_source_batch_orders", "cdc_source_stream_materialized",
-        "cdc_source_jdbc_orders", "cdc_txn_log_resolution",
-        "cdc_stream_stateful_upserts", "q_stream_dedup",
-        "q_stream_stream_join", "dedup_exact", "ann_bruteforce_topk")
-      .foreach { n =>
-        try SparkEntry.queries(n)(spark, warmDir).count()
-        catch { case _: Throwable => () }
-      }
+    // Warm EVERY query shape at the smallest SF: whole-stage codegen and
+    // JIT are per-plan-shape, so a partial warmup leaves whichever unwarmed
+    // query runs first paying multi-second compilation inside its timing.
+    SparkEntry.queries.keys.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
     // Warm the OS page cache for the target-SF inputs (base tables AND the
     // generated CDC fixtures) so first-touch disk reads don't land on
     // whichever query reads each file first.

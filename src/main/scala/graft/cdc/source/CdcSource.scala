@@ -285,15 +285,39 @@ object CdcKeyBounds {
         lit(v).map(l => CdcKeyBounds(None, Some(l - 1)))
       case LessThanOrEqual(c, v) if c == key =>
         lit(v).map(l => CdcKeyBounds(None, Some(l)))
+      // IN-sets (the shape runtime join filters arrive in): the value
+      // envelope [min, max] is a sound chunk-pruning bound — chunks outside
+      // it cannot contain any listed key
+      case In(c, vs) if c == key && vs.nonEmpty =>
+        val ls = vs.flatMap(lit(_))
+        if (ls.length == vs.length) Some(CdcKeyBounds(Some(ls.min), Some(ls.max)))
+        else None
       case _ => None
     }
   }
 }
 
 class CdcScan(cfg: CdcSourceConfig, schema: StructType,
-    keyBounds: CdcKeyBounds = CdcKeyBounds(None, None)) extends Scan {
+    keyBounds: CdcKeyBounds = CdcKeyBounds(None, None))
+    extends Scan with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
   override def description(): String = s"CdcScan(${cfg.table}, ${cfg.startupMode})"
+
+  /** Runtime (DPP-style) chunk pruning: a join whose build side filters the
+    * chunk key hands the probe-side key set to the scan at execution time;
+    * its [min,max] envelope intersects the static bounds and Spark re-plans
+    * partitions — a dim-filtered fact scan reads only overlapping chunks.
+    * Coarse (envelope, not membership) but sound, and free at planning
+    * time. */
+  @volatile private var runtimeBounds: CdcKeyBounds = CdcKeyBounds(None, None)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      cfg.chunkKey))
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeBounds = filters
+      .flatMap(CdcKeyBounds.fromFilter(_, cfg.chunkKey))
+      .foldLeft(runtimeBounds)(_ intersect _)
+  private def effectiveBounds: CdcKeyBounds = keyBounds intersect runtimeBounds
   /** Analyzed (and column-pruned) output schema — pinned here and carried
     * by every partition, so reads stay consistent even if the store's
     * schema evolves mid-query. */
@@ -331,7 +355,7 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
   }
   override def toBatch: Batch = {
     validateAll()
-    new CdcBatch(cfg, schemaDdl, keyBounds)
+    new CdcBatch(cfg, schemaDdl, effectiveBounds)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     validateAll()

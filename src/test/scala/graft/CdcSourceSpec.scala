@@ -272,6 +272,31 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(state.length === state.distinct.length)
   }
 
+  test("runtime filtering: an IN-set from a join prunes snapshot chunks") {
+    val dir = tmpDir("cdc-runtime")
+    writeDb(dir, 0L)
+    val cfg = graft.cdc.source.CdcSourceConfig(path = dir, table = "t",
+      startupMode = "initial", chunkSize = 5, changelogMode = "all")
+    val schema = graft.cdc.source.CdcTable.fullSchema(cfg.payloadSchema)
+    def partitions(scan: graft.cdc.source.CdcScan) =
+      scan.toBatch.planInputPartitions().length
+    val unfiltered = new graft.cdc.source.CdcScan(cfg, schema)
+    val all = partitions(unfiltered)
+    assert(all === 4) // 20 keys / 5-key chunks
+    // runtime join filter arrives as In(chunkKey, values)
+    val filtered = new graft.cdc.source.CdcScan(cfg, schema)
+    assert(filtered.filterAttributes().map(_.describe()).toSeq === Seq("id"))
+    filtered.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(6L, 7L, 9L))))
+    val pruned = partitions(filtered)
+    assert(pruned === 1, s"expected 1 surviving chunk, got $pruned")
+    // non-key filters are ignored, not misapplied
+    val other = new graft.cdc.source.CdcScan(cfg, schema)
+    other.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("v", Array("x"))))
+    assert(partitions(other) === all)
+  }
+
   test("chunk-key override: split by a non-pk key-stable column") {
     val dir = tmpDir("cdc-ckey")
     val pl = StructType(Seq(StructField("id", LongType),
