@@ -53,8 +53,10 @@ object FileCdcDatabase {
     val root = Paths.get(dir, table)
     val donePath = root.resolve("_WRITTEN")
     if (!force && Files.exists(donePath)) return
+    // coalesce: an empty table has NULL min/max (stats 0/0/0 → one chunk)
     val stats = snapshot.agg(
-      count(lit(1)), min(col(pk)).cast("long"), max(col(pk)).cast("long"))
+      count(lit(1)), coalesce(min(col(pk)).cast("long"), lit(0L)),
+      coalesce(max(col(pk)).cast("long"), lit(0L)))
       .collect()(0)
     val maxOff = changes.agg(coalesce(max(col(ChangeRecord.OffsetCol)), lit(0L)))
       .collect()(0).getLong(0)

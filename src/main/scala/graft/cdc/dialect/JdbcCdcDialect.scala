@@ -299,6 +299,11 @@ object JdbcCdcDialect extends CdcDialect {
       case StringType =>
         val v = rs.getString(col)
         if (v == null) sb.append("null") else appendJsonString(sb, v)
+      case BinaryType =>
+        val v = rs.getBytes(col)
+        if (v == null) sb.append("null")
+        else sb.append('"')
+          .append(java.util.Base64.getEncoder.encodeToString(v)).append('"')
       case other => throw new UnsupportedOperationException(
         s"jdbc dialect: unsupported column type $other")
     }
@@ -392,8 +397,10 @@ object JdbcCdcDatabase {
     case TimestampType | TimestampNTZType => "TIMESTAMP"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case StringType => "VARCHAR(32672)"
+    case BinaryType => "VARCHAR (32672) FOR BIT DATA"
     case other => throw new UnsupportedOperationException(
-      s"jdbc fixture: unsupported column type $other")
+      s"jdbc fixture: unsupported column type $other " +
+        "(nested types live in the log envelope, not relational columns)")
   }
 
   /** Idempotent (marker file per table); `force` recreates. */
@@ -406,8 +413,10 @@ object JdbcCdcDatabase {
     if (!force && java.nio.file.Files.exists(marker)) return
 
     val schema = snapshot.schema
-    val stats = snapshot.agg(count(lit(1)), min(col(pk)).cast("long"),
-      max(col(pk)).cast("long")).collect()(0)
+    // coalesce: an empty table has NULL min/max (stats 0/0/0 → one chunk)
+    val stats = snapshot.agg(count(lit(1)),
+      coalesce(min(col(pk)).cast("long"), lit(0L)),
+      coalesce(max(col(pk)).cast("long"), lit(0L))).collect()(0)
     val maxOff = changes
       .agg(coalesce(max(col(OffsetCol)), lit(0L))).collect()(0).getLong(0)
 
@@ -518,6 +527,7 @@ object JdbcCdcDatabase {
       case _: DecimalType =>
         ps.setBigDecimal(idx, v.asInstanceOf[java.math.BigDecimal])
       case StringType => ps.setString(idx, v.asInstanceOf[String])
+      case BinaryType => ps.setBytes(idx, v.asInstanceOf[Array[Byte]])
       case other => throw new UnsupportedOperationException(
         s"jdbc fixture: unsupported column type $other")
     }

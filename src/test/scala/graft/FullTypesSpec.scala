@@ -80,6 +80,73 @@ class FullTypesSpec extends SparkSpecBase {
     }
   }
 
+  test("relational type set survives the JDBC (Derby) dialect round trip") {
+    // real database columns: the relational subset (nested ARRAY/MAP/ROW
+    // travel only in the log envelope's JSON, as with a real server)
+    val relational = StructType(payload.fields.filterNot(f =>
+      f.name == "c_arr" || f.name == "c_map" || f.name == "c_row"))
+    def mkRel(id: Long): Row = Row.fromSeq(
+      mkRow(id).toSeq.zip(payload.fields).collect {
+        case (v, f) if relational.fieldNames.contains(f.name) => v
+      })
+    val dir = tmpDir("jdbc-fulltypes")
+    val rows = (1L to 10L).map(mkRel)
+    val snapshot = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), relational)
+    val env = ChangeRecord.envelopeSchema(relational)
+    val changes = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "u", 10L, "graft", "ft", mkRel(5L), mkRel(5L)))), env)
+    graft.cdc.dialect.JdbcCdcDatabase.write(spark, dir, "ft", "graft", "id",
+      snapshot, changes, force = true)
+
+    val got = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "ft")
+      .option("dialect", "jdbc")
+      .option("scan.startup.mode", "initial")
+      .option("scan.incremental.snapshot.chunk.size", "4")
+      .load()
+      .select(relational.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("id")
+    assert(got.schema.map(f => (f.name, f.dataType)) ===
+      relational.map(f => (f.name, f.dataType)))
+    val g = got.collect()
+    val w = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), relational).orderBy("id").collect()
+    assert(g.length === w.length)
+    g.zip(w).foreach { case (a, b) =>
+      relational.fieldNames.zipWithIndex.foreach { case (n, i) =>
+        (a.get(i), b.get(i)) match {
+          case (x: Array[Byte], y: Array[Byte]) =>
+            assert(x.sameElements(y), s"col $n")
+          case (x, y) => assert(x === y, s"col $n")
+        }
+      }
+    }
+  }
+
+  test("empty table: zero-row snapshot plans and reads cleanly (both dialects)") {
+    val pl = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row]), pl)
+    val noChanges = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row]),
+      ChangeRecord.envelopeSchema(pl))
+    val fdir = tmpDir("cdc-empty-file")
+    FileCdcDatabase.write(spark, fdir, "e", "graft", "id", empty, noChanges,
+      force = true)
+    assert(spark.read.format("graft-cdc")
+      .option("path", fdir).option("table", "e")
+      .option("scan.startup.mode", "initial").load().count() === 0L)
+    val jdir = tmpDir("cdc-empty-jdbc")
+    graft.cdc.dialect.JdbcCdcDatabase.write(spark, jdir, "e", "graft", "id",
+      empty, noChanges, force = true)
+    assert(spark.read.format("graft-cdc")
+      .option("path", jdir).option("table", "e")
+      .option("dialect", "jdbc")
+      .option("scan.startup.mode", "initial").load().count() === 0L)
+  }
+
   test("null values in every column decode as null") {
     val dir = tmpDir("cdc-fulltypes-null")
     val rows = Seq(Row.fromSeq(1L +: Seq.fill(payload.size - 1)(null)))

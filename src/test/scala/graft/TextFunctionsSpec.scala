@@ -127,4 +127,46 @@ class TextFunctionsSpec extends SparkSpecBase {
       .toDF("a", "b").select(cosine(col("a"), col("b")).as("c"))
     assert(df.collect().map(_.getDouble(0)).toSeq === Seq(0.0, 1.0, -1.0))
   }
+
+  test("simhash banding at 64-bit/4x16 is lossless for hamming <= 3 (pigeonhole)") {
+    // the corpus-scale config dedup_simhash documents: banded candidate
+    // generation must find EXACTLY the brute-force ham<=3 pair set
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // clusters of near-identical docs (1-word mutations) → many close pairs
+    val docs = (0 until 30).flatMap { c =>
+      val base = Vector.fill(12)(words(rnd.nextInt(words.size)))
+      (0 until 3).map { i =>
+        val d = if (i == 0) base
+          else base.updated(rnd.nextInt(base.size), words(rnd.nextInt(words.size)))
+        (c * 3 + i).toLong -> d.mkString(" ")
+      }
+    }
+    val bits = 64; val bandCount = 4; val bandBits = bits / bandCount
+    val sigs = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), simHashText(col("text"), bits).as("sig"))
+      .cache()
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(hamming(col("a.sig"), col("b.sig")) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must produce close pairs")
+    val bandVals = array((0 until bandCount).map { i =>
+      shiftright(col("sig"), i * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1))
+    }: _*)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandVals).as(Seq("band", "bv")))
+    val viaBands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb")).distinct()
+      .filter(hamming(col("sa"), col("sb")) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBands === brute)
+  }
 }
