@@ -41,7 +41,10 @@ object FileCdcDatabase {
       minPk: Long,
       maxPk: Long,
       maxOffset: Long,
-      snapshotFiles: Seq[FileRange] = Seq.empty) {
+      snapshotFiles: Seq[FileRange] = Seq.empty,
+      /** Store-native range boundaries (TiKV-region / shard-chunk
+        * analogue) over the pk; empty = none. */
+      regions: Seq[Long] = Seq.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -49,7 +52,8 @@ object FileCdcDatabase {
     * fixture generation only; idempotent (skips if already written). */
   def write(spark: SparkSession, dir: String, table: String, db: String,
       pk: String, snapshot: DataFrame, changes: DataFrame,
-      snapshotPartitions: Int = 1, force: Boolean = false): Unit = {
+      snapshotPartitions: Int = 1, force: Boolean = false,
+      regionBoundaries: Seq[Long] = Seq.empty): Unit = {
     val root = Paths.get(dir, table)
     val donePath = root.resolve("_WRITTEN")
     if (!force && Files.exists(donePath)) return
@@ -90,7 +94,7 @@ object FileCdcDatabase {
 
     val meta = TableMeta(table, db, pk, snapshot.schema.toDDL,
       stats.getLong(0), stats.getLong(1), stats.getLong(2), maxOff,
-      fileRanges)
+      fileRanges, regionBoundaries)
     Files.writeString(root.resolve("meta.json"), metaToJson(meta))
     Files.writeString(donePath, "ok")
   }
@@ -103,10 +107,12 @@ object FileCdcDatabase {
       e => FileRange(e.get("file").asText(), e.get("minPk").asLong(),
         e.get("maxPk").asLong())
     }.toSeq).getOrElse(Seq.empty)
+    val regions = Option(n.get("regions"))
+      .map(_.elements().asScala.map(_.asLong()).toSeq).getOrElse(Seq.empty)
     TableMeta(n.get("table").asText(), n.get("db").asText(),
       n.get("pk").asText(), n.get("schemaDdl").asText(),
       n.get("rowCount").asLong(), n.get("minPk").asLong(),
-      n.get("maxPk").asLong(), n.get("maxOffset").asLong(), files)
+      n.get("maxPk").asLong(), n.get("maxOffset").asLong(), files, regions)
   }
 
   /** Fast path: pull a TOP-LEVEL integer field out of a JSONL line without
@@ -271,9 +277,10 @@ object FileCdcDatabase {
     val files = m.snapshotFiles.map(f =>
       s"""{"file":${q(f.file)},"minPk":${f.minPk},"maxPk":${f.maxPk}}""")
       .mkString("[", ",", "]")
+    val regions = m.regions.mkString("[", ",", "]")
     s"""{"table":${q(m.table)},"db":${q(m.db)},"pk":${q(m.pk)},
        |"schemaDdl":${q(m.schemaDdl)},"rowCount":${m.rowCount},
        |"minPk":${m.minPk},"maxPk":${m.maxPk},"maxOffset":${m.maxOffset},
-       |"snapshotFiles":$files}""".stripMargin
+       |"snapshotFiles":$files,"regions":$regions}""".stripMargin
   }
 }

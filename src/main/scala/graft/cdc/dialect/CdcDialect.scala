@@ -73,6 +73,15 @@ trait CdcDialect extends Serializable {
   def nextChunkMax(path: String, table: String, keyColumn: String,
       lowerInclusive: Long, chunkSize: Int): Option[Long] =
     throw new UnsupportedOperationException(s"$name: no chunk-max query")
+
+  /** Physical range boundaries the STORE already maintains for this table
+    * — TiKV region start keys, a sharded cluster's chunk bounds
+    * (TableKeyRangeUtils / ShardedSplitStrategy). When present, the
+    * planner splits snapshots along them (one reader per store range, the
+    * reference's TiDB/Mongo-sharded behavior) instead of computing its own
+    * cuts. None = store has no native ranges. */
+  def storeRangeBoundaries(path: String, table: String): Option[Seq[Long]] =
+    None
 }
 
 /** Dialect registry: resolution by name on driver and executors. */
@@ -116,6 +125,14 @@ object FileCdcDialect extends CdcDialect {
 
   override def tableMeta(path: String, table: String): TableMeta =
     FileCdcDatabase.readMeta(path, table)
+
+  /** Store-native ranges from the table metadata (the TiKV-region / shard-
+    * chunk analogue a physical store would report). */
+  override def storeRangeBoundaries(path: String,
+      table: String): Option[Seq[Long]] = {
+    val r = tableMeta(path, table).regions
+    if (r.isEmpty) None else Some(r)
+  }
 
   override def snapshotLines(path: String, table: String, keyColumn: String,
       lo: Option[Long], hi: Option[Long]): Iterator[String] = {

@@ -372,6 +372,14 @@ object CdcPlanner {
       return Seq(ChunkRange(0, None, None))
     val m = cfg.dialect.tableMeta(cfg.path, table)
     val ck = cfg.chunkKey
+    // store-native ranges win when the split key is the pk: one reader per
+    // region/shard chunk, the reference's TiDB/Mongo-sharded behavior
+    // (TableKeyRangeUtils; ShardedSplitStrategy.java:58-94)
+    if (ck == m.pk) {
+      cfg.dialect.storeRangeBoundaries(cfg.path, table).foreach { bs =>
+        return ChunkSplitter.splitByRegionBoundaries(bs, m.minPk, m.maxPk)
+      }
+    }
     // chunk-key stats: meta carries them for the pk; an override asks the
     // dialect (stats SQL for JDBC, prefix-parse pass for the file dialect)
     val (mn, mx) =

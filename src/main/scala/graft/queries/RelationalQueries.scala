@@ -49,6 +49,69 @@ object RelationalQueries {
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // TPC-H Q10 shape: returned-item revenue per customer — dim filters
+    // before the joins, nation broadcast, one agg shuffle, deterministic
+    // top-20 (tie-broken on the key).
+    "q10_returned_revenue" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1996-07-01 00:00:00"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average
+    // quantity) re-expressed as an aggregate join — the subquery becomes a
+    // broadcastable per-part (sum, count) table and the threshold test
+    // 'qty < 0.2 * avg' runs in EXACT integer/decimal arithmetic
+    // (5·qty·cnt < sum), so both engines decide every row identically.
+    "q17_small_quantity_revenue" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val perPart = li.groupBy(col("l_partkey").as("p_key"))
+          .agg(sum(dec(col("l_quantity"))).as("qsum"),
+            count(lit(1)).as("qcnt"))
+        li.join(broadcast(perPart), col("l_partkey") === col("p_key"))
+          .filter(dec(col("l_quantity")) * lit(5) * col("qcnt") < col("qsum"))
+          .agg(sum(dec(col("l_extendedprice"))).cast(DoubleType)
+            .as("small_qty_revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem l
+             |JOIN (SELECT l_partkey AS p_key,
+             |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum,
+             |        COUNT(*) AS qcnt
+             |      FROM lineitem GROUP BY l_partkey) pp
+             |  ON l.l_partkey = pp.p_key
+             |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * qcnt < qsum""".stripMargin)),
+
     // TPC-H Q3 shape: selective dim filter → join fact → agg → top-k.
     // customer/orders sides are filtered before the join so AQE can
     // broadcast them; tie-broken ORDER BY keeps the LIMIT deterministic.

@@ -272,6 +272,24 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(state.length === state.distinct.length)
   }
 
+  test("store-native region boundaries drive the snapshot split") {
+    val dir = tmpDir("cdc-regions")
+    // store reports regions at 6 and 14 (plus out-of-span noise)
+    FileCdcDatabase.write(spark, dir, "t", "graft", "id",
+      snapshot = snapshotDf, changes = changesDf(allEvents), force = true,
+      regionBoundaries = Seq(-100L, 6L, 14L, 999L))
+    val cfg = graft.cdc.source.CdcSourceConfig(path = dir, table = "t",
+      startupMode = "initial", chunkSize = 5, changelogMode = "all")
+    val chunks = graft.cdc.source.CdcPlanner.chunks(cfg, "t")
+    assert(chunks.map(c => (c.lo, c.hi)) === Seq(
+      (None, Some(6L)), (Some(6L), Some(14L)), (Some(14L), None)))
+    // end-to-end read over region-aligned chunks is still exactly-once
+    val rows = read(dir, "initial").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet === finalState)
+    assert(rows.length === rows.distinct.length)
+  }
+
   test("runtime filtering: an IN-set from a join prunes snapshot chunks") {
     val dir = tmpDir("cdc-runtime")
     writeDb(dir, 0L)
