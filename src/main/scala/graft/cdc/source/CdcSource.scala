@@ -311,8 +311,13 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
     * time. */
   @volatile private var runtimeBounds: CdcKeyBounds = CdcKeyBounds(None, None)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
-      cfg.chunkKey))
+    // only when the chunk key survived column pruning: Spark resolves these
+    // against the scan OUTPUT, and advertising a pruned-away column fails
+    // analysis of every query that drops the key
+    if (schema.fieldNames.contains(cfg.chunkKey))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+        cfg.chunkKey))
+    else Array.empty
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     runtimeBounds = filters
       .flatMap(CdcKeyBounds.fromFilter(_, cfg.chunkKey))

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.cdc._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -161,6 +162,30 @@ object CdcSourceQueries {
       },
       Some(ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")
         + "\nORDER BY o_orderkey")),
+
+    // CDC + relational composition: the materialized current state joined
+    // to a broadcast dimension — the "enrich the changelog" pattern every
+    // downstream consumer of the reference runs. Revenue per market
+    // segment over the post-change orders state.
+    "cdc_enrich_join" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        val cust = Tables.load(s, dir0, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        readBatch(s, dir, "initial")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("revenue"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""WITH cur AS (
+              |${ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")})
+              |SELECT c_mktsegment, COUNT(*) AS n_orders,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              |FROM cur JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     // Chunk-splitting math surfaced as data: assign every key to its chunk
     // (even split, MySqlChunkSplitter.java:267-301) and count per chunk —

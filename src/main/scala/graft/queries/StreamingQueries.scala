@@ -196,6 +196,70 @@ object StreamingQueries {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Streaming gap-based sessionization via session_window — the streaming
+    // twin of q_sessionize, checked against the SAME oracle. Timestamps are
+    // second-truncated before windowing; session_window merges while
+    // next_start ≤ prev_ts + gap (inclusive), which with gap = 1800 s is
+    // exactly the batch rule (split only when the gap is strictly > 1800). Complete mode re-emits all sessions each
+    // batch; with the single AvailableNow batch that IS the final set.
+    "q_stream_session_window" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.types._
+        val raw = Tables.load(s, dir0, "events")
+        val name = s"ssw_${System.nanoTime()}"
+        val streamed = s.readStream
+          .schema(StructType(raw.schema.fields.map(f =>
+            if (f.name == "ts") StructField("ts", LongType) else f)))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir0)
+          .withColumn("tse", expr("ts div 1000000000"))
+          .withColumn("tst", timestamp_seconds(col("tse")))
+        val q = streamed
+          .withWatermark("tst", "1 hour")
+          .groupBy(col("user_id"), session_window(col("tst"), "1800 seconds"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tse")).as("sess_start"), max(col("tse")).as("sess_end"))
+          .select(col("user_id"), col("session_window.start").as("ws"),
+            col("n_events"), col("sess_start"), col("sess_end"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete") // session windows reject update mode
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy(col("user_id"), col("ws"))
+          .agg(max_by(struct(col("n_events"), col("sess_start"),
+            col("sess_end")), col("n_events")).as("v"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("v.n_events")).as("max_session_events"),
+            sum(col("v.sess_end") - col("v.sess_start"))
+              .as("total_session_sec"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+             |    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+             |      OR CAST(floor(epoch(ts)) AS BIGINT)
+             |         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)),
+             |sess AS (
+             |  SELECT user_id, tse,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sess_no
+             |  FROM flagged),
+             |per_sess AS (
+             |  SELECT user_id, sess_no, COUNT(*) AS n_events,
+             |    MIN(tse) AS sess_start, MAX(tse) AS sess_end
+             |  FROM sess GROUP BY 1, 2)
+             |SELECT user_id, COUNT(*) AS n_sessions,
+             |  MAX(n_events) AS max_session_events,
+             |  CAST(SUM(sess_end - sess_start) AS BIGINT) AS total_session_sec
+             |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // flatMapGroupsWithState: per-key newest-image state across rate-limited
     // micro-batches; the upsert stream reduces to exactly the changed keys'
     // final state (delete markers win over earlier updates).
