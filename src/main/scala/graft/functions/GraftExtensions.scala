@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Expression, ExpressionInfo, Literal, Multiply, Round, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.Divide
 
 /**
  * SQL surface for the native sketching expressions — `spark.sql(...)` users
@@ -17,6 +18,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
  *   graft_minhash(hashes, n)        -> ARRAY<BIGINT>  minhash signature
  *   graft_simhash(text, bits)       -> BIGINT         simhash
  *   graft_vec_dot(a, b)             -> DOUBLE         sequential-fold dot
+ *   graft_hamming(a, b)             -> INT            popcount(a XOR b)
+ *   graft_cosine(a, b)              -> DOUBLE         6-dp-rounded cosine
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -46,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
       (args: Seq[Expression]) => VecDot(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_hamming"),
+      (args: Seq[Expression]) => GraftExtensions.hammingExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_cosine"),
+      (args: Seq[Expression]) => GraftExtensions.cosineExpr(args)))
   }
 }
 
@@ -69,5 +80,20 @@ object GraftExtensions {
     add("graft_simhash",
       args => SimHashText(args.head, intLit(args(1), "graft_simhash")))
     add("graft_vec_dot", args => VecDot(args.head, args(1)))
+    add("graft_hamming", hammingExpr)
+    add("graft_cosine", cosineExpr)
+  }
+
+  /** popcount(a XOR b) — same composition as the Column-side hamming. */
+  private[functions] def hammingExpr(args: Seq[Expression]): Expression =
+    BitwiseCount(BitwiseXor(args.head, args(1)))
+
+  /** round(dot/(|a|·|b|), 6) — same composition as the Column-side cosine
+    * (one native fold per dot; determinism contract unchanged). */
+  private[functions] def cosineExpr(args: Seq[Expression]): Expression = {
+    val (a, b) = (args.head, args(1))
+    Round(Divide(VecDot(a, b),
+      Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b)))),
+      Literal(6))
   }
 }

@@ -105,6 +105,17 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("nrm"), plan.take(2000))
   }
 
+  test("q10: dimension joins broadcast, single agg shuffle shape") {
+    val plan = formatted(q("q10_returned_revenue"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts")
+  }
+
+  test("q17: per-part aggregate side broadcasts back onto the fact") {
+    val plan = formatted(q("q17_small_quantity_revenue"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("dedup_embedding_cosine_ivf: centroids broadcast for assignment") {
     val plan = formatted(q("dedup_embedding_cosine_ivf"))
     assert(plan.contains("BroadcastNestedLoopJoin") ||

@@ -117,6 +117,21 @@ class TextFunctionsSpec extends SparkSpecBase {
     val d2 = embs.select(dot(col("embedding"), col("embedding")).as("d"))
       .collect().map(_.getDouble(0)).toSeq
     assert(d1 === d2)
+    // hamming + cosine compositions
+    val h1 = spark.sql(
+      """SELECT graft_hamming(graft_simhash(text, 16), 0L) AS h
+        |FROM ext_docs""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    val h2 = docs.select(
+      hamming(simHashText(col("text"), 16), lit(0L)).as("h"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(h1 === h2)
+    val c1 = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM ext_embs")
+      .collect().map(_.getDouble(0)).toSeq
+    val c2 = embs.select(cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(c1 === c2)
   }
 
   test("cosine: orthogonal -> 0, identical -> 1, antiparallel -> -1") {
