@@ -500,9 +500,25 @@ object JdbcCdcDatabase {
     java.nio.file.Files.writeString(marker, "ok")
   }
 
+  /** JDBC type code per Spark type — Derby's setNull requires the concrete
+    * type, not Types.NULL. */
+  private[dialect] def sqlTypeOf(dt: DataType): Int = dt match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case ShortType | ByteType => java.sql.Types.SMALLINT
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.REAL
+    case BooleanType => java.sql.Types.BOOLEAN
+    case DateType => java.sql.Types.DATE
+    case TimestampType | TimestampNTZType => java.sql.Types.TIMESTAMP
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case BinaryType => java.sql.Types.VARBINARY
+    case _ => java.sql.Types.VARCHAR
+  }
+
   private def setParam(ps: PreparedStatement, idx: Int, dt: DataType,
       v: Any): Unit =
-    if (v == null) ps.setNull(idx, java.sql.Types.NULL)
+    if (v == null) ps.setNull(idx, sqlTypeOf(dt))
     else dt match {
       case LongType => ps.setLong(idx, v.asInstanceOf[Long])
       case IntegerType => ps.setInt(idx, v.asInstanceOf[Int])

@@ -1,0 +1,175 @@
+package graft.cdc.dialect
+
+import graft.cdc.ChangeRecord._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Exactly-once JDBC sink for an emitted changelog: `foreachBatch` merges
+ * each micro-batch into a live Derby table keyed on the primary key —
+ * the engine-side counterpart of the reference ecosystem's JDBC sink
+ * connectors, with the idempotent-upsert contract a non-transactional
+ * two-phase sink needs (same guard the reference's e2e sink tests rely
+ * on: replayed batches must converge, not duplicate).
+ *
+ * Per key the sink stores the newest image plus its `graft_offset`; every
+ * write is offset-guarded (newest-offset-wins), so checkpoint replay of a
+ * failed batch is a no-op for rows already applied. Deletes are
+ * TOMBSTONES (`graft_deleted = true`), not physical removals — a physical
+ * delete forgets its offset, and a replayed stale insert would then
+ * resurrect the row; the tombstone keeps the guard. (Compact tombstones
+ * below the checkpoint horizon out-of-band at scale.) The merge runs
+ * EXECUTOR-SIDE per partition over pooled connections (guarded UPDATE +
+ * NOT-EXISTS INSERT — semantically MERGE): rows never funnel through the
+ * driver.
+ *
+ * Identifiers are deliberately unquoted (Derby normalizes to upper case)
+ * so the table reads back through Spark's own JDBC source without
+ * case gymnastics.
+ */
+object JdbcUpsertSink {
+
+  private val OffCol = "graft_offset"
+  private val DelCol = "graft_deleted"
+
+  /** Merge one micro-batch of emitted changelog rows into `table` of the
+    * Derby database under `path`. Creates the table (payload columns +
+    * `graft_offset`, PK on `keyCols`) on first use. */
+  def mergeInto(batch: DataFrame, keyCols: Seq[String], path: String,
+      table: String): Unit = {
+    val payload = batch.schema.fieldNames.filterNot(MetaCols.contains).toSeq
+    val payloadFields = payload.map(n => batch.schema(n))
+    ensureTable(path, table, payloadFields, keyCols)
+
+    // newest event per key within the batch — one upsert/delete per key
+    val img = struct((col(OpCol) +: col(OffsetCol) +: payload.map(col)): _*)
+    val newest = batch
+      .filter(col(OpCol) =!= RowKind.UpdateBefore)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(img, col(OffsetCol)).as("v"))
+      .select(col(s"v.$OpCol").as("gop") +: col(s"v.$OffsetCol").as("goff")
+        +: payload.map(c => col(s"v.$c").as(c)): _*)
+
+    val nonKey = payload.filterNot(keyCols.contains)
+    val keyCond = keyCols.map(k => s"$k = ?").mkString(" AND ")
+    // every event — upsert OR tombstone — is the same guarded pair: the
+    // UPDATE touches an existing row only when strictly newer; the INSERT
+    // fires only when the key has never been seen
+    val updateSql =
+      s"UPDATE $table SET ${(nonKey ++ Seq(DelCol, OffCol)).map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE $keyCond AND $OffCol < ?"
+    val insertSql =
+      s"INSERT INTO $table (${(payload ++ Seq(DelCol, OffCol)).mkString(", ")}) " +
+        s"SELECT ${(payload ++ Seq(DelCol, OffCol)).map(_ => "?").mkString(", ")} " +
+        s"FROM SYSIBM.SYSDUMMY1 " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $table WHERE $keyCond)"
+
+    val fieldTypes: Map[String, DataType] =
+      payloadFields.map(f => f.name -> f.dataType).toMap
+    newest.foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val c = JdbcCdcDialect.borrow(path)
+          try {
+            val upd = c.prepareStatement(updateSql)
+            val ins = c.prepareStatement(insertSql)
+            rows.foreach { r =>
+              val op = r.getString(0)
+              val off = r.getLong(1)
+              val tomb = op == RowKind.Delete
+              def v(name: String): Any =
+                if (tomb && !keyCols.contains(name)) null
+                else r.get(2 + payload.indexOf(name))
+              var p = 1
+              nonKey.foreach { cn => setVal(upd, p, fieldTypes(cn), v(cn)); p += 1 }
+              upd.setBoolean(p, tomb); p += 1
+              upd.setLong(p, off); p += 1
+              keyCols.foreach { k => setVal(upd, p, fieldTypes(k), v(k)); p += 1 }
+              upd.setLong(p, off)
+              upd.addBatch()
+              var q = 1
+              payload.foreach { cn => setVal(ins, q, fieldTypes(cn), v(cn)); q += 1 }
+              ins.setBoolean(q, tomb); q += 1
+              ins.setLong(q, off); q += 1
+              keyCols.foreach { k => setVal(ins, q, fieldTypes(k), v(k)); q += 1 }
+              ins.addBatch()
+            }
+            upd.executeBatch(); ins.executeBatch()
+            upd.close(); ins.close()
+          } finally JdbcCdcDialect.giveBack(path, c)
+        }
+    }
+  }
+
+  /** Read the sink table back as a DataFrame through Spark's JDBC source
+    * (lower-cased column names). */
+  def readBack(spark: org.apache.spark.sql.SparkSession, path: String,
+      table: String): DataFrame = {
+    val df = spark.read.format("jdbc")
+      .option("url", s"jdbc:derby:$path/derbydb")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", table)
+      .load()
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+      .filter(!col(DelCol)).drop(DelCol, OffCol)
+  }
+
+  private def ensureTable(path: String, table: String,
+      payload: Seq[StructField], keyCols: Seq[String]): Unit = {
+    val c = JdbcCdcDialect.borrow(path)
+    try {
+      val cols = payload.map(f => s"${f.name} ${derbyType(f.dataType)}")
+        .mkString(", ")
+      try c.createStatement().executeUpdate(
+        s"CREATE TABLE $table ($cols, $DelCol BOOLEAN NOT NULL, " +
+          s"$OffCol BIGINT NOT NULL, " +
+          s"PRIMARY KEY (${keyCols.mkString(", ")}))")
+      catch { case _: java.sql.SQLException => () } // exists
+    } finally JdbcCdcDialect.giveBack(path, c)
+  }
+
+  private def derbyType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType | ByteType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType => "VARCHAR(32672)"
+    case other => throw new UnsupportedOperationException(
+      s"jdbc sink: unsupported column type $other")
+  }
+
+  private def setVal(ps: java.sql.PreparedStatement, idx: Int, dt: DataType,
+      v: Any): Unit =
+    if (v == null) ps.setNull(idx, JdbcCdcDatabase.sqlTypeOf(dt))
+    else dt match {
+      case LongType => ps.setLong(idx, v.asInstanceOf[Long])
+      case IntegerType => ps.setInt(idx, v.asInstanceOf[Int])
+      case ShortType => ps.setShort(idx, v.asInstanceOf[Short])
+      case ByteType => ps.setShort(idx, v.asInstanceOf[Byte].toShort)
+      case DoubleType => ps.setDouble(idx, v.asInstanceOf[Double])
+      case FloatType => ps.setFloat(idx, v.asInstanceOf[Float])
+      case BooleanType => ps.setBoolean(idx, v.asInstanceOf[Boolean])
+      case DateType => v match {
+        case d: java.sql.Date => ps.setDate(idx, d)
+        case d: java.time.LocalDate => ps.setDate(idx, java.sql.Date.valueOf(d))
+      }
+      case TimestampType | TimestampNTZType => v match {
+        case t: java.sql.Timestamp => ps.setTimestamp(idx, t)
+        case t: java.time.LocalDateTime =>
+          ps.setTimestamp(idx, java.sql.Timestamp.valueOf(t))
+        case t: java.time.Instant =>
+          ps.setTimestamp(idx, java.sql.Timestamp.from(t))
+      }
+      case _: DecimalType =>
+        ps.setBigDecimal(idx, v.asInstanceOf[java.math.BigDecimal])
+      case StringType => ps.setString(idx, v.asInstanceOf[String])
+      case other => throw new UnsupportedOperationException(
+        s"jdbc sink: unsupported column type $other")
+    }
+}

@@ -288,6 +288,27 @@ object StreamingQueries {
       },
       Some(changedKeysOracle)),
 
+    // foreachBatch MERGE into a LIVE JDBC table (Derby): offset-guarded
+    // executor-side upserts/deletes over pooled connections, read back
+    // through Spark's own JDBC source — the sink half of the CDC loop.
+    "cdc_jdbc_sink_merge" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+        val dir = prepare(s, dir0)
+        val sinkDir = s"/root/repo/.scratch/jdbc_sink/${System.nanoTime()}"
+        val q = readStreamEarliest(s, dir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.cdc.dialect.JdbcUpsertSink.mergeInto(batch,
+              Seq(ordersSpec.pk), sinkDir, "orders_sink")
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.cdc.dialect.JdbcUpsertSink.readBack(s, sinkDir, "orders_sink")
+          .select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(changedKeysOracle)),
+
     // foreachBatch MERGE sink: parquet state equals the materialized
     // changelog after every batch; idempotent newest-wins merge.
     "cdc_upsert_sink_merge" -> QueryDef(

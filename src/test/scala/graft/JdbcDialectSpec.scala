@@ -155,6 +155,37 @@ class JdbcDialectSpec extends SparkSpecBase {
     assert(JdbcCdcDialect.offsetForTimestamp(dir, Seq("t"), 1000L) === 6L)
   }
 
+  test("jdbc sink: newest wins across batches, deletes apply, replay idempotent") {
+    import graft.cdc.dialect.JdbcUpsertSink
+    val dir = tmpDir("jdbc-sink")
+    val pl = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    def emitted(rows: Seq[(Long, String, Long, String)]): DataFrame = {
+      val schema = StructType(pl.fields ++ Seq(
+        StructField(OpCol, StringType), StructField(OffsetCol, LongType),
+        StructField(TsCol, LongType), StructField(DbCol, StringType),
+        StructField(TableCol, StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, v, off, op) =>
+          Row(id, v, op, off, off * 10, "db", "t")
+        }), schema)
+    }
+    val b1 = emitted(Seq((1L, "v1", 1L, "+I"), (2L, "v2", 2L, "+I")))
+    val b2 = emitted(Seq((1L, "v1b", 3L, "+U"), (2L, null, 4L, "-D"),
+      (3L, "v3", 5L, "+I")))
+    JdbcUpsertSink.mergeInto(b1, Seq("id"), dir, "t_sink")
+    JdbcUpsertSink.mergeInto(b2, Seq("id"), dir, "t_sink")
+    def state() = JdbcUpsertSink.readBack(spark, dir, "t_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state() === Set((1L, "v1b"), (3L, "v3")))
+    // checkpoint replay of batch 2 must not change the table
+    JdbcUpsertSink.mergeInto(b2, Seq("id"), dir, "t_sink")
+    assert(state() === Set((1L, "v1b"), (3L, "v3")))
+    // a stale batch (lower offsets) must also be a no-op
+    JdbcUpsertSink.mergeInto(b1, Seq("id"), dir, "t_sink")
+    assert(state() === Set((1L, "v1b"), (3L, "v3")))
+  }
+
   test("restart exactly-once: snapshot batch, stop, more log, resume") {
     val dir = tmpDir("jdbc-restart")
     val out = tmpDir("jdbc-restart-out")
