@@ -48,6 +48,10 @@ object Bench {
         s"/root/repo/.scratch/cdcdb_ddl/$sfName",
         s"/root/repo/.scratch/jdbccdc/$sfName")
       .map(new java.io.File(_)).filter(_.isDirectory).foreach(warmRead)
+    // fixture generation wrote ~1 GB; flush the writeback queue so the
+    // kernel doesn't steal I/O from the timed section
+    try Runtime.getRuntime.exec(Array("sync")).waitFor()
+    catch { case _: Exception => () }
     spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

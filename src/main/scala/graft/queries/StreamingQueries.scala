@@ -294,16 +294,19 @@ object StreamingQueries {
     "cdc_jdbc_sink_merge" -> QueryDef(
       (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val dir = prepare(s, dir0)
-        val sinkDir = s"/root/repo/.scratch/jdbc_sink/${System.nanoTime()}"
+        // one shared scratch database (engine boot amortized across runs);
+        // a fresh table per run keeps executions independent
+        val sinkDir = "/root/repo/.scratch/jdbc_sink_db"
+        val sinkTable = s"orders_sink_${System.nanoTime()}"
         val q = readStreamEarliest(s, dir)
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             graft.cdc.dialect.JdbcUpsertSink.mergeInto(batch,
-              Seq(ordersSpec.pk), sinkDir, "orders_sink")
+              Seq(ordersSpec.pk), sinkDir, sinkTable)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        graft.cdc.dialect.JdbcUpsertSink.readBack(s, sinkDir, "orders_sink")
+        graft.cdc.dialect.JdbcUpsertSink.readBack(s, sinkDir, sinkTable)
           .select(orderCols.map(col): _*)
           .orderBy(col("o_orderkey"))
       },
