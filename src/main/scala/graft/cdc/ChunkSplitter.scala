@@ -114,22 +114,17 @@ object ChunkSplitter {
     var done = false
     while (!done) {
       nextChunkMax(cursor) match {
-        // m == cursor (chunkSize 1 / single key left) cannot advance — stop
-        // and let the unbounded last chunk absorb the tail
-        case Some(m) if m < max && m > prev && m > cursor =>
-          cuts += m; prev = m; cursor = m
+        // the cut key m is the group's max and belongs to the range BELOW
+        // the cut (ranges are half-open at the top), so the next group
+        // starts at m+1 — restarting at m inclusive would re-count the cut
+        // key and shrink every chunk by one (and never advance for
+        // chunkSize 1)
+        case Some(m) if m < max && m > prev =>
+          cuts += m + 1; prev = m; cursor = m + 1
         case _ => done = true
       }
     }
-    val cs = cuts.result()
-    if (cs.isEmpty) Seq(ChunkRange(0, None, None))
-    else {
-      val first = ChunkRange(0, None, Some(cs.head))
-      val mids = cs.sliding(2).zipWithIndex.collect {
-        case (Seq(a, b), i) => ChunkRange(i + 1, Some(a), Some(b))
-      }.toSeq
-      (first +: mids) :+ ChunkRange(cs.size, Some(cs.last), None)
-    }
+    fromCuts(cuts.result())
   }
 
   /** Reference sampling defaults (flink-connector-mongodb-cdc/.../splitters/

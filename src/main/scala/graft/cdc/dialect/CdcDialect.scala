@@ -197,24 +197,34 @@ object FileCdcDialect extends CdcDialect {
             FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol) > from)
       }
 
-  /** Distinct offsets of immutable, offset-sorted log files, memoized per
-    * (file, size) on first touch — every later rate-limit probe is a binary
-    * search instead of a rescan (a live JDBC dialect asks the database the
-    * same question; the memo is this dialect's stand-in for that index).
-    * A file that grew (size change) re-reads. */
+  /** Distinct offsets of offset-sorted log files, memoized per file with a
+    * (size, mtime) validity stamp — every later rate-limit probe is a
+    * binary search instead of a rescan (a live JDBC dialect asks the
+    * database the same question; the memo is this dialect's stand-in for
+    * that index). One entry per file: a file that grew or was rewritten
+    * (size OR mtime change) replaces its entry instead of accumulating
+    * one stale array per observed size. */
+  private case class OffsetsEntry(size: Long, mtime: Long, offs: Array[Long])
   private val offsetMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[String, OffsetsEntry]()
 
   private def fileOffsets(f: String): Array[Long] = {
-    val size =
-      try java.nio.file.Files.size(java.nio.file.Paths.get(f))
-      catch { case _: java.io.IOException => -1L }
-    offsetMemo.computeIfAbsent((f, size), _ => {
+    val p = java.nio.file.Paths.get(f)
+    val (size, mtime) =
+      try (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      catch { case _: java.io.IOException => (-1L, -1L) }
+    val cur = offsetMemo.get(f)
+    if (cur != null && cur.size == size && cur.mtime == mtime) cur.offs
+    else {
       val it = FileCdcDatabase.lines(f)
-      try it.map(FileCdcDatabase.quickLongField(_, ChangeRecord.OffsetCol))
-        .toArray
-      finally it.close()
-    })
+      val offs =
+        try it.map(FileCdcDatabase.quickLongField(_, ChangeRecord.OffsetCol))
+          .toArray
+        finally it.close()
+      offsetMemo.put(f, OffsetsEntry(size, mtime, offs))
+      offs
+    }
   }
 
   override def offsetsBetween(path: String, tables: Seq[String],

@@ -68,11 +68,22 @@ object JdbcCdcDialect extends CdcDialect {
   private def url(path: String) = s"jdbc:derby:$path/derbydb;create=true"
 
   /** Per-database idle cap (`connection.pool.size` option); applies to
-    * connections returned after the call. */
+    * connections returned after the call. Idempotent — scan-start
+    * revalidation must not churn the pool — and a genuine resize closes
+    * the displaced idle connections instead of orphaning them. */
   def setPoolSize(path: String, n: Int): Unit = {
     require(n > 0, s"pool size must be positive: $n")
-    poolSizes.put(path, n)
-    pools.remove(path) // recreated at the new capacity on next use
+    val prev = poolSizes.put(path, n)
+    if (prev == null || prev.intValue != n) {
+      val old = pools.remove(path)
+      if (old != null) {
+        var c = old.poll()
+        while (c != null) {
+          try c.close() catch { case _: java.sql.SQLException => () }
+          c = old.poll()
+        }
+      }
+    }
   }
 
   private def poolFor(path: String): LinkedBlockingQueue[Connection] =
@@ -293,9 +304,10 @@ object JdbcCdcDialect extends CdcDialect {
         if (v == null) sb.append("null")
         else sb.append('"').append(v.toLocalDate.toString).append('"')
       case TimestampType | TimestampNTZType =>
-        val v = rs.getTimestamp(col)
+        val v = rs.getTimestamp(col, DerbyTypes.utcCal)
         if (v == null) sb.append("null")
-        else sb.append('"').append(v.toLocalDateTime.toString).append('"')
+        else sb.append('"').append(java.time.LocalDateTime.ofInstant(
+          v.toInstant, java.time.ZoneOffset.UTC).toString).append('"')
       case StringType =>
         val v = rs.getString(col)
         if (v == null) sb.append("null") else appendJsonString(sb, v)
@@ -342,8 +354,15 @@ object JdbcCdcDialect extends CdcDialect {
       render: ResultSet => String)
       extends Iterator[String] with AutoCloseable {
     private val conn = borrow(path)
-    private val ps = prepare(conn)
-    private val rs = ps.executeQuery()
+    // a failing prepare/execute must hand the connection back — the ctor
+    // aborts before any close hook exists, so nothing else ever would
+    private val (ps, rs) =
+      try {
+        val p = prepare(conn)
+        (p, p.executeQuery())
+      } catch {
+        case e: Throwable => giveBack(path, conn); throw e
+      }
     private var closed = false
     FileCdcDatabase.registerOpen(this)
     private var ready: Boolean = advance()
@@ -372,6 +391,90 @@ object JdbcCdcDialect extends CdcDialect {
 }
 
 /**
+ * Shared Spark-type ⇄ Derby mapping for the JDBC dialect, fixture writer
+ * and sink — one place for DDL types, parameter binding and JDBC type
+ * codes, so the three surfaces cannot drift.
+ *
+ * TIMESTAMP values bind and read through an explicit UTC calendar: JDBC's
+ * calendar-less accessors go through the JVM default time zone, which
+ * would shift snapshot timestamps (bound as wall-clock) against the log
+ * envelope's Spark-rendered UTC strings on any non-UTC JVM.
+ */
+private[dialect] object DerbyTypes {
+
+  def utcCal: java.util.Calendar = java.util.Calendar.getInstance(
+    java.util.TimeZone.getTimeZone("UTC"))
+
+  /** JDBC type code per Spark type — Derby's setNull requires the concrete
+    * type, not Types.NULL. */
+  def sqlTypeOf(dt: DataType): Int = dt match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case ShortType | ByteType => java.sql.Types.SMALLINT
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.REAL
+    case BooleanType => java.sql.Types.BOOLEAN
+    case DateType => java.sql.Types.DATE
+    case TimestampType | TimestampNTZType => java.sql.Types.TIMESTAMP
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case BinaryType => java.sql.Types.VARBINARY
+    case _ => java.sql.Types.VARCHAR
+  }
+
+  def ddl(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType | ByteType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType => "VARCHAR(32672)"
+    case BinaryType => "VARCHAR (32672) FOR BIT DATA"
+    case other => throw new UnsupportedOperationException(
+      s"derby mapping: unsupported column type $other " +
+        "(nested types live in the log envelope, not relational columns)")
+  }
+
+  /** Bind one value; accepts both java.sql and java.time flavors (Row.get
+    * yields either depending on spark.sql.datetime.java8API.enabled). */
+  def bind(ps: java.sql.PreparedStatement, idx: Int, dt: DataType,
+      v: Any): Unit =
+    if (v == null) ps.setNull(idx, sqlTypeOf(dt))
+    else dt match {
+      case LongType => ps.setLong(idx, v.asInstanceOf[Long])
+      case IntegerType => ps.setInt(idx, v.asInstanceOf[Int])
+      case ShortType => ps.setShort(idx, v.asInstanceOf[Short])
+      case ByteType => ps.setShort(idx, v.asInstanceOf[Byte].toShort)
+      case DoubleType => ps.setDouble(idx, v.asInstanceOf[Double])
+      case FloatType => ps.setFloat(idx, v.asInstanceOf[Float])
+      case BooleanType => ps.setBoolean(idx, v.asInstanceOf[Boolean])
+      // DATE: valueOf/toLocalDate are symmetric wall-clock ops — no epoch,
+      // no zone dependence
+      case DateType => v match {
+        case d: java.sql.Date => ps.setDate(idx, d)
+        case d: java.time.LocalDate => ps.setDate(idx, java.sql.Date.valueOf(d))
+      }
+      case TimestampType | TimestampNTZType =>
+        val ts = v match {
+          case t: java.sql.Timestamp => t
+          case t: java.time.LocalDateTime =>
+            java.sql.Timestamp.from(t.toInstant(java.time.ZoneOffset.UTC))
+          case t: java.time.Instant => java.sql.Timestamp.from(t)
+        }
+        ps.setTimestamp(idx, ts, utcCal)
+      case _: DecimalType =>
+        ps.setBigDecimal(idx, v.asInstanceOf[java.math.BigDecimal])
+      case StringType => ps.setString(idx, v.asInstanceOf[String])
+      case BinaryType => ps.setBytes(idx, v.asInstanceOf[Array[Byte]])
+      case other => throw new UnsupportedOperationException(
+        s"derby mapping: unsupported column type $other")
+    }
+}
+
+/**
  * Fixture writer for [[JdbcCdcDialect]] — materializes a Derby database
  * (snapshot table + envelope log table + meta) from the same DataFrames the
  * file fixture uses, so both dialects can be driven by one changelog spec
@@ -385,23 +488,7 @@ object JdbcCdcDatabase {
   private val stmts: JdbcChunkStatements = Db2ChunkStatements
   private def q(ident: String): String = stmts.quote(ident)
 
-  private def derbyType(dt: DataType): String = dt match {
-    case LongType => "BIGINT"
-    case IntegerType => "INTEGER"
-    case ShortType => "SMALLINT"
-    case ByteType => "SMALLINT"
-    case DoubleType => "DOUBLE"
-    case FloatType => "REAL"
-    case BooleanType => "BOOLEAN"
-    case DateType => "DATE"
-    case TimestampType | TimestampNTZType => "TIMESTAMP"
-    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-    case StringType => "VARCHAR(32672)"
-    case BinaryType => "VARCHAR (32672) FOR BIT DATA"
-    case other => throw new UnsupportedOperationException(
-      s"jdbc fixture: unsupported column type $other " +
-        "(nested types live in the log envelope, not relational columns)")
-  }
+  private def derbyType(dt: DataType): String = DerbyTypes.ddl(dt)
 
   /** Idempotent (marker file per table); `force` recreates. */
   def write(spark: SparkSession, dir: String, table: String, db: String,
@@ -500,51 +587,6 @@ object JdbcCdcDatabase {
     java.nio.file.Files.writeString(marker, "ok")
   }
 
-  /** JDBC type code per Spark type — Derby's setNull requires the concrete
-    * type, not Types.NULL. */
-  private[dialect] def sqlTypeOf(dt: DataType): Int = dt match {
-    case LongType => java.sql.Types.BIGINT
-    case IntegerType => java.sql.Types.INTEGER
-    case ShortType | ByteType => java.sql.Types.SMALLINT
-    case DoubleType => java.sql.Types.DOUBLE
-    case FloatType => java.sql.Types.REAL
-    case BooleanType => java.sql.Types.BOOLEAN
-    case DateType => java.sql.Types.DATE
-    case TimestampType | TimestampNTZType => java.sql.Types.TIMESTAMP
-    case _: DecimalType => java.sql.Types.DECIMAL
-    case BinaryType => java.sql.Types.VARBINARY
-    case _ => java.sql.Types.VARCHAR
-  }
-
   private def setParam(ps: PreparedStatement, idx: Int, dt: DataType,
-      v: Any): Unit =
-    if (v == null) ps.setNull(idx, sqlTypeOf(dt))
-    else dt match {
-      case LongType => ps.setLong(idx, v.asInstanceOf[Long])
-      case IntegerType => ps.setInt(idx, v.asInstanceOf[Int])
-      case ShortType => ps.setShort(idx, v.asInstanceOf[Short])
-      case ByteType => ps.setShort(idx, v.asInstanceOf[Byte].toShort)
-      case DoubleType => ps.setDouble(idx, v.asInstanceOf[Double])
-      case FloatType => ps.setFloat(idx, v.asInstanceOf[Float])
-      case BooleanType => ps.setBoolean(idx, v.asInstanceOf[Boolean])
-      // Row.get yields java.sql or java.time values depending on
-      // spark.sql.datetime.java8API.enabled — accept both
-      case DateType => v match {
-        case d: java.sql.Date => ps.setDate(idx, d)
-        case d: java.time.LocalDate => ps.setDate(idx, java.sql.Date.valueOf(d))
-      }
-      case TimestampType | TimestampNTZType => v match {
-        case t: java.sql.Timestamp => ps.setTimestamp(idx, t)
-        case t: java.time.LocalDateTime =>
-          ps.setTimestamp(idx, java.sql.Timestamp.valueOf(t))
-        case t: java.time.Instant =>
-          ps.setTimestamp(idx, java.sql.Timestamp.from(t))
-      }
-      case _: DecimalType =>
-        ps.setBigDecimal(idx, v.asInstanceOf[java.math.BigDecimal])
-      case StringType => ps.setString(idx, v.asInstanceOf[String])
-      case BinaryType => ps.setBytes(idx, v.asInstanceOf[Array[Byte]])
-      case other => throw new UnsupportedOperationException(
-        s"jdbc fixture: unsupported column type $other")
-    }
+      v: Any): Unit = DerbyTypes.bind(ps, idx, dt, v)
 }

@@ -138,47 +138,9 @@ object JdbcUpsertSink {
     } finally JdbcCdcDialect.giveBack(path, c)
   }
 
-  private def derbyType(dt: DataType): String = dt match {
-    case LongType => "BIGINT"
-    case IntegerType => "INTEGER"
-    case ShortType | ByteType => "SMALLINT"
-    case DoubleType => "DOUBLE"
-    case FloatType => "REAL"
-    case BooleanType => "BOOLEAN"
-    case DateType => "DATE"
-    case TimestampType | TimestampNTZType => "TIMESTAMP"
-    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-    case StringType => "VARCHAR(32672)"
-    case other => throw new UnsupportedOperationException(
-      s"jdbc sink: unsupported column type $other")
-  }
+  private def derbyType(dt: DataType): String = DerbyTypes.ddl(dt)
 
   private def setVal(ps: java.sql.PreparedStatement, idx: Int, dt: DataType,
-      v: Any): Unit =
-    if (v == null) ps.setNull(idx, JdbcCdcDatabase.sqlTypeOf(dt))
-    else dt match {
-      case LongType => ps.setLong(idx, v.asInstanceOf[Long])
-      case IntegerType => ps.setInt(idx, v.asInstanceOf[Int])
-      case ShortType => ps.setShort(idx, v.asInstanceOf[Short])
-      case ByteType => ps.setShort(idx, v.asInstanceOf[Byte].toShort)
-      case DoubleType => ps.setDouble(idx, v.asInstanceOf[Double])
-      case FloatType => ps.setFloat(idx, v.asInstanceOf[Float])
-      case BooleanType => ps.setBoolean(idx, v.asInstanceOf[Boolean])
-      case DateType => v match {
-        case d: java.sql.Date => ps.setDate(idx, d)
-        case d: java.time.LocalDate => ps.setDate(idx, java.sql.Date.valueOf(d))
-      }
-      case TimestampType | TimestampNTZType => v match {
-        case t: java.sql.Timestamp => ps.setTimestamp(idx, t)
-        case t: java.time.LocalDateTime =>
-          ps.setTimestamp(idx, java.sql.Timestamp.valueOf(t))
-        case t: java.time.Instant =>
-          ps.setTimestamp(idx, java.sql.Timestamp.from(t))
-      }
-      case _: DecimalType =>
-        ps.setBigDecimal(idx, v.asInstanceOf[java.math.BigDecimal])
-      case StringType => ps.setString(idx, v.asInstanceOf[String])
-      case other => throw new UnsupportedOperationException(
-        s"jdbc sink: unsupported column type $other")
-    }
+      v: Any): Unit = DerbyTypes.bind(ps, idx, dt, v)
+
 }

@@ -113,6 +113,24 @@ class ChunkSplitterSpec extends AnyFunSuite {
     assert(chunks(1000).hi === chunks(1001).lo)
   }
 
+  test("query-driven uneven walk: dense keys yield exactly chunkSize-key ranges") {
+    // simulated store: keys 1..9; nextChunkMax = max of the chunkSize
+    // smallest keys >= lower
+    val keys = (1L to 9L).toVector
+    def nextMax(lower: Long, cs: Int): Option[Long] = {
+      val g = keys.filter(_ >= lower).take(cs)
+      if (g.isEmpty) None else Some(g.max)
+    }
+    val cs3 = ChunkSplitter.splitUnevenlyByQuery(1L, 9L, 3, nextMax(_, 3))
+    assert(cs3.map(c => (c.lo, c.hi)) === Seq(
+      (None, Some(4L)), (Some(4L), Some(7L)), (Some(7L), None)))
+    assert(cs3.map(c => keys.count(c.contains)) === Seq(3, 3, 3))
+    // chunkSize 1 must still advance (per-key chunks), not loop or collapse
+    val cs1 = ChunkSplitter.splitUnevenlyByQuery(1L, 9L, 1, nextMax(_, 1))
+    assert(cs1.size === 9)
+    assert(cs1.map(c => keys.count(c.contains)).forall(_ === 1))
+  }
+
   test("splitVector strategy: store-provided boundaries become ranges") {
     val cs = ChunkSplitter.splitByProvidedBoundaries(Seq(30L, 10L, 20L, 20L))
     assert(cs.map(c => (c.lo, c.hi)) === Seq(
