@@ -229,8 +229,9 @@ object FileCdcDatabase {
     override def close(): Unit = if (!closed) {
       closed = true
       nextLine = null
-      reader.close()
-      deregisterOpen(this)
+      // finally: a reader.close() failure must not leave a stale registry
+      // entry for the next scope sweep to trip over
+      try reader.close() finally deregisterOpen(this)
     }
 
     /** `takeWhile` that closes the underlying file the moment the predicate
@@ -248,26 +249,52 @@ object FileCdcDatabase {
       }
   }
 
-  private val openOnThread =
-    new ThreadLocal[java.util.Set[AutoCloseable]] {
-      override def initialValue(): java.util.Set[AutoCloseable] =
-        java.util.Collections.newSetFromMap(
-          new java.util.IdentityHashMap[AutoCloseable, java.lang.Boolean]())
+  /** A registry of lazily-consumed resources (file readers, JDBC cursors)
+    * owned by one consumer. Each PartitionReader holds its own scope and
+    * runs its read loop under [[inScope]], so its `close()` sweeps exactly
+    * the resources *that reader* left open — a plan that interleaves two
+    * readers on one task thread can no longer have one reader's close kill
+    * the other's open cursors mid-read. */
+  final class ResourceScope {
+    private val open: java.util.Set[AutoCloseable] =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AutoCloseable, java.lang.Boolean]())
+    private[cdc] def add(c: AutoCloseable): Unit = open.add(c)
+    private[cdc] def remove(c: AutoCloseable): Unit = open.remove(c)
+    /** Close every resource still registered here (closes are idempotent —
+      * a stale entry whose resource was already closed elsewhere is a
+      * no-op) and empty the scope. */
+    def closeAll(): Unit = {
+      new java.util.ArrayList(open).forEach(_.close())
+      open.clear()
     }
+  }
+
+  private val currentScope = new ThreadLocal[ResourceScope]
+  // safety net for resources opened outside any reader scope (driver-side
+  // planning scans, tests)
+  private val threadScope = new ThreadLocal[ResourceScope] {
+    override def initialValue(): ResourceScope = new ResourceScope
+  }
+  private def scopeNow: ResourceScope =
+    Option(currentScope.get()).getOrElse(threadScope.get())
+
+  /** Run `body` with resources opened on this thread attributed to `s`
+    * (restores the previous attribution on exit, so nesting is safe). */
+  def inScope[A](s: ResourceScope)(body: => A): A = {
+    val prev = currentScope.get()
+    currentScope.set(s)
+    try body finally currentScope.set(prev)
+  }
 
   /** Track a resource owned by a lazily-consumed iterator on this thread
     * (file reader, JDBC cursor); pair with [[deregisterOpen]] on close. */
-  def registerOpen(c: AutoCloseable): Unit = openOnThread.get().add(c)
-  def deregisterOpen(c: AutoCloseable): Unit = openOnThread.get().remove(c)
+  def registerOpen(c: AutoCloseable): Unit = scopeNow.add(c)
+  def deregisterOpen(c: AutoCloseable): Unit = scopeNow.remove(c)
 
-  /** Close every resource this thread still holds open — the safety net for
-    * consumers abandoned mid-scan (e.g. a task stopped by a limit).
-    * PartitionReader.close() calls this; reads and closes happen on the
-    * same task thread. */
-  def closeAllOnThread(): Unit = {
-    val s = openOnThread.get()
-    new java.util.ArrayList(s).forEach(_.close())
-  }
+  /** Close every resource opened on this thread *outside* a reader scope —
+    * the safety net for scope-less consumers abandoned mid-scan. */
+  def closeAllOnThread(): Unit = threadScope.get().closeAll()
 
   /** Iterate the lines of a JSONL file (executor-side). */
   def lines(file: String): ClosingLineIterator = new ClosingLineIterator(file)

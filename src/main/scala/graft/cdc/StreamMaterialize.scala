@@ -127,7 +127,12 @@ object UpsertSink {
     val root = new java.io.File(path)
     root.mkdirs()
     recover(root)
-    val bucketOf = pmod(hash(keyCols.map(col): _*), lit(numBuckets))
+    // the bucket count is a property of the stored state, not of the call:
+    // a later merge with a different numBuckets would re-hash incoming keys
+    // into buckets the stored rows never land in (stranded/resurrected
+    // keys). First write pins the count; later merges reuse the pinned one.
+    val buckets = pinnedBuckets(root, numBuckets)
+    val bucketOf = pmod(hash(keyCols.map(col): _*), lit(buckets))
     val incoming = batch
       .select((payload.map(col) :+ col(OpCol) :+ col(OffsetCol)): _*)
       .withColumn(BucketCol, bucketOf)
@@ -185,6 +190,21 @@ object UpsertSink {
 
   private def bucketDir(root: java.io.File, b: Int) =
     new java.io.File(root, s"$BucketCol=$b")
+
+  /** Pin the bucket count on first write (`_graft_buckets` — the leading
+    * underscore hides it from Spark's file index) and reuse the pinned
+    * value on every later merge, ignoring the caller's argument. */
+  private def pinnedBuckets(root: java.io.File, requested: Int): Int = {
+    val f = new java.io.File(root, "_graft_buckets")
+    if (f.isFile)
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    else {
+      java.nio.file.Files.write(f.toPath, requested.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      requested
+    }
+  }
 
   private def listBuckets(root: java.io.File): Seq[java.io.File] = {
     val fs = root.listFiles()

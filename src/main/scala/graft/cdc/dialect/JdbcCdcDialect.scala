@@ -346,9 +346,9 @@ object JdbcCdcDialect extends CdcDialect {
   }
 
   /** Streaming ResultSet → JSON-line iterator. Owns connection, statement
-    * and cursor: closes them on exhaustion or via the per-thread sweep
-    * ([[FileCdcDatabase.closeAllOnThread]]) — the JDBC twin of the file
-    * dialect's ClosingLineIterator. */
+    * and cursor: closes them on exhaustion or via the owning reader's
+    * scope sweep ([[FileCdcDatabase.ResourceScope]]) — the JDBC twin of
+    * the file dialect's ClosingLineIterator. */
   private final class JdbcLineIterator(path: String,
       prepare: Connection => PreparedStatement,
       render: ResultSet => String)
@@ -383,9 +383,16 @@ object JdbcCdcDialect extends CdcDialect {
     override def close(): Unit = if (!closed) {
       closed = true
       ready = false
-      rs.close(); ps.close()
-      giveBack(path, conn)
-      FileCdcDatabase.deregisterOpen(this)
+      // finally-chain: a cursor/statement close failure must still return
+      // the pooled connection and deregister the iterator — otherwise the
+      // pool leaks a connection and the scope sweep rethrows on the stale
+      // entry
+      try {
+        try rs.close() finally ps.close()
+      } finally {
+        giveBack(path, conn)
+        FileCdcDatabase.deregisterOpen(this)
+      }
     }
   }
 }

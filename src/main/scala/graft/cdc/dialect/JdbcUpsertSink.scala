@@ -33,12 +33,42 @@ object JdbcUpsertSink {
   private val OffCol = "graft_offset"
   private val DelCol = "graft_deleted"
 
+  // Names from the DataFrame schema are interpolated unquoted into
+  // CREATE/UPDATE/INSERT SQL (deliberately — see the class doc), so a
+  // reserved word ('order', 'year') or a non-identifier character would
+  // break the sink at runtime with an opaque Derby syntax error. Reject
+  // them up front with an actionable message instead.
+  private val IdentPattern = "^[A-Za-z][A-Za-z0-9_]*$".r
+  private val Reserved: Set[String] = Set(
+    "order", "group", "by", "select", "insert", "update", "delete", "from",
+    "where", "having", "join", "inner", "outer", "left", "right", "on",
+    "and", "or", "not", "null", "primary", "key", "constraint", "create",
+    "drop", "alter", "index", "table", "view", "int", "integer", "char",
+    "varchar", "date", "time", "timestamp", "year", "month", "day", "hour",
+    "minute", "second", "user", "current", "default", "check", "unique",
+    "foreign", "references", "column", "row", "rows", "fetch", "first",
+    "next", "offset", "union", "intersect", "except", "case", "when",
+    "then", "else", "end", "between", "like", "in", "exists", "distinct",
+    "all", "any", "some", "cast", "desc", "asc", "values", "as", "set",
+    "into", "count", "sum", "min", "max", "avg", "position", "no", "of",
+    "to", "with", "for", "is", "at", "add", "begin", "close", "commit",
+    "rollback", "grant", "revoke", "schema", "session_user", "system_user")
+
+  private def requireSafeIdent(kind: String, name: String): Unit =
+    require(IdentPattern.matches(name) &&
+      !Reserved.contains(name.toLowerCase(java.util.Locale.ROOT)),
+      s"$kind '$name' cannot be used unquoted in SQL (must match " +
+        "[A-Za-z][A-Za-z0-9_]* and not be a reserved word); rename it " +
+        "before writing through the JDBC sink")
+
   /** Merge one micro-batch of emitted changelog rows into `table` of the
     * Derby database under `path`. Creates the table (payload columns +
     * `graft_offset`, PK on `keyCols`) on first use. */
   def mergeInto(batch: DataFrame, keyCols: Seq[String], path: String,
       table: String): Unit = {
     val payload = batch.schema.fieldNames.filterNot(MetaCols.contains).toSeq
+    requireSafeIdent("table", table)
+    payload.foreach(requireSafeIdent("column", _))
     val payloadFields = payload.map(n => batch.schema(n))
     ensureTable(path, table, payloadFields, keyCols)
 

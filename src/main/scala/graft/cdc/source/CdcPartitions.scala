@@ -246,13 +246,16 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
   private val merged: Iterator[InternalRow] =
     p.ranges.iterator.flatMap { case (lo, hi) => mergeRange(lo, hi) }
 
+  // resources opened while this reader's loop runs land in its own scope,
+  // so close() sweeps exactly this reader's leftovers (fd hygiene at
+  // many-chunk scale) even if Spark interleaves readers on one task thread
+  private val scope = new FileCdcDatabase.ResourceScope
   private var cur: InternalRow = _
-  override def next(): Boolean =
+  override def next(): Boolean = FileCdcDatabase.inScope(scope) {
     if (merged.hasNext) { cur = merged.next(); true } else false
+  }
   override def get(): InternalRow = cur
-  // sweep any line iterator an early-stopped scan left open on this task
-  // thread (fd hygiene at many-chunk scale)
-  override def close(): Unit = FileCdcDatabase.closeAllOnThread()
+  override def close(): Unit = scope.closeAll()
 }
 
 class LogRangeReader(p: LogRangePartition)
@@ -283,9 +286,11 @@ class LogRangeReader(p: LogRangePartition)
         }
       }
 
+  private val scope = new FileCdcDatabase.ResourceScope
   private var cur: InternalRow = _
-  override def next(): Boolean =
+  override def next(): Boolean = FileCdcDatabase.inScope(scope) {
     if (rows.hasNext) { cur = rows.next(); true } else false
+  }
   override def get(): InternalRow = cur
-  override def close(): Unit = FileCdcDatabase.closeAllOnThread()
+  override def close(): Unit = scope.closeAll()
 }

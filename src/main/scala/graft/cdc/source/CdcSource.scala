@@ -481,7 +481,11 @@ object CdcPlanner {
     * (b_{n-1}, bn=to]. */
   def logRanges(from: Long, to: Long, k: Int): Seq[(Long, Long)] = {
     val n = math.max(1L, math.min(k.toLong, to - from)).toInt
-    val bounds = (0 to n).map(i => from + (to - from) * i / n)
+    // span * i is evaluated in BigInt: a Long intermediate overflows for
+    // very large offset spans (e.g. timestamp-like offsets), yielding
+    // malformed boundaries
+    val span = BigInt(to) - BigInt(from)
+    val bounds = (0 to n).map(i => (BigInt(from) + span * i / n).toLong)
     bounds.sliding(2).collect {
       case Seq(lo, hi) if hi > lo => (lo, hi)
     }.toSeq

@@ -356,6 +356,26 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(nonIntegral.getMessage.contains("integral"))
   }
 
+  test("per-reader resource scopes: one reader's sweep leaves the other open") {
+    val dir = tmpDir("cdc-scopes")
+    val f = new java.io.File(dir, "x.jsonl")
+    java.nio.file.Files.write(f.toPath,
+      "a\nb\nc\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val s1 = new FileCdcDatabase.ResourceScope
+    val s2 = new FileCdcDatabase.ResourceScope
+    // two lazily-consumed iterators attributed to different reader scopes
+    // on the SAME thread (the interleaved-readers-per-task-thread case)
+    val it1 = FileCdcDatabase.inScope(s1)(FileCdcDatabase.lines(f.getPath))
+    val it2 = FileCdcDatabase.inScope(s2)(FileCdcDatabase.lines(f.getPath))
+    assert(it1.next() === "a")
+    assert(it2.next() === "a")
+    s1.closeAll()
+    assert(!it1.hasNext) // swept by its own scope
+    assert(it2.next() === "b") // untouched by the other scope's sweep
+    s2.closeAll()
+    assert(!it2.hasNext)
+  }
+
   test("parallel log decode: sub-ranges tile and results are unchanged") {
     // planner math: exact tiling, never more ranges than offsets
     assert(graft.cdc.source.CdcPlanner.logRanges(0L, 6L, 3)
@@ -363,6 +383,14 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(graft.cdc.source.CdcPlanner.logRanges(3L, 5L, 8)
       === Seq((3L, 4L), (4L, 5L)))
     assert(graft.cdc.source.CdcPlanner.logRanges(3L, 3L, 8) === Seq.empty)
+    // overflow-safe boundary math: a near-Long-wide span (where the naive
+    // (to-from)*i intermediate overflows) must still tile exactly
+    val wide = graft.cdc.source.CdcPlanner.logRanges(
+      Long.MinValue / 2, Long.MaxValue / 2, 4)
+    assert(wide.head._1 === Long.MinValue / 2)
+    assert(wide.last._2 === Long.MaxValue / 2)
+    assert(wide.forall { case (lo, hi) => hi > lo })
+    assert(wide.zip(wide.tail).forall { case ((_, h), (l, _)) => h == l })
 
     // two-table regex source: decode parallelism = tables × sub-ranges
     val dir = tmpDir("cdc-logpar")

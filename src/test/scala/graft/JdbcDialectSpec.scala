@@ -155,6 +155,35 @@ class JdbcDialectSpec extends SparkSpecBase {
     assert(JdbcCdcDialect.offsetForTimestamp(dir, Seq("t"), 1000L) === 6L)
   }
 
+  test("jdbc sink rejects identifiers that cannot be used unquoted") {
+    import graft.cdc.dialect.JdbcUpsertSink
+    val dir = tmpDir("jdbc-sink-ident")
+    def batchWith(colName: String): DataFrame = {
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField(colName, StringType),
+        StructField(OpCol, StringType), StructField(OffsetCol, LongType),
+        StructField(TsCol, LongType), StructField(DbCol, StringType),
+        StructField(TableCol, StringType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(Row(1L, "x", "+I", 1L, 10L, "db", "t"))), schema)
+    }
+    // Derby reserved word as a column → up-front rejection, not a runtime
+    // syntax error mid-merge
+    val reserved = intercept[IllegalArgumentException](
+      JdbcUpsertSink.mergeInto(batchWith("order"), Seq("id"), dir, "t_ok"))
+    assert(reserved.getMessage.contains("order"))
+    // non-identifier characters in table or column names
+    val badTable = intercept[IllegalArgumentException](
+      JdbcUpsertSink.mergeInto(batchWith("v"), Seq("id"), dir, "t;drop"))
+    assert(badTable.getMessage.contains("t;drop"))
+    val badCol = intercept[IllegalArgumentException](
+      JdbcUpsertSink.mergeInto(batchWith("a-b"), Seq("id"), dir, "t_ok"))
+    assert(badCol.getMessage.contains("a-b"))
+    // a safe batch still goes through on the same path
+    JdbcUpsertSink.mergeInto(batchWith("v"), Seq("id"), dir, "t_ok")
+    assert(JdbcUpsertSink.readBack(spark, dir, "t_ok").count() === 1L)
+  }
+
   test("jdbc sink: newest wins across batches, deletes apply, replay idempotent") {
     import graft.cdc.dialect.JdbcUpsertSink
     val dir = tmpDir("jdbc-sink")

@@ -126,6 +126,20 @@ class StreamMaterializeSpec extends SparkSpecBase {
     assert(st(1L) === "v1b" && st.size === 64)
   }
 
+  test("mergeInto pins the bucket count on first write") {
+    val out = tmpDir("sink-pin") + "/state"
+    val b1 = emitted((1L to 16L).map(i => (i, s"v$i", i, "+I")))
+    UpsertSink.mergeInto(spark, b1, Seq("id"), out, numBuckets = 8)
+    // a later caller passing a different count must not re-hash stored
+    // keys into unreachable buckets: the pinned count wins, so the update
+    // still finds (and replaces) its stored row
+    val b2 = emitted(Seq((1L, "v1b", 100L, "+U")))
+    UpsertSink.mergeInto(spark, b2, Seq("id"), out, numBuckets = 3)
+    val st = UpsertSink.readState(spark, out).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(st.size === 16 && st(1L) === "v1b")
+  }
+
   test("mergeInto recovers from a crash between the commit moves") {
     val out = tmpDir("sink-crash") + "/state"
     val b1 = emitted(Seq((1L, "v1", 1L, "+I"), (2L, "v2", 2L, "+I")))
