@@ -191,6 +191,35 @@ object ChangelogGen {
   }
 
   /**
+   * DuckDB-oracle SQL for the table state AS OF a log offset `bound`
+   * (inclusive) — the point-in-time twin of [[oracleFinalStateSql]].
+   * Offsets band by change kind (updates < inserts < deletes, each band =
+   * band + pk), so the bound selects per-kind which keys have been applied.
+   */
+  def oracleStateAtSql(spec: Spec, cols: Seq[String], table: String,
+      bound: Long): String = {
+    def applied(band: Long): String =
+      // event offset = band + pk; applied iff band + pk <= bound
+      s"${spec.pk} <= ${bound} - ${band}"
+    val updatedCols = cols.map {
+      case c if c == spec.measure =>
+        s"CASE WHEN ${spec.pk} % ${spec.updEvery} = ${spec.updSel} " +
+          s"AND ${applied(spec.updBand)} " +
+          s"THEN ${spec.measure} * 2 ELSE ${spec.measure} END AS ${spec.measure}"
+      case c => c
+    }.mkString(", ")
+    val insertCols = cols.map {
+      case c if c == spec.pk => s"${spec.pk} + ${spec.insertKeyOffset} AS ${spec.pk}"
+      case c => c
+    }.mkString(", ")
+    s"""SELECT $updatedCols FROM $table
+       |WHERE NOT (${spec.pk} % ${spec.delEvery} = ${spec.delSel} AND ${applied(spec.delBand)})
+       |UNION ALL
+       |SELECT $insertCols FROM $table
+       |WHERE ${spec.pk} % ${spec.insEvery} = ${spec.insSel} AND ${applied(spec.insBand)}""".stripMargin
+  }
+
+  /**
    * DuckDB-oracle SQL for the post-change ("materialized") state of `table`,
    * given the payload column list. Mirrors [[changes]] exactly.
    */

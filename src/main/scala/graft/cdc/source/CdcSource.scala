@@ -81,6 +81,12 @@ object CdcSourceConfig {
     * (names and defaults from MySqlSourceOptions.java:207-231). */
   val FactorUpperKey = "chunk-key.even-distribution.factor.upper-bound"
   val FactorLowerKey = "chunk-key.even-distribution.factor.lower-bound"
+  /** Point-in-time bound: the scan stops at this log offset (inclusive) —
+    * a batch read returns the table state AS OF the offset ("time travel");
+    * a stream drains up to it and then idles. The analogue of the newer
+    * reference line's bounded reads (`scan.bounded.mode=specific-offset`).
+    * -1 (default) = unbounded (read to the live log head). */
+  val BoundedOffsetKey = "scan.bounded.offset"
 
   def fromOptions(o: CaseInsensitiveStringMap): CdcSourceConfig = CdcSourceConfig(
     path = Option(o.get(PathKey)).getOrElse(
@@ -103,7 +109,8 @@ object CdcSourceConfig {
     distributionFactorUpper = o.getOrDefault(FactorUpperKey,
       ChunkSplitter.DistributionFactorUpper.toString).toDouble,
     distributionFactorLower = o.getOrDefault(FactorLowerKey,
-      ChunkSplitter.DistributionFactorLower.toString).toDouble)
+      ChunkSplitter.DistributionFactorLower.toString).toDouble,
+    boundedOffset = o.getOrDefault(BoundedOffsetKey, "-1").toLong)
 }
 
 case class CdcSourceConfig(
@@ -122,7 +129,8 @@ case class CdcSourceConfig(
     incrementalSnapshot: Boolean = true,
     connectionPoolSize: Int = 0,
     distributionFactorUpper: Double = ChunkSplitter.DistributionFactorUpper,
-    distributionFactorLower: Double = ChunkSplitter.DistributionFactorLower) {
+    distributionFactorLower: Double = ChunkSplitter.DistributionFactorLower,
+    boundedOffset: Long = -1L) {
 
   def dialect: CdcDialect = CdcDialects.byName(dialectName)
   require(Set("initial", "earliest", "latest", "specific-offset", "timestamp")
@@ -142,6 +150,9 @@ case class CdcSourceConfig(
       s"$maxEventsPerTrigger")
   require(logPartitions >= 1,
     s"${CdcSourceConfig.LogPartitionsKey} must be >= 1: $logPartitions")
+  require(boundedOffset >= -1L,
+    s"${CdcSourceConfig.BoundedOffsetKey} must be -1 (unbounded) or >= 0: " +
+      s"$boundedOffset")
 
   /** Captured tables: `table` is an exact name or a regex over discovered
     * tables (reference P1 — `table-name` patterns select sharded tables with
@@ -171,12 +182,18 @@ case class CdcSourceConfig(
     * running query's schema is then pinned via the partitions). */
   def payloadSchema: StructType =
     graft.cdc.SchemaHistory.effectiveSchema(path, matchedTables.head,
-      Long.MaxValue, dialect)
+      // a bounded (point-in-time) read uses the schema AS OF the bound:
+      // DDL past the bound must not widen the result
+      if (boundedOffset >= 0L) boundedOffset else Long.MaxValue, dialect)
 
   /** Log head across all captured tables (offsets are one comparable space,
-    * like a binlog position shared by all tables of a database). */
-  def maxOffsetAll: Long =
-    matchedTables.map(t => dialect.tableMeta(path, t).maxOffset).max
+    * like a binlog position shared by all tables of a database), capped at
+    * the bounded offset when one is configured — every planner read of
+    * "the head" then sees the point-in-time bound instead. */
+  def maxOffsetAll: Long = {
+    val head = matchedTables.map(t => dialect.tableMeta(path, t).maxOffset).max
+    if (boundedOffset >= 0L) math.min(head, boundedOffset) else head
+  }
 }
 
 class CdcTableProvider extends TableProvider with DataSourceRegister {

@@ -21,6 +21,9 @@ object CdcSourceQueries {
 
   private val ordersSpec = ChangelogGen.Spec(pk = "o_orderkey",
     measure = "o_totalprice", table = "orders")
+  /** Bound for the time-travel query: inside the update band (updBand + pk),
+    * past the first ~3000 keys — partial updates at every test SF. */
+  private val StateAtBound = ordersSpec.updBand + 3000L
   private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -162,6 +165,26 @@ object CdcSourceQueries {
       },
       Some(ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")
         + "\nORDER BY o_orderkey")),
+
+    // Point-in-time ("time travel") read: scan.bounded.offset pins the log
+    // head at an offset INSIDE the update band, so the batch returns the
+    // table state as of that moment — updates applied only for keys whose
+    // event offset (band + pk) is within the bound, no inserts, no deletes.
+    // The newer reference line's scan.bounded.mode=specific-offset.
+    "cdc_state_at_offset" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("scan.startup.mode", "initial")
+          .option("scan.bounded.offset", StateAtBound.toString)
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(ChangelogGen.oracleStateAtSql(ordersSpec, orderCols, "orders",
+        StateAtBound) + "\nORDER BY o_orderkey")),
 
     // CDC + relational composition: the materialized current state joined
     // to a broadcast dimension — the "enrich the changelog" pattern every

@@ -25,6 +25,65 @@ import org.apache.spark.sql.types._
  */
 object DedupQueries {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Verified MinHash-LSH duplicate pairs (id_a < id_b, jac ≥ 0.5) — the
+    * candidate-generation half of [[defs dedup_minhash_lsh]], shared with
+    * the clustering step. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val sigs = d.select(col("doc_id"),
+        shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), 16))
+      .withColumn("bands", bandKeys(col("sig"), 4, 4))
+      .select(col("doc_id"), col("sh"), col("bands"))
+      .cache()
+    val exploded = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val cands = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = sigs.select(col("doc_id"), col("sh"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jac") >= 0.5d)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** The oracle CTE chain ending in `pairs(id_a, id_b, jac)` — the SQL twin
+    * of [[minhashPairs]]. */
+  private def minhashPairsCte: String = {
+    val sh = sqlShingleHashes("text", 3)
+    val sig = sqlMinHashSignature("sh", 16)
+    val bands = sqlBandKeys("sig", 4, 4)
+    val bandRows = (1 to 4)
+      .map(i => s"SELECT doc_id, sh, $i AS band, bands[$i] AS key FROM sigs")
+      .mkString("\n    UNION ALL ")
+    s"""docs AS (SELECT doc_id, $sh AS sh FROM documents),
+       |sigs AS (SELECT doc_id, sh, $bands AS bands
+       |         FROM (SELECT doc_id, sh, $sig AS sig FROM docs)),
+       |brows AS ($bandRows),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM brows a JOIN brows b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b, jac FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      round(${sqlJaccard("da.sh", "db.sh")}, 6) AS jac
+       |    FROM cands c
+       |    JOIN docs da ON da.doc_id = c.id_a
+       |    JOIN docs db ON db.doc_id = c.id_b)
+       |  WHERE jac >= 0.5)""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: normalize → hash → keep the smallest doc_id per hash.
@@ -51,56 +110,38 @@ object DedupQueries {
     // (measured 40× slowdown); at corpus scale this table is written to
     // storage between the two phases for the same reason.
     "dedup_minhash_lsh" -> QueryDef(
+      (s, dir) => minhashPairs(s, dir).orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $minhashPairsCte
+              |SELECT id_a, id_b, jac FROM pairs
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Duplicate CLUSTERS: the transitive closure of the verified LSH pairs
+    // via distributed star-contraction connected components
+    // (graft.operators.ConnectedComponents — O(log² n) rounds, two
+    // shuffles per round, diameter-independent). Pairs alone cannot drive
+    // "keep one copy per group": near-duplication is not transitive, so
+    // groups must be closed before electing a canonical representative
+    // (here: cluster_id = min doc_id; the keep-set is doc_id ==
+    // cluster_id). The oracle closes the same pair set with a recursive
+    // CTE.
+    "dedup_cluster_cc" -> QueryDef(
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        val sigs = d.select(col("doc_id"),
-            shingleHashes(col("text"), 3).as("sh"))
-          .withColumn("sig", minHashSignature(col("sh"), 16))
-          .withColumn("bands", bandKeys(col("sig"), 4, 4))
-          .select(col("doc_id"), col("sh"), col("bands"))
-          .cache()
-        val exploded = sigs.select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band", "key")))
-        val cands = exploded.as("a")
-          .join(exploded.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-        val sets = sigs.select(col("doc_id"), col("sh"))
-        cands
-          .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-            "id_a")
-          .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-            "id_b")
-          .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
-          .filter(col("jac") >= 0.5d)
-          .select(col("id_a"), col("id_b"), col("jac"))
-          .orderBy(col("id_a"), col("id_b"))
+        val pairs = minhashPairs(s, dir)
+        graft.operators.ConnectedComponents
+          .components(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          .orderBy(col("doc_id"))
       },
-      Some {
-        val sh = sqlShingleHashes("text", 3)
-        val sig = sqlMinHashSignature("sh", 16)
-        val bands = sqlBandKeys("sig", 4, 4)
-        val bandRows = (1 to 4)
-          .map(i => s"SELECT doc_id, sh, $i AS band, bands[$i] AS key FROM sigs")
-          .mkString("\n    UNION ALL ")
-        s"""WITH docs AS (SELECT doc_id, $sh AS sh FROM documents),
-           |sigs AS (SELECT doc_id, sh, $bands AS bands
-           |         FROM (SELECT doc_id, sh, $sig AS sig FROM docs)),
-           |brows AS ($bandRows),
-           |cands AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM brows a JOIN brows b
-           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b, jac FROM (
-           |  SELECT c.id_a, c.id_b,
-           |    round(${sqlJaccard("da.sh", "db.sh")}, 6) AS jac
-           |  FROM cands c
-           |  JOIN docs da ON da.doc_id = c.id_a
-           |  JOIN docs db ON db.doc_id = c.id_b)
-           |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
-      }),
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM pairs
+              |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT u AS id, u AS r FROM edges
+              |  UNION
+              |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+              |SELECT id AS doc_id, MIN(r) AS cluster_id
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     // SimHash near-dup: 16-bit signature over word hashes; pairs within the
     // same language at Hamming distance ≤ 3. Candidate generation is

@@ -356,6 +356,57 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(nonIntegral.getMessage.contains("integral"))
   }
 
+  test("bounded offset: batch returns the state as of the bound") {
+    val dir = tmpDir("cdc-bounded")
+    writeDb(dir, 6L)
+    def stateAt(bound: Long): Set[(Long, String)] =
+      spark.read.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("scan.startup.mode", "initial")
+        .option("scan.bounded.offset", bound.toString)
+        .option("scan.incremental.snapshot.chunk.size", "5")
+        .load()
+        .select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val base = (1L to 20L).map(i => (i, s"v$i")).toSet
+    // bound 0: pure snapshot, no change applied
+    assert(stateAt(0L) === base)
+    // bound 2: update(1) + delete(2) applied, nothing later
+    assert(stateAt(2L) === base - ((1L, "v1")) - ((2L, "v2")) + ((1L, "v1b")))
+    // bound 4: + insert(21) and update(3)
+    assert(stateAt(4L) ===
+      base - ((1L, "v1")) - ((2L, "v2")) + ((1L, "v1b")) +
+        ((21L, "v21")) - ((3L, "v3")) + ((3L, "v3b")))
+    // bound past the head == unbounded final state
+    assert(stateAt(100L) === finalState)
+    // earliest replay bounded: only events with offset <= bound
+    val ops = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("scan.bounded.offset", "3")
+      .load()
+      .select(OffsetCol).collect().map(_.getLong(0)).toSet
+    assert(ops === Set(1L, 2L, 3L))
+  }
+
+  test("bounded offset: a stream drains to the bound and idles there") {
+    val dir = tmpDir("cdc-bounded-stream")
+    writeDb(dir, 6L)
+    val name = s"bounded_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("scan.bounded.offset", "4")
+      .option("scan.stream.max-events-per-trigger", "2")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val offs = spark.table(name).select(OffsetCol)
+      .collect().map(_.getLong(0)).toSet
+    assert(offs === Set(1L, 2L, 3L, 4L), "drained exactly to the bound")
+  }
+
   test("per-reader resource scopes: one reader's sweep leaves the other open") {
     val dir = tmpDir("cdc-scopes")
     val f = new java.io.File(dir, "x.jsonl")
