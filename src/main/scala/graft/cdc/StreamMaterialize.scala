@@ -71,6 +71,58 @@ object StreamMaterialize {
       .toDF()
   }
 
+  /** (group, op, measure) event for the retract aggregate. */
+  case class AggEv(g: String, op: String, m: java.math.BigDecimal)
+  case class AggState(cnt: Long, total: java.math.BigDecimal, ver: Long)
+  case class AggOut(g: String, cnt: Long, total: java.math.BigDecimal,
+      ver: Long)
+
+  /** Streaming changelog → incrementally maintained per-group COUNT/SUM
+    * with retractions — the Flink retract-aggregate re-expressed as keyed
+    * state: `+I`/`+U` add the row's measure, `-U`/`-D` subtract it, so an
+    * update nets (new − old) and a delete removes its row without ever
+    * rescanning history. State per group is three scalars; each batch
+    * emits the group's new running totals with a monotone version, so the
+    * newest version per group IS the current aggregate (Update output
+    * mode). Measures ride exact DECIMAL(18,2) — additions commute, the
+    * result is independent of event partitioning and batch slicing. */
+  def retractAgg(emitted: DataFrame, groupCol: String,
+      measureCol: String): DataFrame = {
+    val spark = emitted.sparkSession
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    import spark.implicits._
+    val evs = emitted.select(
+        col(groupCol).cast(StringType).as("g"),
+        col(OpCol).as("op"),
+        col(measureCol).cast(DecimalType(18, 2)).as("m"))
+      .as[AggEv]
+    evs.groupByKey(_.g)
+      .flatMapGroupsWithState[AggState, AggOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[AggEv], state: GroupState[AggState]) =>
+          val zero = new java.math.BigDecimal("0.00")
+          val st = state.getOption.getOrElse(AggState(0L, zero, 0L))
+          var cnt = st.cnt
+          var tot = st.total
+          var n = 0
+          rows.foreach { e =>
+            val m = if (e.m == null) zero else e.m
+            if (e.op == RowKind.Insert || e.op == RowKind.UpdateAfter) {
+              cnt += 1; tot = tot.add(m)
+            } else {
+              cnt -= 1; tot = tot.subtract(m)
+            }
+            n += 1
+          }
+          if (n == 0) Iterator.empty
+          else {
+            state.update(AggState(cnt, tot, st.ver + 1))
+            Iterator.single(AggOut(g, cnt, tot, st.ver + 1))
+          }
+      }
+      .toDF()
+  }
+
   /** Decode an upsert stream's image JSON back into payload columns
     * (delete markers drop out — they carry no image). */
   def decodeUpserts(ups: DataFrame, payload: StructType): DataFrame =

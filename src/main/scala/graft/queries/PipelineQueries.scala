@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Training-data pipeline operators beyond dedup/ANN: deterministic
+ * stratified sampling, TF-IDF relevance scoring over an inverted index,
+ * and embedding quantization. All are map/agg shapes whose only shuffles
+ * are the aggregations they genuinely need; every score that crosses the
+ * oracle hash goes through exact integers, exact decimals, or
+ * correctly-rounded double ops evaluated in the same order on both
+ * engines.
+ */
+object PipelineQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Deterministic stratified (per-language) sampling: hash-threshold
+    // Bernoulli with md5 over a seeded key — the standard reproducible
+    // downsampling step of corpus building. Rates are per-stratum (en 50%,
+    // rest 25%) via a lexicographic threshold on the hex prefix: md5 hex
+    // is uniform, engine-portable, and independent of partitioning, so the
+    // SAMPLE SET (not just its size) is reproducible anywhere — which is
+    // what makes pipeline reruns diffable at 100 TB. Pure map, no shuffle
+    // before the presentation sort.
+    "sample_stratified" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val bucket = substring(
+          md5(concat(lit("graft-sample|"), col("doc_id").cast(StringType))),
+          1, 8)
+        val thresh = when(col("lang") === "en", lit("80000000"))
+          .otherwise(lit("40000000"))
+        d.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .filter(col("bucket") < thresh)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, bucket FROM (
+             |  SELECT doc_id, lang,
+             |    substr(md5('graft-sample|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             |      AS bucket,
+             |    CASE WHEN lang = 'en' THEN '80000000' ELSE '40000000' END
+             |      AS thresh
+             |  FROM documents)
+             |WHERE bucket < thresh ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF top-k retrieval over an inverted index: tokenize → per-(doc,
+    // term) counts → document frequencies → score a fixed query term set
+    // with a BM25-style rational idf ((N - df + 0.5)/(df + 0.5) — division
+    // only: correctly-rounded double ops are bit-identical across engines,
+    // unlike ln). Per-term scores sum through DECIMAL(18,6) so the
+    // addition is exact and order-free. The inverted index shuffles once
+    // on (doc, term); the query-side df table is broadcast-sized (|terms|
+    // rows) at any corpus size.
+    "text_tfidf_topk" -> QueryDef(
+      (s, dir) => {
+        val terms = Seq("spark", "merge", "window")
+        val d = Tables.load(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.filter(col("term").isin(terms: _*))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        tf.filter(col("term").isin(terms: _*))
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("s",
+            (col("tf").cast(DoubleType) *
+              ((col("n") - col("df") + lit(0.5d)) /
+                (col("df") + lit(0.5d))))
+              .cast(DecimalType(18, 6)))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("s")).cast(DoubleType).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM toks
+             |  WHERE len(term) > 0 GROUP BY 1, 2),
+             |dfreq AS (
+             |  SELECT term, count(*) AS df FROM tf
+             |  WHERE term IN ('spark', 'merge', 'window') GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM (
+             |  SELECT doc_id,
+             |    CAST(CAST(tf AS DOUBLE) *
+             |      ((n.n - df + 0.5) / (df + 0.5)) AS DECIMAL(18,6)) AS s
+             |  FROM tf JOIN dfreq USING (term), n
+             |  WHERE term IN ('spark', 'merge', 'window'))
+             |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Symmetric int8 scalar quantization of the embedding column — the
+    // compression step before an ANN index ships to serving. One global
+    // scale (max |x|, an exact float max) broadcast to a pure map;
+    // quantized values are exact integers (floor(x*127/scale + 0.5) —
+    // floor, not round, so half-up tie behavior is engine-identical).
+    // Output is exploded to (vec_id, dim, q) scalars.
+    "vec_quantize_int8" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val scale = e.select(explode(col("embedding")).as("x"))
+          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+        e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .crossJoin(broadcast(scale))
+          .select(col("vec_id"), col("i").cast(LongType).as("i"),
+            floor(col("x").cast(DoubleType) * lit(127.0d) / col("scale")
+              + lit(0.5d)).cast(LongType).as("q"))
+          .orderBy(col("vec_id"), col("i"))
+      },
+      Some("""WITH scale AS (
+             |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+             |    x -> abs(x)), 'max')) AS DOUBLE) AS scale
+             |  FROM embeddings)
+             |SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+             |    * 127.0 / scale + 0.5) AS BIGINT) AS q
+             |FROM embeddings, (SELECT unnest(range(0, 64)) AS i) r, scale
+             |WHERE i < len(embedding)
+             |ORDER BY vec_id, i""".stripMargin))
+  )
+}

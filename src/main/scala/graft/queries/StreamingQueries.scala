@@ -288,6 +288,50 @@ object StreamingQueries {
       },
       Some(changedKeysOracle)),
 
+    // Incrementally maintained aggregate with retractions (the Flink
+    // retract-aggregate, SURVEY §0(d)): the changelog stream drives
+    // per-group COUNT/SUM state — +I/+U add, -U/-D subtract — over a
+    // rate-limited drain, so updates and deletes mutate totals that were
+    // accumulated in EARLIER micro-batches. The oracle recomputes the same
+    // per-kind deltas relationally; exact DECIMAL arithmetic on both sides
+    // makes the comparison bit-stable.
+    "cdc_incremental_agg" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.types.DoubleType
+        val dir = prepare(s, dir0)
+        val name = s"retract_${System.nanoTime()}"
+        val q = StreamMaterialize.retractAgg(
+            readStreamEarliest(s, dir), "o_orderstatus", "o_totalprice")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // newest version per group = the current aggregate
+        s.table(name).groupBy(col("g"))
+          .agg(max_by(struct(col("cnt"), col("total")), col("ver")).as("v"))
+          .select(col("g").as("o_orderstatus"),
+            col("v.cnt").as("n_delta"),
+            col("v.total").cast(DoubleType).as("total_delta"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, CAST(SUM(dc) AS BIGINT) AS n_delta,
+             |  CAST(SUM(dm) AS DOUBLE) AS total_delta
+             |FROM (
+             |  SELECT o_orderstatus, 1 AS dc,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS dm
+             |  FROM orders WHERE o_orderkey % 100 = 1
+             |  UNION ALL
+             |  SELECT o_orderstatus, 0,
+             |    CAST(o_totalprice * 2 AS DECIMAL(18,2))
+             |      - CAST(o_totalprice AS DECIMAL(18,2))
+             |  FROM orders WHERE o_orderkey % 10 = 7
+             |  UNION ALL
+             |  SELECT o_orderstatus, -1,
+             |    -(CASE WHEN o_orderkey % 10 = 7
+             |        THEN CAST(o_totalprice * 2 AS DECIMAL(18,2))
+             |        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+             |  FROM orders WHERE o_orderkey % 13 = 3)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // foreachBatch MERGE into a LIVE JDBC table (Derby): offset-guarded
     // executor-side upserts/deletes over pooled connections, read back
     // through Spark's own JDBC source — the sink half of the CDC loop.

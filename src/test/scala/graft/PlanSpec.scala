@@ -122,4 +122,26 @@ class PlanSpec extends SparkSpecBase {
       plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("sample_stratified: pure map before the presentation sort") {
+    val plan = executed(q("sample_stratified"))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"${shuffles.size} shuffles (want sort only)")
+  }
+
+  test("vec_quantize_int8: scalar scale broadcast, no shuffle join") {
+    val plan = formatted(q("vec_quantize_int8"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("text_tfidf_topk: df table and corpus size broadcast onto tf") {
+    val plan = formatted(q("text_tfidf_topk"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }

@@ -126,6 +126,52 @@ class StreamMaterializeSpec extends SparkSpecBase {
     assert(st(1L) === "v1b" && st.size === 64)
   }
 
+  test("retractAgg: updates and deletes retract totals across micro-batches") {
+    // earliest (log-only) replay, one event per trigger: the update's
+    // -U/+U pair lands in batch 1, the delete's -D in batch 2 — the
+    // retraction mutates state accumulated in an earlier batch. Deltas for
+    // g1: -10 (retract old) +40 (new) -20 (delete) = cnt -1, total 10.
+    val dir = tmpDir("retract-db")
+    val pay = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("m", DoubleType)))
+    val snapshot = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "g1", 10.0), Row(2L, "g1", 20.0), Row(3L, "g2", 5.0))), pay)
+    val env = StructType(Seq(
+      StructField(OffsetCol, LongType), StructField(OpCol, StringType),
+      StructField(TsCol, LongType), StructField(DbCol, StringType),
+      StructField(TableCol, StringType),
+      StructField(BeforeCol, pay), StructField(AfterCol, pay)))
+    val changes = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "u", 10L, "graft", "t", Row(1L, "g1", 10.0), Row(1L, "g1", 40.0)),
+      Row(2L, "d", 20L, "graft", "t", Row(2L, "g1", 20.0), null))), env)
+    FileCdcDatabase.write(spark, dir, "t", "graft", "id", snapshot, changes,
+      force = true)
+    val name = s"retract_${System.nanoTime()}"
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("scan.stream.max-events-per-trigger", "1")
+      .load()
+    val q = StreamMaterialize.retractAgg(stream, "g", "m")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table(name).groupBy(col("g"))
+      .agg(max_by(struct(col("cnt"), col("total")), col("ver")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), (r.getStruct(1).getLong(0),
+        r.getStruct(1).getDecimal(1).doubleValue()))).toMap
+    assert(fin === Map("g1" -> ((-1L, 10.0))))
+    assert(spark.table(name).select(max(col("ver"))).collect()(0)
+      .getLong(0) >= 2L, "retractions crossed at least two micro-batches")
+    // every batch's emission carried a monotone per-group version
+    val vers = spark.table(name).select("g", "ver").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(vers.groupBy(_._1).forall { case (_, vs) =>
+      vs.map(_._2).sorted.sameElements(1L to vs.length) })
+  }
+
   test("mergeInto pins the bucket count on first write") {
     val out = tmpDir("sink-pin") + "/state"
     val b1 = emitted((1L to 16L).map(i => (i, s"v$i", i, "+I")))
