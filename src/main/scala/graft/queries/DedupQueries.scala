@@ -143,6 +143,37 @@ object DedupQueries {
               |SELECT id AS doc_id, MIN(r) AS cluster_id
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // End-to-end dedup output: the corpus with non-canonical duplicate-
+    // cluster members removed (keep = min doc_id per cluster, singletons
+    // untouched) — what a training-data pipeline actually writes out. The
+    // removal set is a broadcast-sized anti-join side at any corpus scale
+    // (it is bounded by the number of duplicates, not documents).
+    "dedup_filtered_corpus" -> QueryDef(
+      (s, dir) => {
+        val clusters = graft.operators.ConnectedComponents
+          .components(minhashPairs(s, dir), "id_a", "id_b")
+        val drop = clusters.filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+        Tables.load(s, dir, "documents")
+          .join(broadcast(drop), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM pairs
+              |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT u AS id, u AS r FROM edges
+              |  UNION
+              |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+              |clusters AS (
+              |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+              |SELECT doc_id, lang, source FROM documents
+              |WHERE doc_id NOT IN (
+              |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // SimHash near-dup: 16-bit signature over word hashes; pairs within the
     // same language at Hamming distance ≤ 3. Candidate generation is
     // LSH-banded, not all-pairs: split the signature into 4 bands of 4 bits
