@@ -97,6 +97,77 @@ object PipelineQueries {
              |  WHERE term IN ('spark', 'merge', 'window'))
              |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // Salted skew join — the 100 TB pattern for a shuffle join whose key
+    // distribution is skewed (one hot orderkey would otherwise pin its
+    // entire fan-in on one reducer): the fact side salts each row into one
+    // of 8 sub-keys by hash, the dimension side replicates once per salt,
+    // and the join key becomes (key, salt) — per-reducer fan-in drops 8×
+    // at the cost of an 8× dim replication (cheap: dims are the small
+    // side). Result is provably identical to the unsalted join; the oracle
+    // IS the unsalted join.
+    "q_salted_skew_join" -> QueryDef(
+      (s, dir) => {
+        val salts = 8
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .withColumn("salt", pmod(hash(col("l_orderkey")), lit(salts)))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("salt",
+            explode(array((0 until salts).map(lit(_)): _*)))
+        li.join(ord,
+            col("l_orderkey") === col("o_orderkey")
+              && li("salt") === ord("salt"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            // exact-decimal factors multiplied exactly (the double product
+            // would tie-break differently across engines at CAST time)
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) -
+                col("l_discount").cast(DecimalType(18, 2))))
+              .cast(DoubleType).as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             |    AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Z-order (Morton) layout key — the multi-dimensional clustering step
+    // of a write path: interleaving the bits of (customer, order-date)
+    // makes rows close in BOTH dimensions close in the sort order, so
+    // either predicate prunes file ranges after a z-sorted write. The
+    // z-value is exact integer bit-math (21 bits per dimension → 42-bit
+    // key), generated once and shared verbatim with the SQL oracle. Pure
+    // map + the final range-partitioned sort a layout write needs anyway.
+    "layout_zorder" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val a = col("o_custkey").cast(LongType)
+        val b = datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast(LongType)
+        val z = (0 until 21).foldLeft(lit(0L)) { (acc, i) =>
+          acc.bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+            .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)),
+              2 * i + 1))
+        }
+        o.select(col("o_orderkey"), z.as("z"))
+          .orderBy(col("z"), col("o_orderkey"))
+      },
+      Some {
+        val zExpr = (0 until 21).map(i =>
+          s"(((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""SELECT o_orderkey, ($zExpr) AS z FROM (
+           |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS a,
+           |    CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |      AS BIGINT) AS b
+           |  FROM orders)
+           |ORDER BY z, o_orderkey""".stripMargin
+      }),
+
     // Symmetric int8 scalar quantization of the embedding column — the
     // compression step before an ANN index ships to serving. One global
     // scale (max |x|, an exact float max) broadcast to a pure map;

@@ -288,6 +288,35 @@ object StreamingQueries {
       },
       Some(changedKeysOracle)),
 
+    // Stream-static join: the CDC changelog stream enriched per micro-batch
+    // against a broadcast static dimension (the streaming twin of
+    // cdc_enrich_join) — inserted orders counted per market segment. The
+    // dimension is re-resolvable every batch (Spark re-plans the static
+    // side), which is the semantics a slowly-changing dim wants.
+    "cdc_stream_enrich" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+        val dir = prepare(s, dir0)
+        val cust = Tables.load(s, dir0, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val name = s"senrich_${System.nanoTime()}"
+        val q = readStreamEarliest(s, dir)
+          .filter(col(OpCol) === RowKind.Insert)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_mktsegment"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_inserted"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_inserted
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 100 = 1
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Incrementally maintained aggregate with retractions (the Flink
     // retract-aggregate, SURVEY §0(d)): the changelog stream drives
     // per-group COUNT/SUM state — +I/+U add, -U/-D subtract — over a
