@@ -17,5 +17,6 @@ object Fixtures {
     CdcSurfaceQueries.prepare(spark, sfDir)
     CdcSurfaceQueries.prepareSharded(spark, sfDir)
     StreamingQueries.prepare(spark, sfDir)
+    PipelineQueries.prepareBucketed(spark, sfDir)
   }
 }

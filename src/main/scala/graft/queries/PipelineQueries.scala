@@ -15,7 +15,67 @@ import org.apache.spark.sql.types._
  */
 object PipelineQueries {
 
+  import org.apache.spark.sql.SparkSession
+
+  /** Idempotently materialize narrow BUCKETED copies of lineitem/orders
+    * (16 buckets on the join key) for this SF and register them in the
+    * session catalog. Files persist under `.scratch`; a fresh session
+    * re-registers the existing layout with CREATE TABLE … CLUSTERED BY,
+    * so the one-time write cost never recurs. */
+  private[queries] def prepareBucketed(s: SparkSession,
+      sfDir: String): (String, String) = {
+    val sf = new java.io.File(sfDir).getName.replace('.', '_')
+    val root = s"/root/repo/.scratch/bucketed/$sf"
+    def ensure(source: String, cols: Seq[String], key: String): String = {
+      val name = s"${source}_bkt_$sf"
+      if (!s.catalog.tableExists(name)) {
+        val loc = s"$root/$source"
+        val done = new java.io.File(s"$loc/_BUCKETED")
+        if (done.isFile) {
+          // data exists from an earlier session — re-register the layout
+          val schema = Tables.load(s, sfDir, source)
+            .select(cols.map(col): _*).schema.toDDL
+          s.sql(s"""CREATE TABLE $name ($schema) USING PARQUET
+                   |CLUSTERED BY ($key) INTO 16 BUCKETS
+                   |LOCATION '$loc'""".stripMargin)
+        } else {
+          Tables.load(s, sfDir, source).select(cols.map(col): _*)
+            .write.format("parquet").bucketBy(16, key)
+            .option("path", loc).saveAsTable(name)
+          done.createNewFile()
+        }
+      }
+      name
+    }
+    (ensure("lineitem", Seq("l_orderkey", "l_returnflag"), "l_orderkey"),
+      ensure("orders", Seq("o_orderkey", "o_orderstatus"), "o_orderkey"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // Co-located (bucketed) join — the shuffle-ELIMINATION pattern for
+    // repeated fact-fact joins: both sides pre-bucketed on the join key
+    // into the same bucket count, so the SortMergeJoin consumes the
+    // scans' bucket partitioning directly and the plan has NO exchange
+    // under the join (PlanSpec asserts it). At 100 TB this turns the
+    // dominant recurring shuffle of a pipeline into a one-time layout
+    // cost. The merge hint pins SMJ so the contract holds at every SF
+    // (a broadcast would also be shuffle-free, but wouldn't exercise the
+    // bucketing).
+    "q_bucketed_colocated_join" -> QueryDef(
+      (s, dir) => {
+        val (liT, ordT) = prepareBucketed(s, dir)
+        s.table(liT)
+          .join(s.table(ordT).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"), col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"))
+          .orderBy(col("o_orderstatus"), col("l_returnflag"))
+      },
+      Some("""SELECT o_orderstatus, l_returnflag, COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus, l_returnflag
+             |ORDER BY o_orderstatus, l_returnflag""".stripMargin)),
 
     // Deterministic stratified (per-language) sampling: hash-threshold
     // Bernoulli with md5 over a seeded key — the standard reproducible

@@ -137,6 +137,18 @@ class PlanSpec extends SparkSpecBase {
       !plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q_bucketed_colocated_join: no exchange under the join") {
+    val df = q("q_bucketed_colocated_join")
+    val plan = executed(df)
+    assert(formatted(df).contains("SortMergeJoin"), formatted(df).take(2000))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // only the aggregation and the presentation sort may shuffle — the
+    // join itself consumes the buckets' partitioning
+    assert(shuffles.size <= 2,
+      s"${shuffles.size} shuffles — bucketing not consumed:\n" +
+        formatted(df).take(3000))
+  }
+
   test("text_tfidf_topk: df table and corpus size broadcast onto tf") {
     val plan = formatted(q("text_tfidf_topk"))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
