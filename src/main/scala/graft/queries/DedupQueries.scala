@@ -30,8 +30,12 @@ object DedupQueries {
   /** Verified MinHash-LSH duplicate pairs (id_a < id_b, jac ≥ 0.5) — the
     * candidate-generation half of [[defs dedup_minhash_lsh]], shared with
     * the clustering step. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.load(s, dir, "documents"))
+
+  /** [[minhashPairs]] over any (doc_id, text) relation — the corpus can be
+    * a parquet table or a CDC-materialized state. */
+  private def minhashPairsOf(d: DataFrame): DataFrame = {
     val sigs = d.select(col("doc_id"),
         shingleHashes(col("text"), 3).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), 16))
@@ -59,14 +63,18 @@ object DedupQueries {
 
   /** The oracle CTE chain ending in `pairs(id_a, id_b, jac)` — the SQL twin
     * of [[minhashPairs]]. */
-  private def minhashPairsCte: String = {
+  private def minhashPairsCte: String = minhashPairsCteOver("documents")
+
+  /** [[minhashPairsCte]] with the corpus taken from an arbitrary SQL
+    * relation (must expose doc_id and text). */
+  private def minhashPairsCteOver(relation: String): String = {
     val sh = sqlShingleHashes("text", 3)
     val sig = sqlMinHashSignature("sh", 16)
     val bands = sqlBandKeys("sig", 4, 4)
     val bandRows = (1 to 4)
       .map(i => s"SELECT doc_id, sh, $i AS band, bands[$i] AS key FROM sigs")
       .mkString("\n    UNION ALL ")
-    s"""docs AS (SELECT doc_id, $sh AS sh FROM documents),
+    s"""docs AS (SELECT doc_id, $sh AS sh FROM $relation),
        |sigs AS (SELECT doc_id, sh, $bands AS bands
        |         FROM (SELECT doc_id, sh, $sig AS sig FROM docs)),
        |brows AS ($bandRows),
@@ -84,7 +92,51 @@ object DedupQueries {
        |  WHERE jac >= 0.5)""".stripMargin
   }
 
+  /** Changelog spec for the documents corpus: inserted rows are COPIES
+    * (pk + 1e9, same text) — exact duplicates the dedup stage must catch. */
+  private val docsSpec = graft.cdc.ChangelogGen.Spec(pk = "doc_id",
+    measure = "n_chars", table = "documents")
+
+  /** Idempotently materialize the documents CDC database for this SF. */
+  private[queries] def prepareDocs(s: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_docs/$sf"
+    val base = Tables.load(s, sfDir, "documents")
+    graft.cdc.FileCdcDatabase.write(s, dir, "documents", "graft",
+      docsSpec.pk, snapshot = base,
+      changes = graft.cdc.ChangelogGen.changes(base, docsSpec),
+      snapshotPartitions = 8)
+    dir
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // CDC → dedup composition, the pipeline the north star describes end
+    // to end: the documents corpus arrives as a CDC changelog (inserts are
+    // byte-identical COPIES under new ids, deletes retire docs), the
+    // source materializes current state via the chunk/watermark merge, and
+    // the LSH near-dup stage runs directly on that state — every inserted
+    // copy must surface as a jac=1.0 pair with its surviving source, on
+    // top of the corpus's planted near-dups. The oracle recomputes the
+    // post-change corpus relationally and closes the same pair set.
+    "cdc_dedup_pipeline" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareDocs(s, dir0)
+        val current = s.read.format("graft-cdc")
+          .option("path", dir).option("table", "documents")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .select(col("doc_id"), col("text"))
+        minhashPairsOf(current).orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val fstate = graft.cdc.ChangelogGen.oracleFinalStateSql(
+          docsSpec, Seq("doc_id", "text"), "documents")
+        s"""WITH ${minhashPairsCteOver(s"($fstate)")}
+           |SELECT id_a, id_b, jac FROM pairs
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
 
     // Exact dedup: normalize → hash → keep the smallest doc_id per hash.
     // (The corpus has no exact dups, so survivors == all docs — the oracle

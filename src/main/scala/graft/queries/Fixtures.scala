@@ -18,5 +18,6 @@ object Fixtures {
     CdcSurfaceQueries.prepareSharded(spark, sfDir)
     StreamingQueries.prepare(spark, sfDir)
     PipelineQueries.prepareBucketed(spark, sfDir)
+    DedupQueries.prepareDocs(spark, sfDir)
   }
 }
