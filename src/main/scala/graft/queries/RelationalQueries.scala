@@ -49,6 +49,98 @@ object RelationalQueries {
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // TPC-H Q7 shape: bilateral shipping volume between a nation pair per
+    // year — a 6-table join where BOTH nation legs broadcast (25 rows) and
+    // the supplier/customer dims hash-join onto the fact pipeline once
+    // each; one agg shuffle over (nation, nation, year).
+    "q7_volume_shipping" -> QueryDef(
+      (s, dir) => {
+        val (na, nb) = ("NATION_1", "NATION_2")
+        val n = Tables.load(s, dir, "nation")
+          .filter(col("n_name").isin(na, nb))
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .join(broadcast(n.select(col("n_nationkey"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(n.select(col("n_nationkey").as("nk2"),
+            col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("nk2"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          // only cross-nation flows, both directions
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            // LongType: DuckDB EXTRACT(year) is BIGINT — a 32-bit year
+            // risks an int-vs-int64 hash mismatch in the driver compare
+            year(col("l_shipdate")).cast(LongType).as("l_year"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM (
+             |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             |    EXTRACT(year FROM l_shipdate) AS l_year,
+             |    l_extendedprice, l_discount
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+             |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+             |  WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+             |    AND nc.n_name IN ('NATION_1', 'NATION_2')
+             |    AND ns.n_name <> nc.n_name)
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // TPC-H Q18 shape: large-volume orders — aggregate-then-semijoin: the
+    // per-order quantity rollup (one shuffle on l_orderkey) filters via
+    // HAVING, then the small surviving key set joins back onto orders and
+    // customer. At scale the HAVING output is broadcast-sized by
+    // construction (it is the skew tail, not the corpus).
+    "q18_large_orders" -> QueryDef(
+      (s, dir) => {
+        val big = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+          .filter(col("sum_qty") > lit(250).cast(DecimalType(18, 2)))
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            dec(col("o_totalprice")).cast(DoubleType).as("o_totalprice"),
+            col("sum_qty").cast(DoubleType).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+             |  CAST(sum_qty AS DOUBLE) AS sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) big
+             |  ON o_orderkey = big.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     // TPC-H Q10 shape: returned-item revenue per customer — dim filters
     // before the joins, nation broadcast, one agg shuffle, deterministic
     // top-20 (tie-broken on the key).
