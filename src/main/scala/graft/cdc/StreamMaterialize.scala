@@ -107,10 +107,17 @@ object StreamMaterialize {
           var n = 0
           rows.foreach { e =>
             val m = if (e.m == null) zero else e.m
-            if (e.op == RowKind.Insert || e.op == RowKind.UpdateAfter) {
-              cnt += 1; tot = tot.add(m)
-            } else {
-              cnt -= 1; tot = tot.subtract(m)
+            e.op match {
+              case RowKind.Insert | RowKind.UpdateAfter =>
+                cnt += 1; tot = tot.add(m)
+              case RowKind.UpdateBefore | RowKind.Delete =>
+                cnt -= 1; tot = tot.subtract(m)
+              case other =>
+                // upsert-mode streams (lone +U, no -U) or raw external ops
+                // would silently corrupt the totals — fail loudly instead
+                throw new IllegalArgumentException(
+                  s"retractAgg requires a retract (changelog.mode=all) " +
+                    s"stream with ops +I/+U/-U/-D, got '$other'")
             }
             n += 1
           }
@@ -248,12 +255,20 @@ object UpsertSink {
     * value on every later merge, ignoring the caller's argument. */
   private def pinnedBuckets(root: java.io.File, requested: Int): Int = {
     val f = new java.io.File(root, "_graft_buckets")
-    if (f.isFile)
-      new String(java.nio.file.Files.readAllBytes(f.toPath),
+    if (f.isFile) {
+      val pinned = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-    else {
-      java.nio.file.Files.write(f.toPath, requested.toString.getBytes(
+      require(pinned > 0, s"corrupt bucket pin in $f: $pinned")
+      pinned
+    } else {
+      // temp + atomic move: a crash mid-write must not leave a partial pin
+      // that breaks every later merge (same discipline as the staged
+      // bucket commits)
+      val tmp = new java.io.File(root, "._graft_buckets.tmp")
+      java.nio.file.Files.write(tmp.toPath, requested.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       requested
     }
   }

@@ -52,7 +52,15 @@ object JdbcUpsertSink {
     "all", "any", "some", "cast", "desc", "asc", "values", "as", "set",
     "into", "count", "sum", "min", "max", "avg", "position", "no", "of",
     "to", "with", "for", "is", "at", "add", "begin", "close", "commit",
-    "rollback", "grant", "revoke", "schema", "session_user", "system_user")
+    "rollback", "grant", "revoke", "schema", "session_user", "system_user",
+    // numeric/temporal type names and procedure words Derby also reserves
+    "bigint", "smallint", "double", "float", "real", "numeric", "decimal",
+    "dec", "boolean", "blob", "clob", "call", "using", "declare", "cursor",
+    "function", "procedure", "current_date", "current_time",
+    "current_timestamp", "current_user", "execute", "external", "get",
+    "global", "identity", "immediate", "insensitive", "indicator", "open",
+    "out", "output", "over", "prepare", "references", "restrict", "escape",
+    "explain", "window", "where", "whenever", "work", "write", "xml")
 
   private def requireSafeIdent(kind: String, name: String): Unit =
     require(IdentPattern.matches(name) &&

@@ -255,7 +255,13 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
     if (merged.hasNext) { cur = merged.next(); true } else false
   }
   override def get(): InternalRow = cur
-  override def close(): Unit = scope.closeAll()
+  override def close(): Unit = {
+    scope.closeAll()
+    // safety net: sweep anything a scope-less consumer left open on this
+    // task thread (scoped readers are untouched — their resources are not
+    // in the thread scope)
+    FileCdcDatabase.closeAllOnThread()
+  }
 }
 
 class LogRangeReader(p: LogRangePartition)
@@ -264,7 +270,12 @@ class LogRangeReader(p: LogRangePartition)
 
   private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table, p.schemaDdl)
 
-  private val rows: Iterator[InternalRow] =
+  // lazy: a JDBC dialect's logLines borrows a pooled connection and
+  // registers the cursor the moment it is CALLED — that must happen inside
+  // next()'s inScope so the cursor lands in this reader's scope (a
+  // constructor-time open would fall into the thread scope and survive
+  // close() on early-stopped scans, leaking the pooled connection)
+  private lazy val rows: Iterator[InternalRow] =
     // shouldEmit (W3): only events past the key's finished-chunk high
     // watermark; uniform high == p.from for the file dialect. Offsets are
     // prefiltered cheaply before the full envelope decode.
@@ -292,5 +303,8 @@ class LogRangeReader(p: LogRangePartition)
     if (rows.hasNext) { cur = rows.next(); true } else false
   }
   override def get(): InternalRow = cur
-  override def close(): Unit = scope.closeAll()
+  override def close(): Unit = {
+    scope.closeAll()
+    FileCdcDatabase.closeAllOnThread()
+  }
 }

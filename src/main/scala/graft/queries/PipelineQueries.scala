@@ -39,8 +39,11 @@ object PipelineQueries {
                    |CLUSTERED BY ($key) INTO 16 BUCKETS
                    |LOCATION '$loc'""".stripMargin)
         } else {
+          // overwrite: a crash after a partial data write but before the
+          // marker must not strand the path in an unrecoverable
+          // already-exists state on the next attempt
           Tables.load(s, sfDir, source).select(cols.map(col): _*)
-            .write.format("parquet").bucketBy(16, key)
+            .write.format("parquet").mode("overwrite").bucketBy(16, key)
             .option("path", loc).saveAsTable(name)
           done.createNewFile()
         }

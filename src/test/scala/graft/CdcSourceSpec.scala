@@ -389,6 +389,45 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(ops === Set(1L, 2L, 3L))
   }
 
+  test("bounded offset: schema is the schema AS OF the bound (DDL excluded/included)") {
+    // log: update(1) → DDL at offset 3 adds `note` → update(4) sets note
+    val dir = tmpDir("cdc-bounded-ddl")
+    val widened = StructType(payload.fields :+ StructField("note", StringType))
+    val env = StructType(Seq(
+      StructField(OffsetCol, LongType), StructField(OpCol, StringType),
+      StructField(TsCol, LongType), StructField(DbCol, StringType),
+      StructField(TableCol, StringType),
+      StructField(BeforeCol, widened), StructField(AfterCol, widened),
+      StructField(DdlCol, StringType), StructField(SchemaDdlCol, StringType)))
+    val changes = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "u", 10L, "graft", "t",
+        Row(1L, "v1", null), Row(1L, "v1a", null), null, null),
+      Row(3L, "ddl", 30L, "graft", "t", null, null,
+        "ALTER TABLE t ADD COLUMN note STRING", widened.toDDL),
+      Row(4L, "u", 40L, "graft", "t",
+        Row(2L, "v2", null), Row(2L, "v2b", "n2"), null, null))), env)
+    FileCdcDatabase.write(spark, dir, "t", "graft", "id",
+      snapshot = snapshotDf, changes = changes, force = true)
+    def boundedSchema(bound: Long) =
+      spark.read.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("scan.startup.mode", "initial")
+        .option("scan.bounded.offset", bound.toString)
+        .load().schema.fieldNames.toSet
+    // before the DDL: note must NOT leak into the bounded schema
+    assert(!boundedSchema(2L).contains("note"))
+    // at the DDL offset (inclusive bound) and past it: widened
+    assert(boundedSchema(3L).contains("note"))
+    val rows = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option("scan.bounded.offset", "4")
+      .load().select("id", "v", "note").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains((2L, "v2b", "n2")), "post-DDL update applied")
+    assert(rows.contains((1L, "v1a", null)), "pre-DDL row decodes note=null")
+  }
+
   test("bounded offset: a stream drains to the bound and idles there") {
     val dir = tmpDir("cdc-bounded-stream")
     writeDb(dir, 6L)
