@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries cache intermediates (LSH signature tables etc.) — drop them
+      // between queries so a long verify pass doesn't accumulate executor
+      // storage (same hygiene as Bench)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
