@@ -78,7 +78,7 @@ object StreamingQueries {
     // and the result is deterministic against the batch oracle).
     "q_stream_hourly_agg" -> QueryDef(
       // streaming state is O(windows×types): size stores to state volume
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val raw = Tables.load(s, dir0, "events")
         val name = s"hourly_${System.nanoTime()}"
@@ -118,8 +118,12 @@ object StreamingQueries {
     // single input file in one batch, so no matches are watermark-dropped
     // and the result equals the batch join.
     "q_stream_stream_join" -> QueryDef(
-      // 4 state stores per partition per batch: size to in-flight rows
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      // 4 state stores per PARTITION per batch — partition count is the
+      // state-store-commit multiplier, so size it to state volume, not
+      // core count (measured at sf0.1/local[32]: 4 partitions halves the
+      // query vs 8; a real cluster sizes up only when per-partition state
+      // no longer fits an executor)
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         val name = s"ssj_${System.nanoTime()}"
         def eventsStream = {
           import org.apache.spark.sql.types._
@@ -172,7 +176,7 @@ object StreamingQueries {
     // natural key): first arrival wins, per-key state expires past the
     // watermark. Counts per event_type after dedup match batch DISTINCT.
     "q_stream_dedup" -> QueryDef(
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         val name = s"sdd_${System.nanoTime()}"
         import org.apache.spark.sql.types._
         val raw = Tables.load(s, dir0, "events")
@@ -203,7 +207,7 @@ object StreamingQueries {
     // exactly the batch rule (split only when the gap is strictly > 1800). Complete mode re-emits all sessions each
     // batch; with the single AvailableNow batch that IS the final set.
     "q_stream_session_window" -> QueryDef(
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val raw = Tables.load(s, dir0, "events")
         val name = s"ssw_${System.nanoTime()}"
@@ -264,7 +268,7 @@ object StreamingQueries {
     // micro-batches; the upsert stream reduces to exactly the changed keys'
     // final state (delete markers win over earlier updates).
     "cdc_stream_stateful_upserts" -> QueryDef(
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         val dir = prepare(s, dir0)
         val name = s"stateful_${System.nanoTime()}"
         val ups = StreamMaterialize.upserts(
@@ -294,7 +298,7 @@ object StreamingQueries {
     // dimension is re-resolvable every batch (Spark re-plans the static
     // side), which is the semantics a slowly-changing dim wants.
     "cdc_stream_enrich" -> QueryDef(
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         val dir = prepare(s, dir0)
         val cust = Tables.load(s, dir0, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
@@ -325,7 +329,7 @@ object StreamingQueries {
     // per-kind deltas relationally; exact DECIMAL arithmetic on both sides
     // makes the comparison bit-stable.
     "cdc_incremental_agg" -> QueryDef(
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types.DoubleType
         val dir = prepare(s, dir0)
         val name = s"retract_${System.nanoTime()}"
@@ -365,7 +369,7 @@ object StreamingQueries {
     // executor-side upserts/deletes over pooled connections, read back
     // through Spark's own JDBC source — the sink half of the CDC loop.
     "cdc_jdbc_sink_merge" -> QueryDef(
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         val dir = prepare(s, dir0)
         // one shared scratch database (engine boot amortized across runs);
         // a fresh table per run keeps executions independent
@@ -388,7 +392,7 @@ object StreamingQueries {
     // foreachBatch MERGE sink: parquet state equals the materialized
     // changelog after every batch; idempotent newest-wins merge.
     "cdc_upsert_sink_merge" -> QueryDef(
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         val dir = prepare(s, dir0)
         val out = s"/root/repo/.scratch/upsert_sink/${System.nanoTime()}"
         val q = readStreamEarliest(s, dir)
