@@ -231,6 +231,33 @@ object PipelineQueries {
            |ORDER BY z, o_orderkey""".stripMargin
       }),
 
+    // Sequence packing: documents assigned to fixed-budget bins by
+    // cumulative length in doc_id order — the "pack documents into
+    // training sequences" step. The total-order cumulative sum runs as
+    // range-partitioned per-partition windows plus a driver-side prefix
+    // pass (operators/SequencePacking.scala), NOT a global
+    // Window.orderBy — the naive global window is a single task at any
+    // scale. Result is partition-count-independent; the oracle is the
+    // same cumsum as one SQL window.
+    "pack_sequences" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        graft.operators.SequencePacking
+          .packBins(d, "doc_id", "n_chars", budget = 4096L)
+          .select(col("doc_id"), col("n_chars"), col("bin"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_chars,
+             |  CAST(FLOOR(CAST(cum - n_chars AS DOUBLE) / 4096) AS BIGINT)
+             |    AS bin
+             |FROM (
+             |  SELECT doc_id, n_chars,
+             |    SUM(n_chars) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Symmetric int8 scalar quantization of the embedding column — the
     // compression step before an ANN index ships to serving. One global
     // scale (max |x|, an exact float max) broadcast to a pure map;
