@@ -109,6 +109,35 @@ object PipelineQueries {
              |  FROM documents)
              |WHERE bucket < thresh ORDER BY doc_id""".stripMargin)),
 
+    // Fixed-SIZE deterministic sample per stratum (the reservoir-sampling
+    // contract, reproducibly): rank documents inside each language by the
+    // md5 of a seeded key and keep the k smallest — a uniform random
+    // k-subset under the random-oracle view of md5, yet the SAME subset on
+    // any engine, any partitioning, any run. One shuffle (the per-stratum
+    // rank); k rows per stratum leave the shuffle.
+    "sample_reservoir_k" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 25
+        val d = Tables.load(s, dir, "documents")
+        val rk = substring(
+          md5(concat(lit("graft-res|"), col("doc_id").cast(StringType))),
+          1, 16)
+        d.select(col("doc_id"), col("lang"), rk.as("rk"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("rk"), col("doc_id"))))
+          .filter(col("rn") <= k)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY substr(md5('graft-res|' || CAST(doc_id AS VARCHAR)), 1, 16),
+             |      doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 25 ORDER BY doc_id""".stripMargin)),
+
     // TF-IDF top-k retrieval over an inverted index: tokenize → per-(doc,
     // term) counts → document frequencies → score a fixed query term set
     // with a BM25-style rational idf ((N - df + 0.5)/(df + 0.5) — division
