@@ -195,6 +195,50 @@ object DedupQueries {
               |SELECT id AS doc_id, MIN(r) AS cluster_id
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // INCREMENTAL near-dup: a new ingest batch (here docs with
+    // doc_id % 5 == 4, ~20%) checked against the whole corpus without
+    // re-pairing the corpus against itself — only band buckets containing
+    // a NEW document generate candidates, so candidate cost scales with
+    // the BATCH, not the corpus. This is how dedup runs in production:
+    // the full self-join happens once, every later ingest uses this
+    // asymmetric probe. Output = exactly the pairs of the full self-join
+    // that involve at least one new doc (the oracle states it that way).
+    "dedup_incremental_pairs" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val sigs = d.select(col("doc_id"),
+            shingleHashes(col("text"), 3).as("sh"))
+          .withColumn("sig", minHashSignature(col("sh"), 16))
+          .withColumn("bands", bandKeys(col("sig"), 4, 4))
+          .select(col("doc_id"), col("sh"), col("bands"))
+          .cache()
+        val exploded = sigs.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band", "key")))
+        val newSide = exploded.filter(col("doc_id") % 5 === 4)
+        // asymmetric probe: new docs against ALL docs (old-old never pairs)
+        val cands = newSide.as("a")
+          .join(exploded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key")
+              && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        val sets = sigs.select(col("doc_id"), col("sh"))
+        cands
+          .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+            "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+            "id_b")
+          .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
+          .filter(col("jac") >= 0.5d)
+          .select(col("id_a"), col("id_b"), col("jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $minhashPairsCte
+              |SELECT id_a, id_b, jac FROM pairs
+              |WHERE id_a % 5 = 4 OR id_b % 5 = 4
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // End-to-end dedup output: the corpus with non-canonical duplicate-
     // cluster members removed (keep = min doc_id per cluster, singletons
     // untouched) — what a training-data pipeline actually writes out. The
