@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.Divide
  *   graft_vec_dot(a, b)             -> DOUBLE         sequential-fold dot
  *   graft_hamming(a, b)             -> INT            popcount(a XOR b)
  *   graft_cosine(a, b)              -> DOUBLE         6-dp-rounded cosine
+ *   graft_zvalue(a, b, bits)        -> BIGINT         Morton bit-interleave
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -57,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_cosine"),
       (args: Seq[Expression]) => GraftExtensions.cosineExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_zvalue"),
+      (args: Seq[Expression]) => GraftExtensions.zvalueExpr(args.head,
+        args(1), intLit(args(2), "graft_zvalue"))))
   }
 }
 
@@ -82,6 +88,8 @@ object GraftExtensions {
     add("graft_vec_dot", args => VecDot(args.head, args(1)))
     add("graft_hamming", hammingExpr)
     add("graft_cosine", cosineExpr)
+    add("graft_zvalue", args =>
+      zvalueExpr(args.head, args(1), intLit(args(2), "graft_zvalue")))
   }
 
   /** popcount(a XOR b) — same composition as the Column-side hamming. */
@@ -95,5 +103,31 @@ object GraftExtensions {
     Round(Divide(VecDot(a, b),
       Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b)))),
       Literal(6))
+  }
+
+  /** Morton (Z-order) interleave of the low `bits` of two BIGINTs — the
+    * multi-dimensional clustering key behind `layout_zorder`. A fold of
+    * codegen'd bit ops (exact integers, engine-portable). */
+  private[functions] def zvalueExpr(a0: Expression, b0: Expression,
+      bits: Int): Expression = {
+    require(bits >= 1 && bits <= 31,
+      s"graft_zvalue bits must be in [1, 31]: $bits")
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, ShiftLeft, ShiftRight}
+    import org.apache.spark.sql.types.LongType
+    val a = Cast(a0, LongType); val b = Cast(b0, LongType)
+    def bit(e: Expression, i: Int, pos: Int): Expression =
+      ShiftLeft(BitwiseAnd(ShiftRight(e, Literal(i)), Literal(1L)),
+        Literal(pos))
+    (0 until bits).foldLeft(Literal(0L): Expression) { (acc, i) =>
+      BitwiseOr(acc, BitwiseOr(bit(a, i, 2 * i), bit(b, i, 2 * i + 1)))
+    }
+  }
+
+  /** Column-side twin of [[zvalueExpr]]. */
+  def zvalue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(zvalueExpr(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), bits))
   }
 }

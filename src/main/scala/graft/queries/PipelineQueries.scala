@@ -240,11 +240,8 @@ object PipelineQueries {
         val a = col("o_custkey").cast(LongType)
         val b = datediff(col("o_orderdate"), lit("1970-01-01"))
           .cast(LongType)
-        val z = (0 until 21).foldLeft(lit(0L)) { (acc, i) =>
-          acc.bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-            .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)),
-              2 * i + 1))
-        }
+        // the native expression behind graft_zvalue(a, b, 21) in SQL
+        val z = graft.functions.GraftExtensions.zvalue(a, b, 21)
         o.select(col("o_orderkey"), z.as("z"))
           .orderBy(col("z"), col("o_orderkey"))
       },

@@ -132,6 +132,24 @@ class TextFunctionsSpec extends SparkSpecBase {
     val c2 = embs.select(cosine(col("embedding"), col("embedding")).as("c"))
       .collect().map(_.getDouble(0)).toSeq
     assert(c1 === c2)
+    // z-order interleave: SQL vs Column, plus known bit patterns
+    val z1 = spark.sql(
+      "SELECT graft_zvalue(doc_id, n_chars, 21) AS z FROM ext_docs")
+      .collect().map(_.getLong(0)).toSeq
+    val z2 = docs.select(graft.functions.GraftExtensions
+        .zvalue(col("doc_id"), col("n_chars"), 21).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z1 === z2)
+    def zRef(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    val pat = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1048575L, 7L))
+      .toDF("a", "b")
+      .select(graft.functions.GraftExtensions
+        .zvalue(col("a"), col("b"), 21).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(pat === Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1048575L, 7L))
+      .map { case (a, b) => zRef(a, b, 21) })
   }
 
   test("cosine: orthogonal -> 0, identical -> 1, antiparallel -> -1") {
