@@ -467,6 +467,48 @@ object DedupQueries {
               |    ON a.label = b.label AND a.vec_id < b.vec_id)
               |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Semantic duplicate CLUSTERS: the embedding-cosine pairs closed into
+    // groups with the same star-contraction operator the textual pipeline
+    // uses — near-duplication by meaning is no more transitive than by
+    // text, so semantic dedup ALSO needs the closure before electing
+    // canonicals. Demonstrates the clustering operator composing over a
+    // second, unrelated pair source.
+    "dedup_semantic_clusters" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+          .cache()
+        val pairs = e.as("a")
+          .join(e.as("b"), col("a.label") === col("b.label")
+            && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", round(
+            dot(col("a.embedding"), col("b.embedding"))
+              / (col("a.nrm") * col("b.nrm")), 6))
+          .filter(col("cos") >= 0.4d)
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        graft.operators.ConnectedComponents
+          .components(pairs, "id_a", "id_b")
+          .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE cpairs AS (
+              |  SELECT id_a, id_b FROM (
+              |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |      ${sqlCosine("a.embedding", "b.embedding", 64)} AS cos
+              |    FROM embeddings a JOIN embeddings b
+              |      ON a.label = b.label AND a.vec_id < b.vec_id)
+              |  WHERE cos >= 0.4),
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM cpairs
+              |  UNION SELECT id_b AS u, id_a AS v FROM cpairs),
+              |reach(id, r) AS (
+              |  SELECT u AS id, u AS r FROM edges
+              |  UNION
+              |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+              |SELECT id AS vec_id, MIN(r) AS cluster_id
+              |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin)),
+
     // Embedding-cosine near-dup blocked by a REAL coarse quantizer: every
     // vector is assigned to its nearest centroid (the IVF cell map — one
     // broadcast pass, one row per vector shuffled), and candidate pairs
