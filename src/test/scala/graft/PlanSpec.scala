@@ -149,6 +149,14 @@ class PlanSpec extends SparkSpecBase {
         formatted(df).take(3000))
   }
 
+  test("pack_sequences: cumsum never collapses to a single-partition window") {
+    val plan = formatted(q("pack_sequences"))
+    // the two-phase cumsum windows over __pid partitions; a regression to
+    // a global Window.orderBy would show an Exchange SinglePartition
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global single-partition window detected:\n${plan.take(3000)}")
+  }
+
   test("text_tfidf_topk: df table and corpus size broadcast onto tf") {
     val plan = formatted(q("text_tfidf_topk"))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
