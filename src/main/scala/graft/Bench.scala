@@ -58,20 +58,29 @@ object Bench {
     // in one pass while vmstat sits idle). The min of two independent
     // passes reports the reproducible cost of the PLAN, which is what this
     // benchmark measures — noise inflation is not plan cost.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map {
+    // (elapsed, succeeded) per query: a pass that THREW must not win the
+    // min with its fast time-to-failure and mask the error
+    def timedPass(): Map[String, (Double, Boolean)] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         // intra-query caches must not shift cost (or memory) onto later
         // queries
         spark.catalog.clearCache()
-        name -> t
+        name -> ((t, ok))
     }.toMap
     val pass1 = timedPass()
     val pass2 = timedPass()
-    val results = pass1.map { case (name, t1) =>
-      name -> math.min(t1, pass2.getOrElse(name, t1))
+    val results = pass1.map { case (name, (t1, ok1)) =>
+      val (t2, ok2) = pass2.getOrElse(name, (t1, ok1))
+      name -> ((ok1, ok2) match {
+        case (true, true) => math.min(t1, t2)
+        case (true, false) => t1
+        case (false, true) => t2
+        case (false, false) => math.max(t1, t2) // both failed: report slow
+      })
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -27,6 +27,9 @@ object SequencePacking {
   def packBins(df: DataFrame, orderCol: String, weightCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    val reservedCols = Seq("bin", "__pid", "__cum")
+    reservedCols.foreach(c => require(!df.columns.contains(c),
+      s"packBins reserves column name '$c'; rename it in the input"))
     val parted = df
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
@@ -41,16 +44,21 @@ object SequencePacking {
     val pids = partTotals.keys.toSeq.sorted
     val prefix: Map[Int, Long] = pids.zip(
       pids.scanLeft(0L)((acc, p) => acc + partTotals(p))).toMap
-    val prefixCol: Column = pids.foldLeft(lit(0L)) { (acc, p) =>
-      when(col("__pid") === p, lit(prefix(p))).otherwise(acc)
-    }
+    // O(1) map-literal lookup per row — a CASE WHEN chain over partition
+    // ids would be O(P) deep and overflow Catalyst at cluster partition
+    // counts, defeating this operator's own scale contract
+    val prefixCol: Column =
+      if (prefix.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(prefix), col("__pid")), lit(0L))
     val localCum = sum(col(weightCol))
       .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
     parted
-      .withColumn("__cum", localCum + prefixCol)
+      .withColumn("__cum", (localCum + prefixCol).cast("long"))
+      // exact integer floor-division (weights are non-negative by
+      // contract): double division would drop low bits past 2^53 total
+      // weight and land documents one bin off
       .withColumn("bin",
-        floor((col("__cum") - col(weightCol)).cast("double") / budget)
-          .cast("long"))
+        expr(s"(__cum - $weightCol) div ${budget}L").cast("long"))
       .drop("__pid", "__cum")
   }
 }

@@ -34,8 +34,14 @@ object DedupQueries {
     minhashPairsOf(Tables.load(s, dir, "documents"))
 
   /** [[minhashPairs]] over any (doc_id, text) relation — the corpus can be
-    * a parquet table or a CDC-materialized state. */
-  private def minhashPairsOf(d: DataFrame): DataFrame = {
+    * a parquet table or a CDC-materialized state. `probeFilter` switches
+    * candidate generation from the symmetric self-join to the ASYMMETRIC
+    * incremental probe: only band buckets containing a probe-side (new)
+    * document generate candidates, so candidate cost scales with the
+    * ingest batch, not the corpus. One set of LSH calibration constants
+    * (3-shingles, 16 hashes, 4×4 bands, jac ≥ 0.5) serves every caller. */
+  private def minhashPairsOf(d: DataFrame,
+      probeFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val sigs = d.select(col("doc_id"),
         shingleHashes(col("text"), 3).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), 16))
@@ -44,12 +50,23 @@ object DedupQueries {
       .cache()
     val exploded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "key")))
-    val cands = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val bucketEq =
+      col("a.band") === col("b.band") && col("a.key") === col("b.key")
+    val cands = probeFilter match {
+      case None =>
+        exploded.as("a")
+          .join(exploded.as("b"),
+            bucketEq && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      case Some(isNew) =>
+        exploded.filter(isNew).as("a")
+          .join(exploded.as("b"),
+            bucketEq && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+    }
     val sets = sigs.select(col("doc_id"), col("sh"))
     cands
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
@@ -59,6 +76,25 @@ object DedupQueries {
       .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jac") >= 0.5d)
       .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Norm-hoisted label-blocked cosine pairs over embeddings — shared by
+    * the pairs query and the semantic-clusters closure (one threshold, one
+    * blocking key for both). */
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .cache()
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label")
+        && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(
+        dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos") >= 0.4d)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("cos"))
   }
 
   /** The oracle CTE chain ending in `pairs(id_a, id_b, jac)` — the SQL twin
@@ -204,36 +240,9 @@ object DedupQueries {
     // asymmetric probe. Output = exactly the pairs of the full self-join
     // that involve at least one new doc (the oracle states it that way).
     "dedup_incremental_pairs" -> QueryDef(
-      (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        val sigs = d.select(col("doc_id"),
-            shingleHashes(col("text"), 3).as("sh"))
-          .withColumn("sig", minHashSignature(col("sh"), 16))
-          .withColumn("bands", bandKeys(col("sig"), 4, 4))
-          .select(col("doc_id"), col("sh"), col("bands"))
-          .cache()
-        val exploded = sigs.select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band", "key")))
-        val newSide = exploded.filter(col("doc_id") % 5 === 4)
-        // asymmetric probe: new docs against ALL docs (old-old never pairs)
-        val cands = newSide.as("a")
-          .join(exploded.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key")
-              && col("a.doc_id") =!= col("b.doc_id"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-        val sets = sigs.select(col("doc_id"), col("sh"))
-        cands
-          .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-            "id_a")
-          .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-            "id_b")
-          .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
-          .filter(col("jac") >= 0.5d)
-          .select(col("id_a"), col("id_b"), col("jac"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, dir) => minhashPairsOf(Tables.load(s, dir, "documents"),
+          probeFilter = Some(col("doc_id") % 5 === 4))
+        .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH $minhashPairsCte
               |SELECT id_a, id_b, jac FROM pairs
               |WHERE id_a % 5 = 4 OR id_b % 5 = 4
@@ -442,24 +451,10 @@ object DedupQueries {
     // Embedding-cosine near-dup blocked by cluster label (coarse-quantizer
     // stand-in); sequential-fold double cosine is bit-identical in DuckDB.
     "dedup_embedding_cosine" -> QueryDef(
-      (s, dir) => {
-        // norms precomputed per vector (cached) instead of per pair — same
-        // sequential fold as the oracle's sqrt(dot(a,a)), just hoisted
-        val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"), col("embedding"),
-            norm(col("embedding")).as("nrm"))
-          .cache()
-        e.as("a")
-          .join(e.as("b"), col("a.label") === col("b.label")
-            && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos", round(
-            dot(col("a.embedding"), col("b.embedding"))
-              / (col("a.nrm") * col("b.nrm")), 6))
-          .filter(col("cos") >= 0.4d)
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            col("cos"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      // norms precomputed per vector (cached) instead of per pair — same
+      // sequential fold as the oracle's sqrt(dot(a,a)), just hoisted;
+      // pair generation shared with dedup_semantic_clusters
+      (s, dir) => cosinePairs(s, dir).orderBy(col("id_a"), col("id_b")),
       Some(s"""SELECT id_a, id_b, cos FROM (
               |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               |    ${sqlCosine("a.embedding", "b.embedding", 64)} AS cos
@@ -475,20 +470,8 @@ object DedupQueries {
     // second, unrelated pair source.
     "dedup_semantic_clusters" -> QueryDef(
       (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"), col("embedding"),
-            norm(col("embedding")).as("nrm"))
-          .cache()
-        val pairs = e.as("a")
-          .join(e.as("b"), col("a.label") === col("b.label")
-            && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos", round(
-            dot(col("a.embedding"), col("b.embedding"))
-              / (col("a.nrm") * col("b.nrm")), 6))
-          .filter(col("cos") >= 0.4d)
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
         graft.operators.ConnectedComponents
-          .components(pairs, "id_a", "id_b")
+          .components(cosinePairs(s, dir), "id_a", "id_b")
           .select(col("id").as("vec_id"), col("component").as("cluster_id"))
           .orderBy(col("vec_id"))
       },

@@ -275,8 +275,7 @@ object PipelineQueries {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, n_chars,
-             |  CAST(FLOOR(CAST(cum - n_chars AS DOUBLE) / 4096) AS BIGINT)
-             |    AS bin
+             |  CAST((cum - n_chars) // 4096 AS BIGINT) AS bin
              |FROM (
              |  SELECT doc_id, n_chars,
              |    SUM(n_chars) OVER (ORDER BY doc_id
