@@ -60,7 +60,8 @@ object Bench {
     // benchmark measures — noise inflation is not plan cost.
     // (elapsed, succeeded) per query: a pass that THREW must not win the
     // min with its fast time-to-failure and mask the error
-    def timedPass(): Map[String, (Double, Boolean)] = SparkEntry.queries.map {
+    def timedPass(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Map[String, (Double, Boolean)] = order.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -71,8 +72,13 @@ object Bench {
         spark.catalog.clearCache()
         name -> ((t, ok))
     }.toMap
-    val pass1 = timedPass()
-    val pass2 = timedPass()
+    // Pass 2 runs in REVERSE order: a stall induced by a neighboring query
+    // (GC pressure, page-cache eviction, host noise with a period) hits the
+    // same victim in both passes when the order repeats, surviving the min.
+    // Reversing decorrelates query identity from position.
+    val order = SparkEntry.queries.toSeq
+    val pass1 = timedPass(order)
+    val pass2 = timedPass(order.reverse)
     val results = pass1.map { case (name, (t1, ok1)) =>
       val (t2, ok2) = pass2.getOrElse(name, (t1, ok1))
       name -> ((ok1, ok2) match {
@@ -85,7 +91,28 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Full-precision record (complete, for log readers that keep all output).
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness that records this run keeps only the LAST ~2000 chars of
+    // output and parses the JSON line found there; with 80 queries the
+    // full-precision line is ~3200 chars and never fits, so the recorded
+    // artifact loses the totals. Emit a final compact line guaranteed to fit:
+    // ms-precision values, slowest queries first, truncated (with an explicit
+    // omitted count/sum) once the line would outgrow the capture window.
+    def f3(v: Double) = f"$v%.3f"
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val budget = 1700 // line budget: capture window minus sbt's epilogue
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":{"""
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + 60 // reserve room for the closing fields
+    var omitted = 0; var omittedSec = 0.0
+    bySlowest.foreach { case (k, v) =>
+      val e = s"\"$k\":${f3(v)}"
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
+      else { omitted += 1; omittedSec += v }
+    }
+    println(head + entries.mkString(",") +
+      s"""},"omitted_fastest":$omitted,"omitted_sec":${f3(omittedSec)}}""")
     spark.stop()
   }
 }

@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.MultimodalQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

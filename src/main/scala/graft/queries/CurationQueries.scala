@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus-curation operators — the filtering/selection passes a training-data
+ * pipeline runs between raw ingest and tokenization:
+ *
+ *  - benchmark DECONTAMINATION (drop training docs that overlap an eval set),
+ *  - Gopher-style REPETITION filtering (drop degenerate/repetitive docs),
+ *  - BOILERPLATE detection (n-grams shared across many documents),
+ *  - MIXTURE resampling (subsample strata to hit a target language mix).
+ *
+ * All scores are exact integer arithmetic (or a single double division of
+ * exact integers), so the DuckDB oracle reproduces them bit-for-bit. Scale
+ * shapes: repetition is a pure map; decontamination is a map + broadcast
+ * semi-join against the (small) eval-set index; boilerplate is one
+ * inverted-index shuffle whose hot set is tiny; mixture is a 5-row aggregate
+ * broadcast back onto a pure map.
+ */
+object CurationQueries {
+
+  /** Eval-set membership for decontamination: ~1% of the corpus stands in
+    * for the benchmark suite. Deterministic, derivable on both engines. */
+  private val evalPred = "doc_id % 97 = 0"
+
+  /** Language mixture targets (numerators out of 10) for `sample_mixture`. */
+  private val mixWeights = Seq("en" -> 4L, "de" -> 2L, "es" -> 2L,
+    "fr" -> 1L, "zh" -> 1L)
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Gopher-style repetition metrics + keep decision, per document:
+    //   dup_word_frac  — fraction of word occurrences that repeat an
+    //                    earlier occurrence (1 - distinct/total),
+    //   top_unigram_frac — share of the most frequent word,
+    //   dup_2gram_frac — fraction of duplicated word bigrams.
+    // Pure map over the scan (the per-doc O(words · distinct_words) count
+    // is bounded by document length, not data size); the keep flag is
+    // decided in exact integer cross-multiplication, not float compare.
+    "text_repetition_filter" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ws = words(col("text"))
+        val n = size(ws).cast(LongType)
+        val nd = size(array_distinct(ws)).cast(LongType)
+        val topc = array_max(transform(array_distinct(ws),
+          x => size(filter(ws, w => w === x)))).cast(LongType)
+        val gs = shingles(ws, 2)
+        val n2 = size(gs).cast(LongType)
+        val nd2 = size(array_distinct(gs)).cast(LongType)
+        // Gopher-ish bounds: ≤70% repeated words, top word ≤30% of tokens
+        val keep = ((n - nd) * 10 <= n * 7) && (topc * 10 <= n * 3)
+        d.select(
+            col("doc_id"),
+            n.as("n_words"),
+            round((n - nd).cast(DoubleType) / n.cast(DoubleType), 6)
+              .as("dup_word_frac"),
+            round(topc.cast(DoubleType) / n.cast(DoubleType), 6)
+              .as("top_unigram_frac"),
+            round(when(n2 > 0, (n2 - nd2).cast(DoubleType) / n2.cast(DoubleType))
+              .otherwise(lit(0.0d)), 6).as("dup_2gram_frac"),
+            keep.as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        val n = s"CAST(len($ws) AS BIGINT)"
+        val nd = s"CAST(len(list_distinct($ws)) AS BIGINT)"
+        val topc = s"CAST(list_max(list_transform(list_distinct($ws), " +
+          s"x -> len(list_filter($ws, w -> w = x)))) AS BIGINT)"
+        val gs = sqlShingles(ws, 2)
+        val n2 = s"CAST(len($gs) AS BIGINT)"
+        val nd2 = s"CAST(len(list_distinct($gs)) AS BIGINT)"
+        s"""SELECT doc_id, n AS n_words,
+           |  round(CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_word_frac,
+           |  round(CAST(topc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_unigram_frac,
+           |  round(CASE WHEN n2 > 0
+           |    THEN CAST(n2 - nd2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+           |    ELSE 0.0 END, 6) AS dup_2gram_frac,
+           |  ((n - nd) * 10 <= n * 7) AND (topc * 10 <= n * 3) AS keep
+           |FROM (SELECT doc_id, $n AS n, $nd AS nd, $topc AS topc,
+           |             $n2 AS n2, $nd2 AS nd2
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Benchmark decontamination: a training document is contaminated if it
+    // shares any word-5-gram with the eval set (doc_id % 97 = 0 stands in
+    // for the benchmark suite). The eval index — DISTINCT 5-gram hashes over
+    // ~1% of docs — is small by construction, so the contamination check is
+    // a broadcast semi-join on the exploded training side: no shuffle
+    // reaches the 100 TB table except the final per-doc count, whose input
+    // is only the matching rows.
+    "text_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val withH = d.select(col("doc_id"),
+          shingleHashes(col("text"), 5).as("hs"))
+        val evalH = withH.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("hs")).as("h")).distinct()
+        val train = withH.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), size(col("hs")).cast(LongType).as("n_grams"),
+            explode(col("hs")).as("h"))
+        train.join(broadcast(evalH), "h")
+          .groupBy(col("doc_id"), col("n_grams"))
+          .agg(count(lit(1)).as("n_shared"))
+          .select(col("doc_id"), col("n_grams"), col("n_shared"),
+            round(col("n_shared").cast(DoubleType) /
+              col("n_grams").cast(DoubleType), 6).as("shared_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val hs = sqlShingleHashes("text", 5)
+        s"""WITH withh AS (
+           |  SELECT doc_id, $hs AS hs FROM documents),
+           |evalh AS (
+           |  SELECT DISTINCT h FROM (
+           |    SELECT unnest(hs) AS h FROM withh WHERE $evalPred)),
+           |train AS (
+           |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+           |         unnest(hs) AS h
+           |  FROM withh WHERE NOT ($evalPred))
+           |SELECT doc_id, n_grams, count(*) AS n_shared,
+           |  round(CAST(count(*) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+           |    AS shared_frac
+           |FROM train JOIN evalh USING (h)
+           |GROUP BY doc_id, n_grams
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Boilerplate detection: word-3-grams appearing in ≥ 5 distinct
+    // documents are "boilerplate" (headers/footers/templates at corpus
+    // scale; here the planted near-dup families). Per document: how much of
+    // it is boilerplate. One inverted-index shuffle builds the document
+    // frequency table; the surviving hot set is tiny (frequency ≥ 5 caps
+    // its size at n_grams_total/5, in practice far less), so the second
+    // pass is a broadcast join back onto the exploded scan.
+    "text_boilerplate_frac" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val exploded = d.select(col("doc_id"),
+            shingleHashes(col("text"), 3).as("hs"))
+          .select(col("doc_id"), size(col("hs")).cast(LongType).as("n_grams"),
+            explode(col("hs")).as("h"))
+        // shingleHashes is per-doc DISTINCT → count(*) = document frequency
+        val hot = exploded.groupBy(col("h"))
+          .agg(count(lit(1)).as("df")).filter(col("df") >= 5)
+          .select(col("h"))
+        val bp = exploded.join(broadcast(hot), "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
+        d.select(col("doc_id"),
+            size(shingleHashes(col("text"), 3)).cast(LongType).as("n_grams"))
+          .join(bp, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_bp"), lit(0L)).as("n_bp"),
+            round(coalesce(col("n_bp"), lit(0L)).cast(DoubleType) /
+              col("n_grams").cast(DoubleType), 6).as("bp_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val hs = sqlShingleHashes("text", 3)
+        s"""WITH exploded AS (
+           |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+           |         unnest(hs) AS h
+           |  FROM (SELECT doc_id, $hs AS hs FROM documents)),
+           |hot AS (
+           |  SELECT h FROM exploded GROUP BY h HAVING count(*) >= 5),
+           |bp AS (
+           |  SELECT doc_id, count(*) AS n_bp
+           |  FROM exploded JOIN hot USING (h) GROUP BY doc_id),
+           |base AS (
+           |  SELECT doc_id, CAST(len($hs) AS BIGINT) AS n_grams
+           |  FROM documents)
+           |SELECT base.doc_id, base.n_grams,
+           |  coalesce(bp.n_bp, 0) AS n_bp,
+           |  round(CAST(coalesce(bp.n_bp, 0) AS DOUBLE)
+           |        / CAST(base.n_grams AS DOUBLE), 6) AS bp_frac
+           |FROM base LEFT JOIN bp ON base.doc_id = bp.doc_id
+           |ORDER BY base.doc_id""".stripMargin
+      }),
+
+    // Mixture resampling: subsample each language stratum so the selected
+    // corpus approaches a target mix (en 40%, de/es 20%, fr/zh 10%) of the
+    // ORIGINAL corpus size. Acceptance probability per stratum is
+    // min(1, w_l/10 · total / cnt_l); the accept decision is the same
+    // md5-threshold device as sample_stratified, compared by exact integer
+    // cross-multiplication (h%1M · 10 · cnt_l < w_l · total · 1M — fits
+    // int64 up to ~10^11-row strata; beyond that the comparison moves to
+    // DECIMAL). Plan: a 5-row aggregate broadcast back onto a pure map —
+    // nothing heavier than the scan itself touches the 100 TB side.
+    "sample_mixture" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val cnts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        val total = d.agg(count(lit(1)).as("total"))
+        val w = mixWeights.foldRight(lit(0L)) { case ((l, wl), e) =>
+          when(col("lang") === l, lit(wl)).otherwise(e)
+        }
+        val h = md5Long(concat(lit("mix:"), col("doc_id"))) % 1000000L
+        d.join(broadcast(cnts), "lang").crossJoin(broadcast(total))
+          .filter(h * 10L * col("cnt") < w * col("total") * 1000000L)
+          .groupBy(col("lang")).agg(
+            count(lit(1)).as("n_sel"),
+            min(col("doc_id")).as("first_id"))
+          .join(cnts, "lang")
+          .select(col("lang"), col("cnt"), col("n_sel"), col("first_id"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val h = s"(${sqlMd5Long("concat('mix:', doc_id)")} % 1000000)"
+        val w = mixWeights.foldRight("CAST(0 AS BIGINT)") { case ((l, wl), e) =>
+          s"CASE WHEN lang = '$l' THEN $wl ELSE $e END"
+        }
+        s"""WITH cnts AS (
+           |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+           |tot AS (SELECT count(*) AS total FROM documents),
+           |sel AS (
+           |  SELECT d.lang, d.doc_id
+           |  FROM documents d JOIN cnts USING (lang), tot
+           |  WHERE $h * 10 * cnt < ($w) * total * 1000000)
+           |SELECT lang, cnt, count(*) AS n_sel, min(doc_id) AS first_id
+           |FROM sel JOIN cnts USING (lang)
+           |GROUP BY lang, cnt ORDER BY lang""".stripMargin
+      })
+  )
+}

@@ -316,6 +316,86 @@ object RelationalQueries {
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
              |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // TPC-H Q21 shape (adapted to this schema's columns): suppliers that
+    // were the SOLE returning supplier on a finished multi-supplier order —
+    // a doubly-correlated EXISTS / NOT EXISTS pair over the fact table.
+    // Catalyst decorrelates both into one semi and one anti join keyed on
+    // l_orderkey; the supplier/nation dims broadcast. The order-level
+    // correlation shuffles the fact once per side at any scale — the
+    // canonical plan for this query.
+    "q21_sole_returner" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F").select("o_orderkey")
+        val sup = Tables.load(s, dir, "supplier")
+        val l1 = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+          col("l_suppkey").as("l2_suppkey"))
+        val l3 = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("l3_orderkey"),
+            col("l_suppkey").as("l3_suppkey"))
+        l1.join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+            col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+          .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+            col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+             |FROM supplier, lineitem l1
+             |WHERE s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM orders
+             |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_returnflag = 'R')
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name""".stripMargin)),
+
+    // TPC-H Q22 shape: dormant high-balance customers (no order since
+    // 2000) — a scalar aggregate subquery (global average balance) plus an
+    // anti join against the recent slice of orders.
+    // The average is compared by exact integer/decimal cross-multiplication
+    // (bal · n > total) so both engines decide the boundary rows
+    // identically; the scalar broadcast-joins onto the customer scan and
+    // the anti join is the only shuffle.
+    "q22_dormant_customers" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+          .select("o_custkey")
+        val stats = c.filter(col("c_acctbal") > 0)
+          .agg(sum(dec(col("c_acctbal"))).as("totbal"),
+            count(lit(1)).as("npos"))
+        c.crossJoin(broadcast(stats))
+          .filter(dec(col("c_acctbal")) * col("npos") > col("totbal"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(dec(col("c_acctbal"))).cast(DoubleType).as("totacctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH stats AS (
+             |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS totbal,
+             |         COUNT(*) AS npos
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT c_mktsegment, COUNT(*) AS numcust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             |FROM customer, stats
+             |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * npos > totbal
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -182,6 +182,105 @@ object SimilarityQueries {
         s"""SELECT bucket, count(*) AS n, min(vec_id) AS min_vec FROM (
            |  SELECT vec_id, $sig AS bucket FROM embeddings)
            |GROUP BY bucket ORDER BY bucket""".stripMargin
+      }),
+
+    // IVF TRAINING: two Lloyd (k-means) iterations building the coarse
+    // quantizer that ann_ivf_topk's seeded stand-in assumes exists. Exact
+    // cross-engine determinism is the hard part — float sums are
+    // order-dependent — so the whole loop runs in integer arithmetic:
+    // vectors are int8-quantized (global max-|x| scale, the
+    // vec_quantize_int8 device), distances are exact integer squared-L2,
+    // and the centroid update is floor(component-sum / count) — integer
+    // sums commute, so any partial-aggregation order gives the same
+    // centroid. Init = the K smallest vec_ids; ties pick the smaller cid.
+    // Scale shape per iteration: assignment is a broadcast of K centroids
+    // onto the scan with map-side max_by partial aggregation (one row per
+    // vector reaches the shuffle — never vector×centroid), update is one
+    // groupBy((cid, dim)) over K·64 cells. Empty clusters simply vanish
+    // (both engines derive survivors from the same assignment).
+    "ann_ivf_train" -> QueryDef(
+      (s, dir) => {
+        val K = 8
+        val e = emb(s, dir)
+        val scale = e.select(explode(col("embedding")).as("x"))
+          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+        val qv = e.crossJoin(broadcast(scale))
+          .select(col("vec_id"), transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
+              + lit(0.5d)).cast(LongType)).as("qv"))
+          .cache() // scanned by both iterations — quantize once
+        val cents0 = qv.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cid"), col("qv").as("cv"))
+        def assign(cents: DataFrame): DataFrame =
+          qv.crossJoin(broadcast(cents))
+            .withColumn("d2", aggregate(
+              zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+              lit(0L), _ + _))
+            .groupBy(col("vec_id"))
+            .agg(min_by(struct(col("cid"), col("qv")),
+              struct(col("d2"), col("cid"))).as("m"))
+            .select(col("vec_id"), col("m.cid").as("cid"),
+              col("m.qv").as("qv"))
+        def update(assigned: DataFrame): DataFrame =
+          assigned.select(col("cid"), posexplode(col("qv")).as(Seq("i", "v")))
+            .groupBy(col("cid"), col("i"))
+            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            .select(col("cid"), col("i"),
+              floor(col("sv").cast(DoubleType) / col("n").cast(DoubleType))
+                .cast(LongType).as("c"))
+            .groupBy(col("cid"))
+            .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+              p => p.getField("c")).as("cv"))
+        val c1 = update(assign(cents0))
+        val a2 = assign(c1)
+        val c2 = update(a2)
+        val stats = a2.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+        c2.join(stats, "cid")
+          .select(col("cid"), col("n_vecs"), col("min_vec"),
+            aggregate(transform(col("cv"), x => abs(x)), lit(0L), _ + _)
+              .as("c_l1"))
+          .orderBy(col("cid"))
+      },
+      Some {
+        val K = 8
+        def d2(q: String, c: String) =
+          s"list_sum(list_transform(range(1, ${Dim + 1}), " +
+            s"i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
+        def assignCte(name: String, cents: String) =
+          s"""$name AS (
+             |  SELECT vec_id, cid, qv FROM (
+             |    SELECT q.vec_id, c.cid, q.qv,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${d2("q.qv", "c.cv")}, c.cid) AS rn
+             |    FROM qvecs q, $cents c) WHERE rn = 1)""".stripMargin
+        def updateCte(name: String, assigned: String) =
+          s"""$name AS (
+             |  SELECT cid, list(c ORDER BY i) AS cv FROM (
+             |    SELECT cid, i,
+             |      CAST(FLOOR(CAST(SUM(qv[i + 1]) AS DOUBLE)
+             |        / COUNT(*)) AS BIGINT) AS c
+             |    FROM $assigned, (SELECT unnest(range(0, $Dim)) AS i) r
+             |    GROUP BY cid, i) GROUP BY cid)""".stripMargin
+        s"""WITH scale AS (
+           |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+           |    x -> abs(x)), 'max')) AS DOUBLE) AS scale FROM embeddings),
+           |qvecs AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+           |      AS BIGINT)) AS qv
+           |  FROM embeddings, scale),
+           |c0 AS (SELECT vec_id AS cid, qv AS cv FROM qvecs WHERE vec_id < $K),
+           |${assignCte("a1", "c0")},
+           |${updateCte("c1", "a1")},
+           |${assignCte("a2", "c1")},
+           |${updateCte("c2", "a2")},
+           |stats AS (
+           |  SELECT cid, count(*) AS n_vecs, min(vec_id) AS min_vec
+           |  FROM a2 GROUP BY cid)
+           |SELECT cid, n_vecs, min_vec,
+           |  CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT) AS c_l1
+           |FROM c2 JOIN stats USING (cid) ORDER BY cid""".stripMargin
       })
   )
 }

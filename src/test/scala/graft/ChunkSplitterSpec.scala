@@ -107,7 +107,10 @@ class ChunkSplitterSpec extends AnyFunSuite {
       ChunkSplitter.DefaultChunkSize)
     val ms = (System.nanoTime() - t0) / 1e6
     assert(chunks.size === (rows / ChunkSplitter.DefaultChunkSize + 1).toInt)
-    assert(ms < 5000.0, s"split took $ms ms")
+    // generous bound: this guards against accidentally quadratic chunk
+    // construction (hours at 1.5M chunks), not absolute speed — the shared
+    // host shows multi-second scheduler stalls that a tight bound trips on
+    assert(ms < 60000.0, s"split took $ms ms")
     // bounds tile: every boundary meets its neighbor
     assert(chunks.head.lo.isEmpty && chunks.last.hi.isEmpty)
     assert(chunks(1000).hi === chunks(1001).lo)

@@ -164,4 +164,37 @@ class PlanSpec extends SparkSpecBase {
     assert(broadcasts >= 2, s"expected >=2 broadcast joins:\n${plan.take(2000)}")
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("text_repetition_filter: pure map before the presentation sort") {
+    val plan = executed(q("text_repetition_filter"))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"${shuffles.size} shuffles (want <=1)")
+  }
+
+  test("text_decontaminate: eval index broadcast onto the train side") {
+    // the 100 TB side (exploded train shingles) must meet the eval index
+    // via broadcast — a SortMergeJoin here would shuffle the whole corpus
+    val plan = formatted(q("text_decontaminate"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("text_boilerplate_frac: no shuffle join reaches the corpus side") {
+    // df-table build is the one legitimate wide shuffle; the hot-set join
+    // back and the per-doc left join must broadcast their small sides. At
+    // tiny SF, AQE sees the hot set is EMPTY and deletes the joins outright
+    // (null-padded project) — also acceptable: the contract is only that no
+    // SortMergeJoin ever lands on the corpus side.
+    val plan = formatted(q("text_boilerplate_frac"))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("sample_mixture: stratum stats broadcast onto a pure map") {
+    val plan = formatted(q("sample_mixture"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
