@@ -130,6 +130,75 @@ object StreamMaterialize {
       .toDF()
   }
 
+  case class MmState(counts: Map[String, Long], ver: Long)
+  case class MmOut(g: String, n: Long, min_m: java.math.BigDecimal,
+      max_m: java.math.BigDecimal, ver: Long)
+
+  /** Streaming changelog → incrementally maintained per-group MIN/MAX with
+    * retractions. COUNT/SUM retract with two scalars ([[retractAgg]]), but
+    * MIN/MAX cannot: deleting the current minimum needs the runner-up, so
+    * (as in Flink's retractable min/max accumulators) state keeps the live
+    * VALUE MULTISET per group — a value→net-count map, O(distinct measure
+    * values per group), sharded across executors by the group key. `+I/+U`
+    * increment a value's count, `-U/-D` decrement; counts may go NEGATIVE
+    * (a stream consumed from mid-log retracts values whose insert predates
+    * the start offset — delta semantics, exactly like [[retractAgg]]'s
+    * count), and extremes are computed over the net-POSITIVE values only,
+    * so on a complete (startup=initial) stream they are the table's true
+    * MIN/MAX while on a partial stream they are the extremes of the net
+    * additions. NULL measures are ignored, mirroring SQL MIN/MAX. Each
+    * batch emits the group's new extremes with a monotone version. Map keys
+    * are the DECIMAL(18,2) plain strings (scale-fixed, so string identity
+    * == numeric identity); extremes compare numerically. */
+  def retractMinMax(emitted: DataFrame, groupCol: String,
+      measureCol: String): DataFrame = {
+    val spark = emitted.sparkSession
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    import spark.implicits._
+    val evs = emitted.select(
+        col(groupCol).cast(StringType).as("g"),
+        col(OpCol).as("op"),
+        col(measureCol).cast(DecimalType(18, 2)).as("m"))
+      .as[AggEv]
+    evs.groupByKey(_.g)
+      .flatMapGroupsWithState[MmState, MmOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[AggEv], state: GroupState[MmState]) =>
+          val st = state.getOption.getOrElse(MmState(Map.empty, 0L))
+          var counts = st.counts
+          var n = 0
+          rows.foreach { e =>
+            if (e.m != null) {
+              val k = e.m.toPlainString
+              val d = e.op match {
+                case RowKind.Insert | RowKind.UpdateAfter => 1L
+                case RowKind.UpdateBefore | RowKind.Delete => -1L
+                case other => throw new IllegalArgumentException(
+                  s"retractMinMax requires a retract (changelog.mode=all) " +
+                    s"stream with ops +I/+U/-U/-D, got '$other'")
+              }
+              val c = counts.getOrElse(k, 0L) + d
+              counts = if (c == 0L) counts.removed(k)
+                else counts.updated(k, c)
+            }
+            n += 1
+          }
+          if (n == 0) Iterator.empty
+          else {
+            state.update(MmState(counts, st.ver + 1))
+            val live = counts.collect { case (k, c) if c > 0L =>
+              new java.math.BigDecimal(k)
+            }.toSeq
+            def ext(cmp: Int): java.math.BigDecimal =
+              if (live.isEmpty) null
+              else live.reduce((a, b) => if (a.compareTo(b) * cmp <= 0) a else b)
+            Iterator.single(MmOut(g, counts.valuesIterator.sum,
+              ext(1), ext(-1), st.ver + 1))
+          }
+      }
+      .toDF()
+  }
+
   /** Decode an upsert stream's image JSON back into payload columns
     * (delete markers drop out — they carry no image). */
   def decodeUpserts(ups: DataFrame, payload: StructType): DataFrame =

@@ -365,6 +365,59 @@ object StreamingQueries {
              |  FROM orders WHERE o_orderkey % 13 = 3)
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Incrementally maintained MIN/MAX with retractions — the multiset-
+    // state companion to cdc_incremental_agg: per (group, value) net
+    // counts, extremes over the net-positive values. Consumed from
+    // `earliest` (mid-log), so the state sees genuine retractions of
+    // values it never inserted (negative counts) and the extremes are
+    // those of the net-added rows: updated (doubled) survivors plus the
+    // inserted copies — which the oracle recomputes relationally.
+    "cdc_retract_minmax" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types.DoubleType
+        val dir = prepare(s, dir0)
+        val name = s"retractmm_${System.nanoTime()}"
+        val q = StreamMaterialize.retractMinMax(
+            readStreamEarliest(s, dir), "o_orderstatus", "o_totalprice")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // newest version per group = the current extremes
+        s.table(name).groupBy(col("g"))
+          .agg(max_by(struct(col("n"), col("min_m"), col("max_m")),
+            col("ver")).as("v"))
+          .select(col("g").as("o_orderstatus"),
+            col("v.n").as("n_delta"),
+            col("v.min_m").cast(DoubleType).as("min_m"),
+            col("v.max_m").cast(DoubleType).as("max_m"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH deltas AS (
+             |  SELECT o_orderstatus AS g,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS v, 1 AS d
+             |  FROM orders WHERE o_orderkey % 100 = 1
+             |  UNION ALL
+             |  SELECT o_orderstatus,
+             |    CAST(o_totalprice * 2 AS DECIMAL(18,2)), 1
+             |  FROM orders WHERE o_orderkey % 10 = 7
+             |  UNION ALL
+             |  SELECT o_orderstatus,
+             |    CAST(o_totalprice AS DECIMAL(18,2)), -1
+             |  FROM orders WHERE o_orderkey % 10 = 7
+             |  UNION ALL
+             |  SELECT o_orderstatus,
+             |    CASE WHEN o_orderkey % 10 = 7
+             |      THEN CAST(o_totalprice * 2 AS DECIMAL(18,2))
+             |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END, -1
+             |  FROM orders WHERE o_orderkey % 13 = 3),
+             |net AS (
+             |  SELECT g, v, SUM(d) AS c FROM deltas GROUP BY g, v)
+             |SELECT g AS o_orderstatus,
+             |  CAST(SUM(c) AS BIGINT) AS n_delta,
+             |  CAST(MIN(CASE WHEN c > 0 THEN v END) AS DOUBLE) AS min_m,
+             |  CAST(MAX(CASE WHEN c > 0 THEN v END) AS DOUBLE) AS max_m
+             |FROM net GROUP BY g ORDER BY g""".stripMargin)),
+
     // foreachBatch MERGE into a LIVE JDBC table (Derby): offset-guarded
     // executor-side upserts/deletes over pooled connections, read back
     // through Spark's own JDBC source — the sink half of the CDC loop.

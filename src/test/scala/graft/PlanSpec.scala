@@ -190,6 +190,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("ann_ivf_train: centroid assignment broadcasts, never shuffle-joins") {
+    // each Lloyd iteration must broadcast the K centroids onto the vector
+    // scan (BroadcastNestedLoopJoin under crossJoin) — an SMJ would shuffle
+    // the full vector table per iteration
+    val plan = formatted(q("ann_ivf_train"))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("sample_mixture: stratum stats broadcast onto a pure map") {
     val plan = formatted(q("sample_mixture"))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +

@@ -172,6 +172,48 @@ class StreamMaterializeSpec extends SparkSpecBase {
       vs.map(_._2).sorted.sameElements(1L to vs.length) })
   }
 
+  test("retractMinMax: deleting the current extreme promotes the runner-up") {
+    // log-only inserts then a delete of the max: the multiset state must
+    // fall back to the runner-up — the case two scalars cannot answer
+    val dir = tmpDir("retractmm-db")
+    val pay = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("m", DoubleType)))
+    val snapshot = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], pay)
+    val env = StructType(Seq(
+      StructField(OffsetCol, LongType), StructField(OpCol, StringType),
+      StructField(TsCol, LongType), StructField(DbCol, StringType),
+      StructField(TableCol, StringType),
+      StructField(BeforeCol, pay), StructField(AfterCol, pay)))
+    val changes = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "c", 10L, "graft", "t", null, Row(1L, "g1", 10.0)),
+      Row(2L, "c", 20L, "graft", "t", null, Row(2L, "g1", 20.0)),
+      Row(3L, "c", 30L, "graft", "t", null, Row(3L, "g1", 40.0)),
+      Row(4L, "d", 40L, "graft", "t", Row(3L, "g1", 40.0), null))), env)
+    FileCdcDatabase.write(spark, dir, "t", "graft", "id", snapshot, changes,
+      force = true)
+    val name = s"retractmm_${System.nanoTime()}"
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("scan.stream.max-events-per-trigger", "1")
+      .load()
+    val q = StreamMaterialize.retractMinMax(stream, "g", "m")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(name)
+      .select("g", "n", "min_m", "max_m", "ver").collect()
+      .map(r => (r.getLong(4), (r.getLong(1),
+        Option(r.getDecimal(2)).map(_.doubleValue()),
+        Option(r.getDecimal(3)).map(_.doubleValue())))).toMap
+    // with one event per trigger the versions replay the multiset history
+    assert(rows(3L) === ((3L, Some(10.0), Some(40.0))), rows)
+    // delete of the 40.0 max falls back to the 20.0 runner-up
+    assert(rows(4L) === ((2L, Some(10.0), Some(20.0))), rows)
+  }
+
   test("mergeInto pins the bucket count on first write") {
     val out = tmpDir("sink-pin") + "/state"
     val b1 = emitted((1L to 16L).map(i => (i, s"v$i", i, "+I")))
