@@ -12,6 +12,7 @@ object SparkEntry {
 
   private lazy val queries_registry: Map[String, QueryDef] =
     graft.queries.RelationalQueries.defs ++
+      graft.queries.TpchQueries.defs ++
       graft.queries.AdvancedQueries.defs ++
       graft.queries.CdcQueries.defs ++
       graft.queries.CdcSourceQueries.defs ++
