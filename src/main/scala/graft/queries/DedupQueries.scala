@@ -546,6 +546,56 @@ object DedupQueries {
               |    ${sqlCosine("a.embedding", "b.embedding", 64)} AS cos
               |  FROM assigned a JOIN assigned b
               |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
-              |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin))
+              |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // EXACT-SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training Data
+    // Makes Language Models Better"): a document is span-duplicated if any
+    // of its word-10-gram spans already occurs in an earlier document
+    // (first occurrence wins, by doc_id). The suffix-array of the paper
+    // becomes a distributed span-hash inverted index: one explode + one
+    // min-combine groupBy — min(doc_id) per span is map-side combinable,
+    // and hot spans (the duplicated ones) collapse to one row per span at
+    // the combiner, so repeated boilerplate does NOT skew the shuffle.
+    // Output: per-doc span stats + the keep decision of the span filter.
+    "dedup_substring_spans" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val withH = d.select(col("doc_id"),
+            shingleHashes(col("text"), 10).as("hs"))
+          .withColumn("n_spans", size(col("hs")).cast(LongType))
+        val ex = withH.select(col("doc_id"), explode(col("hs")).as("h"))
+        val idx = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+        val dup = ex.join(idx, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(when(col("first_doc") < col("doc_id"), 1)).as("n_dup"))
+        withH.join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+            round(when(col("n_spans") === 0, lit(0.0d))
+              .otherwise(coalesce(col("n_dup"), lit(0L)).cast(DoubleType) /
+                col("n_spans").cast(DoubleType)), 6).as("dup_span_frac"),
+            (coalesce(col("n_dup"), lit(0L)) === 0).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val hs = sqlShingleHashes("text", 10)
+        s"""WITH withh AS (
+           |  SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_spans
+           |  FROM (SELECT doc_id, $hs AS hs FROM documents)),
+           |ex AS (SELECT doc_id, unnest(hs) AS h FROM withh),
+           |idx AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h),
+           |dup AS (
+           |  SELECT ex.doc_id,
+           |    count(CASE WHEN idx.first_doc < ex.doc_id THEN 1 END) AS n_dup
+           |  FROM ex JOIN idx USING (h) GROUP BY ex.doc_id)
+           |SELECT w.doc_id, w.n_spans,
+           |  coalesce(d.n_dup, CAST(0 AS BIGINT)) AS n_dup_spans,
+           |  round(CASE WHEN w.n_spans = 0 THEN 0.0
+           |    ELSE CAST(coalesce(d.n_dup, CAST(0 AS BIGINT)) AS DOUBLE)
+           |         / CAST(w.n_spans AS DOUBLE) END, 6) AS dup_span_frac,
+           |  coalesce(d.n_dup, CAST(0 AS BIGINT)) = 0 AS keep
+           |FROM withh w LEFT JOIN dup d ON w.doc_id = d.doc_id
+           |ORDER BY w.doc_id""".stripMargin
+      })
   )
 }

@@ -309,6 +309,63 @@ object PipelineQueries {
              |    * 127.0 / scale + 0.5) AS BIGINT) AS q
              |FROM embeddings, (SELECT unnest(range(0, 64)) AS i) r, scale
              |WHERE i < len(embedding)
-             |ORDER BY vec_id, i""".stripMargin))
+             |ORDER BY vec_id, i""".stripMargin)),
+
+    // KMV (k-minimum-values) distinct-count sketch — the mergeable-sketch
+    // family (theta/HLL) in a deterministic, cross-engine-exact form:
+    // per group, the k=8 smallest 60-bit hashes of the value; the k-th
+    // smallest estimates the distinct count as (k-1)·2^60/kth. The sketch
+    // is computed the way it scales: per (group, input-partition) keep the
+    // k local minima (collect_set is bounded by the partition, not the
+    // group), then merge — k-minima sets union EXACTLY by re-taking the k
+    // smallest, so the shuffle carries ≤ k rows per group per partition
+    // and the result is the exact global sketch, independent of
+    // partitioning. The estimate is one double division of exact
+    // integers; the exact distinct count (the one full shuffle the sketch
+    // exists to avoid) rides along to show the error.
+    "sketch_kmv_distinct" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        val e = Tables.load(s, dir, "events")
+        val k = 8
+        val hashed = e.select(col("event_type"),
+          md5Long(col("user_id").cast(StringType)).as("h"))
+        val localMins = hashed
+          .groupBy(col("event_type"), spark_partition_id().as("pid"))
+          .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("mins"))
+        val sketch = localMins.groupBy(col("event_type"))
+          .agg(slice(array_distinct(array_sort(flatten(collect_list(col("mins"))))),
+            1, k).as("mins"))
+          .select(col("event_type"),
+            when(size(col("mins")) >= k, element_at(col("mins"), k)).as("kth"))
+        val exact = hashed.distinct().groupBy(col("event_type"))
+          .agg(count(lit(1)).as("exact_distinct"))
+        exact.join(sketch, Seq("event_type"), "left")
+          .select(col("event_type"), col("exact_distinct"),
+            when(col("kth").isNull, col("exact_distinct").cast(DoubleType))
+              .otherwise(round(lit((k - 1).toDouble) * lit(1152921504606846976.0d) /
+                col("kth").cast(DoubleType), 4)).as("est_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val h = sqlMd5Long("CAST(user_id AS VARCHAR)")
+        s"""WITH hashed AS (
+           |  SELECT DISTINCT event_type, $h AS h FROM events),
+           |kth AS (
+           |  SELECT event_type, h AS kth FROM (
+           |    SELECT event_type, h,
+           |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           |    FROM hashed) WHERE rn = 8),
+           |exact AS (
+           |  SELECT event_type, COUNT(*) AS exact_distinct
+           |  FROM hashed GROUP BY event_type)
+           |SELECT e.event_type, e.exact_distinct,
+           |  CASE WHEN k.kth IS NULL THEN CAST(e.exact_distinct AS DOUBLE)
+           |    ELSE round(7.0 * 1152921504606846976.0 / CAST(k.kth AS DOUBLE), 4)
+           |  END AS est_distinct
+           |FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
+           |ORDER BY e.event_type""".stripMargin
+      })
   )
 }
