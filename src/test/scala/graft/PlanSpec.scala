@@ -200,6 +200,51 @@ class PlanSpec extends SparkSpecBase {
       plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q6: all three predicates and the projection reach the parquet scan") {
+    val plan = formatted(q("q6_forecast_revenue"))
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(plan.contains(s"IsNotNull($c)"), s"filter on $c not pushed:\n" +
+        plan.take(2000))
+    // 4-column projection must prune the other 7 lineitem columns
+    assert(!plan.contains("l_partkey"), "scan reads pruned column l_partkey")
+  }
+
+  test("q8: dims broadcast; only the fact join may sort-merge") {
+    val plan = formatted(q("q8_market_share"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1, s"unexpected shuffle joins: $smj\n${plan.take(3000)}")
+  }
+
+  test("q14/q19: part side broadcasts onto the lineitem scan") {
+    for (name <- Seq("q14_promo_revenue", "q19_discounted_revenue")) {
+      val plan = formatted(q(name))
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"), s"$name:\n${plan.take(2000)}")
+    }
+  }
+
+  test("dedup_substring_spans: equi-joins only; min-combine index groupBy") {
+    val plan = formatted(q("dedup_substring_spans"))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the span index aggregate must have a map-side partial (partial min
+    // collapses hot boilerplate spans before the shuffle)
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"span index min not partially aggregated:\n${plan.take(3000)}")
+  }
+
+  test("sketch_kmv_distinct: no single-partition collapse, bounded shuffles") {
+    val df = q("sketch_kmv_distinct")
+    val plan = formatted(df)
+    // the k-minima merge is a two-stage grouped agg — a regression to a
+    // global window/sort would show Exchange SinglePartition
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("sample_mixture: stratum stats broadcast onto a pure map") {
     val plan = formatted(q("sample_mixture"))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
