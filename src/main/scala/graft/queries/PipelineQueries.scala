@@ -366,6 +366,51 @@ object PipelineQueries {
            |  END AS est_distinct
            |FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
            |ORDER BY e.event_type""".stripMargin
+      }),
+
+    // Sliding-window document chunking — the context-length splitter that
+    // precedes tokenization/packing in a training pipeline: each document
+    // becomes overlapping 32-token chunks on a 24-token stride (8-token
+    // overlap carries context across boundaries). Pure map + explode: no
+    // shuffle reaches the corpus except the presentation sort; chunk
+    // identity is the 60-bit hash of the joined tokens, so downstream
+    // chunk-level dedup composes directly.
+    "chunk_documents" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.{md5Long, words}
+        val d = Tables.load(s, dir, "documents")
+        val (win, stride) = (32, 24)
+        val ws = words(col("text"))
+        d.select(col("doc_id"), ws.as("ws"))
+          .withColumn("n", size(col("ws")))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("ws"), col("n"),
+            posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
+              .as(Seq("chunk_idx", "start_tok")))
+          .select(col("doc_id"), col("chunk_idx").cast(LongType),
+            col("start_tok").cast(LongType),
+            least(lit(win), col("n") - col("start_tok")).cast(LongType)
+              .as("n_tokens"),
+            md5Long(concat_ws(" ", slice(col("ws"), col("start_tok") + 1, lit(win))))
+              .as("chunk_hash"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some {
+        import graft.functions.TextFunctions.{sqlMd5Long, sqlWords}
+        val chunk = "array_to_string(ws[CAST(start_tok AS BIGINT)+1:CAST(start_tok AS BIGINT)+32], ' ')"
+        s"""WITH toks AS (
+           |  SELECT doc_id, ws, len(ws) AS n
+           |  FROM (SELECT doc_id, ${sqlWords("text")} AS ws FROM documents)
+           |  WHERE len(ws) > 0),
+           |chunks AS (
+           |  SELECT doc_id, ws, n,
+           |    CAST(unnest(range(0, n, 24)) AS BIGINT) AS start_tok,
+           |    CAST(unnest(range(0, len(range(0, n, 24)))) AS BIGINT) AS chunk_idx
+           |  FROM toks)
+           |SELECT doc_id, chunk_idx, start_tok,
+           |  CAST(least(32, n - start_tok) AS BIGINT) AS n_tokens,
+           |  ${sqlMd5Long(chunk)} AS chunk_hash
+           |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
       })
   )
 }
