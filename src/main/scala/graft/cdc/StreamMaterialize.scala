@@ -199,6 +199,60 @@ object StreamMaterialize {
       .toDF()
   }
 
+  case class KmvEv(g: String, op: String, h: Long)
+  case class KmvState(mins: Seq[Long], ver: Long)
+  case class KmvOut(g: String, kth: java.lang.Long, ver: Long)
+
+  /** Streaming changelog → incrementally maintained KMV distinct-count
+    * sketch per group: state is the k smallest 60-bit hashes of the key
+    * column seen so far (`+I/+U` only — KMV, like every sketch in the
+    * theta/HLL family, is insert-only: retracting a minimum would need the
+    * evicted runner-ups, i.e. the full value set the sketch exists to
+    * avoid). K-minima sets merge exactly (keep the k smallest of the
+    * union), so the maintained sketch equals the batch sketch over the
+    * same inserts regardless of micro-batch boundaries — which is what the
+    * oracle asserts. State is O(k) per group; each batch emits the current
+    * k-th minimum (null until k distinct hashes arrive) with a monotone
+    * version. */
+  def kmvSketch(emitted: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    val spark = emitted.sparkSession
+    import org.apache.spark.sql.types.StringType
+    import spark.implicits._
+    val evs = emitted.select(
+        col(groupCol).cast(StringType).as("g"),
+        col(OpCol).as("op"),
+        graft.functions.TextFunctions.md5Long(
+          col(keyCol).cast(StringType)).as("h"))
+      .as[KmvEv]
+    evs.groupByKey(_.g)
+      .flatMapGroupsWithState[KmvState, KmvOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[KmvEv], state: GroupState[KmvState]) =>
+          val st = state.getOption.getOrElse(KmvState(Seq.empty, 0L))
+          var n = 0
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.foreach { e =>
+            e.op match {
+              case RowKind.Insert | RowKind.UpdateAfter => fresh += e.h
+              case RowKind.UpdateBefore | RowKind.Delete => () // insert-only
+              case other => throw new IllegalArgumentException(
+                s"kmvSketch expects changelog ops +I/+U/-U/-D, got '$other'")
+            }
+            n += 1
+          }
+          if (n == 0) Iterator.empty
+          else {
+            val mins = (st.mins ++ fresh).distinct.sorted.take(k)
+            state.update(KmvState(mins, st.ver + 1))
+            val kth: java.lang.Long =
+              if (mins.size >= k) Long.box(mins(k - 1)) else null
+            Iterator.single(KmvOut(g, kth, st.ver + 1))
+          }
+      }
+      .toDF()
+  }
+
   /** Decode an upsert stream's image JSON back into payload columns
     * (delete markers drop out — they carry no image). */
   def decodeUpserts(ups: DataFrame, payload: StructType): DataFrame =

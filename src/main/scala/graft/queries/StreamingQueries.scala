@@ -418,6 +418,53 @@ object StreamingQueries {
              |  CAST(MAX(CASE WHEN c > 0 THEN v END) AS DOUBLE) AS max_m
              |FROM net GROUP BY g ORDER BY g""".stripMargin)),
 
+    // Incrementally maintained KMV distinct-count sketch over the
+    // changelog (insert-only, like every theta/HLL-family sketch): state =
+    // the k=8 smallest key hashes per group. K-minima merge exactly, so
+    // the final streamed sketch equals the batch sketch over the same
+    // inserts no matter how the rate limit slices the log — the oracle
+    // recomputes it relationally from the keys the log inserts (+I copies,
+    // +U updated rows; deletes are ignored by design).
+    "cdc_stream_kmv_distinct" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        val dir = prepare(s, dir0)
+        val name = s"kmv_${System.nanoTime()}"
+        val q = StreamMaterialize.kmvSketch(
+            readStreamEarliest(s, dir), "o_orderpriority", "o_orderkey", 8)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).groupBy(col("g"))
+          .agg(max_by(col("kth"), col("ver")).as("kth"))
+          .select(col("g").as("o_orderpriority"), col("kth"),
+            round(lit(7.0d) * lit(1152921504606846976.0d) /
+              col("kth").cast(org.apache.spark.sql.types.DoubleType), 4)
+              .as("est_distinct"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some {
+        val h = graft.functions.TextFunctions.sqlMd5Long(
+          "CAST(o_orderkey AS VARCHAR)")
+        s"""WITH keys AS (
+           |  SELECT o_orderpriority, o_orderkey FROM orders
+           |  WHERE o_orderkey % 10 = 7
+           |  UNION ALL
+           |  SELECT o_orderpriority, o_orderkey + 1000000000 AS o_orderkey
+           |  FROM orders WHERE o_orderkey % 100 = 1),
+           |hashed AS (
+           |  SELECT DISTINCT o_orderpriority, $h AS h FROM keys),
+           |kth AS (
+           |  SELECT o_orderpriority, h AS kth FROM (
+           |    SELECT o_orderpriority, h,
+           |      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+           |        ORDER BY h) AS rn
+           |    FROM hashed) WHERE rn = 8)
+           |SELECT o_orderpriority, kth,
+           |  round(7.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE), 4)
+           |    AS est_distinct
+           |FROM kth ORDER BY o_orderpriority""".stripMargin
+      }),
+
     // foreachBatch MERGE into a LIVE JDBC table (Derby): offset-guarded
     // executor-side upserts/deletes over pooled connections, read back
     // through Spark's own JDBC source — the sink half of the CDC loop.

@@ -214,6 +214,53 @@ class StreamMaterializeSpec extends SparkSpecBase {
     assert(rows(4L) === ((2L, Some(10.0), Some(20.0))), rows)
   }
 
+  test("kmvSketch: k-minima merge across micro-batches equals batch sketch") {
+    // one event per trigger: each insert lands in its own micro-batch, so
+    // the k-minima state must merge incrementally; deletes are ignored
+    // (insert-only sketch). k=2 here: after 3 inserts the kth (2nd) min of
+    // the hash set must equal the batch-computed 2nd smallest.
+    val dir = tmpDir("kmv-db")
+    val pay = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType)))
+    val snapshot = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pay)
+    val env = StructType(Seq(
+      StructField(OffsetCol, LongType), StructField(OpCol, StringType),
+      StructField(TsCol, LongType), StructField(DbCol, StringType),
+      StructField(TableCol, StringType),
+      StructField(BeforeCol, pay), StructField(AfterCol, pay)))
+    val changes = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "c", 10L, "graft", "t", null, Row(11L, "g1")),
+      Row(2L, "c", 20L, "graft", "t", null, Row(22L, "g1")),
+      Row(3L, "c", 30L, "graft", "t", null, Row(33L, "g1")),
+      Row(4L, "d", 40L, "graft", "t", Row(22L, "g1"), null))), env)
+    FileCdcDatabase.write(spark, dir, "t", "graft", "id", snapshot, changes,
+      force = true)
+    val name = s"kmv_${System.nanoTime()}"
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("scan.stream.max-events-per-trigger", "1")
+      .load()
+    val q = StreamMaterialize.kmvSketch(stream, "g", "id", 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import graft.functions.TextFunctions.md5Long
+    val hashes = spark.range(1).select(
+        md5Long(lit("11")).as("h1"), md5Long(lit("22")).as("h2"),
+        md5Long(lit("33")).as("h3"))
+      .collect()(0)
+    val sorted = Seq(hashes.getLong(0), hashes.getLong(1),
+      hashes.getLong(2)).sorted
+    val byVer = spark.table(name).select("ver", "kth").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toMap
+    // after all three inserts the 2nd-smallest hash is the kth minimum
+    assert(byVer(3L) === Some(sorted(1)), byVer)
+    // the delete batch emitted but did NOT change the sketch
+    assert(byVer(4L) === Some(sorted(1)), byVer)
+  }
+
   test("mergeInto pins the bucket count on first write") {
     val out = tmpDir("sink-pin") + "/state"
     val b1 = emitted((1L to 16L).map(i => (i, s"v$i", i, "+I")))
