@@ -199,6 +199,76 @@ object StreamMaterialize {
       .toDF()
   }
 
+  case class QbState(counts: Map[Long, Long], ver: Long)
+  case class QbOut(g: String, n_net: Long, p50_est: java.lang.Double,
+      p95_est: java.lang.Double, p99_est: java.lang.Double, ver: Long)
+
+  /** Streaming changelog → incrementally maintained RETRACTABLE quantile
+    * estimates per group, over an equi-width histogram of the measure in
+    * cents (`binWidthCents` per bin). Unlike KMV ([[kmvSketch]]),
+    * histogram counts retract exactly: `+I/+U` increment a bin, `-U/-D`
+    * decrement, and (as with [[retractMinMax]]) counts may go negative on
+    * a mid-log start — quantiles are computed over the net-POSITIVE bins
+    * only. Estimate q = lower cent bound of the first bin whose
+    * cumulative net count reaches rank ⌈n·q⌉, all in integer arithmetic;
+    * state is O(live bins) per group. This is the streaming twin of the
+    * batch `sketch_quantile_bins` histogram (same merge-by-adding-counts
+    * algebra, plus retraction). */
+  def retractQuantile(emitted: DataFrame, groupCol: String,
+      measureCol: String, binWidthCents: Long): DataFrame = {
+    val spark = emitted.sparkSession
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    import spark.implicits._
+    val evs = emitted.select(
+        col(groupCol).cast(StringType).as("g"),
+        col(OpCol).as("op"),
+        col(measureCol).cast(DecimalType(18, 2)).as("m"))
+      .as[AggEv]
+    evs.groupByKey(_.g)
+      .flatMapGroupsWithState[QbState, QbOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[AggEv], state: GroupState[QbState]) =>
+          val st = state.getOption.getOrElse(QbState(Map.empty, 0L))
+          var counts = st.counts
+          var n = 0
+          rows.foreach { e =>
+            if (e.m != null) {
+              val cents = e.m.movePointRight(2).longValueExact()
+              val bin = Math.floorDiv(cents, binWidthCents)
+              val d = e.op match {
+                case RowKind.Insert | RowKind.UpdateAfter => 1L
+                case RowKind.UpdateBefore | RowKind.Delete => -1L
+                case other => throw new IllegalArgumentException(
+                  s"retractQuantile requires a retract stream, got '$other'")
+              }
+              val c = counts.getOrElse(bin, 0L) + d
+              counts = if (c == 0L) counts.removed(bin)
+                else counts.updated(bin, c)
+            }
+            n += 1
+          }
+          if (n == 0) Iterator.empty
+          else {
+            state.update(QbState(counts, st.ver + 1))
+            val pos = counts.toSeq.filter(_._2 > 0L).sortBy(_._1)
+            val npos = pos.iterator.map(_._2).sum
+            def est(p: Long): java.lang.Double =
+              if (npos == 0L) null
+              else {
+                val rank = (npos * p + 99L) / 100L
+                var cum = 0L
+                val hit = pos.find { case (_, c) => cum += c; cum >= rank }
+                hit.map { case (bin, _) =>
+                  Double.box(bin * binWidthCents / 100.0d)
+                }.orNull
+              }
+            Iterator.single(QbOut(g, npos, est(50L), est(95L), est(99L),
+              st.ver + 1))
+          }
+      }
+      .toDF()
+  }
+
   case class KmvEv(g: String, op: String, h: Long)
   case class KmvState(mins: Seq[Long], ver: Long)
   case class KmvOut(g: String, kth: java.lang.Long, ver: Long)

@@ -368,6 +368,78 @@ object PipelineQueries {
            |ORDER BY e.event_type""".stripMargin
       }),
 
+    // Equi-width binned quantile sketch — the mergeable-histogram answer
+    // to percentiles at 100 TB (exact percentiles need a full sort; the
+    // histogram needs one tiny agg per group and merges by adding
+    // counts). Values are fixed to cents (floor(v·100+0.5) — exact on
+    // both engines), bins are 128 equal spans of the per-group range, and
+    // every step to the final /100.0 render is integer arithmetic
+    // (`div`), so the estimate is bit-deterministic. Quantile q = the
+    // lower bound of the first bin whose cumulative count reaches
+    // rank ⌈n·q⌉. The 128-row-per-group histogram is the only state — a
+    // second pass over the data never happens.
+    "sketch_quantile_bins" -> QueryDef(
+      (s, dir) => {
+        val b = 128
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            floor(col("l_extendedprice") * 100.0d + 0.5d).cast(LongType)
+              .as("vc"))
+        val stats = li.groupBy(col("g"))
+          .agg(min(col("vc")).as("minc"), max(col("vc")).as("maxc"),
+            count(lit(1)).as("n"))
+        val binned = li.join(broadcast(stats), "g")
+          .select(col("g"), col("minc"), col("maxc"), col("n"),
+            expr(s"(vc - minc) * $b div (maxc - minc + 1)").as("bin"))
+          .groupBy(col("g"), col("minc"), col("maxc"), col("n"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("g")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = binned.withColumn("cum", sum(col("cnt")).over(w))
+        def rank(p: Int) = expr(s"(n * $p + 99) div 100")
+        def est(p: Int) = (col("minc") +
+          expr(s"q$p * (maxc - minc + 1) div $b")).cast(DoubleType) / 100.0d
+        cum.groupBy(col("g"), col("minc"), col("maxc"), col("n"))
+          .agg(min(when(col("cum") >= rank(50), col("bin"))).as("q50"),
+            min(when(col("cum") >= rank(95), col("bin"))).as("q95"),
+            min(when(col("cum") >= rank(99), col("bin"))).as("q99"))
+          .select(col("g").as("l_returnflag"), col("n"),
+            est(50).as("p50_est"), est(95).as("p95_est"),
+            est(99).as("p99_est"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH cents AS (
+             |  SELECT l_returnflag AS g,
+             |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vc
+             |  FROM lineitem),
+             |stats AS (
+             |  SELECT g, MIN(vc) AS minc, MAX(vc) AS maxc, COUNT(*) AS n
+             |  FROM cents GROUP BY g),
+             |binned AS (
+             |  SELECT c.g, s.minc, s.maxc, s.n,
+             |    (c.vc - s.minc) * 128 // (s.maxc - s.minc + 1) AS bin,
+             |    COUNT(*) AS cnt
+             |  FROM cents c JOIN stats s ON c.g = s.g
+             |  GROUP BY c.g, s.minc, s.maxc, s.n,
+             |    (c.vc - s.minc) * 128 // (s.maxc - s.minc + 1)),
+             |cum AS (
+             |  SELECT g, minc, maxc, n, bin, SUM(cnt) OVER (
+             |    PARTITION BY g ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM binned),
+             |qs AS (
+             |  SELECT g, minc, maxc, n,
+             |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS q50,
+             |    MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) AS q95,
+             |    MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS q99
+             |  FROM cum GROUP BY g, minc, maxc, n)
+             |SELECT g AS l_returnflag, n,
+             |  CAST(minc + q50 * (maxc - minc + 1) // 128 AS DOUBLE) / 100.0 AS p50_est,
+             |  CAST(minc + q95 * (maxc - minc + 1) // 128 AS DOUBLE) / 100.0 AS p95_est,
+             |  CAST(minc + q99 * (maxc - minc + 1) // 128 AS DOUBLE) / 100.0 AS p99_est
+             |FROM qs ORDER BY l_returnflag""".stripMargin)),
+
     // Sliding-window document chunking — the context-length splitter that
     // precedes tokenization/packing in a training pipeline: each document
     // becomes overlapping 32-token chunks on a 24-token stride (8-token

@@ -465,6 +465,77 @@ object StreamingQueries {
            |FROM kth ORDER BY o_orderpriority""".stripMargin
       }),
 
+    // Incrementally maintained RETRACTABLE quantile estimates over the
+    // changelog: equi-width histogram state (bin = totalprice cents div
+    // 2^20) where +I/+U increment and -U/-D decrement — the
+    // distribution-state member of the retract-aggregate family
+    // (COUNT/SUM → retractAgg, MIN/MAX → retractMinMax, quantiles →
+    // here). Consumed from earliest (mid-log), so the state sees genuine
+    // retractions; the oracle recomputes the net bin histogram
+    // relationally with the same integer arithmetic.
+    "cdc_stream_quantile" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types.DoubleType
+        val dir = prepare(s, dir0)
+        val name = s"retractq_${System.nanoTime()}"
+        val q = StreamMaterialize.retractQuantile(
+            readStreamEarliest(s, dir), "o_orderstatus", "o_totalprice",
+            binWidthCents = 1048576L)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).groupBy(col("g"))
+          .agg(max_by(struct(col("n_net"), col("p50_est"), col("p95_est"),
+            col("p99_est")), col("ver")).as("v"))
+          .select(col("g").as("o_orderstatus"), col("v.n_net").as("n_net"),
+            col("v.p50_est").cast(DoubleType).as("p50_est"),
+            col("v.p95_est").cast(DoubleType).as("p95_est"),
+            col("v.p99_est").cast(DoubleType).as("p99_est"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH deltas AS (
+             |  SELECT o_orderstatus AS g,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS v, 1 AS d
+             |  FROM orders WHERE o_orderkey % 100 = 1
+             |  UNION ALL
+             |  SELECT o_orderstatus,
+             |    CAST(o_totalprice * 2 AS DECIMAL(18,2)), 1
+             |  FROM orders WHERE o_orderkey % 10 = 7
+             |  UNION ALL
+             |  SELECT o_orderstatus,
+             |    CAST(o_totalprice AS DECIMAL(18,2)), -1
+             |  FROM orders WHERE o_orderkey % 10 = 7
+             |  UNION ALL
+             |  SELECT o_orderstatus,
+             |    CASE WHEN o_orderkey % 10 = 7
+             |      THEN CAST(o_totalprice * 2 AS DECIMAL(18,2))
+             |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END, -1
+             |  FROM orders WHERE o_orderkey % 13 = 3),
+             |bins AS (
+             |  SELECT g, CAST(v * 100 AS BIGINT) // 1048576 AS bin,
+             |    SUM(d) AS c
+             |  FROM deltas GROUP BY 1, 2),
+             |pos AS (SELECT g, bin, CAST(c AS BIGINT) AS c
+             |        FROM bins WHERE c > 0),
+             |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS npos
+             |        FROM pos GROUP BY g),
+             |cum AS (
+             |  SELECT g, bin, CAST(SUM(c) OVER (PARTITION BY g ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum
+             |  FROM pos),
+             |qs AS (
+             |  SELECT c.g, t.npos,
+             |    MIN(CASE WHEN cum >= (npos * 50 + 99) // 100 THEN bin END) AS q50,
+             |    MIN(CASE WHEN cum >= (npos * 95 + 99) // 100 THEN bin END) AS q95,
+             |    MIN(CASE WHEN cum >= (npos * 99 + 99) // 100 THEN bin END) AS q99
+             |  FROM cum c JOIN tot t ON c.g = t.g GROUP BY c.g, t.npos)
+             |SELECT g AS o_orderstatus, npos AS n_net,
+             |  CAST(q50 * 1048576 AS DOUBLE) / 100.0 AS p50_est,
+             |  CAST(q95 * 1048576 AS DOUBLE) / 100.0 AS p95_est,
+             |  CAST(q99 * 1048576 AS DOUBLE) / 100.0 AS p99_est
+             |FROM qs ORDER BY g""".stripMargin)),
+
     // foreachBatch MERGE into a LIVE JDBC table (Derby): offset-guarded
     // executor-side upserts/deletes over pooled connections, read back
     // through Spark's own JDBC source — the sink half of the CDC loop.

@@ -261,6 +261,46 @@ class StreamMaterializeSpec extends SparkSpecBase {
     assert(byVer(4L) === Some(sorted(1)), byVer)
   }
 
+  test("retractQuantile: deleting tail values pulls the upper quantiles down") {
+    // $10-wide bins; inserts 5.0 / 15.0 / 25.0 land in bins 0/1/2, then the
+    // delete of 25.0 retracts bin 2 — p99 must fall from 20.0 (bin 2 lower
+    // bound) to 10.0 while p50 stays
+    val dir = tmpDir("retractq-db")
+    val pay = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("m", DoubleType)))
+    val snapshot = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pay)
+    val env = StructType(Seq(
+      StructField(OffsetCol, LongType), StructField(OpCol, StringType),
+      StructField(TsCol, LongType), StructField(DbCol, StringType),
+      StructField(TableCol, StringType),
+      StructField(BeforeCol, pay), StructField(AfterCol, pay)))
+    val changes = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "c", 10L, "graft", "t", null, Row(1L, "g1", 5.0)),
+      Row(2L, "c", 20L, "graft", "t", null, Row(2L, "g1", 15.0)),
+      Row(3L, "c", 30L, "graft", "t", null, Row(3L, "g1", 25.0)),
+      Row(4L, "d", 40L, "graft", "t", Row(3L, "g1", 25.0), null))), env)
+    FileCdcDatabase.write(spark, dir, "t", "graft", "id", snapshot, changes,
+      force = true)
+    val name = s"retractq_${System.nanoTime()}"
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("scan.stream.max-events-per-trigger", "1")
+      .load()
+    val q = StreamMaterialize.retractQuantile(stream, "g", "m", 1000L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byVer = spark.table(name)
+      .select("ver", "n_net", "p50_est", "p99_est").collect()
+      .map(r => (r.getLong(0), (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(byVer(3L) === ((3L, Some(10.0), Some(20.0))), byVer)
+    assert(byVer(4L) === ((2L, Some(0.0), Some(10.0))), byVer)
+  }
+
   test("mergeInto pins the bucket count on first write") {
     val out = tmpDir("sink-pin") + "/state"
     val b1 = emitted((1L to 16L).map(i => (i, s"v$i", i, "+I")))
