@@ -440,6 +440,39 @@ object PipelineQueries {
              |  CAST(minc + q99 * (maxc - minc + 1) // 128 AS DOUBLE) / 100.0 AS p99_est
              |FROM qs ORDER BY l_returnflag""".stripMargin)),
 
+    // Deterministic train/val/test split (90/5/5): assignment is a pure
+    // function of the document key (md5 mod 100 thresholds), so it is
+    // reproducible across runs, independent of partitioning, and needs no
+    // join or global state — late-arriving shards of a 100 TB corpus get
+    // the same split as the first pass. Output = per-(lang, split) corpus
+    // stats; the per-doc column is the operator, the rollup keeps the
+    // result auditable.
+    "sample_split_assign" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        val d = Tables.load(s, dir, "documents")
+        val bucket = pmod(md5Long(concat(lit("split:"),
+          col("doc_id").cast(StringType))), lit(100L))
+        d.select(col("lang"), col("n_chars"),
+            when(bucket < 90, "train").when(bucket < 95, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val h = sqlMd5Long("concat('split:', CAST(doc_id AS VARCHAR))")
+        s"""SELECT lang,
+           |  CASE WHEN $h % 100 < 90 THEN 'train'
+           |       WHEN $h % 100 < 95 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+           |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+      }),
+
     // Sliding-window document chunking — the context-length splitter that
     // precedes tokenization/packing in a training pipeline: each document
     // becomes overlapping 32-token chunks on a 24-token stride (8-token
