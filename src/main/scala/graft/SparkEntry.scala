@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.defs ++
       graft.queries.MultimodalQueries.defs ++
       graft.queries.PipelineQueries.defs ++
-      graft.queries.CurationQueries.defs
+      graft.queries.CurationQueries.defs ++
+      graft.queries.CorpusQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus-level statistics and privacy scrubbing — the remaining standard
+ * passes of a training-data pipeline:
+ *
+ *  - PII REDACTION (emails / phone numbers / IPv4 scrubbed by regex, the
+ *    C4/Dolma-style privacy pass) — pure map, codegen'd `regexp_replace`,
+ *  - VOCABULARY building (term + document frequency, top-k) — one
+ *    map-side-combined shuffle over the exploded scan,
+ *  - RARE-WORD scoring (fraction of token occurrences whose corpus document
+ *    frequency is below 10% of docs) — the OOV/quality signal; joined
+ *    against the SMALL common set so the 100 TB side only streams,
+ *  - SOURCE-OVERLAP estimation via KMV sketch algebra — per-source k-minima
+ *    sketches (tiny) pairwise intersected to estimate cross-source shingle
+ *    Jaccard without ever materializing a pair set over documents.
+ *
+ * All metrics are exact integers or single double divisions of exact
+ * integers, so the DuckDB oracle reproduces them bit-for-bit.
+ */
+object CorpusQueries {
+
+  /** Redaction patterns — RE2-safe (no backrefs/lookaround) so Java regex
+    * (Spark) and RE2 (DuckDB) agree on every match boundary. */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+1 555 [0-9]+"
+  private val IpPat = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Common-word document-frequency threshold: a word is COMMON when it
+    * appears in ≥ 10% of documents (df·10 ≥ n_docs) — scale-free, so the
+    * same rule discriminates at every SF. */
+  private val CommonDfPct = 10
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // PII redaction: the corpus text carries deterministic contact blocks
+    // (derived from doc_id on both engines — the synthetic documents table
+    // contains no organic PII to scrub), and the operator counts + redacts
+    // emails, +1-555 phone numbers and 10.x.x.x IPs. Shape: a pure map —
+    // three codegen'd regexp passes over the scan, no shuffle but the
+    // presentation sort; at 100 TB this is scan-bound.
+    "text_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val pii = concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com ok")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call +1 555 0"), col("doc_id"), lit(" now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10."), col("doc_id") % 256, lit(".0."),
+              col("doc_id") % 100, lit(" end")))
+            .otherwise(lit("")))
+        val redacted = regexp_replace(
+          regexp_replace(
+            regexp_replace(pii, EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>"),
+          IpPat, "<IP>")
+        d.select(
+            col("doc_id"),
+            regexp_count(pii, lit(EmailPat)).cast(LongType).as("n_emails"),
+            regexp_count(pii, lit(PhonePat)).cast(LongType).as("n_phones"),
+            regexp_count(pii, lit(IpPat)).cast(LongType).as("n_ips"),
+            length(redacted).cast(LongType).as("redacted_len"),
+            md5Long(redacted).as("redacted_h"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val pii = "concat(text," +
+          " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id," +
+          " '@example.com ok') ELSE '' END," +
+          " CASE WHEN doc_id % 5 = 0 THEN concat(' call +1 555 0', doc_id," +
+          " ' now') ELSE '' END," +
+          " CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.', doc_id % 256," +
+          " '.0.', doc_id % 100, ' end') ELSE '' END)"
+        val red = s"regexp_replace(regexp_replace(regexp_replace(pii, " +
+          s"'$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'), " +
+          s"'$IpPat', '<IP>', 'g')"
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(pii, '$EmailPat')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(pii, '$PhonePat')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(pii, '$IpPat')) AS BIGINT) AS n_ips,
+           |  CAST(length(red) AS BIGINT) AS redacted_len,
+           |  ${sqlMd5Long("red")} AS redacted_h
+           |FROM (SELECT doc_id, pii, $red AS red
+           |      FROM (SELECT doc_id, $pii AS pii FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Vocabulary building: term frequency + document frequency, top 100 by
+    // tf (ties broken by word). One shuffle on the word key with map-side
+    // combine — the classic wordcount whose combiner keeps the shuffle
+    // proportional to |vocab|·partitions, not corpus tokens; df via a
+    // per-doc-distinct explode of the same scan.
+    "text_vocab_topk" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
+        val tf = tok.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+        val df = d.select(explode(array_distinct(words(col("text")))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        tf.join(df, "w")
+          .orderBy(col("tf").desc, col("w"))
+          .limit(100)
+      },
+      Some {
+        val ws = sqlWords("text")
+        s"""SELECT w, tf, df FROM (
+           |  SELECT w, count(*) AS tf FROM (
+           |    SELECT unnest($ws) AS w FROM documents) GROUP BY w) tf
+           |JOIN (
+           |  SELECT w, count(*) AS df FROM (
+           |    SELECT DISTINCT doc_id, unnest(list_distinct($ws)) AS w
+           |    FROM documents) GROUP BY w) df USING (w)
+           |ORDER BY tf DESC, w LIMIT 100""".stripMargin
+      }),
+
+    // Rare-word fraction: per document, the share of token occurrences
+    // whose corpus df is BELOW 10% of documents — the OOV/noise signal a
+    // quality filter thresholds on. Computed against the COMMON set (small
+    // by construction: ≤ 10·|vocab hot set|), broadcast back onto the
+    // exploded scan; n_rare = n_words − n_common, so the (unbounded) rare
+    // vocabulary itself is never shuffled or collected.
+    "text_rare_word_frac" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val nDocs = d.agg(count(lit(1)).as("n_docs"))
+        val common = d
+          .select(explode(array_distinct(words(col("text")))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") * CommonDfPct >= col("n_docs"))
+          .select(col("w"))
+        val tok = d.select(col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("n_words"),
+          explode(words(col("text"))).as("w"))
+        val nCommon = tok.join(broadcast(common), "w")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+        d.select(col("doc_id"),
+            size(words(col("text"))).cast(LongType).as("n_words"))
+          .join(nCommon, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"),
+            (col("n_words") - coalesce(col("n_common"), lit(0L)))
+              .as("n_rare"))
+          .withColumn("rare_frac",
+            round(col("n_rare").cast(DoubleType) /
+              col("n_words").cast(DoubleType), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        s"""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+           |common AS (
+           |  SELECT w FROM (
+           |    SELECT w, count(*) AS df FROM (
+           |      SELECT DISTINCT doc_id, unnest(list_distinct($ws)) AS w
+           |      FROM documents) GROUP BY w), nd
+           |  WHERE df * $CommonDfPct >= n_docs),
+           |tok AS (
+           |  SELECT doc_id, CAST(len($ws) AS BIGINT) AS n_words,
+           |         unnest($ws) AS w
+           |  FROM documents),
+           |nc AS (
+           |  SELECT doc_id, count(*) AS n_common
+           |  FROM tok JOIN common USING (w) GROUP BY doc_id),
+           |base AS (
+           |  SELECT doc_id, CAST(len($ws) AS BIGINT) AS n_words
+           |  FROM documents)
+           |SELECT base.doc_id, base.n_words,
+           |  base.n_words - coalesce(nc.n_common, 0) AS n_rare,
+           |  round(CAST(base.n_words - coalesce(nc.n_common, 0) AS DOUBLE)
+           |        / CAST(base.n_words AS DOUBLE), 6) AS rare_frac
+           |FROM base LEFT JOIN nc ON base.doc_id = nc.doc_id
+           |ORDER BY base.doc_id""".stripMargin
+      }),
+
+    // Cross-source overlap via KMV sketch ALGEBRA: per source, the k=16
+    // smallest word-4-gram hashes (computed scale-right: per-partition
+    // local k-minima, exact union-merge — ≤ k rows per source per
+    // partition on the shuffle); pairwise, the union's k smallest values
+    // give est_jaccard = |both ∩ union_k| / |union_k| (Beyer et al. 2007).
+    // The pair computation touches only 20 sketch rows — the document
+    // table is read ONCE no matter how many source pairs exist, which is
+    // the entire point at 100 TB. The exact Jaccard (one inverted-index
+    // self-join the sketch exists to avoid) rides along to show the error.
+    "sketch_source_overlap" -> QueryDef(
+      (s, dir) => {
+        val k = 16
+        val d = Tables.load(s, dir, "documents")
+        val sh = d.select(col("source"),
+            explode(shingleHashes(col("text"), 4)).as("h"))
+        val localMins = sh
+          .groupBy(col("source"), spark_partition_id().as("pid"))
+          .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("mins"))
+        val sk = localMins.groupBy(col("source"))
+          .agg(slice(array_distinct(array_sort(flatten(collect_list(col("mins"))))),
+            1, k).as("mins"))
+        val a = sk.select(col("source").as("s1"), col("mins").as("m1"))
+        val b = sk.select(col("source").as("s2"), col("mins").as("m2"))
+        val u = slice(array_sort(array_union(col("m1"), col("m2"))), 1, k)
+        val kk = least(lit(k), size(u)).cast(LongType)
+        val inter = size(filter(u, x =>
+          array_contains(col("m1"), x) && array_contains(col("m2"), x)))
+          .cast(LongType)
+        val est = a.crossJoin(b).filter(col("s1") < col("s2"))
+          .select(col("s1"), col("s2"),
+            round(inter.cast(DoubleType) / kk.cast(DoubleType), 6)
+              .as("est_jaccard"))
+        // exact check: distinct (source, h) self-join — the expensive path
+        val dh = sh.distinct()
+        val sizes = dh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val xs = dh.toDF("s1", "h").join(dh.toDF("s2", "h"), "h")
+          .filter(col("s1") < col("s2"))
+          .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_inter"))
+        est
+          .join(xs, Seq("s1", "s2"), "left")
+          .join(sizes.toDF("s1", "n1"), "s1")
+          .join(sizes.toDF("s2", "n2"), "s2")
+          .select(col("s1"), col("s2"), col("est_jaccard"),
+            round(coalesce(col("n_inter"), lit(0L)).cast(DoubleType) /
+              (col("n1") + col("n2") - coalesce(col("n_inter"), lit(0L)))
+                .cast(DoubleType), 6).as("exact_jaccard"))
+          .orderBy(col("s1"), col("s2"))
+      },
+      Some {
+        val hs = sqlShingleHashes("text", 4)
+        s"""WITH sh AS (
+           |  SELECT DISTINCT source, unnest(hs) AS h
+           |  FROM (SELECT source, $hs AS hs FROM documents)),
+           |ranked AS (
+           |  SELECT source, h,
+           |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           |  FROM sh),
+           |sk AS (
+           |  SELECT source, list(h ORDER BY h) AS mins
+           |  FROM ranked WHERE rn <= 16 GROUP BY source),
+           |pairs AS (
+           |  SELECT a.source AS s1, b.source AS s2, a.mins AS m1, b.mins AS m2
+           |  FROM sk a JOIN sk b ON a.source < b.source),
+           |est AS (
+           |  SELECT s1, s2,
+           |    round(CAST(len(list_filter(u, x -> list_contains(m1, x)
+           |            AND list_contains(m2, x))) AS DOUBLE)
+           |      / CAST(least(16, len(u)) AS DOUBLE), 6) AS est_jaccard
+           |  FROM (SELECT s1, s2, m1, m2,
+           |          list_sort(list_distinct(list_concat(m1, m2)))[:16] AS u
+           |        FROM pairs)),
+           |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+           |xs AS (
+           |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+           |  GROUP BY a.source, b.source)
+           |SELECT est.s1, est.s2, est.est_jaccard,
+           |  round(CAST(coalesce(xs.n_inter, 0) AS DOUBLE)
+           |    / CAST(n1.n + n2.n - coalesce(xs.n_inter, 0) AS DOUBLE), 6)
+           |    AS exact_jaccard
+           |FROM est
+           |LEFT JOIN xs ON est.s1 = xs.s1 AND est.s2 = xs.s2
+           |JOIN sizes n1 ON est.s1 = n1.source
+           |JOIN sizes n2 ON est.s2 = n2.source
+           |ORDER BY est.s1, est.s2""".stripMargin
+      })
+  )
+}
