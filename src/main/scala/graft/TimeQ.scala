@@ -11,7 +11,7 @@ object TimeQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- names; i <- 1 to 2) {
+    for (name <- names; i <- 1 to (if (sys.env.contains("TIMEQ_RUNS")) sys.env("TIMEQ_RUNS").toInt else 2)) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"TIME $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")

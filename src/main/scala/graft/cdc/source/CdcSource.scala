@@ -88,9 +88,18 @@ object CdcSourceConfig {
     * -1 (default) = unbounded (read to the live log head). */
   val BoundedOffsetKey = "scan.bounded.offset"
 
+  /** The V2 session catalog qualifies a stored table's `path` option into a
+    * location URI (`file:/...`) before handing it back — CREATE TABLE ...
+    * USING graft-cdc surfaces it that way while direct reads pass the raw
+    * path. Normalize the local-scheme forms back to a filesystem path. */
+  private def stripFileScheme(p: String): String =
+    if (p.startsWith("file://")) p.substring("file://".length)
+    else if (p.startsWith("file:")) p.substring("file:".length)
+    else p
+
   def fromOptions(o: CaseInsensitiveStringMap): CdcSourceConfig = CdcSourceConfig(
-    path = Option(o.get(PathKey)).getOrElse(
-      throw new IllegalArgumentException("cdc source requires 'path'")),
+    path = stripFileScheme(Option(o.get(PathKey)).getOrElse(
+      throw new IllegalArgumentException("cdc source requires 'path'"))),
     table = Option(o.get(TableKey)).getOrElse(
       throw new IllegalArgumentException("cdc source requires 'table'")),
     startupMode = o.getOrDefault(StartupModeKey, "initial"),

@@ -213,6 +213,34 @@ object CdcSourceQueries {
               |FROM cur JOIN customer ON o_custkey = c_custkey
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // The SQL DDL surface — the reference's primary API is Flink SQL
+    // `CREATE TABLE orders (...) WITH ('connector' = 'mysql-cdc', ...)`
+    // (MySqlTableSourceFactory); the Spark-native equivalent is
+    // `CREATE TABLE ... USING graft-cdc OPTIONS (...)` against the session
+    // catalog — the DSv2 TableProvider infers the schema (no column list
+    // needed, unlike Flink) and plain SQL then reads the merged current
+    // state. Pure SQL end-to-end: no DataFrame API in the query path.
+    "cdc_sql_table_ddl" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        val tbl = "cdc_sql_orders_" + new java.io.File(dir0).getName
+          .replaceAll("[^A-Za-z0-9_]", "_")
+        s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl USING `graft-cdc` OPTIONS (
+                 |  path '$dir', table 'orders',
+                 |  `scan.startup.mode` 'initial',
+                 |  `scan.incremental.snapshot.chunk.size` '1000')""".stripMargin)
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                 |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 |    AS sum_price
+                 |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some(s"""WITH cur AS (
+              |${ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")})
+              |SELECT o_orderstatus, COUNT(*) AS n,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS sum_price
+              |FROM cur GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Chunk-splitting math surfaced as data: assign every key to its chunk
     // (even split, MySqlChunkSplitter.java:267-301) and count per chunk —
     // the oracle recomputes the same arithmetic ranges in SQL.

@@ -172,6 +172,74 @@ object StreamingQueries {
              |          AND CAST(floor(epoch(p.ts)) AS BIGINT)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Stream-stream LEFT OUTER interval join — the semantics an inner join
+    // never exercises: unmatched left rows emit null-padded only when the
+    // watermark passes their join window (state eviction IS the emission
+    // trigger). Under Trigger.AvailableNow the final no-data micro-batch
+    // advances the watermark to min(max p_ts, max c_ts) − 1 h and flushes
+    // exactly the purchases at or before it; unmatched purchases inside
+    // the final window stay in state — the oracle encodes that eviction
+    // rule (matched OR p_ts ≤ final watermark), so the result is
+    // deterministic end-of-stream semantics, not a flaky race.
+    // (StreamOuterAvailableNowSpec pins the behavior.)
+    "q_stream_left_outer_join" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        val name = s"slo_${System.nanoTime()}"
+        def eventsStream = {
+          import org.apache.spark.sql.types._
+          val raw = Tables.load(s, dir0, "events")
+          s.readStream
+            .schema(StructType(raw.schema.fields.map(f =>
+              if (f.name == "ts") StructField("ts", LongType) else f)))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir0)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        }
+        import org.apache.spark.sql.types.LongType
+        val clicks = eventsStream.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = eventsStream.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("p_ts", "1 hour")
+        val q = purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts").cast(LongType) >= col("p_ts").cast(LongType) - 600 &&
+              col("c_ts").cast(LongType) <= col("p_ts").cast(LongType),
+            "leftOuter")
+          .select(col("user_id"), col("purchase_id"), col("click_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy(col("user_id"), col("purchase_id"))
+          .agg(count(col("click_id")).as("n_prior_clicks"))
+          .orderBy(col("user_id"), col("purchase_id"))
+      },
+      Some("""WITH wm AS (
+             |  SELECT least(
+             |    MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+             |    MAX(CASE WHEN event_type = 'click' THEN ts END))
+             |    - INTERVAL 1 HOUR AS w
+             |  FROM events),
+             |lo AS (
+             |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+             |         c.event_id AS click_id
+             |  FROM events p LEFT JOIN events c
+             |    ON p.user_id = c.user_id AND c.event_type = 'click'
+             |    AND CAST(floor(epoch(c.ts)) AS BIGINT)
+             |        BETWEEN CAST(floor(epoch(p.ts)) AS BIGINT) - 600
+             |            AND CAST(floor(epoch(p.ts)) AS BIGINT)
+             |  WHERE p.event_type = 'purchase')
+             |SELECT user_id, purchase_id, count(click_id) AS n_prior_clicks
+             |FROM lo, wm
+             |GROUP BY user_id, purchase_id, p_ts, wm.w
+             |HAVING count(click_id) > 0 OR p_ts <= wm.w
+             |ORDER BY user_id, purchase_id""".stripMargin)),
+
     // Streaming deduplication with watermark state (dropDuplicates on the
     // natural key): first arrival wins, per-key state expires past the
     // watermark. Counts per event_type after dedup match batch DISTINCT.
