@@ -133,6 +133,53 @@ object DedupQueries {
   private val docsSpec = graft.cdc.ChangelogGen.Spec(pk = "doc_id",
     measure = "n_chars", table = "documents")
 
+  // ------------------------------------------------- streaming LSH ingest
+  /** One exploded (band-bucket, document) event of the ingest stream. */
+  case class BandEvt(band: Int, key: Long, doc_id: Long, off: Long,
+      op: String, sig: Seq[Long])
+  /** Live docs of one LSH band bucket (ids ∥ sigs, arrival order). */
+  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  /** A detected candidate pair: id_a arrived before id_b; est = matching
+    * signature positions / 16 (exact k/16 doubles on both engines). */
+  case class LshPair(id_a: Long, id_b: Long, est: Double)
+
+  /** Replay-log fixture: an EMPTY snapshot and the corpus itself arriving
+    * through the log in three offset phases —
+    *   1 + doc_id          every base document inserted,
+    *   2·10⁹ + doc_id      docs with doc_id % 13 == 3 DELETED,
+    *   4·10⁹ + doc_id      copies (doc_id + 10⁹) of docs with
+    *                       doc_id % 100 == 1 inserted (dup injections).
+    * Unlike [[docsSpec]]'s standard changelog (inserts before deletes),
+    * the copies arrive AFTER the deletes, so ingest-time dedup state must
+    * have retired deleted docs for the late pairs to be right. */
+  private[queries] def prepareDocsReplay(s: SparkSession, sfDir: String): String = {
+    import graft.cdc.ChangeRecord._
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_docs_replay/$sf"
+    val base = Tables.load(s, sfDir, "documents")
+    def img(over: Map[String, org.apache.spark.sql.Column]) =
+      struct(base.schema.fieldNames.toSeq
+        .map(c => over.getOrElse(c, col(c)).as(c)): _*)
+    val nullImg = lit(null).cast(base.schema)
+    def env(off: org.apache.spark.sql.Column, op: String,
+        before: org.apache.spark.sql.Column,
+        after: org.apache.spark.sql.Column)(d: org.apache.spark.sql.DataFrame) =
+      d.select(off.as(OffsetCol), lit(op).as(OpCol), off.as(TsCol),
+        lit("graft").as(DbCol), lit("documents").as(TableCol),
+        before.as(BeforeCol), after.as(AfterCol))
+    val ins = env(lit(1L) + col("doc_id"), ExternalOp.Create,
+      nullImg, img(Map.empty))(base)
+    val dels = env(lit(2000000000L) + col("doc_id"), ExternalOp.Delete,
+      img(Map.empty), nullImg)(base.filter(col("doc_id") % 13 === 3))
+    val copies = env(lit(4000000000L) + col("doc_id"), ExternalOp.Create,
+      nullImg, img(Map("doc_id" -> (col("doc_id") + 1000000000L))))(
+      base.filter(col("doc_id") % 100 === 1))
+    graft.cdc.FileCdcDatabase.write(s, dir, "documents", "graft", "doc_id",
+      snapshot = base.limit(0),
+      changes = ins.unionByName(dels).unionByName(copies))
+    dir
+  }
+
   /** Idempotently materialize the documents CDC database for this SF. */
   private[queries] def prepareDocs(s: SparkSession, sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
@@ -171,6 +218,112 @@ object DedupQueries {
           docsSpec, Seq("doc_id", "text"), "documents")
         s"""WITH ${minhashPairsCteOver(s"($fstate)")}
            |SELECT id_a, id_b, jac FROM pairs
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // INGEST-TIME streaming near-dup: the corpus arrives as a rate-limited
+    // CDC stream (replay fixture: all inserts, then deletes, then late
+    // duplicate injections) and LSH state is maintained ONLINE — keyed
+    // state per band bucket holds the live docs' minhash signatures; each
+    // arriving doc probes its 4 buckets, emits (earlier, later, est) pairs
+    // with est = matching sig positions / 16 ≥ 0.5, and joins the bucket;
+    // deletes retire docs from their buckets. This is dedup-at-ingest for
+    // a continuously-growing corpus: per-doc cost is O(bucket), state is
+    // O(live docs × bands), and NO batch job over the accumulated corpus
+    // ever reruns. Pairs involving a doc deleted before the partner
+    // arrived must NOT emit — the oracle encodes exactly that (copies
+    // arrive after deletes, so deleted sources pair with nothing late).
+    "cdc_stream_lsh_ingest" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+        import graft.cdc.ChangeRecord._
+        import s.implicits._
+        val dir = prepareDocsReplay(s, dir0)
+        val name = s"slsh_${System.nanoTime()}"
+        val nBase = Tables.load(s, dir0, "documents").count()
+        val evts = s.readStream.format("graft-cdc")
+          .option("path", dir).option("table", "documents")
+          .option("scan.startup.mode", "earliest")
+          .option("changelog.mode", "all")
+          // several micro-batches so bucket state genuinely persists
+          // across triggers (phase boundaries land mid-batch either way)
+          .option("scan.stream.max-events-per-trigger",
+            math.max(64L, nBase / 3).toString)
+          .load()
+          .filter(col(OpCol).isin(RowKind.Insert, RowKind.Delete))
+          .select(col("doc_id"), col(OffsetCol).as("off"), col(OpCol).as("op"),
+            minHashSignature(shingleHashes(col("text"), 3), 16).as("sig"))
+          .select(posexplode(bandKeys(col("sig"), 4, 4)).as(Seq("band", "key")),
+            col("doc_id"), col("off"), col("op"), col("sig"))
+          .as[BandEvt]
+        val pairs = evts.groupByKey(e => (e.band, e.key))
+          .flatMapGroupsWithState[BucketState, LshPair](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (_: (Int, Long), rows: Iterator[BandEvt],
+                state: GroupState[BucketState]) =>
+              var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+              val out = Seq.newBuilder[LshPair]
+              // offset order = arrival order (offsets are unique)
+              rows.toSeq.sortBy(_.off).foreach { e =>
+                if (e.op == RowKind.Delete) {
+                  val i = st.ids.indexOf(e.doc_id)
+                  if (i >= 0) st = BucketState(
+                    st.ids.patch(i, Nil, 1), st.sigs.patch(i, Nil, 1))
+                } else {
+                  st.ids.zip(st.sigs).foreach { case (id, sg) =>
+                    val m = sg.iterator.zip(e.sig.iterator)
+                      .count { case (x, y) => x == y }
+                    if (m >= 8) out += LshPair(id, e.doc_id, m.toDouble / 16.0d)
+                  }
+                  st = BucketState(st.ids :+ e.doc_id, st.sigs :+ e.sig)
+                }
+              }
+              state.update(st)
+              out.result().iterator
+          }
+        val q = pairs.toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // the same pair surfaces in up to 4 band buckets (identical est)
+        s.table(name).dropDuplicates("id_a", "id_b")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 3)
+        val sig = sqlMinHashSignature("sh", 16)
+        val bands = sqlBandKeys("sig", 4, 4)
+        val bandRows = (1 to 4)
+          .map(i => s"SELECT doc_id, sig, $i AS band, bands[$i] AS key FROM sigs")
+          .mkString("\n    UNION ALL ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000000, text FROM documents
+           |  WHERE doc_id % 100 = 1),
+           |docs AS (SELECT doc_id, $sh AS sh FROM corpus),
+           |sigs AS (SELECT doc_id, sig, $bands AS bands
+           |         FROM (SELECT doc_id, $sig AS sig FROM docs)),
+           |brows AS ($bandRows),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM brows a JOIN brows b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |est AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST(len(list_filter(range(1, 17),
+           |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16.0 AS est
+           |  FROM cands c
+           |  JOIN sigs sa ON sa.doc_id = c.id_a
+           |  JOIN sigs sb ON sb.doc_id = c.id_b)
+           |SELECT id_a, id_b, est FROM est
+           |WHERE est >= 0.5
+           |  -- a doc deleted in phase 2 is gone before any phase-3 copy
+           |  -- arrives: base-source × copy pairs with a deleted source
+           |  -- never form (base × base pairs all formed in phase 1)
+           |  AND NOT (id_b >= 1000000000 AND id_a < 1000000000
+           |           AND id_a % 13 = 3)
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
