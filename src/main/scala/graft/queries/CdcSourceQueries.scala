@@ -189,6 +189,26 @@ object CdcSourceQueries {
       Some(ChangelogGen.oracleStateAtSql(ordersSpec, orderCols, "orders",
         StateAtBound) + "\nORDER BY o_orderkey")),
 
+    // Snapshot-only mode (the newer reference line's
+    // scan.startup.mode=snapshot): a bounded read pinned at offset 0 —
+    // chunked snapshot scan, NO log overlay. The degenerate case of the
+    // point-in-time read whose correctness hinges on the planner NOT
+    // consuming the (non-empty) log.
+    "cdc_snapshot_only" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("scan.startup.mode", "initial")
+          .option("scan.bounded.offset", "0")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""SELECT ${orderCols.mkString(", ")} FROM orders
+              |ORDER BY o_orderkey""".stripMargin)),
+
     // CDC + relational composition: the materialized current state joined
     // to a broadcast dimension — the "enrich the changelog" pattern every
     // downstream consumer of the reference runs. Revenue per market

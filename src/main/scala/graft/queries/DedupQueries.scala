@@ -432,6 +432,48 @@ object DedupQueries {
               |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Quality-aware canonical selection: within each duplicate cluster keep
+    // the LONGEST member (n_chars, ties → smaller doc_id) instead of the
+    // smallest id — the "keep the most complete copy" policy real pipelines
+    // use when near-dups are partial/truncated versions of one another.
+    // Cluster closure reuses the CC operator; the election is one max_by
+    // aggregate per cluster (clusters are broadcast-small by construction).
+    "dedup_keep_best" -> QueryDef(
+      (s, dir) => {
+        val clusters = graft.operators.ConnectedComponents
+          .components(minhashPairs(s, dir), "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        clusters.join(d, "doc_id")
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max_by(struct(col("doc_id"), col("n_chars")),
+              struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("k"))
+          .select(col("cluster_id"), col("n_members"),
+            col("k.doc_id").as("keep_id"), col("k.n_chars").as("keep_chars"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM pairs
+              |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT u AS id, u AS r FROM edges
+              |  UNION
+              |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+              |clusters AS (
+              |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              |ranked AS (
+              |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+              |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+              |      ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+              |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+              |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+              |SELECT cluster_id, n_members, doc_id AS keep_id,
+              |  n_chars AS keep_chars
+              |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
     // SimHash near-dup: 16-bit signature over word hashes; pairs within the
     // same language at Hamming distance ≤ 3. Candidate generation is
     // LSH-banded, not all-pairs: split the signature into 4 bands of 4 bits

@@ -18,7 +18,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * centroid table), queries probe the nearest `nprobe` cells, and the
  * candidate set shrinks by ~cells/nprobe; cell assignment would be the
  * partitioning/bucketing key on disk. The LSH variant buckets by
- * random-hyperplane signature — same map-only shape.
+ * random-hyperplane signature — same map-only shape. `ann_ivf_recall`
+ * closes the loop: the quality metric that decides whether the
+ * approximate index is acceptable.
  *
  * Determinism: cosine = sequential double fold (bit-identical in DuckDB),
  * rounded to 6 dp; every ranking tie-breaks on vector id.
@@ -45,119 +47,166 @@ object SimilarityQueries {
       s"CAST(${sqlMd5Long(s"'hp$j:$i'")} % 2001 - 1000 AS DOUBLE) / 1000.0"
     }.mkString("[", ", ", "]")
 
+  /** Brute-force exact top-k — shared by the query entry and the recall
+    * measurement. Norms hoisted to one fold per vector (vs 2 extra folds
+    * per pair). */
+  private def bruteforceTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
+        col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def bruteforceSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |          FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    ${sqlCosine("q.qv", "e.embedding", Dim)} AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-style ANN — shared by the query entry and the recall measurement.
+    * Coarse centroids seeded as the min-vec_id member of each label,
+    * nprobe=2 cell probing, exact re-ranking inside the probed cells. */
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    // norms hoisted to one fold per vector (vs 2 extra folds per pair)
+    val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
+    val seedIds = e.groupBy(col("label").as("c_label"))
+      .agg(min(col("vec_id")).as("seed_id"))
+    val cents = seedIds.join(e, col("seed_id") === col("vec_id"))
+      .select(col("c_label"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    // cell assignment: nearest centroid by cosine. argmax as max_by over
+    // (ccos, -label) — ties pick the smaller label, identical to a
+    // (ccos DESC, c_label ASC) window rank 1, but with map-side partial
+    // aggregation the shuffle carries one row per vector instead of one
+    // per (vector × centroid) — the term that matters at 100 TB.
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosineHoisted(col("cv"), col("embedding"),
+        col("cn"), col("nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_label"), col("embedding"), col("nrm")),
+        struct(col("ccos"), (-col("c_label")).as("nl"))).as("v"))
+      .select(col("vec_id"), col("v.embedding").as("embedding"),
+        col("v.nrm").as("nrm"), col("v.c_label").as("cell"))
+    // query probes: top-2 cells per query
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("c_label"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("pcos", cosineHoisted(col("cv"), col("qv"),
+        col("cn"), col("qn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= 2)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("c_label").as("cell"))
+    // exact search inside probed cells
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
+        col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def ivfSql: String =
+    s"""WITH cents AS (
+       |  SELECT e.label AS c_label, e.embedding AS cv FROM embeddings e
+       |  JOIN (SELECT label, min(vec_id) AS seed_id FROM embeddings
+       |        GROUP BY label) s ON e.vec_id = s.seed_id),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_label AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${sqlCosine("c.cv", "e.embedding", Dim)} DESC, c.c_label) AS crank
+       |    FROM embeddings e, cents c) WHERE crank = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv,
+       |      c.c_label AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlCosine("c.cv", "q.embedding", Dim)} DESC, c.c_label) AS prank
+       |    FROM embeddings q, cents c WHERE q.vec_id < $NumQueries)
+       |  WHERE prank <= 2)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${sqlCosine("p.qv", "a.embedding", Dim)} AS cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |      ${sqlCosine("p.qv", "a.embedding", Dim)} DESC, a.vec_id)
+       |      AS BIGINT) AS rank
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // Brute-force exact top-k: the baseline every ANN variant is recalled
     // against. Query side is broadcast; ranking is one window shuffle.
     "ann_bruteforce_topk" -> QueryDef(
-      (s, dir) => {
-        // norms hoisted to one fold per vector (vs 2 extra folds per pair)
-        val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
-        val q = e.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("nrm").as("qn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-          .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
-            col("qn"), col("nrm")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= TopK)
-          .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-            col("vec_id").as("neighbor_id"), col("cos"))
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-              |          FROM embeddings WHERE vec_id < $NumQueries),
-              |scored AS (
-              |  SELECT q.query_id, e.vec_id,
-              |    ${sqlCosine("q.qv", "e.embedding", Dim)} AS cos
-              |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
-              |SELECT query_id, rank, neighbor_id, cos FROM (
-              |  SELECT query_id, vec_id AS neighbor_id, cos,
-              |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-              |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-              |  FROM scored)
-              |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+      (s, dir) => bruteforceTopk(s, dir), Some(bruteforceSql)),
 
     // IVF-style ANN: coarse centroids (deterministically seeded as the
     // min-vec_id member of each label), nprobe=2 cell probing, exact
     // re-ranking inside the probed cells.
     "ann_ivf_topk" -> QueryDef(
+      (s, dir) => ivfTopk(s, dir), Some(ivfSql)),
+
+    // RECALL measurement — the metric that justifies an ANN index: per
+    // query, |IVF top-k ∩ exact top-k| / k. Composes the two searches
+    // (each already verified) and reports the quality loss of probing 2
+    // cells instead of scanning everything. At 100 TB this is the
+    // accept/reject gate run on a sampled query set after every index
+    // build; the join is over 8×5 rows — free.
+    "ann_ivf_recall" -> QueryDef(
       (s, dir) => {
-        // norms hoisted to one fold per vector (vs 2 extra folds per pair)
-        val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
-        val seedIds = e.groupBy(col("label").as("c_label"))
-          .agg(min(col("vec_id")).as("seed_id"))
-        val cents = seedIds.join(e, col("seed_id") === col("vec_id"))
-          .select(col("c_label"), col("embedding").as("cv"),
-            col("nrm").as("cn"))
-        // cell assignment: nearest centroid by cosine. argmax as max_by over
-        // (ccos, -label) — ties pick the smaller label, identical to a
-        // (ccos DESC, c_label ASC) window rank 1, but with map-side partial
-        // aggregation the shuffle carries one row per vector instead of one
-        // per (vector × centroid) — the term that matters at 100 TB.
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("ccos", cosineHoisted(col("cv"), col("embedding"),
-            col("cn"), col("nrm")))
-          .groupBy(col("vec_id"))
-          .agg(max_by(struct(col("c_label"), col("embedding"), col("nrm")),
-            struct(col("ccos"), (-col("c_label")).as("nl"))).as("v"))
-          .select(col("vec_id"), col("v.embedding").as("embedding"),
-            col("v.nrm").as("nrm"), col("v.c_label").as("cell"))
-        // query probes: top-2 cells per query
-        val q = e.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("nrm").as("qn"))
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("pcos").desc, col("c_label"))
-        val probes = q.crossJoin(broadcast(cents))
-          .withColumn("pcos", cosineHoisted(col("cv"), col("qv"),
-            col("cn"), col("qn")))
-          .withColumn("prank", row_number().over(wProbe))
-          .filter(col("prank") <= 2)
-          .select(col("query_id"), col("qv"), col("qn"),
-            col("c_label").as("cell"))
-        // exact search inside probed cells
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        assigned.join(probes, "cell")
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
-            col("qn"), col("nrm")))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= TopK)
-          .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-            col("vec_id").as("neighbor_id"), col("cos"))
-          .orderBy(col("query_id"), col("rank"))
+        val bf = bruteforceTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val iv = ivfTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = bf.join(iv, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        bf.select(col("query_id")).distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
+              / lit(TopK.toDouble)).as("recall_at_k"))
+          .orderBy(col("query_id"))
       },
-      Some(s"""WITH cents AS (
-              |  SELECT e.label AS c_label, e.embedding AS cv FROM embeddings e
-              |  JOIN (SELECT label, min(vec_id) AS seed_id FROM embeddings
-              |        GROUP BY label) s ON e.vec_id = s.seed_id),
-              |assigned AS (
-              |  SELECT vec_id, embedding, cell FROM (
-              |    SELECT e.vec_id, e.embedding, c.c_label AS cell,
-              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              |        ${sqlCosine("c.cv", "e.embedding", Dim)} DESC, c.c_label) AS crank
-              |    FROM embeddings e, cents c) WHERE crank = 1),
-              |probes AS (
-              |  SELECT query_id, qv, cell FROM (
-              |    SELECT q.vec_id AS query_id, q.embedding AS qv,
-              |      c.c_label AS cell,
-              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-              |        ${sqlCosine("c.cv", "q.embedding", Dim)} DESC, c.c_label) AS prank
-              |    FROM embeddings q, cents c WHERE q.vec_id < $NumQueries)
-              |  WHERE prank <= 2)
-              |SELECT query_id, rank, neighbor_id, cos FROM (
-              |  SELECT p.query_id, a.vec_id AS neighbor_id,
-              |    ${sqlCosine("p.qv", "a.embedding", Dim)} AS cos,
-              |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
-              |      ${sqlCosine("p.qv", "a.embedding", Dim)} DESC, a.vec_id)
-              |      AS BIGINT) AS rank
-              |  FROM assigned a JOIN probes p ON a.cell = p.cell
-              |  WHERE a.vec_id <> p.query_id)
-              |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+      Some(s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($bruteforceSql)),
+              |iv AS (SELECT query_id, neighbor_id FROM ($ivfSql)),
+              |hits AS (
+              |  SELECT query_id, count(*) AS n_hits
+              |  FROM bf JOIN iv USING (query_id, neighbor_id)
+              |  GROUP BY query_id)
+              |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+              |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $TopK.0 AS recall_at_k
+              |FROM (SELECT DISTINCT query_id FROM bf) q
+              |LEFT JOIN hits h ON q.query_id = h.query_id
+              |ORDER BY q.query_id""".stripMargin)),
 
     // Random-hyperplane LSH bucketing: 12-bit signature per vector; the
     // bucket histogram verifies the signature computation end-to-end
