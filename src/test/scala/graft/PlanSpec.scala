@@ -252,4 +252,38 @@ class PlanSpec extends SparkSpecBase {
     assert(broadcasts >= 2, s"expected >=2 broadcast joins:\n${plan.take(2000)}")
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("text_pii_redact: pure map before the presentation sort") {
+    val plan = executed(q("text_pii_redact"))
+    val shuffles = plan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size <= 1, s"${shuffles.size} shuffles (want <=1: sort)")
+  }
+
+  test("text_rare_word_frac: common set broadcast onto the exploded scan") {
+    val plan = formatted(q("text_rare_word_frac"))
+    // the common-word set and the n_docs scalar must broadcast — a
+    // shuffle join against the (unbounded) token stream is the regression
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 1,
+      plan.take(2000))
+  }
+
+  test("sketch_source_overlap: sketch pairing never cartesians the corpus") {
+    val plan = formatted(q("sketch_source_overlap"))
+    // the 20×20 sketch cross join is fine (broadcast NLJ over sketch rows);
+    // the corpus-side exact check must stay an equi-join on the hash
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // KMV local-minima stage: no global single-partition collapse
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+  }
+
+  test("dedup_keep_best: cluster election is an aggregate, not a window") {
+    val plan = formatted(q("dedup_keep_best"))
+    // max_by partial-aggregates map-side; a ROW_NUMBER window regression
+    // would materialize every cluster member through one partition
+    assert(!plan.contains("RunningWindowFunction"), plan.take(2000))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+  }
 }
