@@ -156,6 +156,33 @@ object AdvancedQueries {
              |GROUP BY CUBE(event_type, bucket)
              |ORDER BY event_type, bucket""".stripMargin)),
 
+    // Explicit GROUPING SETS (the general form ROLLUP/CUBE sugar over) with
+    // grouping_id() disambiguation: (type, bucket), (type), (bucket), () —
+    // one shuffle computes all four aggregation shapes; `gid` tells subtotal
+    // rows from data rows without NULL sentinels.
+    "q_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("bucket", col("user_id") % 4)
+        e.createOrReplaceTempView("ev_gsets")
+        s.sql("""SELECT coalesce(event_type, 'ALL') AS event_type,
+                |  coalesce(bucket, -1) AS bucket,
+                |  CAST(grouping_id(event_type, bucket) AS BIGINT) AS gid,
+                |  COUNT(*) AS n
+                |FROM ev_gsets
+                |GROUP BY GROUPING SETS ((event_type, bucket), (event_type),
+                |  (bucket), ())
+                |ORDER BY gid, event_type, bucket""".stripMargin)
+      },
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |  coalesce(bucket, -1) AS bucket,
+             |  CAST(grouping(event_type) * 2 + grouping(bucket) AS BIGINT) AS gid,
+             |  COUNT(*) AS n
+             |FROM (SELECT event_type, user_id % 4 AS bucket FROM events)
+             |GROUP BY GROUPING SETS ((event_type, bucket), (event_type),
+             |  (bucket), ())
+             |ORDER BY gid, event_type, bucket""".stripMargin)),
+
     // PIVOT: event counts per user bucket, one column per event type. With
     // explicit pivot values the plan is a single partial-aggregated
     // groupBy — no second pass to discover the domain.

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -180,6 +181,59 @@ object CorpusQueries {
            |        / CAST(base.n_words AS DOUBLE), 6) AS rare_frac
            |FROM base LEFT JOIN nc ON base.doc_id = nc.doc_id
            |ORDER BY base.doc_id""".stripMargin
+      }),
+
+    // HYBRID retrieval — the lexical+semantic fusion every RAG/training
+    // retrieval stack runs: candidates scored by 0.5·cosine(embedding) +
+    // 0.5·word-3-gram Jaccard, top-5 per query. Cross-MODAL join: the text
+    // table and the embedding table meet on doc_id = vec_id (docs without
+    // embeddings drop out — a real condition of multimodal corpora). Query
+    // side broadcasts; one window shuffle ranks. Both score components are
+    // already cross-engine exact (rounded fold cosine, rational Jaccard).
+    "retrieval_hybrid_topk" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+        val corpus = d.join(e, "doc_id")
+        val q = corpus.filter(col("doc_id") < 4)
+          .select(col("doc_id").as("query_id"), col("sh").as("qsh"),
+            col("embedding").as("qv"), col("nrm").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+        corpus.join(broadcast(q), col("doc_id") =!= col("query_id"))
+          .withColumn("score", round(
+            lit(0.5d) * cosineHoisted(col("qv"), col("embedding"),
+              col("qn"), col("nrm")) +
+            lit(0.5d) * jaccard(col("qsh"), col("sh")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+            col("doc_id"), col("score"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 3)
+        val cos = sqlCosine("q.qv", "c.embedding", 64)
+        val jac = sqlJaccard("q.qsh", "c.sh")
+        s"""WITH corpus AS (
+           |  SELECT d.doc_id, $sh AS sh, e.embedding
+           |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+           |q AS (
+           |  SELECT doc_id AS query_id, sh AS qsh, embedding AS qv
+           |  FROM corpus WHERE doc_id < 4),
+           |scored AS (
+           |  SELECT q.query_id, c.doc_id,
+           |    round(0.5 * $cos + 0.5 * $jac, 6) AS score
+           |  FROM corpus c, q WHERE c.doc_id <> q.query_id)
+           |SELECT query_id, rank, doc_id, score FROM (
+           |  SELECT query_id, doc_id, score,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           |  FROM scored)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       }),
 
     // Cross-source overlap via KMV sketch ALGEBRA: per source, the k=16
