@@ -156,6 +156,84 @@ object AdvancedQueries {
              |GROUP BY CUBE(event_type, bucket)
              |ORDER BY event_type, bucket""".stripMargin)),
 
+    // FUNNEL analysis — ordered-stage conversion (signup → click →
+    // purchase): a user converts stage k only if its event happens AFTER
+    // the previous stage's first completion. One groupBy computes the
+    // three first-completion times with conditional min aggregates; no
+    // self-join, no window — the shuffle carries one row per user.
+    "q_funnel" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("ts").cast(LongType).as("tse"))
+        val stages = e.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "signup", col("tse")))
+            .as("t_signup"))
+          .join(e, "user_id")
+          .groupBy(col("user_id"), col("t_signup"))
+          .agg(min(when(col("event_type") === "click" &&
+            col("tse") >= col("t_signup"), col("tse"))).as("t_click"))
+          .join(e, "user_id")
+          .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("tse") >= col("t_click"), col("tse"))).as("t_purchase"))
+        stages.agg(
+            count(lit(1)).as("n_users"),
+            count(col("t_signup")).as("n_signup"),
+            count(col("t_click")).as("n_signup_click"),
+            count(col("t_purchase")).as("n_full_funnel"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS tse
+             |  FROM events),
+             |s1 AS (
+             |  SELECT user_id,
+             |    MIN(CASE WHEN event_type = 'signup' THEN tse END) AS t_signup
+             |  FROM e GROUP BY user_id),
+             |s2 AS (
+             |  SELECT e.user_id, s1.t_signup,
+             |    MIN(CASE WHEN e.event_type = 'click'
+             |      AND e.tse >= s1.t_signup THEN e.tse END) AS t_click
+             |  FROM s1 JOIN e ON s1.user_id = e.user_id
+             |  GROUP BY e.user_id, s1.t_signup),
+             |s3 AS (
+             |  SELECT e.user_id, s2.t_signup, s2.t_click,
+             |    MIN(CASE WHEN e.event_type = 'purchase'
+             |      AND e.tse >= s2.t_click THEN e.tse END) AS t_purchase
+             |  FROM s2 JOIN e ON s2.user_id = e.user_id
+             |  GROUP BY e.user_id, s2.t_signup, s2.t_click)
+             |SELECT COUNT(*) AS n_users,
+             |  COUNT(t_signup) AS n_signup,
+             |  COUNT(t_click) AS n_signup_click,
+             |  COUNT(t_purchase) AS n_full_funnel
+             |FROM s3""".stripMargin)),
+
+    // Moving aggregate over an event-ordered ROWS frame: per user, the
+    // 3-event trailing average of `value` — the window-frame shape (ROWS
+    // BETWEEN) distinct from the rank/lag windows elsewhere. DECIMAL sum
+    // then one double division keeps the frame sum bit-exact.
+    "q_moving_avg" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("value").cast(DecimalType(18, 2)).as("v"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        e.select(col("user_id"), col("event_id"),
+            (sum(col("v")).over(w).cast(DoubleType) /
+              count(lit(1)).over(w).cast(DoubleType)).as("mov_avg"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             |    / CAST(COUNT(*) OVER w AS DOUBLE) AS mov_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // Explicit GROUPING SETS (the general form ROLLUP/CUBE sugar over) with
     // grouping_id() disambiguation: (type, bucket), (type), (bucket), () —
     // one shuffle computes all four aggregation shapes; `gid` tells subtotal
