@@ -46,6 +46,9 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     Seq(s"/root/repo/.scratch/cdcdb/$sfName",
         s"/root/repo/.scratch/cdcdb_ddl/$sfName",
+        s"/root/repo/.scratch/cdcdb_docs/$sfName",
+        s"/root/repo/.scratch/cdcdb_docs_replay/$sfName",
+        s"/root/repo/.scratch/bucketed/$sfName",
         s"/root/repo/.scratch/jdbccdc/$sfName")
       .map(new java.io.File(_)).filter(_.isDirectory).foreach(warmRead)
     // fixture generation wrote ~1 GB; flush the writeback queue so the

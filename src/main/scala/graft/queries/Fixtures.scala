@@ -19,5 +19,6 @@ object Fixtures {
     StreamingQueries.prepare(spark, sfDir)
     PipelineQueries.prepareBucketed(spark, sfDir)
     DedupQueries.prepareDocs(spark, sfDir)
+    DedupQueries.prepareDocsReplay(spark, sfDir)
   }
 }
