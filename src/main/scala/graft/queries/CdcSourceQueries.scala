@@ -209,6 +209,54 @@ object CdcSourceQueries {
       Some(s"""SELECT ${orderCols.mkString(", ")} FROM orders
               |ORDER BY o_orderkey""".stripMargin)),
 
+    // CROSS-TABLE consistent point-in-time read: `orders` and `customer`
+    // share one log offset space (like tables sharing a binlog); reading
+    // BOTH at the same bounded offset — pinned mid-way through the delete
+    // band, so updates and inserts are fully applied and deletes only
+    // partially, in both tables — yields a transactionally consistent
+    // multi-table snapshot: orders of already-deleted customers drop out
+    // of the join exactly as they would have at that log position. This is
+    // the property that makes CDC-fed joins trustworthy: never mix table
+    // states from different log positions.
+    "cdc_consistent_snapshot" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        prepareCustomer(s, dir0)
+        val bound = ordersSpec.delBand + 3000L
+        def at(table: String) = s.read.format("graft-cdc")
+          .option("path", dir).option("table", table)
+          .option("scan.startup.mode", "initial")
+          .option("scan.bounded.offset", bound.toString)
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+        at("orders").select(col("o_custkey"), col("o_totalprice"))
+          .join(at("customer")
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some {
+        val bound = ordersSpec.delBand + 3000L
+        val o = ChangelogGen.oracleStateAtSql(ordersSpec,
+          Seq("o_orderkey", "o_custkey", "o_totalprice"), "orders", bound)
+        val c = ChangelogGen.oracleStateAtSql(custSpec, custCols,
+          "customer", bound)
+        s"""WITH o AS ($o), c AS ($c)
+           |SELECT c_mktsegment, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_bal
+           |FROM o JOIN c ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+      }),
+
     // CDC + relational composition: the materialized current state joined
     // to a broadcast dimension — the "enrich the changelog" pattern every
     // downstream consumer of the reference runs. Revenue per market
@@ -317,6 +365,22 @@ object CdcSourceQueries {
       Some(s"""SELECT CAST(${ordersSpec.ddlBand} AS BIGINT) AS __offset,
               |  'ALTER TABLE orders ADD COLUMN note STRING' AS ddl""".stripMargin))
   )
+
+  private val custSpec = ChangelogGen.Spec(pk = "c_custkey",
+    measure = "c_acctbal", table = "customer")
+  private val custCols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
+
+  /** Add a `customer` table to the same CDC database as `orders` — one
+    * shared transaction-log offset space across tables, like a binlog. */
+  private[queries] def prepareCustomer(spark: SparkSession, sfDir: String): String = {
+    val dir = dbDir(sfDir)
+    val base = Tables.load(spark, sfDir, "customer")
+    FileCdcDatabase.write(spark, dir, "customer", "graft", custSpec.pk,
+      snapshot = base,
+      changes = ChangelogGen.changes(base, custSpec),
+      snapshotPartitions = 8)
+    dir
+  }
 
   /** File CDC database whose log contains the DDL + post-DDL note updates. */
   private[queries] def prepareDdl(spark: SparkSession, sfDir: String): String = {

@@ -14,6 +14,7 @@ object Fixtures {
     CdcSourceQueries.prepare(spark, sfDir)
     CdcSourceQueries.prepareDdl(spark, sfDir)
     CdcSourceQueries.prepareJdbc(spark, sfDir)
+    CdcSourceQueries.prepareCustomer(spark, sfDir)
     CdcSurfaceQueries.prepare(spark, sfDir)
     CdcSurfaceQueries.prepareSharded(spark, sfDir)
     StreamingQueries.prepare(spark, sfDir)
