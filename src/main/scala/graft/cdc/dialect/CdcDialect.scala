@@ -186,15 +186,24 @@ object FileCdcDialect extends CdcDialect {
     }
   }
 
+  /** Offset of a log line, or None when the line is not parseable JSON —
+    * malformed lines flow THROUGH the range scan (they cannot drive the
+    * early stop, and they cannot be range-filtered) so the reader's
+    * parse-error policy decides: fail with context, or skip. */
+  private def offsetOfOpt(l: String): Option[Long] =
+    FileCdcDatabase.quickLongFieldOpt(l, ChangeRecord.OffsetCol).orElse {
+      try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(l).get(ChangeRecord.OffsetCol).asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   override def logLines(path: String, table: String,
       from: Long, to: Long): Iterator[String] =
     FileCdcDatabase.dataFiles(path, table, "log").iterator
       .flatMap { f =>
         FileCdcDatabase.lines(f)
-          .takeWhileClosing(l =>
-            FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol) <= to)
-          .filter(l =>
-            FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol) > from)
+          .takeWhileClosing(l => offsetOfOpt(l).forall(_ <= to))
+          .filter(l => offsetOfOpt(l).forall(_ > from))
       }
 
   /** Distinct offsets of offset-sorted log files, memoized per file with a
@@ -218,9 +227,10 @@ object FileCdcDialect extends CdcDialect {
     if (cur != null && cur.size == size && cur.mtime == mtime) cur.offs
     else {
       val it = FileCdcDatabase.lines(f)
+      // malformed lines carry no offset: they are invisible to the
+      // rate-limit enumeration (the reader-side policy handles them)
       val offs =
-        try it.map(FileCdcDatabase.quickLongField(_, ChangeRecord.OffsetCol))
-          .toArray
+        try it.flatMap(offsetOfOpt).toArray
         finally it.close()
       offsetMemo.put(f, OffsetsEntry(size, mtime, offs))
       offs
@@ -264,10 +274,12 @@ object FileCdcDialect extends CdcDialect {
           var found = false
           while (!found && it.hasNext) {
             val l = it.next()
-            if (FileCdcDatabase.quickLongField(l, ChangeRecord.TsCol) >= tsMs) {
-              first = math.min(first,
-                FileCdcDatabase.quickLongField(l, ChangeRecord.OffsetCol))
-              found = true
+            val ts = FileCdcDatabase.quickLongFieldOpt(l, ChangeRecord.TsCol)
+            if (ts.exists(_ >= tsMs)) {
+              offsetOfOpt(l).foreach { off =>
+                first = math.min(first, off)
+                found = true
+              }
             }
           }
         } finally it.close()

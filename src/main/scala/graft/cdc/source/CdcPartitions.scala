@@ -47,11 +47,13 @@ case class SnapshotChunkPartition(dialect: String, path: String,
     table: String, chunkId: Int,
     ranges: Seq[(Option[Long], Option[Long])],
     high: Long, schemaDdl: String,
-    chunkKey: String = "") extends InputPartition
+    chunkKey: String = "",
+    parsePolicy: String = "fail") extends InputPartition
 
 case class LogRangePartition(dialect: String, path: String, table: String,
     from: Long, to: Long, changelogMode: String,
-    schemaDdl: String) extends InputPartition
+    schemaDdl: String,
+    parsePolicy: String = "fail") extends InputPartition
 
 class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -70,7 +72,8 @@ class CdcReaderFactory extends PartitionReaderFactory {
   * which the merge always needs) — at 100 TB a 2-column projection over a
   * 40-column table must not JSON-decode the other 38. */
 private[source] class EnvelopeDecoder(dialectName: String, path: String,
-    table: String, schemaDdl: String, chunkKeyOpt: String = "") {
+    table: String, schemaDdl: String, chunkKeyOpt: String = "",
+    parsePolicy: String = "fail") {
   val dialect = CdcDialects.byName(dialectName)
   val meta: FileCdcDatabase.TableMeta = dialect.tableMeta(path, table)
   /** Snapshot split key: pk unless overridden (chunk-key.column). Range
@@ -123,6 +126,19 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
       codec.convertStruct(n.get(ChangeRecord.AfterCol), decodeSchema))
   }
 
+  /** [[decodeEnvelope]] under the parse-error policy (the reference's
+    * Debezium errors.tolerance): None = line dropped (`skip`); `fail`
+    * rethrows with the offending line's prefix for diagnosis. */
+  def decodeEnvelopeSafe(line: String): Option[Env] =
+    try Some(decodeEnvelope(line))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (parsePolicy == "skip") None
+        else throw new IllegalStateException(
+          s"undecodable log line for $table (scan.parse.error-policy=fail): " +
+            s"'${line.take(120)}'", e)
+    }
+
   // out position -> decodeSchema position (payload) or -1-tag (meta col)
   private val MetaOp = -1; private val MetaOffset = -2; private val MetaTs = -3
   private val MetaDb = -4; private val MetaTable = -5
@@ -173,7 +189,7 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
   import ChangeRecord.ExternalOp
 
   private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table,
-    p.schemaDdl, p.chunkKey)
+    p.schemaDdl, p.chunkKey, p.parsePolicy)
 
   // The partition's chunk ranges are consecutive, so the whole partition
   // spans one contiguous key interval.
@@ -202,8 +218,7 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
       // chunk-key field inside the envelope structs gives range membership;
       // full decode only in-span
       val quick = FileCdcDatabase.quickNestedLongFieldOpt(line, dec.chunkKey)
-      if (quick.forall(inSpan)) {
-        val env = dec.decodeEnvelope(line)
+      if (quick.forall(inSpan)) dec.decodeEnvelopeSafe(line).foreach { env =>
         // schema-change records go to the history, not the data merge (T2)
         if (env.op != ExternalOp.SchemaChange && inSpan(env.chunkKeyVal)) {
           env.op match {
@@ -268,7 +283,8 @@ class LogRangeReader(p: LogRangePartition)
     extends PartitionReader[InternalRow] {
   import ChangeRecord.{ExternalOp, RowKind}
 
-  private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table, p.schemaDdl)
+  private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table,
+    p.schemaDdl, parsePolicy = p.parsePolicy)
 
   // lazy: a JDBC dialect's logLines borrows a pooled connection and
   // registers the cursor the moment it is CALLED — that must happen inside
@@ -279,7 +295,7 @@ class LogRangeReader(p: LogRangePartition)
     // shouldEmit (W3): only events past the key's finished-chunk high
     // watermark; uniform high == p.from for the file dialect. Offsets are
     // prefiltered cheaply before the full envelope decode.
-    dec.logLinesInRange(p.from, p.to).map(dec.decodeEnvelope)
+    dec.logLinesInRange(p.from, p.to).flatMap(dec.decodeEnvelopeSafe)
       .flatMap { env =>
         env.op match {
           // schema changes route to SchemaHistory, not the row stream (the

@@ -88,6 +88,12 @@ object CdcSourceConfig {
     * -1 (default) = unbounded (read to the live log head). */
   val BoundedOffsetKey = "scan.bounded.offset"
 
+  /** Malformed-event policy, the reference's Debezium errors.tolerance:
+    * `fail` (default — stop with the offending line) or `skip` (drop
+    * undecodable log lines and continue). Applies to the LOG only; the
+    * snapshot is trusted storage. */
+  val ParseErrorPolicyKey = "scan.parse.error-policy"
+
   /** The V2 session catalog qualifies a stored table's `path` option into a
     * location URI (`file:/...`) before handing it back — CREATE TABLE ...
     * USING graft-cdc surfaces it that way while direct reads pass the raw
@@ -119,7 +125,8 @@ object CdcSourceConfig {
       ChunkSplitter.DistributionFactorUpper.toString).toDouble,
     distributionFactorLower = o.getOrDefault(FactorLowerKey,
       ChunkSplitter.DistributionFactorLower.toString).toDouble,
-    boundedOffset = o.getOrDefault(BoundedOffsetKey, "-1").toLong)
+    boundedOffset = o.getOrDefault(BoundedOffsetKey, "-1").toLong,
+    parseErrorPolicy = o.getOrDefault(ParseErrorPolicyKey, "fail"))
 }
 
 case class CdcSourceConfig(
@@ -139,9 +146,13 @@ case class CdcSourceConfig(
     connectionPoolSize: Int = 0,
     distributionFactorUpper: Double = ChunkSplitter.DistributionFactorUpper,
     distributionFactorLower: Double = ChunkSplitter.DistributionFactorLower,
-    boundedOffset: Long = -1L) {
+    boundedOffset: Long = -1L,
+    parseErrorPolicy: String = "fail") {
 
   def dialect: CdcDialect = CdcDialects.byName(dialectName)
+  require(Set("fail", "skip").contains(parseErrorPolicy),
+    s"${CdcSourceConfig.ParseErrorPolicyKey} must be fail|skip: " +
+      s"$parseErrorPolicy")
   require(Set("initial", "earliest", "latest", "specific-offset", "timestamp")
     .contains(startupMode),
     s"unknown $startupMode — expected initial|earliest|latest|" +
@@ -474,7 +485,8 @@ object CdcPlanner {
       math.ceil(cs.size.toDouble / cfg.maxSnapshotPartitions).toInt)
     cs.grouped(group).zipWithIndex.map { case (g, i) =>
       SnapshotChunkPartition(cfg.dialectName, cfg.path, table, i,
-        g.map(c => (c.lo, c.hi)), high, schemaDdl, cfg.chunkKey)
+        g.map(c => (c.lo, c.hi)), high, schemaDdl, cfg.chunkKey,
+        cfg.parseErrorPolicy)
     }.toSeq
   }
 
@@ -495,7 +507,7 @@ object CdcPlanner {
           // file snapshot all chunks share one high == logFrom.
           logRanges(logFrom, logTo, cfg.logPartitions).map { case (lo, hi) =>
             LogRangePartition(cfg.dialectName, cfg.path, table,
-              lo, hi, cfg.changelogMode, schemaDdl)
+              lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy)
           }
         else Seq.empty
       snap ++ log
@@ -661,7 +673,7 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
         CdcPlanner.logRanges(s.logOffset, e.logOffset, cfg.logPartitions)
           .map { case (lo, hi) =>
             LogRangePartition(cfg.dialectName, cfg.path, table,
-              lo, hi, cfg.changelogMode, schemaDdl)
+              lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy)
           }
       else Seq.empty
     }.toArray

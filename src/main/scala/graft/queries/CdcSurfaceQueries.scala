@@ -53,6 +53,32 @@ object CdcSurfaceQueries {
     dir
   }
 
+  /** The orders CDC database with garbage lines injected into the log —
+    * one truncated JSON line and one well-formed but non-envelope record,
+    * placed mid-file so early-stop scanning must step over them. */
+  private[queries] def prepareCorrupt(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_corrupt/$sf"
+    val base = Tables.load(spark, sfDir, "orders")
+    FileCdcDatabase.write(spark, dir, "orders", "graft", ordersSpec.pk,
+      snapshot = base,
+      changes = ChangelogGen.changes(base, ordersSpec),
+      snapshotPartitions = 8)
+    val marker = Paths.get(dir, "orders", "_CORRUPTED")
+    if (!Files.exists(marker)) {
+      val logFile = Paths.get(
+        FileCdcDatabase.dataFiles(dir, "orders", "log").head)
+      val lines = Files.readAllLines(logFile)
+      val mid = lines.size / 2
+      lines.add(mid, """{"this_is":"not an envelope", "x": [1,2""")
+      lines.add(mid, """{"hello": 42, "no_offset_field": true}""")
+      Files.write(logFile, lines, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.writeString(marker, "ok")
+    }
+    dir
+  }
+
   private def readBatch(spark: SparkSession, dir: String, table: String,
       opts: Map[String, String]): DataFrame = {
     val r = spark.read.format("graft-cdc")
@@ -128,6 +154,25 @@ object CdcSurfaceQueries {
         val df = readBatch(s, dir, "orders_[01]",
           Map("scan.startup.mode" -> "initial"))
         df.select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")
+        + "\nORDER BY o_orderkey")),
+
+    // Malformed-event tolerance (the reference's Debezium errors.tolerance
+    // surface): the log carries garbage lines (truncated JSON, a non-
+    // envelope record) interleaved with real events; with
+    // scan.parse.error-policy=skip the batch read drops exactly the
+    // undecodable lines and the merged state is unchanged — while the
+    // default (fail) read of the same database throws (CdcParseErrorSpec
+    // pins that half).
+    "cdc_parse_error_skip" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareCorrupt(s, dir0)
+        readBatch(s, dir, "orders",
+          Map("scan.startup.mode" -> "initial",
+            "scan.parse.error-policy" -> "skip"))
+          .select(orderCols.map(col): _*)
           .orderBy(col("o_orderkey"))
       },
       Some(ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")

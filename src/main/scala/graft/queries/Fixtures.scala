@@ -17,6 +17,7 @@ object Fixtures {
     CdcSourceQueries.prepareCustomer(spark, sfDir)
     CdcSurfaceQueries.prepare(spark, sfDir)
     CdcSurfaceQueries.prepareSharded(spark, sfDir)
+    CdcSurfaceQueries.prepareCorrupt(spark, sfDir)
     StreamingQueries.prepare(spark, sfDir)
     PipelineQueries.prepareBucketed(spark, sfDir)
     DedupQueries.prepareDocs(spark, sfDir)
