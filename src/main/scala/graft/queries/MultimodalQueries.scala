@@ -17,6 +17,10 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Long,
 case class MediaResized(doc_id: Long, out_w: Long, out_h: Long,
     out_chars: Long, out_checksum: String)
 
+/** One analysis window of an audio-like payload (frame DSP output). */
+case class MediaWindow(doc_id: Long, window_id: Long, n_samples: Long,
+    energy: Long, peak: Long)
+
 /**
  * ===== STUB CODEC =====
  * The container has no image/audio libraries, so the decode step is a
@@ -43,6 +47,26 @@ object FakeCodec {
       n_frames = n % 7 + 1,
       checksum = checksum)
   }
+
+  /** Windowed "audio" analysis: 256-sample windows on a 128 stride, per
+    * window the energy (sum of unsigned sample values) and peak — the
+    * frame-feature shape an audio DSP stage produces (STUB arithmetic;
+    * window/stride/batch mechanics are the real part). Exact integers, so
+    * the oracle reproduces values bit-for-bit from the same bytes. */
+  def audioWindowBatch(batch: Seq[MediaBlob]): Seq[MediaWindow] =
+    batch.flatMap { b =>
+      val n = b.content.length
+      (0 until n by 128).map { start =>
+        val len = math.min(256, n - start)
+        var energy = 0L; var peak = 0L; var i = start
+        while (i < start + len) {
+          val v = (b.content(i) & 0xff).toLong
+          energy += v; if (v > peak) peak = v
+          i += 1
+        }
+        MediaWindow(b.doc_id, start / 128L, len.toLong, energy, peak)
+      }
+    }
 
   /** Batched "resize" to half resolution: the stand-in transform crops the
     * payload to out_w×out_h units (STUB — a real codec rescales pixels;
@@ -128,6 +152,46 @@ object MultimodalQueries {
              |    CAST(greatest(((octet_length(encode(text)) * 31) % 48 + 16) // 2, 1) AS BIGINT) AS out_h
              |  FROM documents)
              |ORDER BY doc_id, frame_id""".stripMargin)),
+
+    // Windowed audio-style analysis over the binary payload: 256-sample
+    // windows, 128 stride, per-window energy/peak via the batched codec —
+    // map + per-row window fan-out, shuffle-free; the shape a streaming
+    // ASR/audio-feature pre-pass runs over a 100 TB audio column. The
+    // corpus bytes are ASCII, so the oracle recomputes sample values with
+    // ascii(substr(...)) exactly.
+    "mm_audio_windows" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit("fake/v1").as("fmt"),
+            encode(col("text"), "UTF-8").as("content"))
+          .as[MediaBlob]
+        blobs
+          .mapPartitions(_.grouped(FakeCodec.BatchSize)
+            .flatMap(b => FakeCodec.audioWindowBatch(b.toSeq)))
+          .toDF()
+          .orderBy(col("doc_id"), col("window_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, text, n, unnest(range(0, n, 128)) AS start
+             |  FROM base),
+             |samp AS (
+             |  SELECT doc_id, start // 128 AS window_id,
+             |    least(256, n - start) AS n_samples,
+             |    list_transform(
+             |      range(CAST(start + 1 AS INTEGER),
+             |            CAST(start + least(256, n - start) + 1 AS INTEGER)),
+             |      i -> ascii(substr(text, i, 1))) AS vs
+             |  FROM w)
+             |SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+             |  CAST(n_samples AS BIGINT) AS n_samples,
+             |  CAST(list_sum(vs) AS BIGINT) AS energy,
+             |  CAST(list_max(vs) AS BIGINT) AS peak
+             |FROM samp ORDER BY doc_id, window_id""".stripMargin)),
 
     // Half-resolution resize over the binary payload (batched stub codec:
     // codepoint crop to out_w×out_h stands in for pixel rescaling; the
