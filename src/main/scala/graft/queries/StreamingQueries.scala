@@ -389,6 +389,44 @@ object StreamingQueries {
              |WHERE o_orderkey % 100 = 1
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Retraction-PRESERVING enrichment: the changelog joined to the
+    // broadcast dimension with its row kinds intact — every +I/-U/+U/-D
+    // keeps its op and offset through the join, so the ENRICHED stream is
+    // itself a changelog that materializes correctly: deletes still
+    // retract, updates still supersede, now with dimension columns
+    // attached. (cdc_stream_enrich enriches only inserts; this is the
+    // changelog-algebra property — enrichment commutes with
+    // materialization when the dim key is stable.)
+    "cdc_enriched_changelog" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        val dir = prepare(s, dir0)
+        val cust = Tables.load(s, dir0, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val name = s"echlog_${System.nanoTime()}"
+        val q = readStreamEarliest(s, dir)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("c_mktsegment"), col(OpCol), col(OffsetCol),
+            col(TsCol), col(DbCol), col(TableCol))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        Materialize.materialize(s.table(name), Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("c_mktsegment"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             |  c_mktsegment
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 10 = 7 AND o_orderkey % 13 <> 3
+             |UNION ALL
+             |SELECT o_orderkey + 1000000000, o_totalprice, c_mktsegment
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 100 = 1
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Incrementally maintained aggregate with retractions (the Flink
     // retract-aggregate, SURVEY §0(d)): the changelog stream drives
     // per-group COUNT/SUM state — +I/+U add, -U/-D subtract — over a
