@@ -209,6 +209,35 @@ object AdvancedQueries {
              |  COUNT(t_purchase) AS n_full_funnel
              |FROM s3""".stripMargin)),
 
+    // RETENTION cohorts — users grouped by first-activity hour, counted by
+    // how many hours later they return: the (cohort, offset) matrix every
+    // engagement dashboard draws. Two aggregations: first-touch per user
+    // (one shuffle), then distinct users per (cohort, offset) — the
+    // activity table never self-joins.
+    "q_retention_cohorts" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            expr("CAST(ts AS LONG) div 3600").as("h"))
+        val first = e.groupBy(col("user_id"))
+          .agg(min(col("h")).as("cohort_h"))
+        e.join(first, "user_id")
+          .groupBy(col("cohort_h"), (col("h") - col("cohort_h")).as("offset_h"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_h"), col("offset_h"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+             |  FROM events),
+             |first AS (
+             |  SELECT user_id, MIN(h) AS cohort_h FROM e GROUP BY user_id)
+             |SELECT cohort_h, h - cohort_h AS offset_h,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM e JOIN first USING (user_id)
+             |GROUP BY cohort_h, h - cohort_h
+             |ORDER BY cohort_h, offset_h""".stripMargin)),
+
     // Moving aggregate over an event-ordered ROWS frame: per user, the
     // 3-event trailing average of `value` — the window-frame shape (ROWS
     // BETWEEN) distinct from the rank/lag windows elsewhere. DECIMAL sum
