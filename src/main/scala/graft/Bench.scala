@@ -75,21 +75,20 @@ object Bench {
         spark.catalog.clearCache()
         name -> ((t, ok))
     }.toMap
-    // Pass 2 runs in REVERSE order: a stall induced by a neighboring query
-    // (GC pressure, page-cache eviction, host noise with a period) hits the
-    // same victim in both passes when the order repeats, surviving the min.
-    // Reversing decorrelates query identity from position.
+    // Passes 2 and 3 run in REVERSE and half-ROTATED order: a stall induced
+    // by a neighboring query (GC pressure, page-cache eviction, host noise
+    // with a period) hits the same victim when the order repeats, surviving
+    // the min. Three decorrelated orders make a query's min robust even
+    // when the host stalls during two of the passes.
     val order = SparkEntry.queries.toSeq
-    val pass1 = timedPass(order)
-    val pass2 = timedPass(order.reverse)
-    val results = pass1.map { case (name, (t1, ok1)) =>
-      val (t2, ok2) = pass2.getOrElse(name, (t1, ok1))
-      name -> ((ok1, ok2) match {
-        case (true, true) => math.min(t1, t2)
-        case (true, false) => t1
-        case (false, true) => t2
-        case (false, false) => math.max(t1, t2) // both failed: report slow
-      })
+    val rotated = order.drop(order.size / 2) ++ order.take(order.size / 2)
+    val passes = Seq(timedPass(order), timedPass(order.reverse),
+      timedPass(rotated))
+    val results = passes.head.map { case (name, _) =>
+      val runs = passes.flatMap(_.get(name))
+      val good = runs.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min
+               else runs.map(_._1).max) // all failed: report slow
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
