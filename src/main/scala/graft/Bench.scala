@@ -56,7 +56,7 @@ object Bench {
     try Runtime.getRuntime.exec(Array("sync")).waitFor()
     catch { case _: Exception => () }
     spark.catalog.clearCache()
-    // Two timed passes, min per query: the shared host shows rotating
+    // Three timed passes, min per query: the shared host shows rotating
     // multi-second stalls (a query steady-stating at 1.6 s can record 19 s
     // in one pass while vmstat sits idle). The min of two independent
     // passes reports the reproducible cost of the PLAN, which is what this
@@ -101,7 +101,10 @@ object Bench {
     // artifact loses the totals. Emit a final compact line guaranteed to fit:
     // ms-precision values, slowest queries first, truncated (with an explicit
     // omitted count/sum) once the line would outgrow the capture window.
-    def f3(v: Double) = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render 1,234 and
+    // break the JSON this line exists to provide
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     val bySlowest = results.toSeq.sortBy(-_._2)
     val budget = 1700 // line budget: capture window minus sbt's epilogue
     val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":{"""

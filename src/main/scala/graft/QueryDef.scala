@@ -9,7 +9,34 @@ case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** The money-math contract shared by every TPC-H-shaped query: float sums
+  * go through DECIMAL(18,2) (exact, order-insensitive) on BOTH the Spark
+  * and oracle side, or hashes drift. One definition — a precision change
+  * here reaches the whole suite. */
+object MoneyMath {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+  import org.apache.spark.sql.types.DecimalType
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  val one: Column = lit(1).cast(DecimalType(18, 2))
+  val dzero: Column = lit(0).cast(DecimalType(18, 2))
+  def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+}
+
 object QueryUtil {
+  /** Resolve a drained memory-sink table and DROP its temp-view entry: the
+    * returned DataFrame's analyzed plan keeps the sink's rows reachable for
+    * exactly as long as the caller holds it, while the catalog no longer
+    * pins every drained stream's result for the session's lifetime (a
+    * 3-pass benchmark over the streaming queries would otherwise
+    * accumulate three driver-resident copies per query). */
+  def detachMemorySink(s: SparkSession, name: String): DataFrame = {
+    val df = s.table(name)
+    df.queryExecution.analyzed // force resolution before the view goes away
+    s.catalog.dropTempView(name)
+    df
+  }
+
   /** Scope `spark.sql.shuffle.partitions` around a stateful-streaming
     * query: every state-store instance (one per shuffle partition per
     * stateful operator) pays load/commit overhead each micro-batch, so the

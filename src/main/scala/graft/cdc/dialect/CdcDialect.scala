@@ -101,6 +101,9 @@ object CdcDialects {
  * parses, early stops) live here — the generic source never assumes them.
  */
 object FileCdcDialect extends CdcDialect {
+  /** Shared fallback parser for offset probes (ObjectMapper is thread-safe
+    * for reads; per-line construction was measurable waste). */
+  private val fallbackMapper = new com.fasterxml.jackson.databind.ObjectMapper()
   import graft.cdc.ChangeRecord
 
   val name = "file"
@@ -192,8 +195,8 @@ object FileCdcDialect extends CdcDialect {
     * parse-error policy decides: fail with context, or skip. */
   private def offsetOfOpt(l: String): Option[Long] =
     FileCdcDatabase.quickLongFieldOpt(l, ChangeRecord.OffsetCol).orElse {
-      try Some(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(l).get(ChangeRecord.OffsetCol).asLong())
+      try Option(fallbackMapper.readTree(l)
+        .get(ChangeRecord.OffsetCol)).map(_.asLong())
       catch { case scala.util.control.NonFatal(_) => None }
     }
 
@@ -201,9 +204,17 @@ object FileCdcDialect extends CdcDialect {
       from: Long, to: Long): Iterator[String] =
     FileCdcDatabase.dataFiles(path, table, "log").iterator
       .flatMap { f =>
+        // one offset probe per line: the takeWhile predicate and the range
+        // filter see each element back-to-back on this single-threaded
+        // iterator, so a one-slot memo removes the double parse
+        var memoLine: String = null; var memoOff: Option[Long] = None
+        def off(l: String): Option[Long] = {
+          if (l ne memoLine) { memoLine = l; memoOff = offsetOfOpt(l) }
+          memoOff
+        }
         FileCdcDatabase.lines(f)
-          .takeWhileClosing(l => offsetOfOpt(l).forall(_ <= to))
-          .filter(l => offsetOfOpt(l).forall(_ > from))
+          .takeWhileClosing(l => off(l).forall(_ <= to))
+          .filter(l => off(l).forall(_ > from))
       }
 
   /** Distinct offsets of offset-sorted log files, memoized per file with a

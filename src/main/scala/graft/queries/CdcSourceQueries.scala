@@ -81,7 +81,7 @@ object CdcSourceQueries {
       .writeStream.format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    graft.QueryUtil.detachMemorySink(spark, name)
   }
 
   def defs: Map[String, QueryDef] = Map(

@@ -136,7 +136,7 @@ object CdcSurfaceQueries {
           .writeStream.format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        opCounts(s.table(name))
+        opCounts(graft.QueryUtil.detachMemorySink(s, name))
       },
       Some("""SELECT __op, n FROM (
              |  SELECT '+I' AS __op, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 1) AS n

@@ -237,26 +237,24 @@ object CorpusQueries {
       }),
 
     // Cross-source overlap via KMV sketch ALGEBRA: per source, the k=16
-    // smallest word-4-gram hashes (computed scale-right: per-partition
-    // local k-minima, exact union-merge — ≤ k rows per source per
-    // partition on the shuffle); pairwise, the union's k smallest values
-    // give est_jaccard = |both ∩ union_k| / |union_k| (Beyer et al. 2007).
-    // The pair computation touches only 20 sketch rows — the document
-    // table is read ONCE no matter how many source pairs exist, which is
-    // the entire point at 100 TB. The exact Jaccard (one inverted-index
+    // smallest word-4-gram hashes via the bounded-buffer k-minima
+    // aggregate ([[graft.functions.KMinimaAgg]] — ≤ k longs per source per
+    // partition on the shuffle, no stage holds a source's full distinct
+    // set); pairwise, the union's k smallest values give est_jaccard =
+    // |both ∩ union_k| / |union_k| (Beyer et al. 2007). The pair
+    // computation touches only 20 sketch rows — the document table is
+    // read ONCE no matter how many source pairs exist, which is the
+    // entire point at 100 TB. The exact Jaccard (one inverted-index
     // self-join the sketch exists to avoid) rides along to show the error.
     "sketch_source_overlap" -> QueryDef(
       (s, dir) => {
+        import graft.functions.SketchAggregates.kMinima
         val k = 16
         val d = Tables.load(s, dir, "documents")
         val sh = d.select(col("source"),
             explode(shingleHashes(col("text"), 4)).as("h"))
-        val localMins = sh
-          .groupBy(col("source"), spark_partition_id().as("pid"))
-          .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("mins"))
-        val sk = localMins.groupBy(col("source"))
-          .agg(slice(array_distinct(array_sort(flatten(collect_list(col("mins"))))),
-            1, k).as("mins"))
+        val sk = sh.groupBy(col("source"))
+          .agg(kMinima(col("h"), k).as("mins"))
         val a = sk.select(col("source").as("s1"), col("mins").as("m1"))
         val b = sk.select(col("source").as("s2"), col("mins").as("m2"))
         val u = slice(array_sort(array_union(col("m1"), col("m2"))), 1, k)

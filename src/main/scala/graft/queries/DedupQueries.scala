@@ -287,7 +287,7 @@ object DedupQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         // the same pair surfaces in up to 4 band buckets (identical est)
-        s.table(name).dropDuplicates("id_a", "id_b")
+        graft.QueryUtil.detachMemorySink(s, name).dropDuplicates("id_a", "id_b")
           .orderBy(col("id_a"), col("id_b"))
       },
       Some {

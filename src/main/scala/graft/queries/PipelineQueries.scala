@@ -313,29 +313,26 @@ object PipelineQueries {
 
     // KMV (k-minimum-values) distinct-count sketch — the mergeable-sketch
     // family (theta/HLL) in a deterministic, cross-engine-exact form:
-    // per group, the k=8 smallest 60-bit hashes of the value; the k-th
-    // smallest estimates the distinct count as (k-1)·2^60/kth. The sketch
-    // is computed the way it scales: per (group, input-partition) keep the
-    // k local minima (collect_set is bounded by the partition, not the
-    // group), then merge — k-minima sets union EXACTLY by re-taking the k
-    // smallest, so the shuffle carries ≤ k rows per group per partition
-    // and the result is the exact global sketch, independent of
-    // partitioning. The estimate is one double division of exact
-    // integers; the exact distinct count (the one full shuffle the sketch
-    // exists to avoid) rides along to show the error.
+    // per group, the k=8 smallest DISTINCT 60-bit hashes of the value; the
+    // k-th smallest estimates the distinct count as (k-1)·2^60/kth. The
+    // sketch is computed by a native bounded-buffer aggregate
+    // ([[graft.functions.KMinimaAgg]]): the aggregation buffer never holds
+    // more than k values at ANY point of the partial/merge tree — map-side
+    // partial aggregation ships ≤ k longs per group per partition, and no
+    // stage ever materializes a group's full distinct set (the thing a
+    // sketch exists to avoid). The estimate is one double division of
+    // exact integers; the exact distinct count (the full shuffle the
+    // sketch avoids) rides along to show the error.
     "sketch_kmv_distinct" -> QueryDef(
       (s, dir) => {
+        import graft.functions.SketchAggregates.kMinima
         import graft.functions.TextFunctions.md5Long
         val e = Tables.load(s, dir, "events")
         val k = 8
         val hashed = e.select(col("event_type"),
           md5Long(col("user_id").cast(StringType)).as("h"))
-        val localMins = hashed
-          .groupBy(col("event_type"), spark_partition_id().as("pid"))
-          .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("mins"))
-        val sketch = localMins.groupBy(col("event_type"))
-          .agg(slice(array_distinct(array_sort(flatten(collect_list(col("mins"))))),
-            1, k).as("mins"))
+        val sketch = hashed.groupBy(col("event_type"))
+          .agg(kMinima(col("h"), k).as("mins"))
           .select(col("event_type"),
             when(size(col("mins")) >= k, element_at(col("mins"), k)).as("kth"))
         val exact = hashed.distinct().groupBy(col("event_type"))

@@ -18,10 +18,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  */
 object RelationalQueries {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
-  private val one = lit(1).cast(DecimalType(18, 2))
-
-  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+  import graft.MoneyMath.{dec, one, ts}
 
   def defs: Map[String, QueryDef] = Map(
 

@@ -100,7 +100,7 @@ object StreamingQueries {
           .outputMode("update")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name)
+        graft.QueryUtil.detachMemorySink(s, name)
           .groupBy(col("hour"), col("event_type"))
           .agg(max_by(struct(col("n"), col("sum_value")), col("n")).as("v"))
           .select(col("hour"), col("event_type"), col("v.n").as("n"),
@@ -157,7 +157,7 @@ object StreamingQueries {
           .outputMode("append")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name)
+        graft.QueryUtil.detachMemorySink(s, name)
           .groupBy(col("user_id"), col("purchase_id"))
           .agg(count(lit(1)).as("n_prior_clicks"))
           .orderBy(col("user_id"), col("purchase_id"))
@@ -214,7 +214,7 @@ object StreamingQueries {
           .outputMode("append")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name)
+        graft.QueryUtil.detachMemorySink(s, name)
           .groupBy(col("user_id"), col("purchase_id"))
           .agg(count(col("click_id")).as("n_prior_clicks"))
           .orderBy(col("user_id"), col("purchase_id"))
@@ -263,7 +263,7 @@ object StreamingQueries {
           .outputMode("complete")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name).orderBy(col("event_type"))
+        graft.QueryUtil.detachMemorySink(s, name).orderBy(col("event_type"))
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
@@ -297,7 +297,7 @@ object StreamingQueries {
           .outputMode("complete") // session windows reject update mode
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name)
+        graft.QueryUtil.detachMemorySink(s, name)
           .groupBy(col("user_id"), col("ws"))
           .agg(max_by(struct(col("n_events"), col("sess_start"),
             col("sess_end")), col("n_events")).as("v"))
@@ -346,7 +346,7 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         // collapse the upsert stream: newest op per key, deletes drop out
-        val collected = s.table(name)
+        val collected = graft.QueryUtil.detachMemorySink(s, name)
         val last = collected.groupBy(col("k"))
           .agg(max_by(struct(col("op"), col("off"), col("img")), col("off"))
             .as("v"))
@@ -379,7 +379,7 @@ object StreamingQueries {
           .outputMode("append")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name)
+        graft.QueryUtil.detachMemorySink(s, name)
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_inserted"))
           .orderBy(col("c_mktsegment"))
@@ -412,7 +412,7 @@ object StreamingQueries {
           .outputMode("append")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        Materialize.materialize(s.table(name), Seq("o_orderkey"))
+        Materialize.materialize(graft.QueryUtil.detachMemorySink(s, name), Seq("o_orderkey"))
           .select(col("o_orderkey"), col("o_totalprice"),
             col("c_mktsegment"))
           .orderBy(col("o_orderkey"))
@@ -445,7 +445,7 @@ object StreamingQueries {
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         // newest version per group = the current aggregate
-        s.table(name).groupBy(col("g"))
+        graft.QueryUtil.detachMemorySink(s, name).groupBy(col("g"))
           .agg(max_by(struct(col("cnt"), col("total")), col("ver")).as("v"))
           .select(col("g").as("o_orderstatus"),
             col("v.cnt").as("n_delta"),
@@ -489,7 +489,7 @@ object StreamingQueries {
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         // newest version per group = the current extremes
-        s.table(name).groupBy(col("g"))
+        graft.QueryUtil.detachMemorySink(s, name).groupBy(col("g"))
           .agg(max_by(struct(col("n"), col("min_m"), col("max_m")),
             col("ver")).as("v"))
           .select(col("g").as("o_orderstatus"),
@@ -540,7 +540,7 @@ object StreamingQueries {
           .writeStream.format("memory").queryName(name)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name).groupBy(col("g"))
+        graft.QueryUtil.detachMemorySink(s, name).groupBy(col("g"))
           .agg(max_by(col("kth"), col("ver")).as("kth"))
           .select(col("g").as("o_orderpriority"), col("kth"),
             round(lit(7.0d) * lit(1152921504606846976.0d) /
@@ -590,7 +590,7 @@ object StreamingQueries {
           .writeStream.format("memory").queryName(name)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name).groupBy(col("g"))
+        graft.QueryUtil.detachMemorySink(s, name).groupBy(col("g"))
           .agg(max_by(struct(col("n_net"), col("p50_est"), col("p95_est"),
             col("p99_est")), col("ver")).as("v"))
           .select(col("g").as("o_orderstatus"), col("v.n_net").as("n_net"),

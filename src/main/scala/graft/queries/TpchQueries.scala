@@ -22,11 +22,7 @@ import org.apache.spark.sql.types._
  */
 object TpchQueries {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
-  private val one = lit(1).cast(DecimalType(18, 2))
-  private val dzero = lit(0).cast(DecimalType(18, 2))
-
-  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+  import graft.MoneyMath.{dec, dzero, one, ts}
 
   private val discPrice = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
