@@ -365,6 +365,62 @@ object PipelineQueries {
            |ORDER BY e.event_type""".stripMargin
       }),
 
+    // Sketch MERGEABILITY made explicit — the property that lets 100 TB
+    // pipelines pre-aggregate per shard/day and combine later WITHOUT
+    // rescanning: per-event_type KMV sketches (5 tiny rows, exactly what
+    // sketch_kmv_distinct persists) merge by re-taking the k smallest of
+    // the union into a corpus-wide distinct-user estimate. The merge step
+    // touches 5 sketch rows — the events table is scanned once to build
+    // the per-group sketches, never again for the global answer. Exact
+    // global distinct rides along to show the error.
+    "sketch_kmv_merge" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.SketchAggregates.kMinima
+        import graft.functions.TextFunctions.md5Long
+        val e = Tables.load(s, dir, "events")
+        val k = 8
+        val hashed = e.select(col("event_type"),
+          md5Long(col("user_id").cast(StringType)).as("h"))
+        val perType = hashed.groupBy(col("event_type"))
+          .agg(kMinima(col("h"), k).as("mins"))
+        // merge phase: 5 sketch rows in, one global sketch out
+        val merged = perType
+          .select(explode(col("mins")).as("h"))
+          .agg(kMinima(col("h"), k).as("mins"))
+          .select(when(size(col("mins")) >= k, element_at(col("mins"), k))
+            .as("kth"))
+        val exact = hashed.select(col("h")).distinct()
+          .agg(count(lit(1)).as("exact_distinct"))
+        exact.crossJoin(merged)
+          .select(col("exact_distinct"),
+            when(col("kth").isNull, col("exact_distinct").cast(DoubleType))
+              .otherwise(round(lit((k - 1).toDouble) *
+                lit(1152921504606846976.0d) / col("kth").cast(DoubleType), 4))
+              .as("est_distinct"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val h = sqlMd5Long("CAST(user_id AS VARCHAR)")
+        s"""WITH hashed AS (
+           |  SELECT DISTINCT event_type, $h AS h FROM events),
+           |pertype AS (
+           |  SELECT event_type, h FROM (
+           |    SELECT event_type, h,
+           |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           |    FROM hashed) WHERE rn <= 8),
+           |merged AS (
+           |  SELECT h AS kth FROM (
+           |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+           |    FROM (SELECT DISTINCT h FROM pertype)) WHERE rn = 8),
+           |exact AS (
+           |  SELECT COUNT(DISTINCT h) AS exact_distinct FROM hashed)
+           |SELECT e.exact_distinct,
+           |  CASE WHEN m.kth IS NULL THEN CAST(e.exact_distinct AS DOUBLE)
+           |    ELSE round(7.0 * 1152921504606846976.0 / CAST(m.kth AS DOUBLE), 4)
+           |  END AS est_distinct
+           |FROM exact e LEFT JOIN merged m ON TRUE""".stripMargin
+      }),
+
     // Equi-width binned quantile sketch — the mergeable-histogram answer
     // to percentiles at 100 TB (exact percentiles need a full sort; the
     // histogram needs one tiny agg per group and merges by adding
