@@ -21,6 +21,8 @@ import org.apache.spark.sql.catalyst.expressions.Divide
  *   graft_hamming(a, b)             -> INT            popcount(a XOR b)
  *   graft_cosine(a, b)              -> DOUBLE         6-dp-rounded cosine
  *   graft_zvalue(a, b, bits)        -> BIGINT         Morton bit-interleave
+ *   graft_k_minima(h, k)            -> ARRAY<BIGINT>  k smallest distinct
+ *                                                     (aggregate, O(k) state)
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -63,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_zvalue"),
       (args: Seq[Expression]) => GraftExtensions.zvalueExpr(args.head,
         args(1), intLit(args(2), "graft_zvalue"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_k_minima"),
+      new ExpressionInfo(classOf[KMinimaAgg].getName, "graft_k_minima"),
+      (args: Seq[Expression]) =>
+        KMinimaAgg(args.head, intLit(args(1), "graft_k_minima"))))
   }
 }
 
@@ -90,6 +97,8 @@ object GraftExtensions {
     add("graft_cosine", cosineExpr)
     add("graft_zvalue", args =>
       zvalueExpr(args.head, args(1), intLit(args(2), "graft_zvalue")))
+    add("graft_k_minima", args =>
+      KMinimaAgg(args.head, intLit(args(1), "graft_k_minima")))
   }
 
   /** popcount(a XOR b) — same composition as the Column-side hamming. */

@@ -121,9 +121,9 @@ object StreamingQueries {
       // 4 state stores per PARTITION per batch — partition count is the
       // state-store-commit multiplier, so size it to state volume, not
       // core count (measured at sf0.1/local[32]: 4 partitions halves the
-      // query vs 8; a real cluster sizes up only when per-partition state
-      // no longer fits an executor)
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+      // query vs 8, 2 shaves another ~12%; a real cluster sizes up only
+      // when per-partition state no longer fits an executor)
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 2) {
         val name = s"ssj_${System.nanoTime()}"
         def eventsStream = {
           import org.apache.spark.sql.types._
@@ -183,7 +183,7 @@ object StreamingQueries {
     // deterministic end-of-stream semantics, not a flaky race.
     // (StreamOuterAvailableNowSpec pins the behavior.)
     "q_stream_left_outer_join" -> QueryDef(
-      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 2) {
         val name = s"slo_${System.nanoTime()}"
         def eventsStream = {
           import org.apache.spark.sql.types._

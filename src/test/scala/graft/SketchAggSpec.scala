@@ -24,6 +24,20 @@ class SketchAggSpec extends SparkSpecBase {
     }
   }
 
+  test("graft_k_minima SQL aggregate matches the Column API") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = (1L to 200L).map(i => (s"g${i % 3}", i * 37 % 101))
+      .toDF("g", "h")
+    df.createOrReplaceTempView("kmin_in")
+    val viaSql = spark.sql(
+      "SELECT g, graft_k_minima(h, 5) AS mins FROM kmin_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = df.groupBy($"g").agg(kMinima($"h", 5).as("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaCol)
+    spark.catalog.dropTempView("kmin_in")
+  }
+
   test("k_minima handles groups smaller than k and null inputs") {
     val df = Seq(("a", Some(5L)), ("a", Some(3L)), ("a", None),
       ("b", Some(9L))).toDF("g", "h")
