@@ -183,6 +183,43 @@ object CorpusQueries {
            |ORDER BY base.doc_id""".stripMargin
       }),
 
+    // Corpus length histogram — the length-distribution report every
+    // corpus card carries: documents bucketed by the highest power of two
+    // ≤ word count, with per-bucket doc/token totals. The bucket is pure
+    // integer bit-smearing (no log2 — engines disagree on the last ulp of
+    // transcendental folds, and floor() at an exact power boundary would
+    // flip on it); one map-side-combined aggregate over ≤ 64 buckets
+    // regardless of corpus size.
+    "text_length_histogram" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val n = size(words(col("text"))).cast(LongType)
+        // smear the top bit downward, then keep the top bit:
+        // x = n|n>>1|n>>2|...; bucket = x - (x >> 1)
+        val smear = "n_words | (n_words >> 1) | (n_words >> 2) | " +
+          "(n_words >> 4) | (n_words >> 8) | (n_words >> 16) | (n_words >> 32)"
+        d.select(n.as("n_words"))
+          .withColumn("bucket",
+            expr(s"(($smear) - (($smear) >> 1))"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+            min(col("n_words")).as("min_words"),
+            max(col("n_words")).as("max_words"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val n = s"CAST(len(${sqlWords("text")}) AS BIGINT)"
+        val smear = "n_words | (n_words >> 1) | (n_words >> 2) | " +
+          "(n_words >> 4) | (n_words >> 8) | (n_words >> 16) | (n_words >> 32)"
+        s"""SELECT bucket, count(*) AS n_docs,
+           |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           |  MIN(n_words) AS min_words, MAX(n_words) AS max_words
+           |FROM (
+           |  SELECT n_words, (($smear) - (($smear) >> 1)) AS bucket
+           |  FROM (SELECT $n AS n_words FROM documents))
+           |GROUP BY bucket ORDER BY bucket""".stripMargin
+      }),
+
     // HYBRID retrieval — the lexical+semantic fusion every RAG/training
     // retrieval stack runs: candidates scored by 0.5·cosine(embedding) +
     // 0.5·word-3-gram Jaccard, top-5 per query. Cross-MODAL join: the text
