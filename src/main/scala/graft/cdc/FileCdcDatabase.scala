@@ -181,22 +181,30 @@ object FileCdcDatabase {
 
   /** Tables present under `dir` (reference: discoverDataCollections,
     * DataSourceDialect.java:45-52). */
+  // Files.list holds the DIRECTORY's fd until the stream is closed —
+  // consuming the iterator does not release it. Every planner probe lists
+  // directories, so an unclosed stream here is a per-query fd leak that
+  // compounds across a long-running process (the round-3 bench hit EMFILE).
+  private def listDir[A](p: java.nio.file.Path)(
+      f: Iterator[java.nio.file.Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   def discoverTables(dir: String): Seq[String] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) return Seq.empty
-    Files.list(p).iterator().asScala
-      .filter(d => Files.exists(d.resolve("meta.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+    listDir(p)(_.filter(d => Files.exists(d.resolve("meta.json")))
+      .map(_.getFileName.toString).toSeq.sorted)
   }
 
   /** Data files of a table section ("snapshot" or "log"), sorted by name. */
   def dataFiles(dir: String, table: String, section: String): Seq[String] = {
     val p = Paths.get(dir, table, section)
     if (!Files.isDirectory(p)) return Seq.empty
-    Files.list(p).iterator().asScala
-      .map(_.toString)
+    listDir(p)(_.map(_.toString)
       .filter(f => f.endsWith(".json") || f.endsWith(".txt") || f.endsWith(".jsonl"))
-      .toSeq.sorted
+      .toSeq.sorted)
   }
 
   /** Line iterator that owns its file descriptor: closes on exhaustion, on

@@ -195,8 +195,11 @@ object FileCdcDialect extends CdcDialect {
     * parse-error policy decides: fail with context, or skip. */
   private def offsetOfOpt(l: String): Option[Long] =
     FileCdcDatabase.quickLongFieldOpt(l, ChangeRecord.OffsetCol).orElse {
-      try Option(fallbackMapper.readTree(l)
-        .get(ChangeRecord.OffsetCol)).map(_.asLong())
+      // integral nodes only: asLong() on a string/null/object coerces to 0,
+      // which the `off > from` range filter would silently drop even under
+      // parse-error-policy=fail — return None so the reader's policy decides
+      try Option(fallbackMapper.readTree(l).get(ChangeRecord.OffsetCol))
+        .filter(_.canConvertToLong).map(_.asLong())
       catch { case scala.util.control.NonFatal(_) => None }
     }
 

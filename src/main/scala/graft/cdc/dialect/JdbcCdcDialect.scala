@@ -59,6 +59,19 @@ object JdbcCdcDialect extends CdcDialect {
     new ConcurrentHashMap[String, LinkedBlockingQueue[Connection]]()
   private val DefaultMaxIdlePerDb = 8
   private val poolSizes = new ConcurrentHashMap[String, Integer]()
+  // per-database cursor fetch size (`scan.snapshot.fetch.size`, reference
+  // default 1024 — MySqlSourceOptions.java:111-116): rows pulled per
+  // driver round-trip on chunk/log scans
+  private val fetchSizes = new ConcurrentHashMap[String, Integer]()
+
+  /** Per-database fetch size for streaming cursors; idempotent. */
+  def setFetchSize(path: String, n: Int): Unit = {
+    require(n > 0, s"fetch size must be positive: $n")
+    fetchSizes.put(path, n)
+  }
+
+  private[dialect] def fetchSizeFor(path: String): Int =
+    Option(fetchSizes.get(path)).map(_.intValue).getOrElse(FetchSize)
 
   // keep Derby's engine log out of the repo / query directories
   System.setProperty("derby.stream.error.file",
@@ -180,7 +193,7 @@ object JdbcCdcDialect extends CdcDialect {
         val ps = c.prepareStatement(
           stmts.chunkScan(table, keyColumn, lo, hi),
           ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_READ_ONLY)
-        ps.setFetchSize(FetchSize)
+        ps.setFetchSize(fetchSizeFor(path))
         ps
       },
       rs => snapshotRowJson(rs, meta.schema))
@@ -194,7 +207,7 @@ object JdbcCdcDialect extends CdcDialect {
         val ps = c.prepareStatement(
           stmts.logScan(logTable(table), OffsetCol, from, to),
           ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_READ_ONLY)
-        ps.setFetchSize(FetchSize)
+        ps.setFetchSize(fetchSizeFor(path))
         ps
       },
       rs => envelopeJson(rs, meta))

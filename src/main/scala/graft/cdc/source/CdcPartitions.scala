@@ -116,12 +116,23 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
     def chunkKeyVal: Long = CdcPlanner.toLongKey(img.get(ckIdx, ckType))
   }
 
+  // meta longs must be integral JSON numbers: Jackson's asLong() coerces a
+  // string/null/object to 0, which would mint a phantom offset-0 event
+  // instead of surfacing the malformed line to the parse-error policy
+  private def requireLong(n: com.fasterxml.jackson.databind.JsonNode,
+      field: String): Long = {
+    val v = n.get(field)
+    require(v != null && v.canConvertToLong,
+      s"envelope field '$field' is not an integral number: $v")
+    v.asLong()
+  }
+
   def decodeEnvelope(line: String): Env = {
     val n = codec.parse(line)
     Env(
-      n.get(ChangeRecord.OffsetCol).asLong(),
+      requireLong(n, ChangeRecord.OffsetCol),
       n.get(ChangeRecord.OpCol).asText(),
-      n.get(ChangeRecord.TsCol).asLong(),
+      requireLong(n, ChangeRecord.TsCol),
       codec.convertStruct(n.get(ChangeRecord.BeforeCol), decodeSchema),
       codec.convertStruct(n.get(ChangeRecord.AfterCol), decodeSchema))
   }

@@ -36,11 +36,18 @@ import scala.jdk.CollectionConverters._
 object CdcSourceConfig {
   val PathKey = "path"
   val TableKey = "table"
+  /** Reference-parity alias for [[TableKey]] (`table-name`,
+    * MySqlSourceOptions.java:62-66); same exact-name-or-regex semantics. */
+  val TableNameKey = "table-name"
   // initial | earliest | latest | specific-offset | timestamp
   // (reference StartupOptions.java:39-90 / StartupMode.java)
   val StartupModeKey = "scan.startup.mode"
   val SpecificOffsetKey = "scan.startup.specific-offset"
-  val TimestampKey = "scan.startup.timestamp-ms"
+  val TimestampKey = "scan.startup.timestamp-millis"
+  /** Pre-round-4 spelling of [[TimestampKey]], kept as a fallback alias;
+    * the canonical name matches the reference
+    * (`scan.startup.timestamp-millis`, MySqlSourceOptions.java:180-186). */
+  val TimestampLegacyKey = "scan.startup.timestamp-ms"
   val ChunkSizeKey = "scan.incremental.snapshot.chunk.size"
   val ChangelogModeKey = "changelog.mode" // all | upsert
   /** Caps how far the log offset advances per micro-batch (the "keep stream
@@ -64,7 +71,16 @@ object CdcSourceConfig {
     * changes for a given primary key — the reference guarantees this by
     * restricting the choice to primary-key columns); merge identity stays
     * the primary key. */
-  val ChunkKeyColumnKey = "scan.incremental.snapshot.chunk-key.column"
+  val ChunkKeyColumnKey = "scan.incremental.snapshot.chunk.key-column"
+  /** Pre-round-4 spelling of [[ChunkKeyColumnKey]], kept as a fallback
+    * alias; the canonical name matches the reference
+    * (MySqlSourceOptions.java:239-247). */
+  val ChunkKeyColumnLegacyKey = "scan.incremental.snapshot.chunk-key.column"
+  /** Rows pulled per cursor round-trip on snapshot/log scans by a JDBC
+    * dialect (reference `scan.snapshot.fetch.size`,
+    * MySqlSourceOptions.java:111-116). */
+  val SnapshotFetchSizeKey = "scan.snapshot.fetch.size"
+  val DefaultSnapshotFetchSize = 1024
   /** Decode parallelism of the log phase: a log range fans out into at most
     * this many offset sub-ranges per table. The reference's log phase is
     * deliberately parallelism-1 (mysql-cdc.md:495) and 1 is the default;
@@ -106,19 +122,23 @@ object CdcSourceConfig {
   def fromOptions(o: CaseInsensitiveStringMap): CdcSourceConfig = CdcSourceConfig(
     path = stripFileScheme(Option(o.get(PathKey)).getOrElse(
       throw new IllegalArgumentException("cdc source requires 'path'"))),
-    table = Option(o.get(TableKey)).getOrElse(
-      throw new IllegalArgumentException("cdc source requires 'table'")),
+    table = Option(o.get(TableKey)).orElse(Option(o.get(TableNameKey)))
+      .getOrElse(throw new IllegalArgumentException(
+        "cdc source requires 'table' (or its reference alias 'table-name')")),
     startupMode = o.getOrDefault(StartupModeKey, "initial"),
     chunkSize = o.getOrDefault(ChunkSizeKey,
       ChunkSplitter.DefaultChunkSize.toString).toInt,
     changelogMode = o.getOrDefault(ChangelogModeKey, "all"),
     specificOffset = o.getOrDefault(SpecificOffsetKey, "-1").toLong,
-    timestampMs = o.getOrDefault(TimestampKey, "-1").toLong,
+    timestampMs = o.getOrDefault(TimestampKey,
+      o.getOrDefault(TimestampLegacyKey, "-1")).toLong,
     maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey, "0").toLong,
     dialectName = o.getOrDefault(DialectKey, "file"),
     maxSnapshotPartitions = o.getOrDefault(MaxSnapshotPartitionsKey, "4096").toInt,
     logPartitions = o.getOrDefault(LogPartitionsKey, "1").toInt,
-    chunkKeyColumn = Option(o.get(ChunkKeyColumnKey)),
+    chunkKeyColumn = Option(o.get(ChunkKeyColumnKey))
+      .orElse(Option(o.get(ChunkKeyColumnLegacyKey))),
+    snapshotFetchSize = o.getOrDefault(SnapshotFetchSizeKey, "1024").toInt,
     incrementalSnapshot = o.getOrDefault(IncrementalSnapshotKey, "true").toBoolean,
     connectionPoolSize = o.getOrDefault(ConnectionPoolSizeKey, "0").toInt,
     distributionFactorUpper = o.getOrDefault(FactorUpperKey,
@@ -142,6 +162,7 @@ case class CdcSourceConfig(
     maxSnapshotPartitions: Int = 4096,
     logPartitions: Int = 1,
     chunkKeyColumn: Option[String] = None,
+    snapshotFetchSize: Int = 1024,
     incrementalSnapshot: Boolean = true,
     connectionPoolSize: Int = 0,
     distributionFactorUpper: Double = ChunkSplitter.DistributionFactorUpper,
@@ -393,6 +414,12 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
     if (cfg.connectionPoolSize > 0)
       graft.cdc.dialect.JdbcCdcDialect
         .setPoolSize(cfg.path, cfg.connectionPoolSize)
+    require(cfg.snapshotFetchSize > 0,
+      s"${CdcSourceConfig.SnapshotFetchSizeKey} must be > 0: " +
+        s"${cfg.snapshotFetchSize}")
+    if (cfg.snapshotFetchSize != CdcSourceConfig.DefaultSnapshotFetchSize)
+      graft.cdc.dialect.JdbcCdcDialect
+        .setFetchSize(cfg.path, cfg.snapshotFetchSize)
     cfg.dialect.validate(cfg.path, cfg.matchedTables)
   }
   override def toBatch: Batch = {

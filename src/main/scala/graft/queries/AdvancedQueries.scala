@@ -272,14 +272,21 @@ object AdvancedQueries {
         val e = Tables.load(s, dir, "events")
           .withColumn("bucket", col("user_id") % 4)
         e.createOrReplaceTempView("ev_gsets")
-        s.sql("""SELECT coalesce(event_type, 'ALL') AS event_type,
-                |  coalesce(bucket, -1) AS bucket,
-                |  CAST(grouping_id(event_type, bucket) AS BIGINT) AS gid,
-                |  COUNT(*) AS n
-                |FROM ev_gsets
-                |GROUP BY GROUPING SETS ((event_type, bucket), (event_type),
-                |  (bucket), ())
-                |ORDER BY gid, event_type, bucket""".stripMargin)
+        val out = s.sql(
+          """SELECT coalesce(event_type, 'ALL') AS event_type,
+            |  coalesce(bucket, -1) AS bucket,
+            |  CAST(grouping_id(event_type, bucket) AS BIGINT) AS gid,
+            |  COUNT(*) AS n
+            |FROM ev_gsets
+            |GROUP BY GROUPING SETS ((event_type, bucket), (event_type),
+            |  (bucket), ())
+            |ORDER BY gid, event_type, bucket""".stripMargin)
+        // resolve against the view, then unpin it from the session catalog
+        // (the analyzed plan keeps the data reachable; a 3-pass bench must
+        // not accumulate per-pass catalog entries)
+        out.queryExecution.analyzed
+        s.catalog.dropTempView("ev_gsets")
+        out
       },
       Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
              |  coalesce(bucket, -1) AS bucket,

@@ -114,7 +114,7 @@ object CdcSurfaceQueries {
         val dir = prepare(s, dir0)
         opCounts(readBatch(s, dir, "orders", Map(
           "scan.startup.mode" -> "timestamp",
-          "scan.startup.timestamp-ms" -> "4000000000")))
+          "scan.startup.timestamp-millis" -> "4000000000")))
       },
       Some("""SELECT '-D' AS __op,
              |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3) AS n

@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
  *    is the band-key self-join whose buckets are tiny by construction —
  *    never an O(n²) cross product. Candidate pairs then get exact Jaccard
  *    verification.
- *  - SimHash joins on the 16-bit signature blocked by language; at larger
- *    corpora the block key becomes simhash bands (same pattern as LSH).
+ *  - SimHash (60-bit sig) joins on (lang, band, 15-bit band value) — the
+ *    same banding pattern as LSH, 32,768 buckets per band.
  *  - Embedding near-dup blocks on the cluster label (stand-in for a coarse
  *    quantizer cell), keeping the pair count linear in cluster size.
  *
@@ -26,6 +26,13 @@ import org.apache.spark.sql.types._
 object DedupQueries {
 
   import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** SimHash signature width: the word-hash entropy both engines share
+    * (60-bit md5 prefix — HashUtil.md5Long60 / sqlMd5Long). */
+  val SimHashBits = 60
+  /** Band count for simhash LSH blocking: 4 bands of 15 bits → 2^15 =
+    * 32,768 buckets per band; Hamming ≤ 3 ⇒ ≥ 1 band agrees (pigeonhole). */
+  val SimHashBands = 4
 
   /** Verified MinHash-LSH duplicate pairs (id_a < id_b, jac ≥ 0.5) — the
     * candidate-generation half of [[defs dedup_minhash_lsh]], shared with
@@ -474,21 +481,24 @@ object DedupQueries {
               |  n_chars AS keep_chars
               |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
 
-    // SimHash near-dup: 16-bit signature over word hashes; pairs within the
-    // same language at Hamming distance ≤ 3. Candidate generation is
-    // LSH-banded, not all-pairs: split the signature into 4 bands of 4 bits
-    // — by pigeonhole, two signatures at Hamming ≤ 3 differ in at most 3
-    // bands, so they AGREE on at least one. The self-join key is
+    // SimHash near-dup: 60-bit signature over word hashes; pairs within the
+    // same language at Hamming distance ≤ 3 (the Charikar/Manku near-dup
+    // setup — 64-bit sig, 4 bands, k=3; 60 here because both engines hash
+    // words to the same 60-bit md5 prefix, so the top 4 of 64 signature
+    // bits would be constant-zero). Candidate generation is LSH-banded,
+    // not all-pairs: split the signature into 4 bands of 15 bits — by
+    // pigeonhole, two signatures at Hamming ≤ 3 differ in at most 3 bands,
+    // so they AGREE on at least one. The self-join key is
     // (lang, band index, band value): per-key candidate counts are bounded
-    // by bucket population instead of language population (a language block
-    // is ~the whole corpus at scale → O(n²); bands are not). The 16-bit /
-    // 4-band shape mirrors the oracle; the corpus-scale config is the same
-    // code with a 64-bit signature and 4×16-bit bands (65 536 buckets per
-    // band). The pigeonhole argument makes banding lossless, so the output
-    // is identical to the all-pairs join the DuckDB oracle runs.
+    // by bucket population — 2^15 = 32,768 buckets per band — instead of
+    // language population (a language block is ~the whole corpus at scale
+    // → O(n²); band buckets are not). The pigeonhole argument makes
+    // banding lossless, so the output is identical to the all-pairs join
+    // the DuckDB oracle runs.
     "dedup_simhash" -> QueryDef(
       (s, dir) => {
-        val bits = 16; val bandCount = 4; val bandBits = bits / bandCount
+        val bits = SimHashBits; val bandCount = SimHashBands
+        val bandBits = bits / bandCount
         val d = Tables.load(s, dir, "documents")
         val sigs = d.select(col("doc_id"), col("lang"),
           simHashText(col("text"), bits).as("sig"))
@@ -513,7 +523,7 @@ object DedupQueries {
       },
       Some {
         val hashes = s"list_transform(${sqlWords("text")}, w -> ${sqlMd5Long("w")})"
-        val sig = sqlSimHash("hashes", 16)
+        val sig = sqlSimHash("hashes", SimHashBits)
         s"""WITH sigs AS (
            |  SELECT doc_id, lang, $sig AS sig
            |  FROM (SELECT doc_id, lang, $hashes AS hashes FROM documents))

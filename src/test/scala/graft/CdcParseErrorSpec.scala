@@ -59,6 +59,34 @@ class CdcParseErrorSpec extends SparkSpecBase {
       s"want ${want.length} rows, got ${got.length}")
   }
 
+  test("non-integral __offset surfaces under fail policy (not coerced to 0)") {
+    // regression: the Jackson fallback used .asLong(), which coerces a
+    // string/null/object __offset to 0 — the 'off > from' range filter then
+    // silently dropped the line even under fail. A non-integral offset must
+    // flow through to the decode step where the policy decides.
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val dir = tmpDir("parse-offstr")
+    writeDb(dir, corrupt = false)
+    val logFile = Paths.get(
+      graft.cdc.FileCdcDatabase.dataFiles(dir, "t", "log").head)
+    val lines = Files.readAllLines(logFile)
+    val i = lines.size / 2
+    lines.set(i, lines.get(i).replaceFirst(
+      "\"__offset\"\\s*:\\s*\\d+", "\"__offset\":\"not-a-number\""))
+    assert(lines.get(i).contains("\"not-a-number\""), lines.get(i))
+    Files.write(logFile, lines, StandardOpenOption.TRUNCATE_EXISTING)
+    val e = intercept[org.apache.spark.SparkException] {
+      read(dir, None).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null &&
+      m.contains("scan.parse.error-policy=fail")), chain(e).mkString(" | "))
+    // and skip still converges to the clean state minus that one event
+    val got = read(dir, Some("skip")).collect()
+    assert(got.nonEmpty)
+  }
+
   test("policy is validated at scan start") {
     val dir = tmpDir("parse-bad")
     writeDb(dir, corrupt = false)

@@ -349,7 +349,7 @@ class CdcSourceSpec extends SparkSpecBase {
     val missing = intercept[Exception](
       readWith(Map("scan.incremental.snapshot.chunk-key.column" -> "nope"))
         .count())
-    assert(missing.getMessage.contains("chunk-key"))
+    assert(missing.getMessage.contains("key-column"))
     val nonIntegral = intercept[Exception](
       readWith(Map("scan.incremental.snapshot.chunk-key.column" -> "v"))
         .count())

@@ -202,4 +202,27 @@ class TextFunctionsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaBands === brute)
   }
+
+  test("dedup_simhash production config: 32,768 buckets per band, spread") {
+    // regression for the round-3 scale finding: a 16-bit sig with 4-bit
+    // bands gave 16 buckets per band → ~O(n²/16) self-join at corpus
+    // scale. The production config must keep the band domain wide and the
+    // signatures must actually occupy the high bits.
+    import graft.queries.DedupQueries
+    val bandBits = DedupQueries.SimHashBits / DedupQueries.SimHashBands
+    assert(DedupQueries.SimHashBits === 60) // full shared md5Long60 entropy
+    assert(1 << bandBits === 32768, s"band domain collapsed to ${1 << bandBits}")
+    // 200 distinct one-word docs: band values must scatter across the
+    // domain (≫ the 16 buckets of the old config) in EVERY band, including
+    // the top band (bits 45-59 — constant there would mean dead width)
+    val docs = (0 until 200).map(i => i.toLong -> s"tok$i").toDF("id", "text")
+    val sigs = docs.select(col("id"),
+      simHashText(col("text"), DedupQueries.SimHashBits).as("sig"))
+    val perBand = (0 until DedupQueries.SimHashBands).map { i =>
+      sigs.select(shiftright(col("sig"), i * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))
+        .distinct().count()
+    }
+    perBand.foreach(n => assert(n > 150, s"band bucket spread too low: $perBand"))
+  }
 }
