@@ -50,10 +50,15 @@ object FileCdcDatabase {
 
   /** Write a table (snapshot state at offset 0) + its change log. Driver-side
     * fixture generation only; idempotent (skips if already written). */
+  /** `schemaDdlOverride`: declared schema when it differs from the wire
+    * encoding — a database's catalog type (GEOMETRY, SET) vs what the log
+    * serializer physically emits; the gap is bridged by a registered
+    * deserialization converter (graft.cdc.source.CustomConverters). */
   def write(spark: SparkSession, dir: String, table: String, db: String,
       pk: String, snapshot: DataFrame, changes: DataFrame,
       snapshotPartitions: Int = 1, force: Boolean = false,
-      regionBoundaries: Seq[Long] = Seq.empty): Unit = {
+      regionBoundaries: Seq[Long] = Seq.empty,
+      schemaDdlOverride: Option[String] = None): Unit = {
     val root = Paths.get(dir, table)
     val donePath = root.resolve("_WRITTEN")
     if (!force && Files.exists(donePath)) return
@@ -92,7 +97,8 @@ object FileCdcDatabase {
         mapper.readTree(last).get(pk).asLong()))
     }
 
-    val meta = TableMeta(table, db, pk, snapshot.schema.toDDL,
+    val meta = TableMeta(table, db, pk,
+      schemaDdlOverride.getOrElse(snapshot.schema.toDDL),
       stats.getLong(0), stats.getLong(1), stats.getLong(2), maxOff,
       fileRanges, regionBoundaries)
     Files.writeString(root.resolve("meta.json"), metaToJson(meta))

@@ -1,6 +1,6 @@
 package graft.cdc.dialect
 
-import graft.cdc.FileCdcDatabase
+import graft.cdc.{ChangeRecord, FileCdcDatabase}
 import graft.cdc.FileCdcDatabase.TableMeta
 
 /**
@@ -73,6 +73,24 @@ trait CdcDialect extends Serializable {
   def nextChunkMax(path: String, table: String, keyColumn: String,
       lowerInclusive: Long, chunkSize: Int): Option[Long] =
     throw new UnsupportedOperationException(s"$name: no chunk-max query")
+
+  /** Source timestamp (`__ts_ms`) of the newest event at or below `offset`
+    * across `tables`; None when the log holds no such event. Drives the
+    * `currentFetchEventTimeLag` metric (reference SourceReaderMetrics
+    * .java — fetchTime − messageTimestamp). The generic implementation
+    * replays the log up to the offset; dialects with an offset index
+    * override with a seek. */
+  def eventTimeOfOffset(path: String, tables: Seq[String],
+      offset: Long): Option[Long] = {
+    var best = Long.MinValue
+    tables.foreach { t =>
+      logLines(path, t, Long.MinValue, offset).foreach { l =>
+        FileCdcDatabase.quickLongFieldOpt(l, ChangeRecord.TsCol)
+          .foreach(ts => if (ts > best) best = ts)
+      }
+    }
+    if (best == Long.MinValue) None else Some(best)
+  }
 
   /** Physical range boundaries the STORE already maintains for this table
     * — TiKV region start keys, a sharded cluster's chunk bounds
@@ -227,28 +245,63 @@ object FileCdcDialect extends CdcDialect {
     * that index). One entry per file: a file that grew or was rewritten
     * (size OR mtime change) replaces its entry instead of accumulating
     * one stale array per observed size. */
-  private case class OffsetsEntry(size: Long, mtime: Long, offs: Array[Long])
+  private case class OffsetsEntry(size: Long, mtime: Long,
+      offs: Array[Long], ts: Array[Long])
   private val offsetMemo =
     new java.util.concurrent.ConcurrentHashMap[String, OffsetsEntry]()
 
-  private def fileOffsets(f: String): Array[Long] = {
+  private def fileOffsetsEntry(f: String): OffsetsEntry = {
     val p = java.nio.file.Paths.get(f)
     val (size, mtime) =
       try (java.nio.file.Files.size(p),
         java.nio.file.Files.getLastModifiedTime(p).toMillis)
       catch { case _: java.io.IOException => (-1L, -1L) }
     val cur = offsetMemo.get(f)
-    if (cur != null && cur.size == size && cur.mtime == mtime) cur.offs
+    if (cur != null && cur.size == size && cur.mtime == mtime) cur
     else {
       val it = FileCdcDatabase.lines(f)
       // malformed lines carry no offset: they are invisible to the
-      // rate-limit enumeration (the reader-side policy handles them)
-      val offs =
-        try it.flatMap(offsetOfOpt).toArray
-        finally it.close()
-      offsetMemo.put(f, OffsetsEntry(size, mtime, offs))
-      offs
+      // rate-limit enumeration (the reader-side policy handles them).
+      // ts rides along per offset (Long.MinValue = line carries none) for
+      // the event-time-lag metric's offset→ts seek.
+      val ob = Array.newBuilder[Long]; val tb = Array.newBuilder[Long]
+      try it.foreach { l =>
+        offsetOfOpt(l).foreach { off =>
+          ob += off
+          tb += FileCdcDatabase.quickLongFieldOpt(l, ChangeRecord.TsCol)
+            .getOrElse(Long.MinValue)
+        }
+      } finally it.close()
+      val e = OffsetsEntry(size, mtime, ob.result(), tb.result())
+      offsetMemo.put(f, e)
+      e
     }
+  }
+
+  private def fileOffsets(f: String): Array[Long] = fileOffsetsEntry(f).offs
+
+  /** Offset→event-time seek over the memoized per-file offset index: the
+    * newest `__ts_ms` at or below `offset` — O(log n) per file after the
+    * first touch, vs the trait default's full log replay. */
+  override def eventTimeOfOffset(path: String, tables: Seq[String],
+      offset: Long): Option[Long] = {
+    var best = Long.MinValue
+    tables.foreach { t =>
+      FileCdcDatabase.dataFiles(path, t, "log").foreach { f =>
+        val e = fileOffsetsEntry(f)
+        // last index with offs(i) <= offset (array ascending)
+        var lo = 0; var hi = e.offs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (e.offs(mid) <= offset) lo = mid + 1 else hi = mid
+        }
+        var i = lo - 1
+        // walk past ts-less lines (rare: malformed) to the newest real ts
+        while (i >= 0 && e.ts(i) == Long.MinValue) i -= 1
+        if (i >= 0 && e.ts(i) > best) best = e.ts(i)
+      }
+    }
+    if (best == Long.MinValue) None else Some(best)
   }
 
   override def offsetsBetween(path: String, tables: Seq[String],

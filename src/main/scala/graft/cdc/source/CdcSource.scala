@@ -616,7 +616,10 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
 
   /** Source metrics in StreamingQueryProgress (reference
     * SourceReaderMetrics: fetch/emit lag — here, how far the consumed
-    * offset trails the log head). */
+    * offset trails the log head, plus `currentFetchEventTimeLag` = wall
+    * clock − source ts of the newest consumed event, the reference's
+    * fetchTime − messageTimestamp analogue. -1 = no event consumed yet
+    * (the reference reports UNDEFINED the same way). */
   override def metrics(latestConsumedOffset: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
     val head = cfg.maxOffsetAll
@@ -624,10 +627,17 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
       if (latestConsumedOffset.isPresent)
         latestConsumedOffset.get.asInstanceOf[CdcStreamOffset].logOffset
       else -1L
+    val lag =
+      if (consumed < 0) -1L
+      else cfg.dialect
+        .eventTimeOfOffset(cfg.path, cfg.matchedTables, consumed)
+        .map(ts => math.max(0L, System.currentTimeMillis() - ts))
+        .getOrElse(-1L)
     java.util.Map.of(
       "logHeadOffset", head.toString,
       "consumedOffset", consumed.toString,
-      "pendingOffsets", math.max(0L, head - math.max(consumed, 0L)).toString)
+      "pendingOffsets", math.max(0L, head - math.max(consumed, 0L)).toString,
+      "currentFetchEventTimeLag", lag.toString)
   }
 
   /** Fresh discovery each call (unlike cfg.matchedTables' lazy cache) so

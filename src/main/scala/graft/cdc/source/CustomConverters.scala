@@ -1,0 +1,118 @@
+package graft.cdc.source
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * User-defined deserialization converters — the engine's analogue of the
+ * reference's converter-factory hook (SURVEY §2.6 U2,
+ * MySqlDeserializationConverterFactory.java:44-151): a per-column override
+ * that runs INSTEAD of [[JsonRowCodec]]'s default dispatch for columns
+ * whose database type needs interpretation the wire format doesn't carry.
+ *
+ * Binding: a column opts in through its field COMMENT carrying a
+ * `graft.type=<name>` tag (the stand-in for Debezium's logical schema
+ * names — `io.debezium.data.geometry.Geometry`, `io.debezium.data.EnumSet`
+ * — which ride the Kafka schema, not the value). The tag survives
+ * `StructType.toDDL`/`fromDDL`, so it flows from the store's declared
+ * schema through schema history to every decoder.
+ *
+ * Shipped converters (each mirrors a reference conversion):
+ *  - `geometry`: wire `{"wkb": <base64 WKB>, "srid": n}` → GeoJSON string
+ *    `{"type":"Point","coordinates":[x,y],"srid":n}` — the reference parses
+ *    the Debezium geometry struct's WKB bytes and emits GeoJSON
+ *    (MySqlDeserializationConverterFactory.java:77-106).
+ *  - `set`: wire comma-joined string (how Debezium serializes MySQL SET)
+ *    → `ARRAY<STRING>` (reference createArrayConverter, :117-151; Java
+ *    split semantics, so `""` → `[""]` exactly as the reference's
+ *    `String.split` does).
+ *  - `year`: wire int → INT with MySQL YEAR two-digit widening
+ *    (0-69 → 2000+v, 70-99 → 1900+v — io.debezium.time.Year semantics).
+ */
+object CustomConverters {
+
+  private val TagMark = "graft.type="
+
+  /** The `graft.type` tag of a field, if its comment carries one. */
+  def tagOf(f: StructField): Option[String] =
+    if (f.metadata.contains("comment")) {
+      val c = f.metadata.getString("comment")
+      val i = c.indexOf(TagMark)
+      if (i >= 0) {
+        val rest = c.substring(i + TagMark.length)
+        val end = rest.indexWhere(ch => ch.isWhitespace || ch == ';')
+        Some(if (end >= 0) rest.substring(0, end) else rest)
+      } else None
+    } else None
+
+  /** Converter for a tagged field, or None for untagged fields (default
+    * codec dispatch). Unknown tags and tag/declared-type mismatches fail
+    * at decoder CONSTRUCTION — a misconfigured column must not silently
+    * fall back to the default and emit garbage. */
+  def converterFor(f: StructField): Option[JsonNode => Any] = tagOf(f).map {
+    case "geometry" =>
+      require(f.dataType == StringType,
+        s"graft.type=geometry column '${f.name}' must be declared STRING, " +
+          s"got ${f.dataType.sql}")
+      geometryToGeoJson _
+    case "set" =>
+      require(f.dataType == ArrayType(StringType) ||
+        f.dataType == ArrayType(StringType, containsNull = false),
+        s"graft.type=set column '${f.name}' must be declared ARRAY<STRING>," +
+          s" got ${f.dataType.sql}")
+      setToArray _
+    case "year" =>
+      require(f.dataType == IntegerType,
+        s"graft.type=year column '${f.name}' must be declared INT, " +
+          s"got ${f.dataType.sql}")
+      yearToInt _
+    case other => throw new IllegalArgumentException(
+      s"unknown graft.type converter '$other' on column '${f.name}' " +
+        "(known: geometry, set, year)")
+  }
+
+  /** Debezium-geometry wire struct → GeoJSON string. Parses point WKB
+    * (byte order, uint32 type, x, y); a non-point or malformed value
+    * throws (the reference throws IllegalArgumentException on conversion
+    * failure too) and so flows to the reader's parse-error policy. */
+  private def geometryToGeoJson(node: JsonNode): Any = {
+    val wkbNode = node.get("wkb")
+    require(wkbNode != null && wkbNode.isTextual,
+      s"geometry value carries no 'wkb' field: $node")
+    val wkb = java.util.Base64.getDecoder.decode(wkbNode.asText())
+    require(wkb.length >= 21, s"WKB too short: ${wkb.length} bytes")
+    val order =
+      if (wkb(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(wkb, 1, wkb.length - 1).order(order)
+    val geomType = bb.getInt
+    require(geomType == 1, s"only point WKB supported here, got type $geomType")
+    val x = bb.getDouble; val y = bb.getDouble
+    val srid = node.get("srid") match {
+      case s if s != null && s.canConvertToLong => s.asInt()
+      case _ => 0 // reference: srid.orElse(0)
+    }
+    UTF8String.fromString(
+      s"""{"type":"Point","coordinates":[$x,$y],"srid":$srid}""")
+  }
+
+  /** Comma-joined SET string → ARRAY<STRING> (Java split semantics,
+    * matching the reference's `((String) dbzObj).split(",")`). */
+  private def setToArray(node: JsonNode): Any = {
+    require(node.isTextual, s"SET value must be a string, got: $node")
+    val parts = node.asText().split(",")
+    new GenericArrayData(
+      parts.map(p => UTF8String.fromString(p): Any))
+  }
+
+  /** MySQL YEAR widening: two-digit years map into 1970–2069. */
+  private def yearToInt(node: JsonNode): Any = {
+    require(node.canConvertToLong, s"YEAR value must be integral, got: $node")
+    val v = node.asInt()
+    if (v >= 0 && v <= 69) 2000 + v
+    else if (v >= 70 && v <= 99) 1900 + v
+    else v
+  }
+}

@@ -27,6 +27,37 @@ class JsonRowCodec(schema: StructType) extends Serializable {
 
   @transient private lazy val mapper = new ObjectMapper()
 
+  /** Per-struct custom-converter slots (U2 hook): for every StructType
+    * reachable from `schema` with at least one `graft.type`-tagged field,
+    * the field-indexed converter array (null = default dispatch). Built
+    * once per codec and read-only after (thread-safe reads); lookup is by
+    * StructType VALUE (deep equals/hashCode), so structurally-equal schema
+    * instances — e.g. one re-parsed from DDL — hit the same slots. The
+    * map is empty when nothing is tagged, making the per-row cost one
+    * failed probe. Unknown tags fail HERE (first use), not per line. */
+  @transient private lazy val customSlots
+      : java.util.HashMap[StructType, Array[JsonNode => Any]] = {
+    val m = new java.util.HashMap[StructType, Array[JsonNode => Any]]()
+    def walk(st: StructType): Unit = if (!m.containsKey(st)) {
+      val arr = st.fields.map(f => CustomConverters.converterFor(f).orNull)
+      if (arr.exists(_ != null)) m.put(st, arr)
+      st.fields.foreach { f =>
+        f.dataType match {
+          case s: StructType => walk(s)
+          case ArrayType(s: StructType, _) => walk(s)
+          case MapType(_, s: StructType, _) => walk(s)
+          case _ => ()
+        }
+      }
+    }
+    walk(schema)
+    m
+  }
+  // force tag validation at construction (and after executor-side
+  // deserialization, on first use) — an unknown tag must be a loud
+  // configuration error, never a per-line parse-policy skip
+  customSlots
+
   def decode(line: String): InternalRow =
     convertStruct(mapper.readTree(line), schema)
 
@@ -35,11 +66,18 @@ class JsonRowCodec(schema: StructType) extends Serializable {
 
   def convertStruct(node: JsonNode, st: StructType): InternalRow = {
     if (node == null || node.isNull) return null
+    // isEmpty guard: HashMap.get hashes the key even on an empty map, and
+    // StructType.hashCode is O(fields) — untagged tables skip it entirely
+    val custom = if (customSlots.isEmpty) null else customSlots.get(st)
     val row = new GenericInternalRow(st.size)
     var i = 0
     while (i < st.size) {
       val f = st(i)
-      row.update(i, convert(node.get(f.name), f.dataType))
+      val v = node.get(f.name)
+      val conv = if (custom == null) null else custom(i)
+      row.update(i,
+        if (conv != null && v != null && !v.isNull) conv(v)
+        else convert(v, f.dataType))
       i += 1
     }
     row

@@ -363,7 +363,55 @@ object CdcSourceQueries {
           .select(col(OffsetCol), col("ddl"))
       },
       Some(s"""SELECT CAST(${ordersSpec.ddlBand} AS BIGINT) AS __offset,
-              |  'ALTER TABLE orders ADD COLUMN note STRING' AS ddl""".stripMargin))
+              |  'ALTER TABLE orders ADD COLUMN note STRING' AS ddl""".stripMargin)),
+
+    // Custom deserialization converters (U2,
+    // MySqlDeserializationConverterFactory): SET comma-string → ARRAY,
+    // WKB geometry struct → GeoJSON string, YEAR two-digit widening — all
+    // decoded through the snapshot+log merge, so converted values survive
+    // inserts/updates/deletes of the changelog too.
+    "cdc_custom_types" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareTyped(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "typed")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .select(col("ck"),
+            array_join(col("flags"), ",").as("flags_joined"),
+            size(col("flags")).cast("long").as("n_flags"),
+            col("loc").as("loc_geojson"),
+            col("est").cast("long").as("est_year"),
+            col("bal"))
+          .orderBy(col("ck"))
+      },
+      Some {
+        // the converted columns, recomputed from first principles over
+        // `customer` (x/y are whole doubles, so Java's Double.toString and
+        // '<int>.0' string-building agree exactly)
+        val derived =
+          """(SELECT c_custkey AS ck,
+            |  concat_ws(',',
+            |    CASE WHEN ((c_custkey % 7 + 1) & 1) <> 0 THEN 'NEW' END,
+            |    CASE WHEN ((c_custkey % 7 + 1) & 2) <> 0 THEN 'PROMO' END,
+            |    CASE WHEN ((c_custkey % 7 + 1) & 4) <> 0 THEN 'VIP' END)
+            |    AS flags_joined,
+            |  CAST(((c_custkey % 7 + 1) & 1)
+            |    + (((c_custkey % 7 + 1) & 2) >> 1)
+            |    + (((c_custkey % 7 + 1) & 4) >> 2) AS BIGINT) AS n_flags,
+            |  concat('{"type":"Point","coordinates":[',
+            |    CAST(c_custkey AS VARCHAR), '.0,',
+            |    CAST(c_custkey % 97 AS VARCHAR),
+            |    '.0],"srid":4326}') AS loc_geojson,
+            |  CAST(CASE WHEN c_custkey % 100 <= 69 THEN 2000 + c_custkey % 100
+            |       ELSE 1900 + c_custkey % 100 END AS BIGINT) AS est_year,
+            |  c_custkey % 50 AS bal
+            |FROM customer) AS typed_src""".stripMargin
+        ChangelogGen.oracleFinalStateSql(typedSpec,
+          Seq("ck", "flags_joined", "n_flags", "loc_geojson", "est_year",
+            "bal"), derived) + "\nORDER BY ck"
+      })
   )
 
   private val custSpec = ChangelogGen.Spec(pk = "c_custkey",
@@ -379,6 +427,52 @@ object CdcSourceQueries {
       snapshot = base,
       changes = ChangelogGen.changes(base, custSpec),
       snapshotPartitions = 8)
+    dir
+  }
+
+  private val typedSpec = ChangelogGen.Spec(pk = "ck", measure = "bal",
+    table = "typed")
+
+  /** Wire row of the custom-type fixture: SET as the comma-joined string
+    * Debezium emits, geometry as the (base64 WKB, srid) struct, YEAR as the
+    * raw two-digit-capable int — the DECLARED schema (schemaDdlOverride)
+    * types them ARRAY<STRING> / STRING / INT with `graft.type` tags, and
+    * the registered converters (U2) bridge the gap at decode time. */
+  private case class TypedSrcRow(ck: Long, flags: String, wkb: String,
+      srid: Int, est: Int, bal: Long)
+
+  /** File CDC database exercising the custom-converter hook
+    * (CustomConverters): columns whose catalog type differs from the wire
+    * encoding, as MySQL SET/GEOMETRY/YEAR do through Debezium. */
+  private[queries] def prepareTyped(spark: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_typed/$sf"
+    import spark.implicits._
+    val rows = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("ck")).as[Long]
+      .map { ck =>
+        // little-endian WKB point (byte order, type=1, x, y) — what a
+        // geometry-typed column physically ships
+        val bb = java.nio.ByteBuffer.allocate(21)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte); bb.putInt(1)
+        bb.putDouble(ck.toDouble); bb.putDouble((ck % 97).toDouble)
+        val wkb = java.util.Base64.getEncoder.encodeToString(bb.array())
+        val m = (ck % 7 + 1).toInt // 1..7: the SET is never empty
+        val flags = Seq("NEW" -> 1, "PROMO" -> 2, "VIP" -> 4)
+          .collect { case (n, b) if (m & b) != 0 => n }.mkString(",")
+        TypedSrcRow(ck, flags, wkb, 4326, (ck % 100).toInt, ck % 50)
+      }
+    val snapshot = rows.toDF().select(col("ck"), col("flags"),
+      struct(col("wkb"), col("srid")).as("loc"), col("est"), col("bal"))
+    FileCdcDatabase.write(spark, dir, "typed", "graft", typedSpec.pk,
+      snapshot = snapshot,
+      changes = ChangelogGen.changes(snapshot, typedSpec),
+      snapshotPartitions = 4,
+      schemaDdlOverride = Some(
+        "ck BIGINT,flags ARRAY<STRING> COMMENT 'graft.type=set'," +
+          "loc STRING COMMENT 'graft.type=geometry'," +
+          "est INT COMMENT 'graft.type=year',bal BIGINT"))
     dir
   }
 

@@ -15,6 +15,7 @@ object Fixtures {
     CdcSourceQueries.prepareDdl(spark, sfDir)
     CdcSourceQueries.prepareJdbc(spark, sfDir)
     CdcSourceQueries.prepareCustomer(spark, sfDir)
+    CdcSourceQueries.prepareTyped(spark, sfDir)
     CdcSurfaceQueries.prepare(spark, sfDir)
     CdcSurfaceQueries.prepareSharded(spark, sfDir)
     CdcSurfaceQueries.prepareCorrupt(spark, sfDir)

@@ -446,6 +446,33 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(offs === Set(1L, 2L, 3L, 4L), "drained exactly to the bound")
   }
 
+  test("source metrics: offsets + currentFetchEventTimeLag in progress") {
+    // reference SourceReaderMetrics surface: the progress report must
+    // carry the consumed/head offsets and the event-time lag (wall clock
+    // minus newest consumed __ts_ms; ChangelogGen stamps ts = offset here)
+    val dir = tmpDir("cdc-metrics")
+    writeDb(dir, 6L)
+    val name = s"metrics_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.sources.nonEmpty)
+    assert(progress.nonEmpty, "no source progress recorded")
+    val m = progress.last.sources.head.metrics
+    assert(m.get("logHeadOffset") === "6")
+    assert(m.get("consumedOffset") === "6")
+    assert(m.get("pendingOffsets") === "0")
+    // events carry ts ≈ offset (millis, ancient) → lag is ~now, certainly
+    // positive and finite; -1 would mean the seek failed
+    val lag = m.get("currentFetchEventTimeLag").toLong
+    assert(lag > 0L, s"expected a positive event-time lag, got $lag")
+    graft.QueryUtil.detachMemorySink(spark, name)
+  }
+
   test("per-reader resource scopes: one reader's sweep leaves the other open") {
     val dir = tmpDir("cdc-scopes")
     val f = new java.io.File(dir, "x.jsonl")

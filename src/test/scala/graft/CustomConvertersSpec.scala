@@ -1,0 +1,103 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.cdc.source.{CustomConverters, JsonRowCodec}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The U2 converter hook (CustomConverters / JsonRowCodec dispatch):
+  * tag parsing, each shipped converter's edge behavior, and fail-fast on
+  * misconfiguration. Reference behaviors mirrored from
+  * MySqlDeserializationConverterFactory.java:44-151. */
+class CustomConvertersSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private def tagged(name: String, dt: DataType, tag: String): StructField =
+    StructField(name, dt, nullable = true,
+      new MetadataBuilder().putString("comment", s"graft.type=$tag").build())
+
+  private def convert(f: StructField, json: String): Any = {
+    val codec = new JsonRowCodec(StructType(Seq(f)))
+    val row = codec.convertStruct(mapper.readTree(s"""{"${f.name}":$json}"""),
+      StructType(Seq(f)))
+    row.get(0, f.dataType)
+  }
+
+  test("tag parsing: bare, trailing text, absent") {
+    assert(CustomConverters.tagOf(tagged("c", IntegerType, "year"))
+      === Some("year"))
+    val withText = StructField("c", IntegerType, nullable = true,
+      new MetadataBuilder()
+        .putString("comment", "established graft.type=year legacy").build())
+    assert(CustomConverters.tagOf(withText) === Some("year"))
+    assert(CustomConverters.tagOf(StructField("c", IntegerType)) === None)
+  }
+
+  test("year widening: MySQL YEAR two-digit mapping into 1970-2069") {
+    val f = tagged("y", IntegerType, "year")
+    assert(convert(f, "0") === 2000)
+    assert(convert(f, "69") === 2069)
+    assert(convert(f, "70") === 1970)
+    assert(convert(f, "99") === 1999)
+    assert(convert(f, "1985") === 1985)
+  }
+
+  test("set: comma split with Java semantics (empty string -> [''])") {
+    val f = tagged("s", ArrayType(StringType), "set")
+    val arr = convert(f, "\"a,b,c\"")
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.numElements() === 3)
+    assert(arr.getUTF8String(1) === UTF8String.fromString("b"))
+    val empty = convert(f, "\"\"")
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(empty.numElements() === 1) // "".split(",") == [""] (reference)
+    assert(empty.getUTF8String(0) === UTF8String.fromString(""))
+  }
+
+  test("geometry: little- and big-endian point WKB to GeoJSON") {
+    def wkb(le: Boolean, x: Double, y: Double): String = {
+      val bb = java.nio.ByteBuffer.allocate(21).order(
+        if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put(if (le) 1.toByte else 0.toByte)
+      bb.putInt(1); bb.putDouble(x); bb.putDouble(y)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    val f = tagged("g", StringType, "geometry")
+    val le = convert(f, s"""{"wkb":"${wkb(le = true, 3.0, -4.5)}","srid":7}""")
+    assert(le.toString ===
+      """{"type":"Point","coordinates":[3.0,-4.5],"srid":7}""")
+    val be = convert(f, s"""{"wkb":"${wkb(le = false, 1.0, 2.0)}"}""")
+    assert(be.toString ===
+      """{"type":"Point","coordinates":[1.0,2.0],"srid":0}""") // srid.orElse(0)
+  }
+
+  test("null values bypass converters (nullable columns stay null)") {
+    assert(convert(tagged("y", IntegerType, "year"), "null") === null)
+  }
+
+  test("unknown tag and declared-type mismatch fail at codec construction") {
+    val unknown = StructType(Seq(tagged("c", StringType, "nosuch")))
+    val e = intercept[IllegalArgumentException] { new JsonRowCodec(unknown) }
+    assert(e.getMessage.contains("nosuch"))
+    val mismatch = StructType(Seq(tagged("g", IntegerType, "geometry")))
+    val e2 = intercept[IllegalArgumentException] { new JsonRowCodec(mismatch) }
+    assert(e2.getMessage.contains("STRING"))
+  }
+
+  test("malformed geometry flows to the parse-error policy, not garbage") {
+    val f = tagged("g", StringType, "geometry")
+    intercept[IllegalArgumentException] { // non-point WKB type
+      val bb = java.nio.ByteBuffer.allocate(21)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(2); bb.putDouble(0); bb.putDouble(0)
+      convert(f, s"""{"wkb":"${
+        java.util.Base64.getEncoder.encodeToString(bb.array())}"}""")
+    }
+    intercept[IllegalArgumentException] { // no wkb field at all
+      convert(f, """{"srid":1}""")
+    }
+  }
+}
