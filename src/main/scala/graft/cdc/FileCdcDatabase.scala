@@ -45,7 +45,10 @@ object FileCdcDatabase {
       /** Store-native range boundaries (TiKV-region / shard-chunk
         * analogue) over the pk; empty = none. */
       regions: Seq[Long] = Seq.empty) {
-    def schema: StructType = StructType.fromDDL(schemaDdl)
+    // lazy VAL, not def: fromDDL is a full Catalyst parser invocation
+    // (~30µs) — as a def, a caller touching `.schema` inside a per-row
+    // lambda silently re-parsed the DDL 150k times per scan
+    @transient lazy val schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
   /** Write a table (snapshot state at offset 0) + its change log. Driver-side

@@ -65,8 +65,10 @@ trait CdcDialect extends Serializable {
   /** Uneven-split capability: dialects that can answer "max of the next
     * `chunkSize` keys ≥ lower" as a store-side query (StatementUtils.java:
     * 99-130) return true and implement [[nextChunkMax]]; the planner then
-    * walks chunks with O(chunks) point queries instead of a full key scan. */
-  def supportsChunkMaxQuery: Boolean = false
+    * walks chunks with O(chunks) point queries instead of a full key scan.
+    * Per-path: a dialect may host several databases whose configured SQL
+    * flavors differ in walk capability. */
+  def supportsChunkMaxQuery(path: String): Boolean = false
 
   /** Max of the `chunkSize` smallest `keyColumn` values ≥ `lowerInclusive`;
     * None when no keys remain. Only called when [[supportsChunkMaxQuery]]. */

@@ -42,8 +42,40 @@ object JdbcCdcDialect extends CdcDialect {
     * (MySqlSourceOptions.java:111-116). */
   val FetchSize = 1024
 
-  private val stmts: JdbcChunkStatements = Db2ChunkStatements
-  private def q(ident: String): String = stmts.quote(ident)
+  /** Per-database SQL flavor for the READ path (`dialect.flavor` option).
+    * Default Db2 — the flavor whose complete statement set, including the
+    * FETCH FIRST uneven-chunk walk, Derby parses natively. Oracle and
+    * Postgres flavors share Derby's double-quoted identifiers, so their
+    * chunk/stats/log statements execute verbatim; only their row-limit
+    * walk syntax (ROWNUM / LIMIT) is beyond Derby's parser, and those
+    * flavors report no chunk-max capability — the planner then takes the
+    * snapshot-walk uneven split, exactly what the reference's generic
+    * splitter does for a dialect without the query (JdbcSourceChunkSplitter).
+    * MySQL (backticks) and SQL Server (brackets) quote in ways Derby cannot
+    * parse at all and are rejected up front (their statement sets stay
+    * covered by JdbcChunkStatementsSpec). */
+  private val flavors = new ConcurrentHashMap[String, JdbcChunkStatements]()
+
+  /** Flavors whose identifier quoting Derby parses (executable here). */
+  private val ExecutableFlavors = Set("db2-cdc", "oracle-cdc", "postgres-cdc")
+
+  def setFlavor(path: String, connector: String): Unit = {
+    require(DialectStatements.byConnector.contains(connector),
+      s"unknown dialect.flavor '$connector' " +
+        s"(have: ${DialectStatements.byConnector.keys.mkString(", ")})")
+    require(ExecutableFlavors.contains(connector),
+      s"dialect.flavor '$connector' quotes identifiers in syntax the " +
+        "embedded engine cannot parse (backticks/brackets); executable " +
+        s"flavors here: ${ExecutableFlavors.mkString(", ")}")
+    flavors.put(path, DialectStatements.byConnector(connector))
+  }
+
+  private def stmtsFor(path: String): JdbcChunkStatements =
+    Option(flavors.get(path)).getOrElse(Db2ChunkStatements)
+
+  // meta-table bookkeeping is engine-side (double-quoted, Derby-owned),
+  // independent of the configured read flavor
+  private def q(ident: String): String = Db2ChunkStatements.quote(ident)
   private def logTable(table: String): String = s"${table}__log"
 
   import ChangeRecord.{OffsetCol, OpCol, TsCol, BeforeCol, AfterCol}
@@ -152,7 +184,11 @@ object JdbcCdcDialect extends CdcDialect {
 
   // ------------------------------------------------------------- chunks
 
-  override def supportsChunkMaxQuery: Boolean = true
+  /** Db2's FETCH FIRST walk runs on Derby; Oracle's ROWNUM and Postgres's
+    * LIMIT do not — those flavors take the snapshot-walk uneven split (the
+    * reference's generic-splitter fallback), which stays an executed path. */
+  override def supportsChunkMaxQuery(path: String): Boolean =
+    stmtsFor(path) eq Db2ChunkStatements
 
   /** The reference's lazy uneven-chunk walk, executed:
     * StatementUtils.queryNextChunkMax (:99-130) via the Db2/Derby flavor. */
@@ -160,7 +196,7 @@ object JdbcCdcDialect extends CdcDialect {
       lowerInclusive: Long, chunkSize: Int): Option[Long] =
     withConn(path) { c =>
       val ps = c.prepareStatement(
-        stmts.selectNextChunkMax(table, keyColumn, chunkSize))
+        stmtsFor(path).selectNextChunkMax(table, keyColumn, chunkSize))
       ps.setLong(1, lowerInclusive)
       val rs = ps.executeQuery()
       val res =
@@ -176,7 +212,7 @@ object JdbcCdcDialect extends CdcDialect {
       column: String): (Long, Long) =
     withConn(path) { c =>
       val rs = c.createStatement()
-        .executeQuery(stmts.selectMinMax(table, column))
+        .executeQuery(stmtsFor(path).selectMinMax(table, column))
       require(rs.next(), s"no stats row for $table.$column")
       val res = (rs.getLong(1), rs.getLong(2))
       rs.close()
@@ -188,15 +224,16 @@ object JdbcCdcDialect extends CdcDialect {
   override def snapshotLines(path: String, table: String, keyColumn: String,
       lo: Option[Long], hi: Option[Long]): Iterator[String] = {
     val meta = tableMeta(path, table)
+    val schema = meta.schema // hoisted: never resolve schema per row
     new JdbcLineIterator(path,
       c => {
         val ps = c.prepareStatement(
-          stmts.chunkScan(table, keyColumn, lo, hi),
+          stmtsFor(path).chunkScan(table, keyColumn, lo, hi),
           ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_READ_ONLY)
         ps.setFetchSize(fetchSizeFor(path))
         ps
       },
-      rs => snapshotRowJson(rs, meta.schema))
+      rs => snapshotRowJson(rs, schema))
   }
 
   override def logLines(path: String, table: String,
@@ -205,7 +242,7 @@ object JdbcCdcDialect extends CdcDialect {
     new JdbcLineIterator(path,
       c => {
         val ps = c.prepareStatement(
-          stmts.logScan(logTable(table), OffsetCol, from, to),
+          stmtsFor(path).logScan(logTable(table), OffsetCol, from, to),
           ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_READ_ONLY)
         ps.setFetchSize(fetchSizeFor(path))
         ps
@@ -422,8 +459,15 @@ object JdbcCdcDialect extends CdcDialect {
  */
 private[dialect] object DerbyTypes {
 
-  def utcCal: java.util.Calendar = java.util.Calendar.getInstance(
-    java.util.TimeZone.getTimeZone("UTC"))
+  private val Utc = java.util.TimeZone.getTimeZone("UTC")
+  // One calendar per thread, reused: JDBC mutates the calendar as a working
+  // area, so it cannot be shared — but Calendar.getInstance + the TimeZone
+  // lookup per VALUE serialized concurrent chunk scans on JVM-internal
+  // locks (a 150k-row scan paid 150k Calendar constructions and the
+  // per-call lock convoy erased all task parallelism).
+  private val utcCalTl: ThreadLocal[java.util.Calendar] =
+    ThreadLocal.withInitial(() => java.util.Calendar.getInstance(Utc))
+  def utcCal: java.util.Calendar = utcCalTl.get()
 
   /** JDBC type code per Spark type — Derby's setNull requires the concrete
     * type, not Types.NULL. */

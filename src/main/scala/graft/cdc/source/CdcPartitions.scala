@@ -195,6 +195,66 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
     dialect.snapshotLines(path, table, chunkKey, lo, hi)
 }
 
+/** Final surviving state of one log-touched key: its chunk-key value
+  * (range membership at apply time) and newest (offset, image), None =
+  * deleted. */
+private[source] case class OverlayEntry(ckVal: Long,
+    value: Option[(Long, InternalRow)])
+
+/**
+ * Per-executor shared log-overlay builds. Every snapshot partition of one
+ * read replays the same log slice (0, high]; on an executor running many
+ * such partitions that is k identical store scans + envelope decodes. The
+ * cache builds the UNFILTERED overlay once per (source, table, high,
+ * projection) and lets each partition apply its own span filter — one log
+ * pass per executor instead of one per partition.
+ *
+ * Memory contract: an unfiltered overlay holds O(log-touched keys) rows.
+ * The build aborts at [[MaxEntries]] and marks the key oversized; every
+ * partition then falls back to its own span-FILTERED build (the previous
+ * behavior — bounded by span change volume), so executor memory stays
+ * bounded no matter the change volume. Values are soft-referenced: memory
+ * pressure reclaims cached overlays before an OOM.
+ */
+private[source] object SnapshotOverlayCache {
+  /** Shared-overlay entry cap (~tens of MB worst case for narrow rows). */
+  val MaxEntries: Int = 1 << 20
+
+  private case class Key(dialect: String, path: String, table: String,
+      high: Long, schemaDdl: String, chunkKey: String, policy: String)
+  private val Oversized = new AnyRef
+  /** Key → SoftReference[map] | Oversized. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Key, AnyRef]()
+
+  /** The shared unfiltered overlay, or None when this (table, high) is
+    * known oversized — caller builds span-filtered locally. `build(cap)`
+    * must return None when the overlay would exceed `cap` entries. */
+  def sharedOverlay(p: SnapshotChunkPartition,
+      build: Int => Option[mutable.LinkedHashMap[Long, OverlayEntry]])
+      : Option[collection.Map[Long, OverlayEntry]] = {
+    val k = Key(p.dialect, p.path, p.table, p.high, p.schemaDdl,
+      p.chunkKey, p.parsePolicy)
+    // computeIfAbsent serializes concurrent builders of the same key: the
+    // first partition scans, the rest block and reuse — exactly the
+    // sharing this cache exists for
+    val v = cache.compute(k, (_, cur) => cur match {
+      case Oversized => Oversized
+      case ref: java.lang.ref.SoftReference[_] if ref.get != null => ref
+      case _ => build(MaxEntries) match {
+        case Some(m) => new java.lang.ref.SoftReference(m)
+        case None => Oversized
+      }
+    })
+    v match {
+      case Oversized => None
+      case ref: java.lang.ref.SoftReference[_] =>
+        // a reclaim between compute and here: rebuild locally this once
+        Option(ref.get.asInstanceOf[mutable.LinkedHashMap[Long, OverlayEntry]])
+    }
+  }
+}
+
 class SnapshotChunkReader(p: SnapshotChunkPartition)
     extends PartitionReader[InternalRow] {
   import ChangeRecord.ExternalOp
@@ -209,41 +269,55 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
   private def inSpan(k: Long): Boolean =
     spanLo.forall(k >= _) && spanHi.forall(k < _)
 
-  /** Final surviving state of one log-touched key: its chunk-key value
-    * (range membership at apply time) and newest (offset, image), None =
-    * deleted. */
-  private case class OverlayEntry(ckVal: Long, value: Option[(Long, InternalRow)])
-
-  // ONE log pass per partition (not per chunk range): the final surviving
-  // entry per log-touched merge key (pk) in the span. Sequential
-  // newest-wins application over the offset-sorted slice equals replaying
-  // events per key. Memory is O(changed keys in span) — change volume, not
-  // table volume — where the per-range replay re-read and re-decoded the
-  // whole log slice once per chunk range in the group.
-  private lazy val overlay: mutable.LinkedHashMap[Long, OverlayEntry] = {
+  /** ONE log pass building the final surviving entry per log-touched merge
+    * key (pk). Sequential newest-wins application over the offset-sorted
+    * slice equals replaying events per key. `filterSpan` = keep only this
+    * partition's key span (the bounded-memory local mode); unfiltered is
+    * the shared-cache mode. `cap` aborts an oversized unfiltered build. */
+  private def buildOverlay(filterSpan: Boolean, cap: Int)
+      : Option[mutable.LinkedHashMap[Long, OverlayEntry]] = {
     val m = mutable.LinkedHashMap[Long, OverlayEntry]()
-    dec.logLinesInRange(0L, p.high).foreach { line =>
+    val it = dec.logLinesInRange(0L, p.high)
+    var oversized = false
+    while (!oversized && it.hasNext) {
+      val line = it.next()
       // cheap key prefilter: the chunk-key value is identical in before/
       // after (key-stable by the chunk-key contract — the reference dedups
       // by the key Struct the same way, RecordUtils.upsertBinlog), so the
       // chunk-key field inside the envelope structs gives range membership;
       // full decode only in-span
       val quick = FileCdcDatabase.quickNestedLongFieldOpt(line, dec.chunkKey)
-      if (quick.forall(inSpan)) dec.decodeEnvelopeSafe(line).foreach { env =>
-        // schema-change records go to the history, not the data merge (T2)
-        if (env.op != ExternalOp.SchemaChange && inSpan(env.chunkKeyVal)) {
-          env.op match {
-            case ExternalOp.Delete =>
-              m(env.key) = OverlayEntry(env.chunkKeyVal, None)
-            case _ =>
-              m(env.key) = OverlayEntry(env.chunkKeyVal,
-                Some((env.offset, env.after)))
+      if (!filterSpan || quick.forall(inSpan))
+        dec.decodeEnvelopeSafe(line).foreach { env =>
+          // schema-change records go to the history, not the data merge (T2)
+          if (env.op != ExternalOp.SchemaChange
+            && (!filterSpan || inSpan(env.chunkKeyVal))) {
+            env.op match {
+              case ExternalOp.Delete =>
+                m(env.key) = OverlayEntry(env.chunkKeyVal, None)
+              case _ =>
+                m(env.key) = OverlayEntry(env.chunkKeyVal,
+                  Some((env.offset, env.after)))
+            }
+            // oversized for sharing: stop wasting this scan (the caller
+            // switches every partition of this read to filtered builds)
+            if (m.size > cap) oversized = true
           }
         }
-      }
     }
-    m
+    if (oversized) {
+      it match { case c: AutoCloseable => c.close(); case _ => () }
+      None
+    } else Some(m)
   }
+
+  // Shared unfiltered overlay when change volume permits (one log scan per
+  // executor); span-filtered local build otherwise. mergeRange filters by
+  // ckVal either way, so the two modes merge identically.
+  private lazy val overlay: collection.Map[Long, OverlayEntry] =
+    SnapshotOverlayCache.sharedOverlay(p,
+      cap => buildOverlay(filterSpan = false, cap))
+      .getOrElse(buildOverlay(filterSpan = true, Int.MaxValue).get)
 
   // W2 per chunk range: chunk rows keyed by pk, then the partition's log
   // overlay applied — CREATE/UPDATE replace, DELETE removes. Snapshot input

@@ -56,6 +56,11 @@ object CdcSourceConfig {
   val MaxEventsPerTriggerKey = "scan.stream.max-events-per-trigger"
   /** Which CdcDialect serves this source (SURVEY §2.6 U5). */
   val DialectKey = "dialect"
+  /** SQL statement flavor for a JDBC dialect's read path, by reference
+    * connector name (db2-cdc default; oracle-cdc / postgres-cdc run their
+    * double-quoted statement sets on the embedded engine — SURVEY §2.1
+    * S4–S8, DialectStatements). */
+  val DialectFlavorKey = "dialect.flavor"
   /** Disable incremental (chunked) snapshotting: the snapshot phase becomes
     * ONE unbounded range read — the reference's legacy single-reader
     * snapshot mode (`scan.incremental.snapshot.enabled`,
@@ -134,6 +139,7 @@ object CdcSourceConfig {
       o.getOrDefault(TimestampLegacyKey, "-1")).toLong,
     maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey, "0").toLong,
     dialectName = o.getOrDefault(DialectKey, "file"),
+    dialectFlavor = o.getOrDefault(DialectFlavorKey, "db2-cdc"),
     maxSnapshotPartitions = o.getOrDefault(MaxSnapshotPartitionsKey, "4096").toInt,
     logPartitions = o.getOrDefault(LogPartitionsKey, "1").toInt,
     chunkKeyColumn = Option(o.get(ChunkKeyColumnKey))
@@ -159,6 +165,7 @@ case class CdcSourceConfig(
     timestampMs: Long = -1L,
     maxEventsPerTrigger: Long = 0L,
     dialectName: String = "file",
+    dialectFlavor: String = "db2-cdc",
     maxSnapshotPartitions: Int = 4096,
     logPartitions: Int = 1,
     chunkKeyColumn: Option[String] = None,
@@ -420,6 +427,9 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
     if (cfg.snapshotFetchSize != CdcSourceConfig.DefaultSnapshotFetchSize)
       graft.cdc.dialect.JdbcCdcDialect
         .setFetchSize(cfg.path, cfg.snapshotFetchSize)
+    if (cfg.dialectName == "jdbc")
+      graft.cdc.dialect.JdbcCdcDialect
+        .setFlavor(cfg.path, cfg.dialectFlavor)
     cfg.dialect.validate(cfg.path, cfg.matchedTables)
   }
   override def toBatch: Batch = {
@@ -456,7 +466,7 @@ object CdcPlanner {
       else cfg.dialect.columnStats(cfg.path, table, ck)
     if (!ChunkSplitter.isEvenlyDistributed(mn, mx, m.rowCount,
         cfg.distributionFactorUpper, cfg.distributionFactorLower)
-        && cfg.dialect.supportsChunkMaxQuery)
+        && cfg.dialect.supportsChunkMaxQuery(cfg.path))
       // uneven split pushed to the store: O(chunks) point queries
       // (SELECT MAX(pk)… LIMIT chunkSize, StatementUtils.java:99-130)
       ChunkSplitter.splitUnevenlyByQuery(mn, mx, cfg.chunkSize,

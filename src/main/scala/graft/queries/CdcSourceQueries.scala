@@ -169,6 +169,26 @@ object CdcSourceQueries {
       Some(ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")
         + "\nORDER BY o_orderkey")),
 
+    // The Postgres statement flavor on the same embedded engine
+    // (dialect.flavor, SURVEY §2.1 S4-S8): double-quoted chunk/log SQL
+    // executes verbatim; the uneven-split walk capability is off for this
+    // flavor, exercising the generic-splitter fallback path end-to-end.
+    "cdc_source_jdbc_pg_flavor" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareJdbc(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("dialect", "jdbc")
+          .option("dialect.flavor", "postgres-cdc")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "20000")
+          .load()
+          .select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")
+        + "\nORDER BY o_orderkey")),
+
     // Point-in-time ("time travel") read: scan.bounded.offset pins the log
     // head at an offset INSIDE the update band, so the batch returns the
     // table state as of that moment — updates applied only for keys whose

@@ -102,6 +102,82 @@ class JdbcDialectSpec extends SparkSpecBase {
     assert(ids.length === ids.distinct.length)
   }
 
+  test("statement flavors: oracle/postgres sets execute end-to-end on Derby") {
+    // S4-S8 executed path beyond Db2: both flavors' chunk scans, stats and
+    // log slices run verbatim (double-quoted identifiers); their row-limit
+    // walk syntax (ROWNUM / LIMIT) is outside Derby's parser, so the
+    // dialect reports no chunk-max capability and the planner's uneven
+    // split takes the executed snapshot-walk fallback instead — assert
+    // both halves per flavor.
+    for (flavor <- Seq("oracle-cdc", "postgres-cdc")) {
+      val dir = tmpDir(s"jdbc-flavor-$flavor")
+      writeDb(dir, 6L)
+      def readF(mode: String): DataFrame =
+        spark.read.format("graft-cdc")
+          .option("path", dir).option("table", "t")
+          .option("dialect", "jdbc")
+          .option("dialect.flavor", flavor)
+          .option("scan.startup.mode", mode)
+          .option("scan.incremental.snapshot.chunk.size", "5")
+          .load()
+      // snapshot chunk scans + backfill merge (flavored chunkScan SQL)
+      val rows = readF("initial").select("id", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSet === finalState, s"flavor $flavor")
+      assert(rows.length === rows.distinct.length, s"flavor $flavor")
+      // changelog replay (flavored logScan SQL)
+      val ops = readF("earliest").groupBy(OpCol).count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(ops === Map("+I" -> 2L, "+U" -> 2L, "-U" -> 2L, "-D" -> 2L),
+        s"flavor $flavor")
+      // walk capability off → sparse keys still split correctly via the
+      // snapshot-walk fallback (the generic-splitter path, executed)
+      assert(!JdbcCdcDialect.supportsChunkMaxQuery(dir), s"flavor $flavor")
+      val sdir = tmpDir(s"jdbc-flavor-sparse-$flavor")
+      val sparse = Seq(1L, 2L, 3L, 100000L, 100001L, 200000L, 300000L)
+        .map(i => (i, s"v$i")).toDF("id", "v")
+      JdbcCdcDatabase.write(spark, sdir, "t", "graft", "id",
+        snapshot = sparse, changes = changesDf(Seq.empty), force = true)
+      val ids = spark.read.format("graft-cdc")
+        .option("path", sdir).option("table", "t")
+        .option("dialect", "jdbc").option("dialect.flavor", flavor)
+        .option("scan.startup.mode", "initial")
+        .option("scan.incremental.snapshot.chunk.size", "3")
+        .load().select("id").collect().map(_.getLong(0))
+      assert(ids.sorted === sparse.collect().map(_.getLong(0)).sorted,
+        s"flavor $flavor")
+      assert(ids.length === ids.distinct.length, s"flavor $flavor")
+    }
+    // the default flavor keeps the store-side walk
+    val ddir = tmpDir("jdbc-flavor-default")
+    writeDb(ddir, 6L)
+    assert(JdbcCdcDialect.supportsChunkMaxQuery(ddir))
+  }
+
+  test("flavors Derby cannot parse are rejected with an actionable error") {
+    val dir = tmpDir("jdbc-flavor-bad")
+    writeDb(dir, 6L)
+    for (flavor <- Seq("mysql-cdc", "sqlserver-cdc")) {
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("graft-cdc")
+          .option("path", dir).option("table", "t")
+          .option("dialect", "jdbc").option("dialect.flavor", flavor)
+          .option("scan.startup.mode", "initial")
+          .load().count()
+      }
+      assert(e.getMessage.contains("cannot parse"), e.getMessage)
+    }
+    val unknown = intercept[IllegalArgumentException] {
+      spark.read.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("dialect", "jdbc").option("dialect.flavor", "nosuch-cdc")
+        .option("scan.startup.mode", "initial")
+        .load().count()
+    }
+    assert(unknown.getMessage.contains("unknown dialect.flavor"),
+      unknown.getMessage)
+  }
+
   test("chunk-key override: stats + chunk scans run on the override column") {
     val dir = tmpDir("jdbc-ckey")
     val pl = StructType(Seq(StructField("id", LongType),
