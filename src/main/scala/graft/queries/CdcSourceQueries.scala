@@ -434,7 +434,7 @@ object CdcSourceQueries {
       })
   )
 
-  private val custSpec = ChangelogGen.Spec(pk = "c_custkey",
+  private[queries] val custSpec = ChangelogGen.Spec(pk = "c_custkey",
     measure = "c_acctbal", table = "customer")
   private val custCols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
 

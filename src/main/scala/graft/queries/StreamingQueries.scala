@@ -683,6 +683,110 @@ object StreamingQueries {
           .select(orderCols.map(col): _*)
           .orderBy(col("o_orderkey"))
       },
-      Some(changedKeysOracle))
+      Some(changedKeysOracle)),
+
+    // Two-changelog streaming JOIN, snapshot + log (the canonical cdc-sql
+    // case: orders ⋈ customer where BOTH sides are CDC streams). One keyed
+    // state operator holds both sides' current rows per join key and emits
+    // the joined changelog with retractions; the drained output collapses
+    // per joined identity to exactly the final-state join. Both sides'
+    // updates (price ×2, acctbal ×2), inserts and deletes — including
+    // customer deletes cascading retractions onto their orders — must land.
+    "cdc_stream_join_materialized" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        val dir = CdcSourceQueries.prepare(s, dir0)
+        CdcSourceQueries.prepareCustomer(s, dir0)
+        def src(table: String): DataFrame = s.readStream.format("graft-cdc")
+          .option("path", dir).option("table", table)
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+        val joined = ChangelogJoin.join(
+          src("orders"), "o_orderkey", "o_custkey",
+          src("customer"), "c_custkey", "c_custkey")
+        val name = s"chjoin_${System.nanoTime()}"
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val oSchema = Tables.load(s, dir0, "orders").schema
+        val cSchema = Tables.load(s, dir0, "customer").schema
+        ChangelogJoin
+          .materializeJoined(graft.QueryUtil.detachMemorySink(s, name))
+          .select(from_json(col("limg"), oSchema).as("l"),
+            from_json(col("rimg"), cSchema).as("r"))
+          .select(col("l.o_orderkey"), col("l.o_totalprice"),
+            col("r.c_mktsegment"), col("r.c_acctbal"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some {
+        val ofin = ChangelogGen.oracleFinalStateSql(ordersSpec,
+          Seq("o_orderkey", "o_custkey", "o_totalprice"), "orders")
+        val cfin = ChangelogGen.oracleFinalStateSql(CdcSourceQueries.custSpec,
+          Seq("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        s"""WITH ofin AS (
+           |$ofin
+           |), cfin AS (
+           |$cfin
+           |)
+           |SELECT o_orderkey, o_totalprice, c_mktsegment, c_acctbal
+           |FROM ofin JOIN cfin ON o_custkey = c_custkey
+           |ORDER BY o_orderkey""".stripMargin
+      }),
+
+    // The same join over log-only replay (earliest), rate-limited so the
+    // changelogs drain across several micro-batches: joined pairs are built
+    // up, retracted and re-emitted as each side's updates and deletes land
+    // in DIFFERENT batches from the rows they retract — the state-survival
+    // property. Result = join of the two sides' log-touched final states.
+    "cdc_stream_join_retractions" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        val dir = CdcSourceQueries.prepare(s, dir0)
+        CdcSourceQueries.prepareCustomer(s, dir0)
+        def src(table: String): DataFrame = {
+          val logEvents = FileCdcDatabase.readMeta(dir, table).maxOffset
+          val perTrigger = math.max(2000L, logEvents / 3 + 1)
+          s.readStream.format("graft-cdc")
+            .option("path", dir).option("table", table)
+            .option("scan.startup.mode", "earliest")
+            .option("scan.stream.max-events-per-trigger", perTrigger.toString)
+            .option("scan.incremental.snapshot.chunk.size", "1000")
+            .load()
+        }
+        val joined = ChangelogJoin.join(
+          src("orders"), "o_orderkey", "o_custkey",
+          src("customer"), "c_custkey", "c_custkey")
+        val name = s"chjoinr_${System.nanoTime()}"
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val oSchema = Tables.load(s, dir0, "orders").schema
+        val cSchema = Tables.load(s, dir0, "customer").schema
+        ChangelogJoin
+          .materializeJoined(graft.QueryUtil.detachMemorySink(s, name))
+          .select(from_json(col("limg"), oSchema).as("l"),
+            from_json(col("rimg"), cSchema).as("r"))
+          .select(col("l.o_orderkey"), col("l.o_totalprice"),
+            col("r.c_mktsegment"), col("r.c_acctbal"))
+          .orderBy(col("o_orderkey"))
+      },
+      // log-touched final state per side: updated non-deleted rows (measure
+      // doubled) plus inserted copies; -U/-D for keys never in state are
+      // no-ops, matching the WHERE clauses exactly
+      Some("""WITH ofc AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 10 = 7 AND o_orderkey % 13 <> 3
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 100 = 1
+             |), cfc AS (
+             |  SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS c_acctbal
+             |  FROM customer WHERE c_custkey % 10 = 7 AND c_custkey % 13 <> 3
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000000, c_mktsegment, c_acctbal
+             |  FROM customer WHERE c_custkey % 100 = 1
+             |)
+             |SELECT o_orderkey, o_totalprice, c_mktsegment, c_acctbal
+             |FROM ofc JOIN cfc ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
