@@ -70,6 +70,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KMinimaAgg].getName, "graft_k_minima"),
       (args: Seq[Expression]) =>
         KMinimaAgg(args.head, intLit(args(1), "graft_k_minima"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) => BloomAgg(args.head,
+        intLit(args(1), "graft_bloom_agg"),
+        intLit(args(2), "graft_bloom_agg"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_contains"),
+      (args: Seq[Expression]) => BloomMightContain(args.head, args(1),
+        intLit(args(2), "graft_bloom_contains"))))
   }
 }
 
@@ -99,6 +111,11 @@ object GraftExtensions {
       zvalueExpr(args.head, args(1), intLit(args(2), "graft_zvalue")))
     add("graft_k_minima", args =>
       KMinimaAgg(args.head, intLit(args(1), "graft_k_minima")))
+    add("graft_bloom_agg", args => BloomAgg(args.head,
+      intLit(args(1), "graft_bloom_agg"),
+      intLit(args(2), "graft_bloom_agg")))
+    add("graft_bloom_contains", args => BloomMightContain(args.head,
+      args(1), intLit(args(2), "graft_bloom_contains")))
   }
 
   /** popcount(a XOR b) — same composition as the Column-side hamming. */

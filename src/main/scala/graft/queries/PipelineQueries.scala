@@ -17,6 +17,15 @@ object PipelineQueries {
 
   import org.apache.spark.sql.SparkSession
 
+  /** ITERATIVE bit-smear (x |= x>>1; x |= x>>2; … x |= x>>32) unrolled to
+    * one expression by textual doubling — each shift applies to the
+    * ACCUMULATED value (the non-iterative `w|w>>1|w>>2|…` undercounts:
+    * shifting the original leaves gaps). After the smear,
+    * `bit_count` = bit_length, so 55 − bit_count is the HLL ρ of a 54-bit
+    * suffix. Same string runs on Spark and DuckDB. */
+  private[graft] def smearExpr(v: String): String =
+    Seq(1, 2, 4, 8, 16, 32).foldLeft(v)((e, k) => s"($e | (($e) >> $k))")
+
   /** Idempotently materialize narrow BUCKETED copies of lineitem/orders
     * (16 buckets on the join key) for this SF and register them in the
     * session catalog. Files persist under `.scratch`; a fresh session
@@ -569,6 +578,118 @@ object PipelineQueries {
            |  CAST(least(32, n - start_tok) AS BIGINT) AS n_tokens,
            |  ${sqlMd5Long(chunk)} AS chunk_hash
            |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+      }),
+
+    // Bloom-filter runtime pruning — the explicit form of Spark's injected
+    // runtime filters: bits built over the dim side's join keys in ONE
+    // small aggregate, shipped to the fact scan as a literal, non-candidate
+    // rows dropped BEFORE the join. False positives are removed by the
+    // exact semi-join that follows, so the bloom affects cost only: at
+    // 100 TB the pruned fact side shrinks the shuffle/probe volume by the
+    // join selectivity (~1/5 here) for a few hundred KB of bits.
+    "q_bloom_prune_join" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.BloomFunctions._
+        val cust = Tables.load(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val bits = cust
+          .agg(bloomAgg(col("c_custkey"), 1 << 17, 3).as("b"))
+          .head().getAs[Array[Byte]](0)
+        val pruned = Tables.load(s, dir, "orders")
+          .filter(bloomMightContain(lit(bits), col("o_custkey"), 3))
+        pruned.join(broadcast(cust),
+            col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer
+             |                    WHERE c_mktsegment = 'BUILDING')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // HyperLogLog register sketch, integer-exact: 64 buckets over the
+    // 60-bit md5 hash (low 6 bits = bucket, ρ = leading-zero rank of the
+    // remaining 54 via ITERATIVE bit-smear + popcount — each shift applies
+    // to the accumulated value, textually unrolled so both engines run the
+    // identical expression; no transcendental boundary risk). The registers
+    // ARE the mergeable sketch state: max per bucket commutes with any
+    // partitioning, map-side combine reduces each partition to ≤ 64 rows,
+    // and unioning corpora = pairwise MAX of two 64-row registers —
+    // constant-size state at any scale.
+    "sketch_hll_registers" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        Tables.load(s, dir, "events")
+          .select(md5Long(col("user_id").cast(StringType)).as("h"))
+          .select(expr("h & 63").as("bucket"), expr("h >> 6").as("w"))
+          .select(col("bucket"),
+            expr(s"55 - bit_count(${smearExpr("w")})").as("rho"))
+          .groupBy(col("bucket"))
+          .agg(max(col("rho")).cast(LongType).as("register"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val h = sqlMd5Long("CAST(user_id AS VARCHAR)")
+        s"""SELECT bucket, CAST(MAX(55 - bit_count(${smearExpr("w")})) AS BIGINT)
+           |    AS register
+           |FROM (SELECT h & 63 AS bucket, h >> 6 AS w
+           |      FROM (SELECT $h AS h FROM events))
+           |GROUP BY bucket ORDER BY bucket""".stripMargin
+      }),
+
+    // The HLL estimate from those registers, kept cross-engine exact: the
+    // harmonic denominator is the INTEGER Σ 2^(55-ρ) (every term a power of
+    // two ≤ 2^54 — exact BIGINT arithmetic, no float summation order
+    // risk); the only float ops are one multiply chain and one division,
+    // evaluated identically on both engines. Exact distinct rides along.
+    "sketch_hll_estimate" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        val regs = Tables.load(s, dir, "events")
+          .select(md5Long(col("user_id").cast(StringType)).as("h"),
+            col("user_id"))
+          .select(expr("h & 63").as("bucket"), expr("h >> 6").as("w"),
+            col("user_id"))
+          .select(col("bucket"),
+            expr(s"55 - bit_count(${smearExpr("w")})").as("rho"),
+            col("user_id"))
+        val sketch = regs.groupBy(col("bucket"))
+          .agg(max(col("rho")).as("register"))
+          .agg(sum(expr("CAST(1 AS BIGINT) << (55 - register)")).as("denom"),
+            count(lit(1)).as("n_buckets"))
+        val exact = regs.agg(
+          countDistinct(col("user_id")).as("exact_distinct"))
+        exact.crossJoin(sketch)
+          .select(col("exact_distinct"), col("n_buckets"), col("denom"),
+            round(lit(0.709) * lit(4096.0) * expr("POWER(2.0, 55)")
+              / col("denom").cast(DoubleType), 4).as("est_distinct"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val h = sqlMd5Long("CAST(user_id AS VARCHAR)")
+        s"""WITH rhos AS (
+           |  SELECT bucket, 55 - bit_count(${smearExpr("w")}) AS rho, user_id
+           |  FROM (SELECT h & 63 AS bucket, h >> 6 AS w, user_id
+           |        FROM (SELECT $h AS h, user_id FROM events))),
+           |sketch AS (
+           |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (55 - register)) AS BIGINT)
+           |      AS denom,
+           |    COUNT(*) AS n_buckets
+           |  FROM (SELECT bucket, MAX(rho) AS register FROM rhos
+           |        GROUP BY bucket)),
+           |ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM rhos)
+           |SELECT exact_distinct, n_buckets, denom,
+           |  round(0.709 * 4096.0 * POWER(2.0, 55) / CAST(denom AS DOUBLE), 4)
+           |    AS est_distinct
+           |FROM ex, sketch""".stripMargin
       })
   )
 }
