@@ -690,6 +690,94 @@ object PipelineQueries {
            |  round(0.709 * 4096.0 * POWER(2.0, 55) / CAST(denom AS DOUBLE), 4)
            |    AS est_distinct
            |FROM ex, sketch""".stripMargin
+      }),
+
+    // Posting-list inverted index WITH POSITIONS — the retrieval-side
+    // construction step (term → (doc, tf, first occurrence), plus document
+    // frequency). One posexplode + one (term, doc) aggregate + a df join
+    // co-partitioned on term — two shuffles total, both on the term key;
+    // common-term postings dominate and stay together for the downstream
+    // merge. df filter bounds the output to index-worthy terms.
+    "text_inverted_index" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.words
+        val minDf = 50
+        val posting = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) > 0)
+          .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "term")))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"),
+            (min(col("pos")) + 1).cast(LongType).as("first_pos"))
+        val df = posting.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= minDf)
+        posting.join(df, Seq("term"))
+          .select(col("term"), col("doc_id"), col("tf"), col("first_pos"),
+            col("df"))
+          .orderBy(col("term"), col("doc_id"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlWords
+        s"""WITH toks AS (
+           |  SELECT doc_id, ws
+           |  FROM (SELECT doc_id, ${sqlWords("text")} AS ws FROM documents)
+           |  WHERE len(ws) > 0),
+           |posting AS (
+           |  SELECT term, doc_id, COUNT(*) AS tf,
+           |    CAST(MIN(pos) AS BIGINT) AS first_pos
+           |  FROM (SELECT doc_id, unnest(ws) AS term,
+           |          CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos
+           |        FROM toks)
+           |  GROUP BY term, doc_id),
+           |df AS (
+           |  SELECT term, COUNT(*) AS df FROM posting GROUP BY term)
+           |SELECT p.term, p.doc_id, p.tf, p.first_pos, df.df
+           |FROM posting p JOIN df USING (term)
+           |WHERE df.df >= 50
+           |ORDER BY p.term, p.doc_id""".stripMargin
+      }),
+
+    // Weight-proportional SYSTEMATIC sampling: documents in doc_id order,
+    // one representative per `step` of cumulative token weight — heavy
+    // regions contribute proportionally more samples, and the selection is
+    // exact integer arithmetic (no transcendental keys to round). The
+    // total-order cumsum is NOT a global single-task window: it rides
+    // SequencePacking.packBins (range-partition + per-partition cumsum +
+    // O(partitions) driver prefix pass), the same distributed prefix-sum
+    // the packing operator uses.
+    "sample_weighted_systematic" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.words
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), size(words(col("text"))).cast(LongType)
+            .as("wt"))
+        val total = d.agg(sum(col("wt"))).head().getLong(0)
+        val step = math.max(1L, total / 40)
+        graft.operators.SequencePacking.packBins(d, "doc_id", "wt", step)
+          .groupBy(col("bin"))
+          .agg(min(col("doc_id")).as("first_doc"),
+            count(lit(1)).as("n_docs"),
+            sum(col("wt")).as("bin_weight"))
+          .orderBy(col("bin"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlWords
+        s"""WITH w AS (
+           |  SELECT doc_id, CAST(len(${sqlWords("text")}) AS BIGINT) AS wt
+           |  FROM documents),
+           |tot AS (
+           |  SELECT GREATEST(1, CAST(SUM(wt) // 40 AS BIGINT)) AS step
+           |  FROM w),
+           |c AS (
+           |  SELECT doc_id, wt,
+           |    SUM(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           |      AS cum
+           |  FROM w)
+           |SELECT ((cum - wt) // step) AS bin, MIN(doc_id) AS first_doc,
+           |  COUNT(*) AS n_docs, CAST(SUM(wt) AS BIGINT) AS bin_weight
+           |FROM c, tot
+           |GROUP BY bin ORDER BY bin""".stripMargin
       })
   )
 }

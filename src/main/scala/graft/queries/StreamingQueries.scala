@@ -240,6 +240,88 @@ object StreamingQueries {
              |HAVING count(click_id) > 0 OR p_ts <= wm.w
              |ORDER BY user_id, purchase_id""".stripMargin)),
 
+    // Stream-stream FULL OUTER interval join: BOTH sides' unmatched rows
+    // null-pad when the watermark passes their last possible match.
+    // Purchase side evicts once wm > p_ts (its click window [p_ts−600,
+    // p_ts] is closed); click side evicts once wm > c_ts + 600 (its
+    // purchase window [c_ts, c_ts+600] is closed) — the oracle encodes
+    // both eviction rules against the AvailableNow final watermark
+    // (min of the two stream maxima − 1 h), so the result is
+    // deterministic end-of-stream semantics on both sides.
+    "q_stream_full_outer_join" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 2) {
+        val name = s"sfo_${System.nanoTime()}"
+        def eventsStream = {
+          import org.apache.spark.sql.types._
+          val raw = Tables.load(s, dir0, "events")
+          s.readStream
+            .schema(StructType(raw.schema.fields.map(f =>
+              if (f.name == "ts") StructField("ts", LongType) else f)))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir0)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        }
+        import org.apache.spark.sql.types.LongType
+        val clicks = eventsStream.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = eventsStream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("p_ts", "1 hour")
+        val q = purchases.join(clicks,
+            col("p_user") === col("c_user") &&
+              col("c_ts").cast(LongType) >= col("p_ts").cast(LongType) - 600 &&
+              col("c_ts").cast(LongType) <= col("p_ts").cast(LongType),
+            "fullOuter")
+          .select(col("p_user"), col("c_user"), col("purchase_id"),
+            col("click_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.QueryUtil.detachMemorySink(s, name)
+          .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+            when(col("purchase_id").isNotNull && col("click_id").isNotNull,
+              "both").when(col("purchase_id").isNotNull, "p_only")
+              .otherwise("c_only").as("kind"))
+          .groupBy(col("user_id"), col("kind"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("user_id"), col("kind"))
+      },
+      Some("""WITH wm AS (
+             |  SELECT least(
+             |    MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+             |    MAX(CASE WHEN event_type = 'click' THEN ts END))
+             |    - INTERVAL 1 HOUR AS w
+             |  FROM events),
+             |p AS (SELECT user_id, event_id, ts FROM events
+             |      WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, event_id, ts FROM events
+             |      WHERE event_type = 'click'),
+             |fo AS (
+             |  SELECT p.user_id AS p_user, c.user_id AS c_user,
+             |         p.event_id AS purchase_id, c.event_id AS click_id,
+             |         p.ts AS p_ts, c.ts AS c_ts
+             |  FROM p FULL JOIN c
+             |    ON p.user_id = c.user_id
+             |    AND CAST(floor(epoch(c.ts)) AS BIGINT)
+             |        BETWEEN CAST(floor(epoch(p.ts)) AS BIGINT) - 600
+             |            AND CAST(floor(epoch(p.ts)) AS BIGINT))
+             |SELECT coalesce(p_user, c_user) AS user_id,
+             |  CASE WHEN purchase_id IS NOT NULL AND click_id IS NOT NULL
+             |         THEN 'both'
+             |       WHEN purchase_id IS NOT NULL THEN 'p_only'
+             |       ELSE 'c_only' END AS kind,
+             |  COUNT(*) AS n
+             |FROM fo, wm
+             |WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+             |   OR (purchase_id IS NOT NULL AND p_ts <= wm.w)
+             |   OR (click_id IS NOT NULL
+             |       AND c_ts + INTERVAL 600 SECOND <= wm.w)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Streaming deduplication with watermark state (dropDuplicates on the
     // natural key): first arrival wins, per-key state expires past the
     // watermark. Counts per event_type after dedup match batch DISTINCT.
