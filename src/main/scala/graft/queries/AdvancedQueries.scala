@@ -431,6 +431,59 @@ object AdvancedQueries {
              |  AND CAST(floor(epoch(e.ts)) AS BIGINT)
              |      BETWEEN CAST(floor(epoch(p.ts)) AS BIGINT) - 300
              |          AND CAST(floor(epoch(p.ts)) AS BIGINT) + 300
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // PageRank over the customer↔supplier trade graph (an edge per
+    // distinct pair appearing together on an order, both directions;
+    // node ids disambiguated by parity). 5 Pregel-style rounds of exact
+    // INTEGER arithmetic — per-edge contribution floor(rank·85/(100·deg)),
+    // integer sums commute with any partitioning — so the distributed
+    // fixed-point is bit-identical to the oracle's unrolled recursion.
+    // Top-50 by (rank, node): influence ranking of trade hubs.
+    "graph_pagerank" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        graft.operators.PageRank.run(edges, 5)
+          .orderBy(col("rank").desc, col("node"))
+          .limit(50)
+      },
+      Some {
+        def iter(prev: String, k: Int): String =
+          s"""r$k AS (
+             |  SELECT n.node,
+             |    CAST(150000000 + COALESCE(s.m, 0) AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |      SUM((r.rank * 85) // (100 * deg.d)) AS m
+             |    FROM $prev r
+             |    JOIN e ON r.node = e.src
+             |    JOIN deg ON deg.src = e.src
+             |    GROUP BY e.dst) s USING (node))""".stripMargin
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS (
+           |  SELECT c AS src, p AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT p AS src, c AS dst FROM pairs),
+           |nodes AS (
+           |  SELECT DISTINCT src AS node FROM e
+           |  UNION SELECT DISTINCT dst FROM e),
+           |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+           |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank
+           |       FROM nodes),
+           |${(1 to 5).map(k => iter(s"r${k - 1}", k)).mkString(",\n")}
+           |SELECT node, rank FROM r5
+           |ORDER BY rank DESC, node LIMIT 50""".stripMargin
+      })
   )
 }

@@ -692,6 +692,60 @@ object PipelineQueries {
            |FROM ex, sketch""".stripMargin
       }),
 
+    // The register sketch as a PER-GROUP aggregate: distinct users per
+    // event_type estimated from 64 registers per group — the shuffle
+    // carries ≤ 64 rows per group per partition (map-side max-combine),
+    // never the distinct sets; empty buckets contribute 2^55 to the
+    // harmonic denominator (ρ=0), so groups of any cardinality are
+    // comparable. Exact distinct rides along showing the error.
+    "sketch_hll_per_group" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            md5Long(col("user_id").cast(StringType)).as("h"), col("user_id"))
+          .select(col("event_type"), expr("h & 63").as("bucket"),
+            expr(s"55 - bit_count(${smearExpr("(h >> 6)")})").as("rho"),
+            col("user_id"))
+        val sketch = e.groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("rho")).as("register"))
+          .groupBy(col("event_type"))
+          .agg((sum(expr("CAST(1 AS BIGINT) << (55 - register)"))
+            + (lit(64L) - count(lit(1)))
+              * expr("CAST(1 AS BIGINT) << 55")).as("denom"))
+        val exact = e.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        exact.join(sketch, Seq("event_type"))
+          .select(col("event_type"), col("exact_distinct"), col("denom"),
+            round(lit(0.709) * lit(4096.0) * expr("POWER(2.0, 55)")
+              / col("denom").cast(DoubleType), 4).as("est_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val h = sqlMd5Long("CAST(user_id AS VARCHAR)")
+        s"""WITH rhos AS (
+           |  SELECT event_type, h & 63 AS bucket,
+           |    55 - bit_count(${smearExpr("(h >> 6)")}) AS rho, user_id
+           |  FROM (SELECT event_type, $h AS h, user_id FROM events)),
+           |sketch AS (
+           |  SELECT event_type,
+           |    CAST(SUM(CAST(1 AS BIGINT) << (55 - register))
+           |      + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT)
+           |      AS denom
+           |  FROM (SELECT event_type, bucket, MAX(rho) AS register
+           |        FROM rhos GROUP BY event_type, bucket)
+           |  GROUP BY event_type),
+           |ex AS (
+           |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+           |  FROM rhos GROUP BY event_type)
+           |SELECT ex.event_type, exact_distinct, denom,
+           |  round(0.709 * 4096.0 * POWER(2.0, 55) / CAST(denom AS DOUBLE), 4)
+           |    AS est_distinct
+           |FROM ex JOIN sketch USING (event_type)
+           |ORDER BY event_type""".stripMargin
+      }),
+
     // Posting-list inverted index WITH POSITIONS — the retrieval-side
     // construction step (term → (doc, tf, first occurrence), plus document
     // frequency). One posexplode + one (term, doc) aggregate + a df join

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.PageRank
+import org.apache.spark.sql.functions._
+
+/** Integer PageRank: hand-computed fixed point on a tiny graph and
+  * bit-identical results across partitionings (exact integer sums). */
+class PageRankSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("hand-computed two-iteration ranks; dangling node keeps base") {
+    // 1→2, 1→3, 2→1; node 3 is dangling (contributes nothing)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    def ranks(iters: Int): Map[Long, Long] =
+      PageRank.run(edges, iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1: c(1→·) = 1e9·85/(100·2) = 425000000 each; c(2→1) = 850000000
+    assert(ranks(1) === Map(
+      1L -> 1000000000L, 2L -> 575000000L, 3L -> 575000000L))
+    // iter2: rank1 from 2's new rank 575000000 → 488750000 + base
+    assert(ranks(2) === Map(
+      1L -> 638750000L, 2L -> 575000000L, 3L -> 575000000L))
+  }
+
+  test("bit-identical across partitionings") {
+    val edges = (1L to 400L)
+      .flatMap(i => Seq((i, i % 37 + 1), (i % 37 + 1, i % 11 + 2)))
+      .toDF("src", "dst").distinct()
+    def run(parts: Int): Seq[(Long, Long)] =
+      PageRank.run(edges.repartition(parts), 4)
+        .orderBy(col("node")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(1) === run(13))
+  }
+}
