@@ -433,6 +433,44 @@ object AdvancedQueries {
              |          AND CAST(floor(epoch(p.ts)) AS BIGINT) + 300
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // CUMULATE window TVF (Flink SQL's third windowing TVF next to TUMBLE
+    // and HOP, which q_events_hourly / q_stream_hourly_agg cover): growing
+    // windows from each hour start — [H, H+15m), [H, H+30m), [H, H+45m),
+    // [H, H+60m) — the "progress so far this hour" report. Re-expressed as
+    // an explode over the cumulative window ends an event belongs to
+    // (integer arithmetic on epoch seconds) + one aggregate; fan-out ≤ 4
+    // rows per event, map-side combined.
+    "q_cumulate_window" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("ts").cast(LongType).as("tse"), col("user_id"))
+          .withColumn("h", expr("(tse div 3600) * 3600"))
+        e.select(col("h").as("window_start"), col("user_id"),
+            explode(sequence(expr("((tse - h) div 900) + 1"), lit(4)))
+              .as("k"))
+          .select(col("window_start"),
+            (col("window_start") + col("k") * 900).as("window_end"),
+            col("user_id"))
+          .groupBy(col("window_start"), col("window_end"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("window_start"), col("window_end"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tse, user_id
+             |  FROM events),
+             |w AS (
+             |  SELECT tse, user_id, (tse // 3600) * 3600 AS h FROM ev),
+             |x AS (
+             |  SELECT h AS window_start,
+             |    h + CAST(unnest(range((tse - h) // 900 + 1, 5)) AS BIGINT)
+             |      * 900 AS window_end,
+             |    user_id
+             |  FROM w)
+             |SELECT window_start, window_end, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // PageRank over the customer↔supplier trade graph (an edge per
     // distinct pair appearing together on an order, both directions;
     // node ids disambiguated by parity). 5 Pregel-style rounds of exact

@@ -194,6 +194,66 @@ object CdcSurfaceQueries {
              |  UNION ALL SELECT '+U', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
              |  UNION ALL SELECT '-U', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
              |  UNION ALL SELECT '-D', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
-             |) ORDER BY __op""".stripMargin))
+             |) ORDER BY __op""".stripMargin)),
+
+    // TEMPORAL TABLE JOIN (Flink's `FOR SYSTEM_TIME AS OF`, the versioned-
+    // table join the reference's cdc-sql layer feeds): each order-update
+    // event joins the customer VERSION valid at the event's log offset —
+    // not the current state. Version intervals come from the changelog
+    // itself: baseline images at offset 0 (snapshot-only read) plus every
+    // after-image, validity ended by the key's next change (delete
+    // tombstones close intervals and drop out). The probe is an equi-join
+    // on the key with an offset-range predicate; version construction is
+    // one partitioned window (lead over per-key offsets) — no global
+    // operator. The oracle derives the same AS-OF state in closed form
+    // from the deterministic changelog (a customer's update applies iff
+    // its offset ≤ the order event's, i.e. c_custkey ≤ o_orderkey in the
+    // shared update band).
+    "cdc_temporal_join" -> QueryDef(
+      (s, dir0) => {
+        import org.apache.spark.sql.expressions.Window
+        val dir = CdcSourceQueries.prepare(s, dir0)
+        CdcSourceQueries.prepareCustomer(s, dir0)
+        val base = s.read.format("graft-cdc")
+          .option("path", dir).option("table", "customer")
+          .option("scan.startup.mode", "initial")
+          .option("scan.bounded.offset", "0")
+          .option("scan.incremental.snapshot.chunk.size", "20000")
+          .load()
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            lit(0L).as("vfrom"), lit(false).as("tomb"))
+        val ch = s.read.format("graft-cdc")
+          .option("path", dir).option("table", "customer")
+          .option("scan.startup.mode", "earliest")
+          .load()
+          .filter(col(OpCol) =!= RowKind.UpdateBefore)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            col(OffsetCol).as("vfrom"),
+            (col(OpCol) === RowKind.Delete).as("tomb"))
+        val w = Window.partitionBy(col("c_custkey")).orderBy(col("vfrom"))
+        val versions = base.unionByName(ch)
+          .withColumn("vto", lead(col("vfrom"), 1, Long.MaxValue).over(w))
+          .filter(!col("tomb"))
+        val probes = s.read.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("scan.startup.mode", "earliest")
+          .load()
+          .filter(col(OpCol) === RowKind.UpdateAfter)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col(OffsetCol).as("ooff"))
+        probes.join(versions,
+            probes("o_custkey") === versions("c_custkey")
+              && col("vfrom") <= col("ooff") && col("ooff") < col("vto"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("c_mktsegment"), col("c_acctbal").as("c_acctbal_asof"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             |  c_mktsegment,
+             |  CASE WHEN c_custkey % 10 = 7 AND c_custkey <= o_orderkey
+             |       THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal_asof
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 10 = 7
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
