@@ -356,6 +356,37 @@ object CorpusQueries {
            |JOIN sizes n1 ON est.s1 = n1.source
            |JOIN sizes n2 ON est.s2 = n2.source
            |ORDER BY est.s1, est.s2""".stripMargin
+      }),
+
+    // BPE merge-candidate counting — the inner statistic of tokenizer
+    // training: frequency of every adjacent character pair within words
+    // (the first merge iteration of byte-pair encoding picks the top
+    // pair). Bounded fan-out (len(w)−1 pairs per word), one
+    // map-side-combined count shuffle over a small pair vocabulary,
+    // total-order top-30. Both engines slice by code point.
+    "text_bpe_pairs" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.words
+        Tables.load(s, dir, "documents")
+          .select(explode(words(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(30)
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlWords
+        s"""WITH ws AS (
+           |  SELECT unnest(${sqlWords("text")}) AS w FROM documents),
+           |prs AS (
+           |  SELECT unnest(list_transform(range(1, length(w)),
+           |    i -> substring(w, i, 2))) AS pair
+           |  FROM ws WHERE length(w) >= 2)
+           |SELECT pair, COUNT(*) AS cnt FROM prs
+           |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
       })
   )
 }

@@ -363,6 +363,79 @@ object DedupQueries {
               |SELECT id_a, id_b, jac FROM pairs
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // LSH RECALL measurement — the quality gate for the banded index (the
+    // dedup twin of ann_ivf_recall): ground truth = ALL pairs with exact
+    // Jaccard ≥ 0.5 (generated by the shared-shingle sparse join, which by
+    // construction contains every pair with any overlap), candidates = the
+    // raw band buckets BEFORE Jaccard verification. recall = |cand ∩
+    // truth| / |truth| — the fraction of true near-dups the 4×4 banding
+    // surfaces. One row; the truth join is the same inverted-index shape
+    // as dedup_ngram_jaccard, cost bounded by shared-shingle pairs.
+    "dedup_lsh_recall" -> QueryDef(
+      (s, dir) => {
+        val sigs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+          .withColumn("bands", bandKeys(minHashSignature(col("sh"), 16), 4, 4))
+          .cache()
+        val ex = sigs.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band", "key")))
+        val cands = ex.as("a")
+          .join(ex.as("b"), col("a.band") === col("b.band")
+            && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        val sh = sigs.select(col("doc_id"), col("sh"))
+        val shEx = sigs.select(col("doc_id"), explode(col("sh")).as("h"))
+        val shared = shEx.as("a")
+          .join(shEx.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        val truth = shared
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+            "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+            "id_b")
+          .filter(round(jaccard(col("sh_a"), col("sh_b")), 6) >= 0.5d)
+          .select(col("id_a"), col("id_b"))
+        truth.withColumn("t", lit(1))
+          .join(cands.withColumn("c", lit(1)), Seq("id_a", "id_b"), "full")
+          .agg(sum(col("t")).cast(LongType).as("n_truth"),
+            sum(col("c")).cast(LongType).as("n_candidates"),
+            sum(when(col("t").isNotNull && col("c").isNotNull, 1))
+              .cast(LongType).as("n_hit"))
+          .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+            when(col("n_truth") === 0, 1.0d)
+              .otherwise(round(col("n_hit").cast(DoubleType)
+                / col("n_truth"), 6)).as("recall"))
+      },
+      Some(s"""WITH $minhashPairsCte,
+              |sh_ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+              |shared AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh_ex a JOIN sh_ex b
+              |    ON a.h = b.h AND a.doc_id < b.doc_id),
+              |truth AS (
+              |  SELECT s.id_a, s.id_b
+              |  FROM shared s
+              |  JOIN docs da ON da.doc_id = s.id_a
+              |  JOIN docs db ON db.doc_id = s.id_b
+              |  WHERE round(${sqlJaccard("da.sh", "db.sh")}, 6) >= 0.5),
+              |m AS (
+              |  SELECT
+              |    CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+              |    CAST((SELECT COUNT(*) FROM cands) AS BIGINT)
+              |      AS n_candidates,
+              |    CAST((SELECT COUNT(*) FROM truth t JOIN cands c
+              |          ON t.id_a = c.id_a AND t.id_b = c.id_b) AS BIGINT)
+              |      AS n_hit)
+              |SELECT n_truth, n_candidates, n_hit,
+              |  CASE WHEN n_truth = 0 THEN 1.0
+              |       ELSE round(CAST(n_hit AS DOUBLE) / n_truth, 6) END
+              |    AS recall
+              |FROM m""".stripMargin)),
+
     // Duplicate CLUSTERS: the transitive closure of the verified LSH pairs
     // via distributed star-contraction connected components
     // (graft.operators.ConnectedComponents — O(log² n) rounds, two
