@@ -216,9 +216,15 @@ private[source] case class OverlayEntry(ckVal: Long,
  * bounded no matter the change volume. Values are soft-referenced: memory
  * pressure reclaims cached overlays before an OOM.
  */
-private[source] object SnapshotOverlayCache {
-  /** Shared-overlay entry cap (~tens of MB worst case for narrow rows). */
-  val MaxEntries: Int = 1 << 20
+private[graft] object SnapshotOverlayCache {
+  /** Shared-overlay entry cap (~tens of MB worst case for narrow rows).
+    * Test seam: @volatile var so specs can force the oversized → span-
+    * filtered fallback path at tiny fixture sizes. */
+  @volatile private[graft] var MaxEntries: Int = 1 << 20
+
+  /** Test seam: drop all cached overlays (a new cap only applies to
+    * builds that have not happened yet). */
+  private[graft] def clear(): Unit = cache.clear()
 
   private case class Key(dialect: String, path: String, table: String,
       high: Long, schemaDdl: String, chunkKey: String, policy: String)
