@@ -479,7 +479,11 @@ object AdvancedQueries {
     // fixed-point is bit-identical to the oracle's unrolled recursion.
     // Top-50 by (rank, node): influence ranking of trade hubs.
     "graph_pagerank" -> QueryDef(
-      (s, dir) => {
+      // 10 shuffles (2/round) over a small rank table: per-shuffle fixed
+      // cost dominates at test scale — pin partitions to data volume (the
+      // same tuning the streaming queries apply via withShufflePartitions;
+      // at cluster scale the caller sizes partitions to edge volume)
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val o = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
         val l = Tables.load(s, dir, "lineitem")
