@@ -20,12 +20,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query canonical result hash (rows sorted by string form) — lets a
+    // later hash-mismatch be diagnosed post-hoc by diffing hashes.json
+    // across re-runs without re-executing the whole suite
+    val hashes = scala.collection.mutable.TreeMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val back = spark.read.parquet(s"$outDir/$name")
+        val canon = back.collect().map(_.toString).sorted
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        canon.foreach(r => md.update(r.getBytes("UTF-8")))
+        hashes(name) = md.digest().map("%02x".format(_)).mkString
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries cache intermediates (LSH signature tables etc.) — drop them
@@ -48,6 +58,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/hashes.json"),
+      hashes.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/session_info.json"),
+      "{" + q("spark.version") + ": " + q(spark.version) + ", " +
+        q("cores") + ": " + q(cpus) + ", " +
+        q("spark.sql.shuffle.partitions") + ": " +
+        q(spark.conf.get("spark.sql.shuffle.partitions")) + "}")
     spark.stop()
   }
 }

@@ -18,32 +18,55 @@ import org.apache.spark.sql.{Column, DataFrame}
  * each partition's prefix (the per-partition totals are one tiny
  * driver-side pass, like Spark's own `zipWithIndex`). Output is identical
  * to the single-partition window at any partition count.
+ *
+ * Determinism: the partition count is passed explicitly to
+ * `repartitionByRange` so AQE never re-plans the exchange, and the prefix
+ * order is derived from each partition's MINIMUM KEY (computed by Spark
+ * with the column's own ordering) rather than assuming partition-id order
+ * equals key order. A best-effort disjointness invariant turns any layout
+ * violation into a loud error instead of a silently shifted cumsum.
  */
 object SequencePacking {
 
   /** `df` plus `bin` (LongType): contiguous weight-packed bin per row.
     * `weightCol` must be non-negative; ties in `orderCol` must not exist
-    * (use a unique key). */
+    * (use a unique key). `numPartitions` defaults to the session's
+    * shuffle-partition count; it is always passed explicitly to the range
+    * exchange so the layout is fixed at plan time. */
   def packBins(df: DataFrame, orderCol: String, weightCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, numPartitions: Option[Int] = None): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val reservedCols = Seq("bin", "__pid", "__cum")
     reservedCols.foreach(c => require(!df.columns.contains(c),
       s"packBins reserves column name '$c'; rename it in the input"))
+    val nParts = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     val parted = df
-      .repartitionByRange(col(orderCol))
+      .repartitionByRange(nParts, col(orderCol))
       .sortWithinPartitions(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true) // pin partitioning: the prefix map below is
                              // computed against exactly this layout
-    // tiny driver pass: one row per partition → prefix offsets
-    val partTotals = parted.groupBy(col("__pid"))
-      .agg(sum(col(weightCol)).as("w"))
-      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L
-        else r.getAs[Number](1).longValue)).toMap
-    val pids = partTotals.keys.toSeq.sorted
-    val prefix: Map[Int, Long] = pids.zip(
-      pids.scanLeft(0L)((acc, p) => acc + partTotals(p))).toMap
+    // tiny driver pass: one row per non-empty partition, ordered by the
+    // partition's min key — Spark's own ordering, not pid arithmetic
+    val stats = parted.groupBy(col("__pid"))
+      .agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"),
+        sum(col(weightCol)).as("__w"))
+      .orderBy(col("__mn"))
+      .collect()
+    // invariant: partitions must be disjoint key ranges (range exchange
+    // contract); checked best-effort where driver-side ordering is safe
+    for (i <- 1 until stats.length) {
+      safeCompare(stats(i - 1).get(2), stats(i).get(1)).foreach { c =>
+        require(c < 0, "packBins: range partitions overlap — " +
+          s"partition ${stats(i - 1).getInt(0)} max=${stats(i - 1).get(2)} " +
+          s">= partition ${stats(i).getInt(0)} min=${stats(i).get(1)}")
+      }
+    }
+    val prefix: Map[Int, Long] = stats.zip(
+      stats.scanLeft(0L)((acc, r) => acc +
+        (if (r.isNullAt(3)) 0L else r.getAs[Number](3).longValue)))
+      .map { case (r, pre) => r.getInt(0) -> pre }.toMap
     // O(1) map-literal lookup per row — a CASE WHEN chain over partition
     // ids would be O(P) deep and overflow Catalyst at cluster partition
     // counts, defeating this operator's own scale contract
@@ -60,5 +83,21 @@ object SequencePacking {
       .withColumn("bin",
         expr(s"(__cum - $weightCol) div ${budget}L").cast("long"))
       .drop("__pid", "__cum")
+  }
+
+  /** Driver-side ordering check that must never disagree with Spark's
+    * column ordering: numbers compare numerically, ASCII strings compare
+    * bytewise (== UTF8String order); anything else (non-ASCII strings,
+    * exotic types) is skipped rather than risking a false failure. */
+  private def safeCompare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: java.lang.Number, y: java.lang.Number)
+        if x.isInstanceOf[java.lang.Long] || x.isInstanceOf[Integer] ||
+           x.isInstanceOf[java.lang.Short] || x.isInstanceOf[java.lang.Byte] =>
+      Some(java.lang.Long.compare(x.longValue, y.longValue))
+    case (x: String, y: String)
+        if x.forall(_ < 128) && y.forall(_ < 128) =>
+      Some(x.compareTo(y))
+    case _ => None
   }
 }

@@ -40,4 +40,47 @@ class SequencePackingSpec extends SparkSpecBase {
     assert(run(Seq((42L, 7L)), 10L) === Map(42L -> 0L))
     assert(run(Seq.empty, 10L) === Map.empty[Long, Long])
   }
+
+  test("explicit partition count overrides the session setting") {
+    val rows = (1L to 200L).map(i => (i, (i % 13) + 1))
+    val want = reference(rows, 50L)
+    for (n <- Seq(1, 3, 32)) {
+      val got = SequencePacking
+        .packBins(rows.toDF("id", "w"), "id", "w", 50L, Some(n))
+        .select("id", "bin")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"numPartitions=$n")
+    }
+  }
+
+  test("dirty session: repeated runs under cache pressure are identical") {
+    // mirrors the driver's 140-query single-JVM session: storage-memory
+    // churn + a changed shuffle-partition setting between runs must not
+    // perturb the bins, and the distributed cumsum must tie out to the
+    // scalar total each time
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 800L).map(i => (i, 1L + rnd.nextInt(500).toLong))
+    val df = rows.toDF("id", "w")
+    val total = rows.map(_._2).sum
+    val want = reference(rows, 777L)
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for ((parts, round) <- Seq("32", "5", "32", "17").zipWithIndex) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        // cache pressure: materialize and drop a mid-sized cached table
+        val noise = spark.range(0, 200000).selectExpr("id",
+          "repeat('x', 64) AS pad").cache()
+        noise.count()
+        val packed = SequencePacking.packBins(df, "id", "w", 777L)
+        val got = packed.select("id", "bin")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"round=$round parts=$parts")
+        // cumsum invariant: per-bin weights must sum to the scalar total
+        val binTotal = packed.agg(org.apache.spark.sql.functions.sum("w"))
+          .head().getLong(0)
+        assert(binTotal === total, s"round=$round cum total drift")
+        noise.unpersist(blocking = true)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
 }
