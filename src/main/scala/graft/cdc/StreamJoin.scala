@@ -25,9 +25,18 @@ import org.apache.spark.sql.{DataFrame, Dataset}
  *     an insertion in the new key's — the two halves route independently,
  *     exactly Flink's changelog algebra for key-moved rows).
  *
- * Output is itself a changelog of joined rows identified by (lpk, rpk) with
- * a per-group monotone version: the newest record per joined identity IS
- * its current state, so `max_by(…, ver)` + dropping `-U`/`-D` materializes
+ * Output is itself a changelog of joined rows identified by (lpk, rpk)
+ * versioned by the triple (pair version, removal/addition rank, per-group
+ * seq), where the PAIR VERSION is max(event offset, other image's
+ * offset) — the offset at which this pair-state became current. That
+ * order is GLOBALLY comparable even when the same joined pair is
+ * re-formed in a different join-key group and the two sides' streams
+ * drain in different batch interleavings: the re-formation emission
+ * inherits the newest participating image's offset, so it ties with (and
+ * out-ranks, via the addition-beats-removal rank) the old group's
+ * retraction instead of being ordered by whichever side's event happened
+ * to trigger it. The newest record per joined identity IS its current
+ * state, so a max_by over the triple + dropping `-U`/`-D` materializes
  * the join (see [[materializeJoined]]).
  *
  * 100 TB story: state is O(rows of both inputs), sharded across executors
@@ -50,10 +59,13 @@ object ChangelogJoin {
   /** Both sides' current rows for one join key + emission counter. */
   case class JState(l: Map[String, SideRow], r: Map[String, SideRow],
       n: Long)
-  /** Joined-changelog record: identity (lpk, rpk), per-group monotone
-    * `ver`, row kind, both payload images. */
-  case class JOut(lpk: String, rpk: String, ver: Long, op: String,
-      limg: String, rimg: String)
+  /** Joined-changelog record: identity (lpk, rpk), version triple
+    * (`off` = pair version: max(event offset, other image's offset),
+    * `rk` = removal 0 / addition 1,
+    * `seq` = per-group emission counter breaking same-group ties), row
+    * kind, both payload images. */
+  case class JOut(lpk: String, rpk: String, off: Long, rk: Int, seq: Long,
+      op: String, limg: String, rimg: String)
 
   /** Removals sort before additions at one offset: an update's `-U`
     * precedes its `+U` (the reader emits both at the external event's
@@ -97,10 +109,17 @@ object ChangelogJoin {
           val out = ArrayBuffer.empty[JOut]
 
           def emit(op: String, e: JEv, myImg: String, otherPk: String,
-              otherImg: String): Unit = {
+              otherOff: Long, otherImg: String): Unit = {
             n += 1
-            out += (if (e.isLeft) JOut(e.pk, otherPk, n, op, myImg, otherImg)
-                    else JOut(otherPk, e.pk, n, op, otherImg, myImg))
+            // own image's offset never exceeds e.off (stale guard), so the
+            // pair version is max over both participating images + event
+            val ver = math.max(e.off, otherOff)
+            out += (if (e.isLeft)
+                      JOut(e.pk, otherPk, ver, rank(op), n, op, myImg,
+                        otherImg)
+                    else
+                      JOut(otherPk, e.pk, ver, rank(op), n, op, otherImg,
+                        myImg))
           }
 
           // deterministic replay: offset order, removals before additions
@@ -117,7 +136,8 @@ object ChangelogJoin {
                 if (old.forall(_.off < e.off)) {
                   old.foreach { o =>
                     other.foreach { case (opk, or) =>
-                      emit(RowKind.UpdateBefore, e, o.img, opk, or.img)
+                      emit(RowKind.UpdateBefore, e, o.img, opk, or.off,
+                        or.img)
                     }
                   }
                   val updated = mine + (e.pk -> SideRow(e.off, e.img))
@@ -125,13 +145,13 @@ object ChangelogJoin {
                   val kind =
                     if (old.isDefined) RowKind.UpdateAfter else RowKind.Insert
                   other.foreach { case (opk, or) =>
-                    emit(kind, e, e.img, opk, or.img)
+                    emit(kind, e, e.img, opk, or.off, or.img)
                   }
                 }
               case RowKind.UpdateBefore | RowKind.Delete =>
                 mine.get(e.pk).filter(_.off <= e.off).foreach { o =>
                   other.foreach { case (opk, or) =>
-                    emit(e.op, e, o.img, opk, or.img)
+                    emit(e.op, e, o.img, opk, or.off, or.img)
                   }
                   val updated = mine - e.pk
                   if (e.isLeft) l = updated else r = updated
@@ -146,11 +166,13 @@ object ChangelogJoin {
   }
 
   /** Collapse a drained joined changelog to its final state: newest record
-    * per (lpk, rpk), retractions drop out. One aggregate — no window. */
+    * per (lpk, rpk) under the global (off, rk, seq) order — valid across
+    * join-key groups, so key-moved pairs resolve to the surviving group's
+    * record. Retractions drop out. One aggregate — no window. */
   def materializeJoined(joined: DataFrame): DataFrame =
     joined.groupBy(col("lpk"), col("rpk"))
-      .agg(max_by(struct(col("op"), col("limg"), col("rimg")), col("ver"))
-        .as("v"))
+      .agg(max_by(struct(col("op"), col("limg"), col("rimg")),
+        struct(col("off"), col("rk"), col("seq"))).as("v"))
       .filter(col("v.op").isin(RowKind.Insert, RowKind.UpdateAfter))
       .select(col("lpk"), col("rpk"), col("v.limg").as("limg"),
         col("v.rimg").as("rimg"))

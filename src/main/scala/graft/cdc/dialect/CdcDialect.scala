@@ -43,6 +43,14 @@ trait CdcDialect extends Serializable {
   /** Log records with offsets in (from, to], offset-ordered. */
   def logLines(path: String, table: String, from: Long, to: Long): Iterator[String]
 
+  /** Cheap content fingerprint of one table's backing store — folded into
+    * executor-side cache keys (SnapshotOverlayCache) so a forced rewrite
+    * of the store that lands on the SAME max offset never serves a stale
+    * cached overlay. File-backed dialects answer from directory metadata
+    * (name/size/mtime — no data read); dialects without cheap metadata
+    * return "" and their caches key on offsets alone. */
+  def contentToken(path: String, table: String): String = ""
+
   /** Up to `limit` distinct event offsets in (from, to] across `tables`,
     * ascending — drives rate limiting; a JDBC dialect asks the database
     * instead of scanning. Implementations must stop enumerating once
@@ -130,6 +138,20 @@ object FileCdcDialect extends CdcDialect {
 
   override def discoverTables(path: String): Seq[String] =
     FileCdcDatabase.discoverTables(path)
+
+  /** Directory-metadata fingerprint of the table's snapshot + log files:
+    * any rewrite (even one landing on the same max offset) changes a size
+    * or mtime, invalidating executor-side overlay cache entries. */
+  override def contentToken(path: String, table: String): String = {
+    import java.nio.file.{Files, Paths}
+    Seq("snapshot", "log").flatMap { section =>
+      FileCdcDatabase.dataFiles(path, table, section).map { f =>
+        val p = Paths.get(f)
+        s"${p.getFileName}:${Files.size(p)}:" +
+          s"${Files.getLastModifiedTime(p).toMillis}"
+      }
+    }.mkString("|")
+  }
 
   /** File-dialect preconditions: meta readable, PK integral (the chunk key
     * contract — MySqlChunkSplitter.java:385-395 limits splits the same way). */

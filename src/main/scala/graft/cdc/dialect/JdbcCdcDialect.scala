@@ -17,9 +17,10 @@ import java.util.concurrent.{ConcurrentHashMap, LinkedBlockingQueue}
  * [[JdbcChunkStatements]] with streaming fetch sizes, against a real JDBC
  * engine, exactly as the reference's fetch tasks do
  * (flink-connector-mysql-cdc/.../source/utils/StatementUtils.java:99-224).
- * Derby accepts the Db2 statement flavor (double-quoted identifiers,
- * FETCH FIRST n ROWS ONLY), so [[Db2ChunkStatements]] is the flavor under
- * test here.
+ * All five statement flavors execute: each builds its database's native
+ * SQL text and [[StatementTranslator]] bridges only the grammar Derby
+ * cannot parse (backticks/brackets/TOP/ROWNUM/LIMIT) at the execution
+ * boundary, preserving statement shape.
  *
  * Database layout (the stand-in for a server + its transaction log, the
  * role Testcontainers databases play in the reference's tests):
@@ -43,35 +44,35 @@ object JdbcCdcDialect extends CdcDialect {
   val FetchSize = 1024
 
   /** Per-database SQL flavor for the READ path (`dialect.flavor` option).
-    * Default Db2 — the flavor whose complete statement set, including the
-    * FETCH FIRST uneven-chunk walk, Derby parses natively. Oracle and
-    * Postgres flavors share Derby's double-quoted identifiers, so their
-    * chunk/stats/log statements execute verbatim; only their row-limit
-    * walk syntax (ROWNUM / LIMIT) is beyond Derby's parser, and those
-    * flavors report no chunk-max capability — the planner then takes the
-    * snapshot-walk uneven split, exactly what the reference's generic
-    * splitter does for a dialect without the query (JdbcSourceChunkSplitter).
-    * MySQL (backticks) and SQL Server (brackets) quote in ways Derby cannot
-    * parse at all and are rejected up front (their statement sets stay
-    * covered by JdbcChunkStatementsSpec). */
-  private val flavors = new ConcurrentHashMap[String, JdbcChunkStatements]()
-
-  /** Flavors whose identifier quoting Derby parses (executable here). */
-  private val ExecutableFlavors = Set("db2-cdc", "oracle-cdc", "postgres-cdc")
+    * Default Db2 — the flavor Derby parses natively. ALL five flavors
+    * execute end-to-end: each builds its database's native statement text
+    * (MySQL backticks + LIMIT, SQL Server brackets + TOP, Oracle ROWNUM
+    * walk, Postgres LIMIT) and [[StatementTranslator]] rewrites only the
+    * grammar Derby cannot parse at the execution boundary — the role the
+    * wire protocol plays against a real server. The chunk-max uneven walk
+    * therefore runs STORE-SIDE for every flavor (reference:
+    * OracleChunkSplitter pushes the same walk into the database rather
+    * than falling back to the generic splitter). */
+  private val flavors = new ConcurrentHashMap[String, String]()
 
   def setFlavor(path: String, connector: String): Unit = {
     require(DialectStatements.byConnector.contains(connector),
       s"unknown dialect.flavor '$connector' " +
         s"(have: ${DialectStatements.byConnector.keys.mkString(", ")})")
-    require(ExecutableFlavors.contains(connector),
-      s"dialect.flavor '$connector' quotes identifiers in syntax the " +
-        "embedded engine cannot parse (backticks/brackets); executable " +
-        s"flavors here: ${ExecutableFlavors.mkString(", ")}")
-    flavors.put(path, DialectStatements.byConnector(connector))
+    flavors.put(path, connector)
   }
 
+  private def connectorFor(path: String): String =
+    Option(flavors.get(path)).getOrElse("db2-cdc")
+
   private def stmtsFor(path: String): JdbcChunkStatements =
-    Option(flavors.get(path)).getOrElse(Db2ChunkStatements)
+    DialectStatements.byConnector(connectorFor(path))
+
+  /** Native flavor SQL → the embedded engine's grammar (see
+    * [[StatementTranslator]]). Every flavored statement execution routes
+    * through here. */
+  private def render(path: String, nativeSql: String): String =
+    StatementTranslator.toDerby(connectorFor(path), nativeSql)
 
   // meta-table bookkeeping is engine-side (double-quoted, Derby-owned),
   // independent of the configured read flavor
@@ -184,19 +185,20 @@ object JdbcCdcDialect extends CdcDialect {
 
   // ------------------------------------------------------------- chunks
 
-  /** Db2's FETCH FIRST walk runs on Derby; Oracle's ROWNUM and Postgres's
-    * LIMIT do not — those flavors take the snapshot-walk uneven split (the
-    * reference's generic-splitter fallback), which stays an executed path. */
-  override def supportsChunkMaxQuery(path: String): Boolean =
-    stmtsFor(path) eq Db2ChunkStatements
+  /** Every flavor's walk statement now executes store-side (native text
+    * through [[StatementTranslator]]) — the reference pushes the same
+    * walk into the database per dialect (MySqlChunkSplitter,
+    * OracleChunkSplitter); the generic snapshot-walk fallback stays an
+    * executed path via the file dialect. */
+  override def supportsChunkMaxQuery(path: String): Boolean = true
 
   /** The reference's lazy uneven-chunk walk, executed:
-    * StatementUtils.queryNextChunkMax (:99-130) via the Db2/Derby flavor. */
+    * StatementUtils.queryNextChunkMax (:99-130), per-flavor syntax. */
   override def nextChunkMax(path: String, table: String, keyColumn: String,
       lowerInclusive: Long, chunkSize: Int): Option[Long] =
     withConn(path) { c =>
-      val ps = c.prepareStatement(
-        stmtsFor(path).selectNextChunkMax(table, keyColumn, chunkSize))
+      val ps = c.prepareStatement(render(path,
+        stmtsFor(path).selectNextChunkMax(table, keyColumn, chunkSize)))
       ps.setLong(1, lowerInclusive)
       val rs = ps.executeQuery()
       val res =
@@ -212,7 +214,7 @@ object JdbcCdcDialect extends CdcDialect {
       column: String): (Long, Long) =
     withConn(path) { c =>
       val rs = c.createStatement()
-        .executeQuery(stmtsFor(path).selectMinMax(table, column))
+        .executeQuery(render(path, stmtsFor(path).selectMinMax(table, column)))
       require(rs.next(), s"no stats row for $table.$column")
       val res = (rs.getLong(1), rs.getLong(2))
       rs.close()
@@ -228,7 +230,7 @@ object JdbcCdcDialect extends CdcDialect {
     new JdbcLineIterator(path,
       c => {
         val ps = c.prepareStatement(
-          stmtsFor(path).chunkScan(table, keyColumn, lo, hi),
+          render(path, stmtsFor(path).chunkScan(table, keyColumn, lo, hi)),
           ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_READ_ONLY)
         ps.setFetchSize(fetchSizeFor(path))
         ps
@@ -242,7 +244,8 @@ object JdbcCdcDialect extends CdcDialect {
     new JdbcLineIterator(path,
       c => {
         val ps = c.prepareStatement(
-          stmtsFor(path).logScan(logTable(table), OffsetCol, from, to),
+          render(path,
+            stmtsFor(path).logScan(logTable(table), OffsetCol, from, to)),
           ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_READ_ONLY)
         ps.setFetchSize(fetchSizeFor(path))
         ps

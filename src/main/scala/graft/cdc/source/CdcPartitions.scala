@@ -227,7 +227,8 @@ private[graft] object SnapshotOverlayCache {
   private[graft] def clear(): Unit = cache.clear()
 
   private case class Key(dialect: String, path: String, table: String,
-      high: Long, schemaDdl: String, chunkKey: String, policy: String)
+      high: Long, schemaDdl: String, chunkKey: String, policy: String,
+      contentToken: String)
   private val Oversized = new AnyRef
   /** Key → SoftReference[map] | Oversized. */
   private val cache =
@@ -239,8 +240,12 @@ private[graft] object SnapshotOverlayCache {
   def sharedOverlay(p: SnapshotChunkPartition,
       build: Int => Option[mutable.LinkedHashMap[Long, OverlayEntry]])
       : Option[collection.Map[Long, OverlayEntry]] = {
+    // content token closes the stale-cache hole: a force=true rewrite at
+    // the same path/max-offset changes file sizes/mtimes → new key
     val k = Key(p.dialect, p.path, p.table, p.high, p.schemaDdl,
-      p.chunkKey, p.parsePolicy)
+      p.chunkKey, p.parsePolicy,
+      graft.cdc.dialect.CdcDialects.byName(p.dialect)
+        .contentToken(p.path, p.table))
     // computeIfAbsent serializes concurrent builders of the same key: the
     // first partition scans, the rest block and reuse — exactly the
     // sharing this cache exists for
@@ -261,9 +266,28 @@ private[graft] object SnapshotOverlayCache {
   }
 }
 
+/** Test seam (CdcSourceSpec failover tests, local-mode single-JVM only):
+  * arm a countdown to make the Nth opened snapshot/log reader throw —
+  * simulates losing an executor MID-BATCH with earlier partitions already
+  * read, the reference's TM-kill failover matrix
+  * (flink-connector-mysql-cdc/src/test/java/.../MySqlSourceITCase.java:149-209).
+  * Disarmed (<0) in production; nothing else references it. */
+private[graft] object ReaderFailureInjection {
+  val snapshotCountdown = new java.util.concurrent.atomic.AtomicInteger(-1)
+  val logCountdown = new java.util.concurrent.atomic.AtomicInteger(-1)
+  private[source] def maybeFail(isSnapshot: Boolean): Unit = {
+    val c = if (isSnapshot) snapshotCountdown else logCountdown
+    if (c.get() >= 0 && c.getAndDecrement() == 0)
+      throw new RuntimeException(
+        "injected reader failure (failover test seam)")
+  }
+}
+
 class SnapshotChunkReader(p: SnapshotChunkPartition)
     extends PartitionReader[InternalRow] {
   import ChangeRecord.ExternalOp
+
+  ReaderFailureInjection.maybeFail(isSnapshot = true)
 
   private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table,
     p.schemaDdl, p.chunkKey, p.parsePolicy)
@@ -373,6 +397,8 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
 class LogRangeReader(p: LogRangePartition)
     extends PartitionReader[InternalRow] {
   import ChangeRecord.{ExternalOp, RowKind}
+
+  ReaderFailureInjection.maybeFail(isSnapshot = false)
 
   private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table,
     p.schemaDdl, parsePolicy = p.parsePolicy)

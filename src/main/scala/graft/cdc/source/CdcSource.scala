@@ -424,9 +424,10 @@ class CdcScan(cfg: CdcSourceConfig, schema: StructType,
     require(cfg.snapshotFetchSize > 0,
       s"${CdcSourceConfig.SnapshotFetchSizeKey} must be > 0: " +
         s"${cfg.snapshotFetchSize}")
-    if (cfg.snapshotFetchSize != CdcSourceConfig.DefaultSnapshotFetchSize)
-      graft.cdc.dialect.JdbcCdcDialect
-        .setFetchSize(cfg.path, cfg.snapshotFetchSize)
+    // write-always (including the default): a prior scan on the same path
+    // with a custom fetch size must not leak into this one
+    graft.cdc.dialect.JdbcCdcDialect
+      .setFetchSize(cfg.path, cfg.snapshotFetchSize)
     if (cfg.dialectName == "jdbc")
       graft.cdc.dialect.JdbcCdcDialect
         .setFlavor(cfg.path, cfg.dialectFlavor)
@@ -635,7 +636,7 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
     val head = cfg.maxOffsetAll
     val consumed =
       if (latestConsumedOffset.isPresent)
-        latestConsumedOffset.get.asInstanceOf[CdcStreamOffset].logOffset
+        toStreamOffset(latestConsumedOffset.get).logOffset
       else -1L
     val lag =
       if (consumed < 0) -1L
@@ -685,8 +686,16 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
     * must stay small; AvailableNow then drains in several micro-batches).
     * A batch that snapshots tables is never capped — the cap applies to
     * log replay only. */
+  /** Offsets recovered from the WAL after an uncommitted batch arrive as
+    * raw SerializedOffset JSON, not our case class — the failover path
+    * (kill mid-batch, restart) hits every cast here, so coerce by json. */
+  private def toStreamOffset(o: Offset): CdcStreamOffset = o match {
+    case c: CdcStreamOffset => c
+    case other => CdcStreamOffset.fromJson(other.json())
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[CdcStreamOffset]
+    val s = toStreamOffset(start)
     val target = if (availableTarget != null) availableTarget else current()
     val hasNewTables = !target.snapshotted.forall(s.snapshotted.contains)
     if (hasNewTables || cfg.maxEventsPerTrigger <= 0) target
@@ -710,8 +719,8 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
     * watermark (log ≤ high is consumed by the merge, not re-emitted —
     * W2/W3); already snapshotted → log range (s.logOffset, e.logOffset]. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[CdcStreamOffset]
-    val e = end.asInstanceOf[CdcStreamOffset]
+    val s = toStreamOffset(start)
+    val e = toStreamOffset(end)
     e.snapshotted.flatMap { table =>
       if (!s.snapshotted.contains(table))
         CdcPlanner.snapshotPartitions(cfg, table, e.logOffset, schemaDdl,

@@ -31,9 +31,11 @@ object ConnectedComponents {
 
   /** Component id (= minimum member id) for every node that appears in
     * `edges`. Input: two integral columns; treated as undirected, self
-    * loops and duplicates are fine. Output: (`id`, `component`). */
+    * loops and duplicates are fine. Output: (`id`, `component`).
+    * `reliableEvery` > 0 swaps every k-th round's local checkpoint for a
+    * reliable one (see [[IterBarrier]] — cluster durability). */
   def components(edges: DataFrame, src: String, dst: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, reliableEvery: Int = 0): DataFrame = {
     val u = col("u"); val v = col("v")
     // localCheckpoint (eager) cuts the plan to a leaf each round — see the
     // scale note above; `persist` alone leaves an exponentially growing
@@ -48,7 +50,8 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = IterBarrier.cut(smallStar(largeStar(e)), round + 1,
+        reliableEvery)
       val nextSig = checksum(next)
       // checksum equality is necessary, not sufficient — confirm the fixed
       // point exactly (cheap: runs once, on the already-materialized sets)

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /**
  * Deterministic integer-arithmetic PageRank — the distributed fixed-point
  * iteration companion to [[ConnectedComponents]] (same Pregel-style shape:
- * per-round shuffle of messages to neighbors, lineage truncated by
- * localCheckpoint).
+ * per-round shuffle of messages to neighbors, lineage truncated per round
+ * via [[IterBarrier]]).
  *
  * All arithmetic is exact BIGINT: ranks are scaled by [[Scale]], each edge
  * carries `floor(rank·85 / (100·outdeg))` (the 0.85 damping as an integer
@@ -17,40 +17,51 @@ import org.apache.spark.sql.functions._
  * operator oracle-checkable. Dangling nodes (no out-edges) keep only the
  * base term, the standard simplified variant.
  *
- * 100 TB story: each iteration is one ranks⋈edges join on src plus one
- * groupBy(dst) sum — both shuffles keyed by node id, map-side combined;
- * state per round is one (node, rank) row. Fixed iteration count, no
- * driver-side convergence loop over collected data.
+ * 100 TB story — ONE exchange per iteration: `edgeDeg` is persisted
+ * pre-partitioned on `src`, and the per-round `groupBy(node)` aggregate
+ * leaves `ranks` hash-partitioned on `node` (the barrier preserves output
+ * partitioning), so the next round's ranks⋈edgeDeg join reuses both
+ * layouts with no new shuffle. Dangling-node handling is NOT a second
+ * join: a cached zero-contribution row per node rides the union into the
+ * same aggregate. State per round is one (node, rank) row; fixed
+ * iteration count, no driver-side convergence loop over collected data.
  */
 object PageRank {
 
   val Scale = 1000000000L
 
   /** `edges`: (src LONG, dst LONG), pre-deduplicated. Returns (node, rank)
-    * after `iterations` rounds. */
-  def run(edges: DataFrame, iterations: Int): DataFrame = {
+    * after `iterations` rounds. `reliableEvery` > 0 swaps every k-th
+    * round's local checkpoint for a reliable one (see [[IterBarrier]]). */
+  def run(edges: DataFrame, iterations: Int,
+      reliableEvery: Int = 0): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // persisted hash-partitioned on the join key: every round's
+    // ranks⋈edgeDeg reads this layout as-is, zero per-round edge shuffles
+    val edgeDeg = e.join(deg, "src").repartition(col("src")).cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().cache()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgeDeg = e.join(deg, "src").cache()
+    // one zero message per node: makes the aggregate itself produce every
+    // node's row (dangling included) — replaces the former per-round
+    // nodes⋈contribs left join and its extra exchange
+    val zero = nodes.select(col("node"), lit(0L).as("c"))
 
+    val base = Scale * 15 / 100
     var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
       .localCheckpoint(true)
-    val base = Scale * 15 / 100
-    for (_ <- 1 to iterations) {
-      val contribs = ranks
+    for (i <- 1 to iterations) {
+      val msgs = ranks
         .join(edgeDeg, ranks("node") === edgeDeg("src"))
         .select(col("dst").as("node"),
           expr(s"(rank * 85) div (100 * outdeg)").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("m"), lit(0L))).as("rank"))
-        .localCheckpoint(true) // truncate the per-round lineage chain
+      ranks = IterBarrier.cut(
+        msgs.union(zero)
+          .groupBy(col("node"))
+          .agg((lit(base) + sum(col("c"))).as("rank")),
+        i, reliableEvery)
     }
     e.unpersist(); nodes.unpersist(); edgeDeg.unpersist()
     ranks

@@ -171,8 +171,8 @@ object CdcSourceQueries {
 
     // The Postgres statement flavor on the same embedded engine
     // (dialect.flavor, SURVEY §2.1 S4-S8): double-quoted chunk/log SQL
-    // executes verbatim; the uneven-split walk capability is off for this
-    // flavor, exercising the generic-splitter fallback path end-to-end.
+    // executes verbatim and the LIMIT chunk-max walk runs store-side
+    // through the boundary translator.
     "cdc_source_jdbc_pg_flavor" -> QueryDef(
       (s, dir0) => {
         val dir = prepareJdbc(s, dir0)
@@ -188,6 +188,96 @@ object CdcSourceQueries {
       },
       Some(ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")
         + "\nORDER BY o_orderkey")),
+
+    // The MySQL statement flavor — the reference's 16.8k-LoC flagship
+    // (StatementUtils.java:99-224): backtick-quoted chunk/stats/log SQL
+    // with the LIMIT chunk-max walk is BUILT natively and executes via the
+    // boundary translator, so snapshot chunking, the log slice and the
+    // merge all ride mysql-cdc's own statement shapes end-to-end.
+    "cdc_source_jdbc_mysql_flavor" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareJdbc(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("dialect", "jdbc")
+          .option("dialect.flavor", "mysql-cdc")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "20000")
+          .load()
+          .select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(ChangelogGen.oracleFinalStateSql(ordersSpec, orderCols, "orders")
+        + "\nORDER BY o_orderkey")),
+
+    // LIVE NEWLY-ADDED TABLE (reference semantics:
+    // MySqlSourceReader.java:147-241 — suspend the binlog split, snapshot
+    // the new table, resume): a ProcessingTime stream over regex `dyn_.*`
+    // starts with dyn_a alone; once its changelog lands, dyn_b is WRITTEN
+    // TO THE DATABASE while the query runs. latestOffset()'s fresh
+    // discovery folds dyn_b into the offset's snapshotted set and the
+    // next micro-batch plans its snapshot chunks — NO restart, and
+    // dyn_a's consumed log is untouched. Result: merged final states of
+    // both halves; the oracle applies the same band arithmetic per half.
+    "cdc_newly_added_table" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareDynDb(s, dir0)
+        // constant small slice: the scenario exercises discovery +
+        // re-planning, not volume — keep the mid-query write cheap
+        val cust = Tables.load(s, dir0, "customer")
+          .filter(col("c_custkey") <= 2000)
+        def half(even: Boolean) = cust.filter(
+          col("c_custkey") % 2 === (if (even) 0 else 1))
+        // emitted rows per table = its merged final state (snapshot phase
+        // consumes the whole log ≤ high): survivors + inserted copies
+        def expectedFinal(df: DataFrame): Long =
+          df.filter(col("c_custkey") % 13 =!= 3).count() +
+            df.filter(col("c_custkey") % 100 === 1).count()
+        val expectA = expectedFinal(half(even = true))
+        val expectB = expectedFinal(half(even = false))
+        val name = s"cdcnat_${System.nanoTime()}"
+        val q = s.readStream.format("graft-cdc")
+          .option("path", dir).option("table", "dyn_.*")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .writeStream.format("memory").queryName(name)
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        def sinkCount(): Long = s.table(name).count()
+        def await(target: Long, what: String): Unit = {
+          val deadline = System.nanoTime() + 180L * 1000L * 1000L * 1000L
+          while (sinkCount() < target) {
+            require(System.nanoTime() < deadline,
+              s"timeout waiting for $what (${sinkCount()}/$target)")
+            Thread.sleep(50L)
+          }
+        }
+        await(expectA, "dyn_a snapshot")
+        FileCdcDatabase.write(s, dir, "dyn_b", "graft", custSpec.pk,
+          snapshot = half(even = false),
+          changes = ChangelogGen.changes(half(even = false),
+            custSpec.copy(table = "dyn_b")),
+          snapshotPartitions = 4, force = true)
+        await(expectA + expectB, "dyn_b live pickup")
+        q.stop()
+        val changelog = graft.QueryUtil.detachMemorySink(s, name)
+        // even/odd key domains are disjoint (copies shift by an even 1e9),
+        // so one materialization over the shared pk space is exact
+        Materialize.materialize(changelog, Seq(custSpec.pk))
+          .select(custCols.map(col): _*)
+          .orderBy(col("c_custkey"))
+      },
+      Some {
+        val a = ChangelogGen.oracleFinalStateSql(custSpec, custCols,
+          "(SELECT * FROM customer WHERE c_custkey <= 2000 AND c_custkey % 2 = 0)")
+        val b = ChangelogGen.oracleFinalStateSql(custSpec, custCols,
+          "(SELECT * FROM customer WHERE c_custkey <= 2000 AND c_custkey % 2 = 1)")
+        s"""SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+           |$a
+           |UNION ALL
+           |$b
+           |) ORDER BY c_custkey""".stripMargin
+      }),
 
     // Point-in-time ("time travel") read: scan.bounded.offset pins the log
     // head at an offset INSIDE the update band, so the batch returns the
@@ -437,6 +527,29 @@ object CdcSourceQueries {
   private[queries] val custSpec = ChangelogGen.Spec(pk = "c_custkey",
     measure = "c_acctbal", table = "customer")
   private val custCols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
+
+  /** A DEDICATED database for the live newly-added-table query: dyn_a
+    * (even customer keys) is written up front; dyn_b (odd keys) is
+    * written BY THE QUERY while its stream runs, so any copy from a prior
+    * run must be removed here. */
+  private[queries] def prepareDynDb(spark: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_dyn/$sf"
+    val even = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_custkey") <= 2000 && col("c_custkey") % 2 === 0)
+    FileCdcDatabase.write(spark, dir, "dyn_a", "graft", custSpec.pk,
+      snapshot = even,
+      changes = ChangelogGen.changes(even, custSpec.copy(table = "dyn_a")),
+      snapshotPartitions = 4)
+    val b = java.nio.file.Paths.get(dir, "dyn_b")
+    if (java.nio.file.Files.exists(b)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(b)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    dir
+  }
 
   /** Add a `customer` table to the same CDC database as `orders` — one
     * shared transaction-log offset space across tables, like a binlog. */

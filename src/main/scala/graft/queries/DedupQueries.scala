@@ -364,15 +364,19 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     // LSH RECALL measurement — the quality gate for the banded index (the
-    // dedup twin of ann_ivf_recall): ground truth = ALL pairs with exact
-    // Jaccard ≥ 0.5 (generated by the shared-shingle sparse join, which by
-    // construction contains every pair with any overlap), candidates = the
-    // raw band buckets BEFORE Jaccard verification. recall = |cand ∩
-    // truth| / |truth| — the fraction of true near-dups the 4×4 banding
-    // surfaces. One row; the truth join is the same inverted-index shape
-    // as dedup_ngram_jaccard, cost bounded by shared-shingle pairs.
+    // dedup twin of ann_ivf_recall). SAMPLING CONTRACT: ground truth is
+    // exact Jaccard ≥ 0.5 restricted to pairs TOUCHING a deterministic
+    // 1/4 doc sample (md5(doc_id) < '4'); candidates are the raw band
+    // buckets BEFORE Jaccard verification, restricted the same way.
+    // recall = |cand ∩ truth| / |truth| over the sampled pair universe —
+    // the same statistical gate as the full closure, but the exact-truth
+    // side is an ASYMMETRIC inverted-index join (sampled docs probe the
+    // full shingle index), so its cost is ∝ sample size, never the
+    // corpus-squared all-shared-pairs shape. One row.
     "dedup_lsh_recall" -> QueryDef(
       (s, dir) => {
+        def sampled(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          md5(c.cast(StringType)) < lit("4")
         val sigs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
           .withColumn("bands", bandKeys(minHashSignature(col("sh"), 16), 4, 4))
@@ -385,19 +389,28 @@ object DedupQueries {
             && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .dropDuplicates("id_a", "id_b")
-        val sh = sigs.select(col("doc_id"), col("sh"))
+          .filter(sampled(col("id_a")) || sampled(col("id_b")))
+        // exact truth WITHOUT materializing pair×array joins: shingle sets
+        // are distinct, so |A∩B| is a countDistinct over the inverted
+        // index and |A∪B| = |A|+|B|-|A∩B| — the same integer-ratio
+        // Jaccard, never touching the arrays again
+        val sizes = sigs.select(col("doc_id"), size(col("sh")).as("n"))
         val shEx = sigs.select(col("doc_id"), explode(col("sh")).as("h"))
-        val shared = shEx.as("a")
+        val inter = shEx.filter(sampled(col("doc_id"))).as("a")
           .join(shEx.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-        val truth = shared
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+            col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+            col("a.h").as("h"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(countDistinct(col("h")).as("i"))
+        val truth = inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
             "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
             "id_b")
-          .filter(round(jaccard(col("sh_a"), col("sh_b")), 6) >= 0.5d)
+          .filter(round(col("i").cast(DoubleType)
+            / (col("na") + col("nb") - col("i")), 6) >= 0.5d)
           .select(col("id_a"), col("id_b"))
         truth.withColumn("t", lit(1))
           .join(cands.withColumn("c", lit(1)), Seq("id_a", "id_b"), "full")
@@ -411,23 +424,33 @@ object DedupQueries {
                 / col("n_truth"), 6)).as("recall"))
       },
       Some(s"""WITH $minhashPairsCte,
+              |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
               |sh_ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
-              |shared AS (
-              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |inter AS (
+              |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+              |    GREATEST(a.doc_id, b.doc_id) AS id_b,
+              |    COUNT(DISTINCT a.h) AS i
               |  FROM sh_ex a JOIN sh_ex b
-              |    ON a.h = b.h AND a.doc_id < b.doc_id),
+              |    ON a.h = b.h AND a.doc_id <> b.doc_id
+              |  WHERE md5(CAST(a.doc_id AS VARCHAR)) < '4'
+              |  GROUP BY 1, 2),
               |truth AS (
-              |  SELECT s.id_a, s.id_b
-              |  FROM shared s
-              |  JOIN docs da ON da.doc_id = s.id_a
-              |  JOIN docs db ON db.doc_id = s.id_b
-              |  WHERE round(${sqlJaccard("da.sh", "db.sh")}, 6) >= 0.5),
+              |  SELECT i.id_a, i.id_b
+              |  FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.id_a
+              |  JOIN sizes sb ON sb.doc_id = i.id_b
+              |  WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6)
+              |    >= 0.5),
+              |cands_s AS (
+              |  SELECT id_a, id_b FROM cands
+              |  WHERE md5(CAST(id_a AS VARCHAR)) < '4'
+              |     OR md5(CAST(id_b AS VARCHAR)) < '4'),
               |m AS (
               |  SELECT
               |    CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
-              |    CAST((SELECT COUNT(*) FROM cands) AS BIGINT)
+              |    CAST((SELECT COUNT(*) FROM cands_s) AS BIGINT)
               |      AS n_candidates,
-              |    CAST((SELECT COUNT(*) FROM truth t JOIN cands c
+              |    CAST((SELECT COUNT(*) FROM truth t JOIN cands_s c
               |          ON t.id_a = c.id_a AND t.id_b = c.id_b) AS BIGINT)
               |      AS n_hit)
               |SELECT n_truth, n_candidates, n_hit,

@@ -667,10 +667,14 @@ object PipelineQueries {
             count(lit(1)).as("n_buckets"))
         val exact = regs.agg(
           countDistinct(col("user_id")).as("exact_distinct"))
+        // empty buckets contribute 2^55 each (ρ=0) — same estimator as
+        // sketch_hll_per_group, unbiased when fewer than 64 buckets fill
         exact.crossJoin(sketch)
           .select(col("exact_distinct"), col("n_buckets"), col("denom"),
             round(lit(0.709) * lit(4096.0) * expr("POWER(2.0, 55)")
-              / col("denom").cast(DoubleType), 4).as("est_distinct"))
+              / (col("denom") + (lit(64L) - col("n_buckets"))
+                  * expr("CAST(1 AS BIGINT) << 55")).cast(DoubleType), 4)
+              .as("est_distinct"))
       },
       Some {
         import graft.functions.TextFunctions.sqlMd5Long
@@ -687,8 +691,9 @@ object PipelineQueries {
            |        GROUP BY bucket)),
            |ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM rhos)
            |SELECT exact_distinct, n_buckets, denom,
-           |  round(0.709 * 4096.0 * POWER(2.0, 55) / CAST(denom AS DOUBLE), 4)
-           |    AS est_distinct
+           |  round(0.709 * 4096.0 * POWER(2.0, 55) /
+           |    CAST(denom + (64 - n_buckets) * (CAST(1 AS BIGINT) << 55)
+           |      AS DOUBLE), 4) AS est_distinct
            |FROM ex, sketch""".stripMargin
       }),
 

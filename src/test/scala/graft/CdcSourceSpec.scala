@@ -272,6 +272,98 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(state.length === state.distinct.length)
   }
 
+  test("failover mid-snapshot: kill with a batch in flight, resume = identical") {
+    // parity with the reference's TM-kill × SNAPSHOT phase ITCase
+    // (MySqlSourceITCase.java:149-209): the first attempt dies when the
+    // SECOND snapshot reader opens — earlier partitions have already
+    // produced rows into the in-flight batch, which must be discarded
+    // whole. The restart replays from the (empty) committed offset log
+    // and the end state is identical to an uninterrupted run, no dups.
+    import graft.cdc.source.ReaderFailureInjection
+    val dir = tmpDir("cdc-fo-snap")
+    val out = tmpDir("cdc-fo-snap-out")
+    val ckpt = tmpDir("cdc-fo-snap-ckpt")
+    writeDb(dir, 6L)
+
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("scan.startup.mode", "initial")
+        .option("scan.incremental.snapshot.chunk.size", "5")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    ReaderFailureInjection.snapshotCountdown.set(1) // 2nd reader throws
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runStream()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).toSeq
+      assert(chain(e).exists(m => m != null && m.contains("injected")),
+        chain(e).mkString(" | "))
+    } finally ReaderFailureInjection.snapshotCountdown.set(-1)
+
+    runStream() // resume: batch re-planned from clean offsets
+    // the file sink's metadata log hides the failed attempt's orphans
+    val all = spark.read.parquet(out)
+    val perKey = all.groupBy("id", OffsetCol, OpCol).count().collect()
+    assert(perKey.forall(_.getLong(3) === 1L),
+      perKey.filter(_.getLong(3) > 1L).mkString(","))
+    val state = Materialize.materialize(all, Seq("id"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(state.toSet === finalState)
+    assert(state.length === state.distinct.length)
+  }
+
+  test("failover mid-log-phase: kill during replay, resume exactly-once") {
+    // TM-kill × BINLOG phase: snapshot drains cleanly; the log tail
+    // arrives, and the replaying batch is killed at its first log reader
+    // with the batch uncommitted. The restart must emit offsets (3,6]
+    // exactly once each.
+    import graft.cdc.source.ReaderFailureInjection
+    val dir = tmpDir("cdc-fo-log")
+    val out = tmpDir("cdc-fo-log-out")
+    val ckpt = tmpDir("cdc-fo-log-ckpt")
+
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("scan.startup.mode", "initial")
+        .option("scan.incremental.snapshot.chunk.size", "5")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeDb(dir, 3L)
+    runStream() // clean snapshot phase over events 1..3
+    writeDb(dir, 6L)
+    ReaderFailureInjection.logCountdown.set(0) // 1st log reader throws
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runStream()
+      }
+    } finally ReaderFailureInjection.logCountdown.set(-1)
+
+    runStream() // resume from committed offset 3
+    val all = spark.read.parquet(out)
+    val tail = all.filter(s"$OffsetCol > 3")
+      .groupBy(OffsetCol, OpCol).count().collect()
+    assert(tail.forall(_.getLong(2) === 1L), tail.mkString(","))
+    assert(tail.map(_.getLong(0)).toSet === Set(4L, 5L, 6L))
+    val state = Materialize.materialize(all, Seq("id"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(state.toSet === finalState)
+  }
+
   test("store-native region boundaries drive the snapshot split") {
     val dir = tmpDir("cdc-regions")
     // store reports regions at 6 and 14 (plus out-of-span noise)

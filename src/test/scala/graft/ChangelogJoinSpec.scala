@@ -103,4 +103,59 @@ class ChangelogJoinSpec extends SparkSpecBase {
     assert(!survivors.contains("20"))
     out.unpersist()
   }
+
+  test("key-moved PAIR re-forms in a new group: global version keeps it") {
+    // the same joined identity (lpk=1, rpk=5) exists in group ck=10, then
+    // BOTH rows migrate to ck=30 and the pair re-forms there. Group 10's
+    // emission counter is inflated by churn first, so a per-group version
+    // would rank the old group's retraction above the new group's
+    // insertion — the (off, rk, seq) triple must keep the live pair.
+    val dir = tmpDir("chjoin-migrate")
+    val rP = StructType(Seq(StructField("rid", LongType),
+      StructField("ck", LongType), StructField("seg", StringType)))
+    writeSide(dir, "l2", lPayload,
+      Seq((999L, 999L, "zz")).toDF("id", "ck", "v"),
+      Seq(
+        Row(1L, "c", 1L, "graft", "l2", null, Row(1L, 10L, "a1")),
+        // churn in group 10: each update retracts + re-emits the joined
+        // pair, pumping the group's counter
+        Row(3L, "u", 3L, "graft", "l2",
+          Row(1L, 10L, "a1"), Row(1L, 10L, "a2")),
+        Row(4L, "u", 4L, "graft", "l2",
+          Row(1L, 10L, "a2"), Row(1L, 10L, "a3")),
+        Row(5L, "u", 5L, "graft", "l2",
+          Row(1L, 10L, "a3"), Row(1L, 10L, "a4")),
+        // left row migrates ck 10 → 30
+        Row(7L, "u", 7L, "graft", "l2",
+          Row(1L, 10L, "a4"), Row(1L, 30L, "a5"))))
+    writeSide(dir, "r2", rP,
+      Seq((999L, 999L, "zz")).toDF("rid", "ck", "seg"),
+      Seq(
+        Row(2L, "c", 2L, "graft", "r2", null, Row(5L, 10L, "s1")),
+        // right row follows to ck=30 — the pair re-forms in group 30
+        Row(9L, "u", 9L, "graft", "r2",
+          Row(5L, 10L, "s1"), Row(5L, 30L, "s2"))))
+
+    def src(table: String): DataFrame = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("table", table)
+      .option("scan.startup.mode", "earliest")
+      .option("scan.stream.max-events-per-trigger", "1")
+      .load()
+
+    val name = s"chjm_${System.nanoTime()}"
+    val q = ChangelogJoin.join(src("l2"), "id", "ck", src("r2"), "rid", "ck")
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = QueryUtil.detachMemorySink(spark, name)
+
+    val fin = ChangelogJoin.materializeJoined(out)
+      .select(col("lpk"), col("rpk"),
+        from_json(col("limg"), lPayload).as("l"),
+        from_json(col("rimg"), rP).as("r"))
+      .select(col("lpk"), col("rpk"), col("l.v"), col("r.seg"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(fin.toSeq === Seq(("1", "5", "a5", "s2")), fin.mkString("\n"))
+  }
 }

@@ -51,4 +51,20 @@ class ConnectedComponentsSpec extends SparkSpecBase {
         assert(run(es) === unionFind(es), s"trial $trial n=$n m=$m")
     }
   }
+
+  test("reliable checkpoint option: identical components") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 5L), (7L, 8L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+      .toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val got = graft.operators.ConnectedComponents
+        .components(es.toDF("a", "b"), "a", "b", reliableEvery = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(es))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

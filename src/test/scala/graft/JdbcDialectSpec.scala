@@ -1,7 +1,9 @@
 package graft
 
 import graft.cdc.ChangeRecord._
-import graft.cdc.dialect.{JdbcCdcDatabase, JdbcCdcDialect}
+import graft.cdc.dialect.{Db2ChunkStatements, JdbcCdcDatabase,
+  JdbcCdcDialect, JdbcChunkStatements, OracleChunkStatements,
+  PostgresChunkStatements, SqlServerChunkStatements}
 import graft.cdc.Materialize
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -102,14 +104,14 @@ class JdbcDialectSpec extends SparkSpecBase {
     assert(ids.length === ids.distinct.length)
   }
 
-  test("statement flavors: oracle/postgres sets execute end-to-end on Derby") {
-    // S4-S8 executed path beyond Db2: both flavors' chunk scans, stats and
-    // log slices run verbatim (double-quoted identifiers); their row-limit
-    // walk syntax (ROWNUM / LIMIT) is outside Derby's parser, so the
-    // dialect reports no chunk-max capability and the planner's uneven
-    // split takes the executed snapshot-walk fallback instead — assert
-    // both halves per flavor.
-    for (flavor <- Seq("oracle-cdc", "postgres-cdc")) {
+  test("statement flavors: all five sets execute end-to-end on Derby") {
+    // S4-S10 executed path: every flavor BUILDS its native statement text
+    // (mysql backticks+LIMIT, sqlserver brackets+TOP, oracle ROWNUM walk,
+    // postgres LIMIT) and the boundary translator bridges only grammar
+    // Derby cannot parse — chunk scans, stats, log slices AND the
+    // store-side chunk-max walk all run per flavor.
+    for (flavor <- Seq("mysql-cdc", "sqlserver-cdc", "oracle-cdc",
+        "postgres-cdc")) {
       val dir = tmpDir(s"jdbc-flavor-$flavor")
       writeDb(dir, 6L)
       def readF(mode: String): DataFrame =
@@ -130,14 +132,26 @@ class JdbcDialectSpec extends SparkSpecBase {
         .map(r => (r.getString(0), r.getLong(1))).toMap
       assert(ops === Map("+I" -> 2L, "+U" -> 2L, "-U" -> 2L, "-D" -> 2L),
         s"flavor $flavor")
-      // walk capability off → sparse keys still split correctly via the
-      // snapshot-walk fallback (the generic-splitter path, executed)
-      assert(!JdbcCdcDialect.supportsChunkMaxQuery(dir), s"flavor $flavor")
+      // stats (flavored selectMinMax)
+      assert(JdbcCdcDialect.columnStats(dir, "t", "id")._1 >= 0L,
+        s"flavor $flavor")
+      // store-side walk now executes for EVERY flavor (native row-limit
+      // syntax through the translator) — the reference's per-dialect
+      // ChunkSplitter pushes the same walk into the store
+      assert(JdbcCdcDialect.supportsChunkMaxQuery(dir), s"flavor $flavor")
       val sdir = tmpDir(s"jdbc-flavor-sparse-$flavor")
       val sparse = Seq(1L, 2L, 3L, 100000L, 100001L, 200000L, 300000L)
         .map(i => (i, s"v$i")).toDF("id", "v")
       JdbcCdcDatabase.write(spark, sdir, "t", "graft", "id",
         snapshot = sparse, changes = changesDf(Seq.empty), force = true)
+      JdbcCdcDialect.setFlavor(sdir, flavor)
+      // the walk statement itself, stepped (flavored selectNextChunkMax)
+      assert(JdbcCdcDialect.nextChunkMax(sdir, "t", "id", 1L, 3)
+        === Some(3L), s"flavor $flavor")
+      assert(JdbcCdcDialect.nextChunkMax(sdir, "t", "id", 3L, 3)
+        === Some(100001L), s"flavor $flavor")
+      assert(JdbcCdcDialect.nextChunkMax(sdir, "t", "id", 300001L, 3)
+        === None, s"flavor $flavor")
       val ids = spark.read.format("graft-cdc")
         .option("path", sdir).option("table", "t")
         .option("dialect", "jdbc").option("dialect.flavor", flavor)
@@ -154,19 +168,9 @@ class JdbcDialectSpec extends SparkSpecBase {
     assert(JdbcCdcDialect.supportsChunkMaxQuery(ddir))
   }
 
-  test("flavors Derby cannot parse are rejected with an actionable error") {
+  test("unknown dialect.flavor rejected with an actionable error") {
     val dir = tmpDir("jdbc-flavor-bad")
     writeDb(dir, 6L)
-    for (flavor <- Seq("mysql-cdc", "sqlserver-cdc")) {
-      val e = intercept[IllegalArgumentException] {
-        spark.read.format("graft-cdc")
-          .option("path", dir).option("table", "t")
-          .option("dialect", "jdbc").option("dialect.flavor", flavor)
-          .option("scan.startup.mode", "initial")
-          .load().count()
-      }
-      assert(e.getMessage.contains("cannot parse"), e.getMessage)
-    }
     val unknown = intercept[IllegalArgumentException] {
       spark.read.format("graft-cdc")
         .option("path", dir).option("table", "t")
@@ -176,6 +180,40 @@ class JdbcDialectSpec extends SparkSpecBase {
     }
     assert(unknown.getMessage.contains("unknown dialect.flavor"),
       unknown.getMessage)
+  }
+
+  test("statement translator: native flavor grammar bridged, shape kept") {
+    import graft.cdc.dialect.StatementTranslator._
+    // mysql: backticks + LIMIT (StatementUtils.java:99-130 shape)
+    assert(toDerby("mysql-cdc",
+      JdbcChunkStatements.selectNextChunkMax("t", "id", 7)) ===
+      "SELECT MAX(\"id\") FROM (SELECT \"id\" FROM \"t\" WHERE \"id\" >= ?" +
+        " ORDER BY \"id\" ASC FETCH FIRST 7 ROWS ONLY) AS T")
+    // sqlserver: brackets + TOP n
+    assert(toDerby("sqlserver-cdc",
+      SqlServerChunkStatements.selectNextChunkMax("t", "id", 7)) ===
+      "SELECT MAX(\"id\") FROM (SELECT \"id\" FROM \"t\" WHERE \"id\" >= ?" +
+        " ORDER BY \"id\" ASC FETCH FIRST 7 ROWS ONLY) AS T")
+    // oracle: ROWNUM wrap + alias-less derived table (OracleUtils.java:121)
+    assert(toDerby("oracle-cdc",
+      OracleChunkStatements.selectNextChunkMax("t", "id", 7)) ===
+      "SELECT MAX(\"id\") FROM (SELECT \"id\" FROM \"t\" WHERE \"id\" >= ?" +
+        " ORDER BY \"id\" ASC FETCH FIRST 7 ROWS ONLY) AS T")
+    // postgres: LIMIT only; db2 passes through untouched
+    assert(toDerby("postgres-cdc",
+      PostgresChunkStatements.selectNextChunkMax("t", "id", 7)) ===
+      "SELECT MAX(\"id\") FROM (SELECT \"id\" FROM \"t\" WHERE \"id\" >= ?" +
+        " ORDER BY \"id\" ASC FETCH FIRST 7 ROWS ONLY) AS T")
+    val db2 = Db2ChunkStatements.selectNextChunkMax("t", "id", 7)
+    assert(toDerby("db2-cdc", db2) === db2)
+    // non-walk statements: only identifier quoting changes
+    assert(toDerby("mysql-cdc",
+      JdbcChunkStatements.selectMinMax("t", "id")) ===
+      "SELECT MIN(\"id\"), MAX(\"id\") FROM \"t\"")
+    assert(toDerby("sqlserver-cdc",
+      SqlServerChunkStatements.logScan("t__log", "__offset", 3L, 9L)) ===
+      "SELECT * FROM \"t__log\" WHERE \"__offset\" > 3 AND " +
+        "\"__offset\" <= 9 ORDER BY \"__offset\" ASC")
   }
 
   test("chunk-key override: stats + chunk scans run on the override column") {

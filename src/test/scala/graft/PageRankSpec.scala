@@ -33,4 +33,26 @@ class PageRankSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(run(1) === run(13))
   }
+
+  test("reliable checkpoint option: same ranks, durable files written") {
+    val edges = (1L to 100L).map(i => (i, i % 17 + 1)).toDF("src", "dst")
+      .distinct()
+    val want = PageRank.run(edges, 4).orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val got = PageRank.run(edges, 4, reliableEvery = 2)
+        .orderBy(col("node")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === want)
+      // rounds 2 and 4 must have produced durable checkpoint data
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(files > 0, "no reliable checkpoint files written")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
