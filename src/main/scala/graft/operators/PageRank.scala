@@ -32,9 +32,15 @@ object PageRank {
 
   /** `edges`: (src LONG, dst LONG), pre-deduplicated. Returns (node, rank)
     * after `iterations` rounds. `reliableEvery` > 0 swaps every k-th
-    * round's local checkpoint for a reliable one (see [[IterBarrier]]). */
+    * barrier's local checkpoint for a reliable one (see [[IterBarrier]]).
+    * `barrierEvery` sets how many rounds run inside ONE lazy plan before
+    * a lineage cut: unlike star-contraction, a PageRank round references
+    * the previous ranks exactly once, so the plan grows LINEARLY with
+    * rounds and a handful of rounds per job is pure win (one job launch
+    * + one materialization instead of k); cut periodically so planning
+    * time and recovery lineage stay bounded on long runs. */
   def run(edges: DataFrame, iterations: Int,
-      reliableEvery: Int = 0): DataFrame = {
+      reliableEvery: Int = 0, barrierEvery: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val e = edges.select(col("src"), col("dst")).cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -50,18 +56,22 @@ object PageRank {
     val zero = nodes.select(col("node"), lit(0L).as("c"))
 
     val base = Scale * 15 / 100
+    val cutEvery = math.max(1, barrierEvery)
     var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
-      .localCheckpoint(true)
+    if (cutEvery == 1) ranks = ranks.localCheckpoint(true)
     for (i <- 1 to iterations) {
       val msgs = ranks
         .join(edgeDeg, ranks("node") === edgeDeg("src"))
         .select(col("dst").as("node"),
           expr(s"(rank * 85) div (100 * outdeg)").as("c"))
-      ranks = IterBarrier.cut(
-        msgs.union(zero)
-          .groupBy(col("node"))
-          .agg((lit(base) + sum(col("c"))).as("rank")),
-        i, reliableEvery)
+      val next = msgs.union(zero)
+        .groupBy(col("node"))
+        .agg((lit(base) + sum(col("c"))).as("rank"))
+      // cut on the period (and always before unpersisting the inputs the
+      // final plan would otherwise still reference)
+      ranks = if (i % cutEvery == 0 || i == iterations)
+        IterBarrier.cut(next, i, reliableEvery)
+      else next
     }
     e.unpersist(); nodes.unpersist(); edgeDeg.unpersist()
     ranks

@@ -488,13 +488,18 @@ object AdvancedQueries {
           .select(col("o_orderkey"), col("o_custkey"))
         val l = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
+        // cached: BOTH direction branches of the edge union read this —
+        // uncached, the join+distinct would run twice into the edge cache
         val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
           .select((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("p"))
-          .distinct()
+          .distinct().cache()
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-        graft.operators.PageRank.run(edges, 5)
+        // barrierEvery=5: all five rounds in ONE lazy plan/job — a round
+        // references prev ranks once, so lineage grows linearly and the
+        // per-round checkpoint jobs were pure fixed cost at this scale
+        graft.operators.PageRank.run(edges, 5, barrierEvery = 5)
           .orderBy(col("rank").desc, col("node"))
           .limit(50)
       },

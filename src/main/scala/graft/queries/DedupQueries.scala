@@ -459,6 +459,70 @@ object DedupQueries {
               |    AS recall
               |FROM m""".stripMargin)),
 
+    // ASYMMETRIC CONTAINMENT dedup — the quote/subset detector Jaccard
+    // misses: a short document wholly contained in a long one has low
+    // Jaccard (union is dominated by the long side) but containment
+    // |A∩B| / min(|A|,|B|) ≈ 1. Same df-capped inverted-index shape as
+    // dedup_ngram_jaccard_capped (per-key fan-in ≤ cap — hot-shingle-skew
+    // safe), intersection counted from the index, sizes joined after —
+    // arrays never touch the pair join.
+    "dedup_containment" -> QueryDef(
+      (s, dir) => {
+        val cap = 100
+        val d = Tables.load(s, dir, "documents")
+        val docs = d.select(col("doc_id"), col("lang"), col("source"),
+          shingleHashes(col("text"), 4).as("sh"))
+          .cache()
+        val tok = docs.select(col("doc_id"), col("lang"), col("source"),
+          explode(col("sh")).as("h"))
+        val dfreq = tok.groupBy(col("lang"), col("source"), col("h"))
+          .agg(count(lit(1)).as("df"))
+        val kept = tok.join(dfreq.filter(col("df") <= cap),
+          Seq("lang", "source", "h"))
+        val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = kept.as("a")
+          .join(kept.as("b"), col("a.lang") === col("b.lang")
+            && col("a.source") === col("b.source")
+            && col("a.h") === col("b.h")
+            && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("ni"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+            "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+            "id_b")
+          .withColumn("cont", round(col("ni").cast(DoubleType) /
+            least(col("na"), col("nb")).cast(DoubleType), 6))
+          .filter(col("cont") >= 0.8d)
+          .select(col("id_a"), col("id_b"), col("cont"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 4)
+        s"""WITH docs AS (SELECT doc_id, lang, source, $sh AS sh FROM documents),
+           |tok AS (SELECT doc_id, lang, source, unnest(sh) AS h FROM docs),
+           |dfreq AS (SELECT lang, source, h, count(*) AS df FROM tok
+           |          GROUP BY 1, 2, 3),
+           |kept AS (SELECT t.doc_id, t.lang, t.source, t.h FROM tok t
+           |         JOIN dfreq f ON t.lang = f.lang AND t.source = f.source
+           |           AND t.h = f.h WHERE f.df <= 100),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+           |  FROM kept a JOIN kept b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
+           |    AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(CAST(ni AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS cont
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = id_a
+           |JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE round(CAST(ni AS DOUBLE) / LEAST(sa.n, sb.n), 6) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // Duplicate CLUSTERS: the transitive closure of the verified LSH pairs
     // via distributed star-contraction connected components
     // (graft.operators.ConnectedComponents — O(log² n) rounds, two

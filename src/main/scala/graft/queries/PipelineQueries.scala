@@ -26,6 +26,27 @@ object PipelineQueries {
   private[graft] def smearExpr(v: String): String =
     Seq(1, 2, 4, 8, 16, 32).foldLeft(v)((e, k) => s"($e | (($e) >> $k))")
 
+  /** One xy2d Hilbert round over columns (x, y, d) at bit value `S`
+    * (order 16, N = 65536): returns (x', y', d') as PORTABLE SQL — plain
+    * CASE + integer arithmetic, the quadrant term (3·rx)⊕ry written
+    * arithmetically as 3rx + ry − 2rx·ry so no engine-specific XOR is
+    * needed. Used verbatim by the Spark selectExpr chain AND the DuckDB
+    * oracle; HilbertSpec pins the algorithm independently. */
+  private[graft] def hilbertRound(S: Long): (String, String, String) = {
+    val N = 1L << 16
+    val rx = s"(CASE WHEN (x & $S) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (y & $S) > 0 THEN 1 ELSE 0 END)"
+    val xN = s"CASE WHEN $ry = 1 THEN x WHEN $rx = 1 THEN ${N - 1} - y " +
+      "ELSE y END"
+    val yN = s"CASE WHEN $ry = 1 THEN y WHEN $rx = 1 THEN ${N - 1} - x " +
+      "ELSE x END"
+    // CAST first: s² up to 2³⁰ is INT-ranged but ×3 overflows 32-bit —
+    // promote before the quadrant multiply (both engines)
+    val dN = s"d + CAST(${S * S} AS BIGINT) * " +
+      s"(3 * $rx + $ry - 2 * $rx * $ry)"
+    (xN, yN, dN)
+  }
+
   /** Idempotently materialize narrow BUCKETED copies of lineitem/orders
     * (16 buckets on the join key) for this SF and register them in the
     * session catalog. Files persist under `.scratch`; a fresh session
@@ -264,6 +285,46 @@ object PipelineQueries {
            |      AS BIGINT) AS b
            |  FROM orders)
            |ORDER BY z, o_orderkey""".stripMargin
+      }),
+
+    // HILBERT-curve layout key — the locality-better sibling of Z-order
+    // (adjacent Hilbert indices are always adjacent cells, no Z-shape
+    // jumps → fewer files touched by a 2-D range predicate). The standard
+    // xy2d walk is 16 unrolled rounds of integer CASE arithmetic; one
+    // generator emits the identical round expression for BOTH engines
+    // (pure CASE + * / & — no engine-specific operators), and
+    // HilbertSpec independently pins the algorithm against an imperative
+    // reference, so a shared-text bug cannot slip through. Scale: a pure
+    // narrow projection — codegen'd, no shuffle until the final sort a
+    // writer would replace with repartitionByRange.
+    "layout_hilbert" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        var df = o.select(col("o_orderkey"),
+          expr("CAST(o_custkey AS BIGINT) & 65535").as("x"),
+          expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)" +
+            " & 65535").as("y"),
+          lit(0L).as("d"))
+        for (k <- 15 to 0 by -1) {
+          val (xN, yN, dN) = hilbertRound(1L << k)
+          df = df.selectExpr("o_orderkey", s"$dN AS d", s"$xN AS x",
+            s"$yN AS y")
+        }
+        df.select(col("o_orderkey"), col("d").as("h"))
+          .orderBy(col("h"), col("o_orderkey"))
+      },
+      Some {
+        val base = """SELECT o_orderkey,
+                     |    CAST(o_custkey AS BIGINT) & 65535 AS x,
+                     |    CAST(datediff('day', DATE '1970-01-01',
+                     |      o_orderdate) AS BIGINT) & 65535 AS y,
+                     |    CAST(0 AS BIGINT) AS d FROM orders""".stripMargin
+        val rounds = (15 to 0 by -1).foldLeft(s"($base)") { (prev, k) =>
+          val (xN, yN, dN) = hilbertRound(1L << k)
+          s"(SELECT o_orderkey, $dN AS d, $xN AS x, $yN AS y FROM $prev)"
+        }
+        s"""SELECT o_orderkey, d AS h FROM $rounds
+           |ORDER BY h, o_orderkey""".stripMargin
       }),
 
     // Sequence packing: documents assigned to fixed-budget bins by
@@ -695,6 +756,56 @@ object PipelineQueries {
            |    CAST(denom + (64 - n_buckets) * (CAST(1 AS BIGINT) << 55)
            |      AS DOUBLE), 4) AS est_distinct
            |FROM ex, sketch""".stripMargin
+      }),
+
+    // COUNT-MIN sketch, integer-exact: d=4 hash rows × w=256 buckets over
+    // the event stream's user_id. The register table IS the mergeable
+    // sketch state — per-bucket counts are plain sums, so map-side combine
+    // reduces every partition to ≤ 1024 rows and unioning two corpora is
+    // pairwise register addition; constant-size state at any scale. Point
+    // estimates ride along: for a deterministic probe-key sample,
+    // est = min over the 4 rows' buckets — the CM upper-bound guarantee
+    // (est ≥ exact) over integer counts, no float anywhere.
+    "sketch_countmin" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        def bucket(j: Int): org.apache.spark.sql.Column =
+          md5Long(concat(lit(s"$j:"), col("user_id").cast(StringType)))
+            .bitwiseAND(lit(255L))
+        val e = Tables.load(s, dir, "events").select(col("user_id"))
+        val regs = e.select(posexplode(
+            array((0 until 4).map(bucket): _*)).as(Seq("j", "bucket")))
+          .groupBy(col("j"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val probes = e.filter(col("user_id") % 53 === 11)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        probes.select(col("user_id"), col("exact_n"),
+            posexplode(array((0 until 4).map(bucket): _*))
+              .as(Seq("j", "bucket")))
+          .join(regs, Seq("j", "bucket"))
+          .groupBy(col("user_id"), col("exact_n"))
+          .agg(min(col("c")).cast(LongType).as("est_n"))
+          .orderBy(col("user_id"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        def bucket(j: Int): String =
+          s"(${sqlMd5Long(s"'$j:' || CAST(user_id AS VARCHAR)")} & 255)"
+        val eb = (0 until 4).map(j =>
+          s"SELECT user_id, $j AS j, ${bucket(j)} AS bucket FROM ev")
+          .mkString("\n  UNION ALL ")
+        s"""WITH ev AS (SELECT user_id FROM events),
+           |eb AS ($eb),
+           |regs AS (SELECT j, bucket, COUNT(*) AS c FROM eb GROUP BY 1, 2),
+           |pr AS (SELECT user_id, COUNT(*) AS exact_n FROM ev
+           |       WHERE user_id % 53 = 11 GROUP BY user_id),
+           |pb AS (SELECT p.user_id, p.exact_n, e.j, e.bucket
+           |       FROM pr p JOIN (SELECT DISTINCT user_id, j, bucket
+           |                       FROM eb) e USING (user_id))
+           |SELECT pb.user_id, pb.exact_n,
+           |  CAST(MIN(r.c) AS BIGINT) AS est_n
+           |FROM pb JOIN regs r ON r.j = pb.j AND r.bucket = pb.bucket
+           |GROUP BY 1, 2 ORDER BY user_id""".stripMargin
       }),
 
     // The register sketch as a PER-GROUP aggregate: distinct users per

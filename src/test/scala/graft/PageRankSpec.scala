@@ -34,6 +34,19 @@ class PageRankSpec extends SparkSpecBase {
     assert(run(1) === run(13))
   }
 
+  test("barrierEvery: multi-round lazy plans give identical ranks") {
+    val edges = (1L to 300L)
+      .flatMap(i => Seq((i, i % 23 + 1), (i % 23 + 1, i % 7 + 2)))
+      .toDF("src", "dst").distinct()
+    def run(be: Int): Seq[(Long, Long)] =
+      PageRank.run(edges, 5, barrierEvery = be)
+        .orderBy(col("node")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = run(1)
+    assert(run(3) === want)
+    assert(run(5) === want)
+  }
+
   test("reliable checkpoint option: same ranks, durable files written") {
     val edges = (1L to 100L).map(i => (i, i % 17 + 1)).toDF("src", "dst")
       .distinct()
