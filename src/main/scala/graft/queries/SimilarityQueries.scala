@@ -330,6 +330,117 @@ object SimilarityQueries {
            |SELECT cid, n_vecs, min_vec,
            |  CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT) AS c_l1
            |FROM c2 JOIN stats USING (cid) ORDER BY cid""".stripMargin
+      }),
+
+    // PRODUCT QUANTIZATION codebook training — the memory-compression
+    // step between scalar int8 (vec_quantize_int8) and IVF search: a
+    // 64-dim vector becomes M=4 sub-codes once each 16-dim subspace has
+    // its own K=8 codebook. Two integer-exact Lloyd iterations per
+    // subspace, all four trained in ONE pipeline: the (vector, subspace)
+    // pairs ride a single shuffle (broadcast codebooks, map-side min_by
+    // partials — never vector×centroid rows), and the update is one
+    // groupBy((m, cid, dim)) over M·K·16 cells. Output: per-(m, cid)
+    // cluster stats + integer within-cluster distortion Σd² — the
+    // training-quality number PQ recall depends on. At corpus scale the
+    // codebook stays M·K rows (broadcastable) no matter the vector count.
+    "ann_pq_train" -> QueryDef(
+      (s, dir) => {
+        val K = 8; val M = 4; val SubDim = Dim / M
+        val e = emb(s, dir)
+        val scale = e.select(explode(col("embedding")).as("x"))
+          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+        val qv = e.crossJoin(broadcast(scale))
+          .select(col("vec_id"), transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
+              + lit(0.5d)).cast(LongType)).as("qv"))
+          .cache()
+        val sub = qv.select(col("vec_id"), col("qv"),
+            explode(sequence(lit(0), lit(M - 1))).as("m"))
+          .selectExpr("vec_id", "m",
+            s"slice(qv, m * $SubDim + 1, $SubDim) AS sv")
+        val c0 = sub.filter(col("vec_id") < K)
+          .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+        def assign(cents: DataFrame): DataFrame =
+          sub.join(broadcast(cents), "m")
+            .withColumn("d2", aggregate(
+              zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+              lit(0L), _ + _))
+            .groupBy(col("m"), col("vec_id"))
+            .agg(min_by(struct(col("cid"), col("sv"), col("d2")),
+              struct(col("d2"), col("cid"))).as("w"))
+            .select(col("m"), col("vec_id"), col("w.cid").as("cid"),
+              col("w.sv").as("sv"), col("w.d2").as("d2"))
+        def update(assigned: DataFrame): DataFrame =
+          assigned.select(col("m"), col("cid"),
+              posexplode(col("sv")).as(Seq("i", "v")))
+            .groupBy(col("m"), col("cid"), col("i"))
+            .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+            .select(col("m"), col("cid"), col("i"),
+              floor(col("s").cast(DoubleType) / col("n").cast(DoubleType))
+                .cast(LongType).as("c"))
+            .groupBy(col("m"), col("cid"))
+            .agg(transform(
+              array_sort(collect_list(struct(col("i"), col("c")))),
+              p => p.getField("c")).as("cv"))
+        val c1 = update(assign(c0))
+        val a2 = assign(c1)
+        val c2 = update(a2)
+        val stats = a2.groupBy(col("m"), col("cid"))
+          .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+            sum(col("d2")).cast(LongType).as("sum_d2"))
+        c2.join(stats, Seq("m", "cid"))
+          .select(col("m"), col("cid"), col("n_vecs"), col("min_vec"),
+            col("sum_d2"),
+            aggregate(transform(col("cv"), x => abs(x)), lit(0L), _ + _)
+              .as("c_l1"))
+          .orderBy(col("m"), col("cid"))
+      },
+      Some {
+        val K = 8; val M = 4; val SubDim = Dim / M
+        def d2(q: String, c: String) =
+          s"list_sum(list_transform(range(1, ${SubDim + 1}), " +
+            s"i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
+        def assignCte(name: String, cents: String) =
+          s"""$name AS (
+             |  SELECT m, vec_id, cid, sv, d2 FROM (
+             |    SELECT s.m, s.vec_id, c.cid, s.sv,
+             |      ${d2("s.sv", "c.cv")} AS d2,
+             |      ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
+             |        ORDER BY ${d2("s.sv", "c.cv")}, c.cid) AS rn
+             |    FROM sub s JOIN $cents c ON c.m = s.m) WHERE rn = 1)""".stripMargin
+        def updateCte(name: String, assigned: String) =
+          s"""$name AS (
+             |  SELECT m, cid, list(c ORDER BY i) AS cv FROM (
+             |    SELECT m, cid, i,
+             |      CAST(FLOOR(CAST(SUM(sv[i + 1]) AS DOUBLE)
+             |        / COUNT(*)) AS BIGINT) AS c
+             |    FROM $assigned, (SELECT unnest(range(0, $SubDim)) AS i) r
+             |    GROUP BY m, cid, i) GROUP BY m, cid)""".stripMargin
+        s"""WITH scale AS (
+           |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+           |    x -> abs(x)), 'max')) AS DOUBLE) AS scale FROM embeddings),
+           |qvecs AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+           |      AS BIGINT)) AS qv
+           |  FROM embeddings, scale),
+           |sub AS (
+           |  SELECT vec_id, m,
+           |    list_slice(qv, m * $SubDim + 1, m * $SubDim + $SubDim) AS sv
+           |  FROM qvecs, (SELECT unnest(range(0, $M)) AS m) ms),
+           |c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub
+           |       WHERE vec_id < $K),
+           |${assignCte("a1", "c0")},
+           |${updateCte("c1", "a1")},
+           |${assignCte("a2", "c1")},
+           |${updateCte("c2", "a2")},
+           |stats AS (
+           |  SELECT m, cid, count(*) AS n_vecs, min(vec_id) AS min_vec,
+           |    CAST(SUM(d2) AS BIGINT) AS sum_d2
+           |  FROM a2 GROUP BY m, cid)
+           |SELECT m, cid, n_vecs, min_vec, sum_d2,
+           |  CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT) AS c_l1
+           |FROM c2 JOIN stats USING (m, cid) ORDER BY m, cid""".stripMargin
       })
   )
 }
