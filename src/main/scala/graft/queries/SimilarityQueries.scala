@@ -161,6 +161,111 @@ object SimilarityQueries {
        |  WHERE a.vec_id <> p.query_id)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  // ---- Product quantization (shared by ann_pq_train / ann_pq_topk) ----
+
+  private val PqK = 8      // codewords per subspace
+  private val PqM = 4      // subspaces
+  private val PqSubDim = Dim / PqM
+
+  /** `sub`: int8-quantized (vec_id, m, sv) subvector rows; `a2`: the
+    * second Lloyd iteration's assignment (m, vec_id, cid, sv, d2); `c2`:
+    * the trained codebook (m, cid, cv) — M·K rows, broadcastable at any
+    * corpus size. */
+  private case class PqModel(sub: DataFrame, a2: DataFrame, c2: DataFrame)
+
+  /** Nearest codeword per (vector, subspace): broadcast the codebook,
+    * keep ONE row per (m, vec_id) via map-side-combining min_by — the
+    * shuffle never carries vector×centroid rows. */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), "m")
+      .withColumn("d2", aggregate(
+        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _))
+      .groupBy(col("m"), col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("sv"), col("d2")),
+        struct(col("d2"), col("cid"))).as("w"))
+      .select(col("m"), col("vec_id"), col("w.cid").as("cid"),
+        col("w.sv").as("sv"), col("w.d2").as("d2"))
+
+  /** Integer-exact centroid update: one groupBy over M·K·SubDim cells. */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("m"), col("cid"),
+        posexplode(col("sv")).as(Seq("i", "v")))
+      .groupBy(col("m"), col("cid"), col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("m"), col("cid"), col("i"),
+        floor(col("s").cast(DoubleType) / col("n").cast(DoubleType))
+          .cast(LongType).as("c"))
+      .groupBy(col("m"), col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cv"))
+
+  private def pqPipeline(s: SparkSession, dir: String): PqModel = {
+    val e = emb(s, dir)
+    val scale = e.select(explode(col("embedding")).as("x"))
+      .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+    val qv = e.crossJoin(broadcast(scale))
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
+          + lit(0.5d)).cast(LongType)).as("qv"))
+      .cache()
+    val sub = qv.select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .selectExpr("vec_id", "m",
+        s"slice(qv, m * $PqSubDim + 1, $PqSubDim) AS sv")
+    val c0 = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    val c1 = pqUpdate(pqAssign(sub, c0))
+    val a2 = pqAssign(sub, c1)
+    val c2 = pqUpdate(a2)
+    PqModel(sub, a2, c2)
+  }
+
+  private def sqlPqD2(q: String, c: String): String =
+    s"list_sum(list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
+
+  private def sqlPqAssignCte(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT m, vec_id, cid, sv, d2 FROM (
+       |    SELECT s.m, s.vec_id, c.cid, s.sv,
+       |      ${sqlPqD2("s.sv", "c.cv")} AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
+       |        ORDER BY ${sqlPqD2("s.sv", "c.cv")}, c.cid) AS rn
+       |    FROM sub s JOIN $cents c ON c.m = s.m) WHERE rn = 1)""".stripMargin
+
+  private def sqlPqUpdateCte(name: String, assigned: String): String =
+    s"""$name AS (
+       |  SELECT m, cid, list(c ORDER BY i) AS cv FROM (
+       |    SELECT m, cid, i,
+       |      CAST(FLOOR(CAST(SUM(sv[i + 1]) AS DOUBLE)
+       |        / COUNT(*)) AS BIGINT) AS c
+       |    FROM $assigned, (SELECT unnest(range(0, $PqSubDim)) AS i) r
+       |    GROUP BY m, cid, i) GROUP BY m, cid)""".stripMargin
+
+  /** CTE chain `scale, qvecs, sub, c0, a1, c1, a2, c2` — the full
+    * two-iteration training, mirroring [[pqPipeline]] bit-for-bit. */
+  private def sqlPqPrefix: String =
+    s"""scale AS (
+       |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+       |    x -> abs(x)), 'max')) AS DOUBLE) AS scale FROM embeddings),
+       |qvecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+       |      AS BIGINT)) AS qv
+       |  FROM embeddings, scale),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(qv, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM qvecs, (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub
+       |       WHERE vec_id < $PqK),
+       |${sqlPqAssignCte("a1", "c0")},
+       |${sqlPqUpdateCte("c1", "a1")},
+       |${sqlPqAssignCte("a2", "c1")},
+       |${sqlPqUpdateCte("c2", "a2")}""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // Brute-force exact top-k: the baseline every ANN variant is recalled
@@ -345,50 +450,11 @@ object SimilarityQueries {
     // codebook stays M·K rows (broadcastable) no matter the vector count.
     "ann_pq_train" -> QueryDef(
       (s, dir) => {
-        val K = 8; val M = 4; val SubDim = Dim / M
-        val e = emb(s, dir)
-        val scale = e.select(explode(col("embedding")).as("x"))
-          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
-        val qv = e.crossJoin(broadcast(scale))
-          .select(col("vec_id"), transform(col("embedding"),
-            x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
-              + lit(0.5d)).cast(LongType)).as("qv"))
-          .cache()
-        val sub = qv.select(col("vec_id"), col("qv"),
-            explode(sequence(lit(0), lit(M - 1))).as("m"))
-          .selectExpr("vec_id", "m",
-            s"slice(qv, m * $SubDim + 1, $SubDim) AS sv")
-        val c0 = sub.filter(col("vec_id") < K)
-          .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
-        def assign(cents: DataFrame): DataFrame =
-          sub.join(broadcast(cents), "m")
-            .withColumn("d2", aggregate(
-              zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-              lit(0L), _ + _))
-            .groupBy(col("m"), col("vec_id"))
-            .agg(min_by(struct(col("cid"), col("sv"), col("d2")),
-              struct(col("d2"), col("cid"))).as("w"))
-            .select(col("m"), col("vec_id"), col("w.cid").as("cid"),
-              col("w.sv").as("sv"), col("w.d2").as("d2"))
-        def update(assigned: DataFrame): DataFrame =
-          assigned.select(col("m"), col("cid"),
-              posexplode(col("sv")).as(Seq("i", "v")))
-            .groupBy(col("m"), col("cid"), col("i"))
-            .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-            .select(col("m"), col("cid"), col("i"),
-              floor(col("s").cast(DoubleType) / col("n").cast(DoubleType))
-                .cast(LongType).as("c"))
-            .groupBy(col("m"), col("cid"))
-            .agg(transform(
-              array_sort(collect_list(struct(col("i"), col("c")))),
-              p => p.getField("c")).as("cv"))
-        val c1 = update(assign(c0))
-        val a2 = assign(c1)
-        val c2 = update(a2)
-        val stats = a2.groupBy(col("m"), col("cid"))
+        val pq = pqPipeline(s, dir)
+        val stats = pq.a2.groupBy(col("m"), col("cid"))
           .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
             sum(col("d2")).cast(LongType).as("sum_d2"))
-        c2.join(stats, Seq("m", "cid"))
+        pq.c2.join(stats, Seq("m", "cid"))
           .select(col("m"), col("cid"), col("n_vecs"), col("min_vec"),
             col("sum_d2"),
             aggregate(transform(col("cv"), x => abs(x)), lit(0L), _ + _)
@@ -396,44 +462,7 @@ object SimilarityQueries {
           .orderBy(col("m"), col("cid"))
       },
       Some {
-        val K = 8; val M = 4; val SubDim = Dim / M
-        def d2(q: String, c: String) =
-          s"list_sum(list_transform(range(1, ${SubDim + 1}), " +
-            s"i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
-        def assignCte(name: String, cents: String) =
-          s"""$name AS (
-             |  SELECT m, vec_id, cid, sv, d2 FROM (
-             |    SELECT s.m, s.vec_id, c.cid, s.sv,
-             |      ${d2("s.sv", "c.cv")} AS d2,
-             |      ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
-             |        ORDER BY ${d2("s.sv", "c.cv")}, c.cid) AS rn
-             |    FROM sub s JOIN $cents c ON c.m = s.m) WHERE rn = 1)""".stripMargin
-        def updateCte(name: String, assigned: String) =
-          s"""$name AS (
-             |  SELECT m, cid, list(c ORDER BY i) AS cv FROM (
-             |    SELECT m, cid, i,
-             |      CAST(FLOOR(CAST(SUM(sv[i + 1]) AS DOUBLE)
-             |        / COUNT(*)) AS BIGINT) AS c
-             |    FROM $assigned, (SELECT unnest(range(0, $SubDim)) AS i) r
-             |    GROUP BY m, cid, i) GROUP BY m, cid)""".stripMargin
-        s"""WITH scale AS (
-           |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
-           |    x -> abs(x)), 'max')) AS DOUBLE) AS scale FROM embeddings),
-           |qvecs AS (
-           |  SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
-           |      AS BIGINT)) AS qv
-           |  FROM embeddings, scale),
-           |sub AS (
-           |  SELECT vec_id, m,
-           |    list_slice(qv, m * $SubDim + 1, m * $SubDim + $SubDim) AS sv
-           |  FROM qvecs, (SELECT unnest(range(0, $M)) AS m) ms),
-           |c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub
-           |       WHERE vec_id < $K),
-           |${assignCte("a1", "c0")},
-           |${updateCte("c1", "a1")},
-           |${assignCte("a2", "c1")},
-           |${updateCte("c2", "a2")},
+        s"""WITH $sqlPqPrefix,
            |stats AS (
            |  SELECT m, cid, count(*) AS n_vecs, min(vec_id) AS min_vec,
            |    CAST(SUM(d2) AS BIGINT) AS sum_d2
@@ -441,6 +470,64 @@ object SimilarityQueries {
            |SELECT m, cid, n_vecs, min_vec, sum_d2,
            |  CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT) AS c_l1
            |FROM c2 JOIN stats USING (m, cid) ORDER BY m, cid""".stripMargin
+      }),
+
+    // PQ ASYMMETRIC-DISTANCE (ADC) top-k search — the query-time half of
+    // product quantization: every corpus vector collapses to M=4 codes
+    // (one more broadcast-assign against the trained codebook), each
+    // query precomputes a LUT of d²(query-subvector, codeword) — Q·M·K =
+    // 256 integer cells, broadcast — and the approximate distance is a
+    // 4-term LUT sum. Per-vector cost is O(M) lookups with NO
+    // vector×query distance fold; the only per-corpus shuffle is the
+    // final (query, vec) partial-sum + per-query top-k. Fully integer —
+    // the ADC distance is exact given the codes, so the oracle matches
+    // bit-for-bit. At 100 TB the codes table is the stored index (N·M
+    // bytes), the LUT rides the broadcast, and top-k is one shuffle of
+    // N·Q pre-combined rows.
+    "ann_pq_topk" -> QueryDef(
+      (s, dir) => {
+        val pq = pqPipeline(s, dir)
+        val codes = pqAssign(pq.sub, pq.c2)
+          .select(col("m"), col("vec_id"), col("cid"))
+        val lut = pq.sub.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+          .join(broadcast(pq.c2), "m")
+          .select(col("query_id"), col("m"), col("cid"),
+            aggregate(
+              zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+              lit(0L), _ + _).as("qd2"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("vec_id"))
+        codes.join(broadcast(lut), Seq("m", "cid"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("qd2")).as("adc"))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("rank"),
+            col("vec_id").as("neighbor_id"), col("adc"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        s"""WITH $sqlPqPrefix,
+           |${sqlPqAssignCte("a3", "c2")},
+           |codes AS (SELECT m, vec_id, cid FROM a3),
+           |lut AS (
+           |  SELECT s.vec_id AS query_id, s.m, c.cid,
+           |    ${sqlPqD2("s.sv", "c.cv")} AS qd2
+           |  FROM sub s JOIN c2 c ON c.m = s.m
+           |  WHERE s.vec_id < $NumQueries),
+           |adc AS (
+           |  SELECT l.query_id, co.vec_id, SUM(l.qd2) AS adc
+           |  FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.cid
+           |  WHERE co.vec_id <> l.query_id
+           |  GROUP BY l.query_id, co.vec_id)
+           |SELECT query_id, rank, neighbor_id, adc FROM (
+           |  SELECT query_id, vec_id AS neighbor_id, adc,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adc, vec_id) AS BIGINT) AS rank
+           |  FROM adc)
+           |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
       })
   )
 }
