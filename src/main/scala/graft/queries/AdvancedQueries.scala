@@ -531,6 +531,70 @@ object AdvancedQueries {
            |${(1 to 5).map(k => iter(s"r${k - 1}", k)).mkString(",\n")}
            |SELECT node, rank FROM r5
            |ORDER BY rank DESC, node LIMIT 50""".stripMargin
+      }),
+
+    // BFS LAYER HISTOGRAM from the min-id node over the same bipartite
+    // trade graph PageRank walks — the MIN-PLUS propagation algebra
+    // (frontier expand + min-distance combine) where PageRank is
+    // SUM-TIMES. Four rounds in one lazy plan, each round = frontier ⋈
+    // edges + a map-side-combining min; the distance table never exceeds
+    // one row per node, and ONLY the frontier (nodes first reached last
+    // round) joins edges, so round cost tracks the frontier, not the
+    // graph. Unreachable nodes report as layer -1. All integer.
+    // At 100× this is the standard iterative-BFS shape: the edge table is
+    // the only big side and it is hash-partitioned by src once.
+    "graph_bfs_layers" -> QueryDef(
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("p"))
+          .distinct().cache()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        // bipartite + undirected: every node appears as a src
+        val nodes = edges.select(col("src").as("node")).distinct().cache()
+        var dist = nodes.agg(min(col("node")).as("node"))
+          .select(col("node"), lit(0L).as("d"))
+        for (r <- 0 until 4) {
+          val next = dist.filter(col("d") === r)
+            .join(edges, col("node") === col("src"))
+            .select(col("dst").as("node"), lit(r + 1L).as("d"))
+          dist = dist.union(next)
+            .groupBy(col("node")).agg(min(col("d")).as("d"))
+        }
+        val reached = dist.groupBy(col("d"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val unreachable = nodes.join(dist, Seq("node"), "left_anti")
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(lit(-1L).as("d"), col("n_nodes"))
+        reached.union(unreachable).orderBy(col("d"))
+      },
+      Some {
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS (
+           |  SELECT c AS src, p AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT p AS src, c AS dst FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |bfs(node, d) AS (
+           |  SELECT min(node), CAST(0 AS BIGINT) FROM nodes
+           |  UNION
+           |  SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.node
+           |  WHERE b.d < 4),
+           |md AS (SELECT node, min(d) AS d FROM bfs GROUP BY node)
+           |SELECT d, n_nodes FROM (
+           |  SELECT CAST(d AS BIGINT) AS d, count(*) AS n_nodes
+           |  FROM md GROUP BY d
+           |  UNION ALL
+           |  SELECT CAST(-1 AS BIGINT), count(*) FROM nodes
+           |  WHERE node NOT IN (SELECT node FROM md))
+           |ORDER BY d""".stripMargin
       })
   )
 }

@@ -225,6 +225,47 @@ object CurationQueries {
            |SELECT lang, cnt, count(*) AS n_sel, min(doc_id) AS first_id
            |FROM sel JOIN cnts USING (lang)
            |GROUP BY lang, cnt ORDER BY lang""".stripMargin
-      })
+      }),
+
+    // TEMPERATURE-SCALED mixture weights (α = 0.5): the standard
+    // pretraining data-mixing rule — sampling weight per source stratum
+    // w_s = n_s^α / Σ_t n_t^α — that upweights small sources relative to
+    // proportional sampling. sqrt is IEEE correctly-rounded in both
+    // engines, and the normalizer is a SEQUENTIAL fold over the per-source
+    // weights in source order (aggregate over a sorted collect_list — the
+    // same order-identical-fold device as the cosine kernel), so the
+    // doubles match DuckDB bit-for-bit before the 6-dp round. Plan: a
+    // |sources|-row aggregate, folded on the driver side of a broadcast —
+    // the 100 TB scan contributes exactly one map-side-combined count.
+    "sample_temperature" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .select(col("source"), col("n_docs"),
+            sqrt(col("n_docs").cast(DoubleType)).as("w"))
+        val tot = w.agg(
+          sum(col("n_docs")).as("total"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("source"), col("w")))),
+              p => p.getField("w")),
+            lit(0.0d), (acc, x) => acc + x).as("wsum"))
+        w.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            round(col("w") / col("wsum"), 6).as("weight"),
+            floor(col("total").cast(DoubleType) * col("w") / col("wsum"))
+              .cast(LongType).as("target_n"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH cnts AS (
+             |  SELECT source, count(*) AS n_docs FROM documents
+             |  GROUP BY source),
+             |w AS (SELECT source, n_docs,
+             |        sqrt(CAST(n_docs AS DOUBLE)) AS w FROM cnts),
+             |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             |          list_sum(list(w ORDER BY source)) AS wsum FROM w)
+             |SELECT source, n_docs, round(w / wsum, 6) AS weight,
+             |  CAST(FLOOR(CAST(total AS DOUBLE) * w / wsum) AS BIGINT)
+             |    AS target_n
+             |FROM w, tot ORDER BY source""".stripMargin))
   )
 }

@@ -961,6 +961,64 @@ object DedupQueries {
            |  coalesce(d.n_dup, CAST(0 AS BIGINT)) = 0 AS keep
            |FROM withh w LEFT JOIN dup d ON w.doc_id = d.doc_id
            |ORDER BY w.doc_id""".stripMargin
+      }),
+
+    // TRIANGLE COUNT of the near-duplicate graph (edges = verified
+    // MinHash-LSH pairs) — the cluster-cliquishness diagnostic that tells
+    // apart chain-shaped duplicate clusters (transitive-closure artifacts)
+    // from genuine clique families. DEGREE-ORDERED node-iterator: orient
+    // each edge low→high by (degree, id), enumerate wedges from each
+    // source's oriented adjacency (out-degree is O(√m)-bounded under this
+    // orientation — the classic O(m^1.5) guarantee), and close each wedge
+    // with a hash join back on the undirected pair set. The near-dup graph
+    // is LSH-sparse by construction, so every side of every join is
+    // edge-shaped — no corpus² anywhere. One row: edges / oriented wedges
+    // / triangles.
+    "graph_triangles" -> QueryDef(
+      (s, dir) => {
+        val p = minhashPairs(s, dir).select(col("id_a"), col("id_b")).cache()
+        val deg = p.select(explode(array(col("id_a"), col("id_b"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        val e = p
+          .join(deg.select(col("v").as("id_a"), col("dg").as("da")), "id_a")
+          .join(deg.select(col("v").as("id_b"), col("dg").as("db")), "id_b")
+          .select(
+            when(col("da") <= col("db"), col("id_a")).otherwise(col("id_b"))
+              .as("src"),
+            when(col("da") <= col("db"), col("id_b")).otherwise(col("id_a"))
+              .as("dst"))
+          .cache()
+        val wedges = e.as("x").join(e.as("y"),
+            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+          .select(col("x.dst").as("b"), col("y.dst").as("c"))
+        val tri = wedges
+          .join(p, col("b") === col("id_a") && col("c") === col("id_b"))
+        p.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      },
+      Some {
+        s"""WITH $minhashPairsCte,
+           |p AS (SELECT id_a, id_b FROM pairs),
+           |deg AS (
+           |  SELECT v, count(*) AS dg FROM (
+           |    SELECT id_a AS v FROM p UNION ALL SELECT id_b FROM p)
+           |  GROUP BY v),
+           |e AS (
+           |  SELECT CASE WHEN da.dg <= db.dg THEN p.id_a ELSE p.id_b END
+           |           AS src,
+           |         CASE WHEN da.dg <= db.dg THEN p.id_b ELSE p.id_a END
+           |           AS dst
+           |  FROM p JOIN deg da ON da.v = p.id_a
+           |         JOIN deg db ON db.v = p.id_b),
+           |w AS (
+           |  SELECT x.dst AS b, y.dst AS c
+           |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst),
+           |t AS (
+           |  SELECT 1 FROM w JOIN p ON w.b = p.id_a AND w.c = p.id_b)
+           |SELECT (SELECT count(*) FROM p) AS n_edges,
+           |       (SELECT count(*) FROM w) AS n_wedges,
+           |       (SELECT count(*) FROM t) AS n_triangles""".stripMargin
       })
   )
 }

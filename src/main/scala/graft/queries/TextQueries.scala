@@ -148,6 +148,93 @@ object TextQueries {
            |  coalesce(list_min($fps), -1) AS min_fp,
            |  coalesce(list_max($fps), -1) AS max_fp
            |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // TOP-P QUALITY SELECTION per language — "keep the best 25% of each
+    // lang by quality score" — via DISTRIBUTED SELECTION, not a full
+    // per-group sort: the corpus-sized side contributes only a
+    // map-side-combined groupBy(lang, score) histogram; the k-th score
+    // threshold comes from a cumulative sum over that (small) histogram;
+    // full-kept scores filter by broadcast threshold; and only the docs
+    // TIED at the threshold score (bounded by one histogram cell) pass
+    // through a row_number to fill the remaining quota by doc_id. A
+    // window over whole langs (5 partitions sorting 20M rows each at
+    // 100 TB) never happens. Score = ⌊10⁶ · stopword_ratio⌋ in exact
+    // integer division; k = ⌈n_lang/4⌉.
+    "text_quality_topp" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ws = words(col("text"))
+        val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
+          .cast(LongType)
+        val sc = d.select(col("doc_id"), col("lang"),
+            (nStop * 1000000L).as("num"), size(ws).cast(LongType).as("den"))
+          .selectExpr("doc_id", "lang", "num div den AS score")
+        val grp = sc.groupBy(col("lang"), col("score"))
+          .agg(count(lit(1)).as("c")).cache()
+        val k = grp.groupBy(col("lang"))
+          .agg(sum(col("c")).as("n"))
+          .selectExpr("lang", "(n + 3) div 4 AS k")
+        // above = docs STRICTLY better than this score (cumsum over the
+        // distinct-score histogram, not the corpus)
+        val wAbove = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("score").desc)
+          .rowsBetween(Long.MinValue, -1)
+        val ann = grp
+          .withColumn("above", coalesce(sum(col("c")).over(wAbove), lit(0L)))
+          .join(k, "lang")
+        val fullKept = sc.join(
+          broadcast(ann.filter(col("above") + col("c") <= col("k"))
+            .select(col("lang"), col("score"))),
+          Seq("lang", "score"))
+        val partial = ann
+          .filter(col("above") < col("k") && col("above") + col("c") > col("k"))
+          .select(col("lang"), col("score"), (col("k") - col("above")).as("q"))
+        val wTie = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("score")).orderBy(col("doc_id"))
+        val tieKept = sc.join(broadcast(partial), Seq("lang", "score"))
+          .withColumn("rk", row_number().over(wTie))
+          .filter(col("rk") <= col("q"))
+          .select(col("doc_id"), col("lang"), col("score"))
+        fullKept.select(col("doc_id"), col("lang"), col("score"))
+          .union(tieKept)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        val nStop = s"CAST(len(list_filter($ws, w -> w IN " +
+          stopwords.mkString("('", "','", "')") + ")) AS BIGINT)"
+        s"""WITH sc AS (
+           |  SELECT doc_id, lang,
+           |    ($nStop * 1000000) // CAST(len($ws) AS BIGINT) AS score
+           |  FROM documents),
+           |grp AS (SELECT lang, score, count(*) AS c FROM sc
+           |        GROUP BY lang, score),
+           |k AS (SELECT lang, (CAST(SUM(c) AS BIGINT) + 3) // 4 AS k
+           |      FROM grp GROUP BY lang),
+           |ann AS (
+           |  SELECT g.lang, g.score, g.c, k.k,
+           |    COALESCE(SUM(g.c) OVER (PARTITION BY g.lang
+           |      ORDER BY g.score DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS above
+           |  FROM grp g JOIN k USING (lang)),
+           |full_kept AS (
+           |  SELECT sc.doc_id, sc.lang, sc.score
+           |  FROM sc JOIN ann ON sc.lang = ann.lang AND sc.score = ann.score
+           |  WHERE ann.above + ann.c <= ann.k),
+           |tie_kept AS (
+           |  SELECT doc_id, lang, score FROM (
+           |    SELECT sc.doc_id, sc.lang, sc.score,
+           |      ann.k - ann.above AS q,
+           |      ROW_NUMBER() OVER (PARTITION BY sc.lang, sc.score
+           |        ORDER BY sc.doc_id) AS rk
+           |    FROM sc JOIN ann ON sc.lang = ann.lang AND sc.score = ann.score
+           |    WHERE ann.above < ann.k AND ann.above + ann.c > ann.k)
+           |  WHERE rk <= q)
+           |SELECT doc_id, lang, score FROM full_kept
+           |UNION ALL SELECT doc_id, lang, score FROM tie_kept
+           |ORDER BY lang, doc_id""".stripMargin
       })
   )
 }
