@@ -201,15 +201,33 @@ object SimilarityQueries {
         array_sort(collect_list(struct(col("i"), col("c")))),
         p => p.getField("c")).as("cv"))
 
-  private def pqPipeline(s: SparkSession, dir: String): PqModel = {
+  /** int8-quantized copies of every embedding (vec_id, qv: ARRAY<BIGINT>)
+    * — the integer domain all exact-arithmetic vector math runs in.
+    * Shared by the PQ pipeline and the power iteration. */
+  private def quantizedVecs(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val scale = e.select(explode(col("embedding")).as("x"))
       .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
-    val qv = e.crossJoin(broadcast(scale))
+    e.crossJoin(broadcast(scale))
       .select(col("vec_id"), transform(col("embedding"),
         x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
           + lit(0.5d)).cast(LongType)).as("qv"))
       .cache()
+  }
+
+  /** CTE chain `scale, qvecs` mirroring [[quantizedVecs]]. */
+  private def sqlQuantPrefix: String =
+    s"""scale AS (
+       |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+       |    x -> abs(x)), 'max')) AS DOUBLE) AS scale FROM embeddings),
+       |qvecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+       |      AS BIGINT)) AS qv
+       |  FROM embeddings, scale)""".stripMargin
+
+  private def pqPipeline(s: SparkSession, dir: String): PqModel = {
+    val qv = quantizedVecs(s, dir)
     val sub = qv.select(col("vec_id"), col("qv"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"))
       .selectExpr("vec_id", "m",
@@ -247,14 +265,7 @@ object SimilarityQueries {
   /** CTE chain `scale, qvecs, sub, c0, a1, c1, a2, c2` — the full
     * two-iteration training, mirroring [[pqPipeline]] bit-for-bit. */
   private def sqlPqPrefix: String =
-    s"""scale AS (
-       |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
-       |    x -> abs(x)), 'max')) AS DOUBLE) AS scale FROM embeddings),
-       |qvecs AS (
-       |  SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
-       |      AS BIGINT)) AS qv
-       |  FROM embeddings, scale),
+    s"""$sqlQuantPrefix,
        |sub AS (
        |  SELECT vec_id, m,
        |    list_slice(qv, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
@@ -528,6 +539,61 @@ object SimilarityQueries {
            |      ORDER BY adc, vec_id) AS BIGINT) AS rank
            |  FROM adc)
            |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // POWER ITERATION for the dominant eigenvector of the embedding Gram
+    // matrix EᵀE — the distributed-linear-algebra primitive behind PCA
+    // whitening / spectral embedding passes. INTEGER-EXACT: vectors are
+    // int8-quantized, v₀ = 1⃗, and each round computes u = Eᵀ(Ev) as two
+    // integer sum-aggregations — Ev is one broadcast-join + groupBy(row)
+    // (map-side combined, one row per vector on the shuffle), Eᵀ·(·) is
+    // one groupBy(dim) over 64 cells — then renormalizes v to [-127,127]
+    // by exact floor division against the max |u| (integer sums are
+    // commutative, so there is no float-order nondeterminism anywhere).
+    // |u| ≤ 127·(127²·64)·N keeps int64 headroom to N ≈ 10⁹ rows; beyond
+    // that the round rescales s_r by ⌊N/2ᵏ⌋ first — same algebra.
+    // Three rounds in one lazy plan; the N-sized side is touched exactly
+    // twice per round, both times as map-side-combined aggregations.
+    "embed_power_iteration" -> QueryDef(
+      (s, dir) => {
+        val ex = quantizedVecs(s, dir)
+          .select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "q")))
+          .select(col("vec_id"), col("i").cast(LongType).as("i"), col("q"))
+          .cache()
+        var v = s.range(0, Dim.toLong)
+          .select(col("id").as("i"), lit(1L).as("v"))
+        for (_ <- 0 until 3) {
+          val sr = ex.join(broadcast(v), "i")
+            .groupBy(col("vec_id")).agg(sum(col("q") * col("v")).as("sr"))
+          val u = ex.join(sr, "vec_id")
+            .groupBy(col("i")).agg(sum(col("q") * col("sr")).as("u"))
+          val m = u.agg(max(abs(col("u"))).as("m"))
+          // `div` truncates toward zero on negative u — same semantics
+          // as DuckDB's `//` (verified: -7 // 2 = -3)
+          v = u.crossJoin(broadcast(m))
+            .selectExpr("i", "(u * 127) div m AS v")
+        }
+        v.orderBy(col("i"))
+      },
+      Some {
+        def round(k: Int): String =
+          s"""s$k AS (
+             |  SELECT e.vec_id, SUM(e.q * v.v) AS sr
+             |  FROM ex e JOIN v${k - 1} v USING (i) GROUP BY e.vec_id),
+             |u$k AS (
+             |  SELECT e.i, SUM(e.q * s.sr) AS u
+             |  FROM ex e JOIN s$k s USING (vec_id) GROUP BY e.i),
+             |m$k AS (SELECT MAX(ABS(u)) AS m FROM u$k),
+             |v$k AS (SELECT i, (u * 127) // m AS v FROM u$k, m$k)""".stripMargin
+        s"""WITH $sqlQuantPrefix,
+           |ex AS (
+           |  SELECT vec_id, i, qv[i + 1] AS q
+           |  FROM qvecs, (SELECT unnest(range(0, $Dim)) AS i) r
+           |  WHERE i < len(qv)),
+           |v0 AS (SELECT unnest(range(0, $Dim)) AS i,
+           |       CAST(1 AS BIGINT) AS v),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT i, CAST(v AS BIGINT) AS v FROM v3 ORDER BY i""".stripMargin
       })
   )
 }
