@@ -286,4 +286,35 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("RunningWindowFunction"), plan.take(2000))
     assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
   }
+
+  test("text_quality_topp: thresholds broadcast; corpus never window-sorted") {
+    val plan = formatted(q("text_quality_topp"))
+    // full-kept + tie-quota threshold tables must broadcast onto the
+    // scored scan — a shuffle join (or a per-lang window over the whole
+    // corpus) is the scale regression this query exists to avoid
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("ann_pq queries: codebook and LUT broadcast onto the corpus") {
+    for (name <- Seq("ann_pq_train", "ann_pq_topk")) {
+      val plan = formatted(q(name))
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        s"$name: ${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(3000)}")
+    }
+  }
+
+  test("embed_power_iteration: v broadcast every round, no cartesian") {
+    val plan = formatted(q("embed_power_iteration"))
+    // Ev: ex ⋈ broadcast(v) per round; only the 1-row max may ride a
+    // broadcast nested loop
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("graph_triangles: wedge close is an equi-join, never a cross product") {
+    val plan = formatted(q("graph_triangles"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
