@@ -553,8 +553,11 @@ object AdvancedQueries {
           .select((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("p"))
           .distinct().cache()
+        // edges pre-partitioned by src ONCE: every round's frontier join
+        // reuses this layout instead of re-exchanging the big side
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+          .repartition(col("src")).cache()
         // bipartite + undirected: every node appears as a src
         val nodes = edges.select(col("src").as("node")).distinct().cache()
         var dist = nodes.agg(min(col("node")).as("node"))
@@ -563,8 +566,14 @@ object AdvancedQueries {
           val next = dist.filter(col("d") === r)
             .join(edges, col("node") === col("src"))
             .select(col("dst").as("node"), lit(r + 1L).as("d"))
-          dist = dist.union(next)
-            .groupBy(col("node")).agg(min(col("d")).as("d"))
+          // EAGER barrier per round: dist is referenced TWICE next round
+          // (frontier filter + union). A lazy cache doesn't help — both
+          // branches of one job race the cold cache and compute it twice
+          // each, so lineage still replays 2^rounds times (measured 5 s at
+          // sf0.1). The eager cut runs each round once, like PageRank.
+          dist = graft.operators.IterBarrier.cut(
+            dist.union(next).groupBy(col("node")).agg(min(col("d")).as("d")),
+            r + 1, reliableEvery = 0)
         }
         val reached = dist.groupBy(col("d"))
           .agg(count(lit(1)).as("n_nodes"))
