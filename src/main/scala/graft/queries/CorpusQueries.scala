@@ -387,6 +387,79 @@ object CorpusQueries {
            |  FROM ws WHERE length(w) >= 2)
            |SELECT pair, COUNT(*) AS cnt FROM prs
            |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+      }),
+
+    // BPE MERGE-RULE TRAINING, word-level: three greedy rounds of "count
+    // all adjacent token pairs → pick the most frequent (ties: lexico-min)
+    // → merge every left-to-right non-overlapping occurrence corpus-wide"
+    // — the induction loop of byte-pair / unigram tokenizer training, here
+    // over whitespace-pretokenized units so the learned units are common
+    // phrases. The MERGE APPLICATION is a single literal string replace
+    // per document against a double-space token encoding ('  a  b' →
+    // '  a_b'): literal replace is left-to-right non-overlapping in both
+    // engines — exactly BPE's application order — and the leading
+    // separator regenerates so back-to-back occurrences all merge.
+    // Per round the corpus side is ONE pure map (replace) + ONE
+    // map-side-combined pair count; the argmax is a 1-row broadcast. An
+    // eager barrier cuts the two-branch lineage per round (same device as
+    // graph_bfs_layers); at 100 TB each round's re-tokenized corpus is
+    // exactly what a real trainer materializes between iterations.
+    "text_bpe_merge" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.words
+        var docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+        var out: org.apache.spark.sql.DataFrame = null
+        for (r <- 1 to 3) {
+          val top = graft.operators.IterBarrier.cut(
+            docs.filter(size(col("ws")) >= 2)
+              .select(explode(expr("transform(sequence(1, size(ws) - 1), " +
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+                .as("pair"))
+              .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+              .agg(min_by(struct(col("pair"), col("cnt")),
+                struct((-col("cnt")).as("nc"), col("pair"))).as("t"))
+              .select(col("t.pair").as("pair"), col("t.cnt").as("cnt")),
+            r, reliableEvery = 0)
+          val row = top.select(lit(r.toLong).as("merge_round"),
+            expr("replace(pair, ' ', '_')").as("merged"),
+            col("cnt").as("n_occ"))
+          out = if (out == null) row else out.union(row)
+          docs = graft.operators.IterBarrier.cut(
+            docs.crossJoin(broadcast(top)).selectExpr("doc_id",
+              "split(trim(replace(concat('  ', array_join(ws, '  '), '  '), " +
+                "concat('  ', replace(pair, ' ', '  ')), " +
+                "concat('  ', replace(pair, ' ', '_')))), '  ') AS ws"),
+            r, reliableEvery = 0)
+        }
+        out.orderBy(col("merge_round"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlWords
+        def roundCtes(k: Int): String =
+          s"""pc$k AS (
+             |  SELECT pair, count(*) AS cnt FROM (
+             |    SELECT unnest(list_transform(range(1, len(ws)),
+             |      i -> ws[i] || ' ' || ws[i + 1])) AS pair
+             |    FROM d${k - 1} WHERE len(ws) >= 2)
+             |  GROUP BY pair),
+             |top$k AS (SELECT pair, cnt FROM pc$k
+             |          ORDER BY cnt DESC, pair LIMIT 1),
+             |d$k AS (
+             |  SELECT doc_id, string_split(trim(
+             |    replace('  ' || array_to_string(ws, '  ') || '  ',
+             |      '  ' || replace(pair, ' ', '  '),
+             |      '  ' || replace(pair, ' ', '_'))), '  ') AS ws
+             |  FROM d${k - 1}, top$k)""".stripMargin
+        s"""WITH d0 AS (
+           |  SELECT doc_id, ${sqlWords("text")} AS ws FROM documents),
+           |${(1 to 3).map(roundCtes).mkString(",\n")}
+           |SELECT merge_round, merged, n_occ FROM (
+           |  SELECT CAST(1 AS BIGINT) AS merge_round,
+           |    replace(pair, ' ', '_') AS merged, cnt AS n_occ FROM top1
+           |  UNION ALL SELECT 2, replace(pair, ' ', '_'), cnt FROM top2
+           |  UNION ALL SELECT 3, replace(pair, ' ', '_'), cnt FROM top3)
+           |ORDER BY merge_round""".stripMargin
       })
   )
 }
