@@ -115,6 +115,14 @@ object CdcSourceConfig {
     * snapshot is trusted storage. */
   val ParseErrorPolicyKey = "scan.parse.error-policy"
 
+  /** Comma-separated payload columns to drop at the source — the
+    * reference's Debezium `column.exclude.list` (debezium docs; surfaced
+    * through `DebeziumSourceFunction` properties): excluded columns never
+    * leave the reader, so downstream state/sinks can't see them (PII
+    * scrubbing at ingest). The primary key and the chunk key cannot be
+    * excluded. */
+  val ExcludeColumnsKey = "scan.exclude-columns"
+
   /** The V2 session catalog qualifies a stored table's `path` option into a
     * location URI (`file:/...`) before handing it back — CREATE TABLE ...
     * USING graft-cdc surfaces it that way while direct reads pass the raw
@@ -152,7 +160,9 @@ object CdcSourceConfig {
     distributionFactorLower = o.getOrDefault(FactorLowerKey,
       ChunkSplitter.DistributionFactorLower.toString).toDouble,
     boundedOffset = o.getOrDefault(BoundedOffsetKey, "-1").toLong,
-    parseErrorPolicy = o.getOrDefault(ParseErrorPolicyKey, "fail"))
+    parseErrorPolicy = o.getOrDefault(ParseErrorPolicyKey, "fail"),
+    excludeColumns = o.getOrDefault(ExcludeColumnsKey, "").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSet)
 }
 
 case class CdcSourceConfig(
@@ -175,7 +185,8 @@ case class CdcSourceConfig(
     distributionFactorUpper: Double = ChunkSplitter.DistributionFactorUpper,
     distributionFactorLower: Double = ChunkSplitter.DistributionFactorLower,
     boundedOffset: Long = -1L,
-    parseErrorPolicy: String = "fail") {
+    parseErrorPolicy: String = "fail",
+    excludeColumns: Set[String] = Set.empty) {
 
   def dialect: CdcDialect = CdcDialects.byName(dialectName)
   require(Set("fail", "skip").contains(parseErrorPolicy),
@@ -228,11 +239,24 @@ case class CdcSourceConfig(
   /** Payload schema at the current log head: snapshot-time schema evolved
     * by the DDL history (SURVEY §1.4 restart-time re-derivation — the
     * running query's schema is then pinned via the partitions). */
-  def payloadSchema: StructType =
-    graft.cdc.SchemaHistory.effectiveSchema(path, matchedTables.head,
+  def payloadSchema: StructType = {
+    val full = graft.cdc.SchemaHistory.effectiveSchema(path, matchedTables.head,
       // a bounded (point-in-time) read uses the schema AS OF the bound:
       // DDL past the bound must not widen the result
       if (boundedOffset >= 0L) boundedOffset else Long.MaxValue, dialect)
+    if (excludeColumns.isEmpty) full
+    else {
+      require(!excludeColumns.contains(meta.pk) &&
+          !excludeColumns.contains(chunkKey),
+        s"${CdcSourceConfig.ExcludeColumnsKey} cannot drop the primary/chunk " +
+          s"key: ${excludeColumns.mkString(",")}")
+      val unknown = excludeColumns -- full.fieldNames.toSet
+      require(unknown.isEmpty,
+        s"${CdcSourceConfig.ExcludeColumnsKey} names unknown columns: " +
+          unknown.mkString(","))
+      StructType(full.fields.filterNot(f => excludeColumns.contains(f.name)))
+    }
+  }
 
   /** Log head across all captured tables (offsets are one comparable space,
     * like a binlog position shared by all tables of a database), capped at

@@ -697,4 +697,32 @@ class CdcSourceSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("upsert"), e.getMessage)
   }
+
+  test("scan.exclude-columns drops payload columns at the source") {
+    val dir = tmpDir("cdc-excl")
+    writeDb(dir, 6L)
+    val df = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option("scan.exclude-columns", "v")
+      .load()
+    assert(!df.schema.fieldNames.contains("v"), df.schema.treeString)
+    // rows still merge to the same final state, keyed on the surviving pk
+    val ids = df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === finalState.map(_._1))
+  }
+
+  test("scan.exclude-columns refuses the primary/chunk key and unknowns") {
+    val dir = tmpDir("cdc-excl-pk")
+    writeDb(dir, 3L)
+    def readExcl(cols: String) = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option("scan.exclude-columns", cols)
+      .load().count()
+    val pk = intercept[Exception](readExcl("id"))
+    assert(pk.getMessage.contains("primary/chunk key"), pk.getMessage)
+    val unk = intercept[Exception](readExcl("nope"))
+    assert(unk.getMessage.contains("unknown columns"), unk.getMessage)
+  }
 }
