@@ -53,17 +53,36 @@ object QueryUtil {
 }
 
 object Tables {
-  /** Load one of the driver-generated tables from an sf directory.
-    * `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for — sessions set spark.sql.legacy.parquet.nanosAsLong and
-    * the loader converts to microsecond TimestampType here (`div` keeps the
-    * arithmetic in long — a double roundtrip would lose precision above
-    * 2^53 ns). */
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampType}
+
+  /** Normalize the events `ts` column to session TimestampType whatever the
+    * file's physical encoding: legacy TIMESTAMP(NANOS) files surface as
+    * LongType under spark.sql.legacy.parquet.nanosAsLong and take the
+    * nano→micro `div` path (`div` keeps the arithmetic in long — a double
+    * roundtrip would lose precision above 2^53 ns); native timestamp[us]
+    * files surface as TimestampType or TIMESTAMP_NTZ and cast through
+    * (value-preserving — every session pins spark.sql.session.timeZone=UTC). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+
+  /** Load one of the driver-generated tables from an sf directory. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The events table as a file stream: the batch reader supplies the
+    * file's OWN schema (readStream needs one up front), then the same
+    * type-adaptive `ts` normalization as the batch loader. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    normalizeEventTs(spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
   }
 }

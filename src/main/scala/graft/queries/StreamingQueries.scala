@@ -80,14 +80,8 @@ object StreamingQueries {
       // streaming state is O(windows×types): size stores to state volume
       (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
-        val raw = Tables.load(s, dir0, "events")
         val name = s"hourly_${System.nanoTime()}"
-        val streamed = s.readStream
-          .schema(StructType(raw.schema.fields.map(f =>
-            if (f.name == "ts") StructField("ts", LongType) else f)))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir0)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val streamed = Tables.eventsStream(s, dir0)
         val q = streamed
           .withWatermark("ts", "30 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -125,16 +119,7 @@ object StreamingQueries {
       // when per-partition state no longer fits an executor)
       (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 2) {
         val name = s"ssj_${System.nanoTime()}"
-        def eventsStream = {
-          import org.apache.spark.sql.types._
-          val raw = Tables.load(s, dir0, "events")
-          s.readStream
-            .schema(StructType(raw.schema.fields.map(f =>
-              if (f.name == "ts") StructField("ts", LongType) else f)))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(dir0)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        }
+        def eventsStream = Tables.eventsStream(s, dir0)
         import org.apache.spark.sql.types.LongType
         val clicks = eventsStream.filter(col("event_type") === "click")
           .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
@@ -185,16 +170,7 @@ object StreamingQueries {
     "q_stream_left_outer_join" -> QueryDef(
       (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 2) {
         val name = s"slo_${System.nanoTime()}"
-        def eventsStream = {
-          import org.apache.spark.sql.types._
-          val raw = Tables.load(s, dir0, "events")
-          s.readStream
-            .schema(StructType(raw.schema.fields.map(f =>
-              if (f.name == "ts") StructField("ts", LongType) else f)))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(dir0)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        }
+        def eventsStream = Tables.eventsStream(s, dir0)
         import org.apache.spark.sql.types.LongType
         val clicks = eventsStream.filter(col("event_type") === "click")
           .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
@@ -251,16 +227,7 @@ object StreamingQueries {
     "q_stream_full_outer_join" -> QueryDef(
       (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 2) {
         val name = s"sfo_${System.nanoTime()}"
-        def eventsStream = {
-          import org.apache.spark.sql.types._
-          val raw = Tables.load(s, dir0, "events")
-          s.readStream
-            .schema(StructType(raw.schema.fields.map(f =>
-              if (f.name == "ts") StructField("ts", LongType) else f)))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(dir0)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        }
+        def eventsStream = Tables.eventsStream(s, dir0)
         import org.apache.spark.sql.types.LongType
         val clicks = eventsStream.filter(col("event_type") === "click")
           .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
@@ -328,14 +295,7 @@ object StreamingQueries {
     "q_stream_dedup" -> QueryDef(
       (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         val name = s"sdd_${System.nanoTime()}"
-        import org.apache.spark.sql.types._
-        val raw = Tables.load(s, dir0, "events")
-        val streamed = s.readStream
-          .schema(StructType(raw.schema.fields.map(f =>
-            if (f.name == "ts") StructField("ts", LongType) else f)))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir0)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val streamed = Tables.eventsStream(s, dir0)
         val q = streamed
           .withWatermark("ts", "1 hour")
           .dropDuplicates("user_id", "event_type")
@@ -359,14 +319,11 @@ object StreamingQueries {
     "q_stream_session_window" -> QueryDef(
       (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
-        val raw = Tables.load(s, dir0, "events")
         val name = s"ssw_${System.nanoTime()}"
-        val streamed = s.readStream
-          .schema(StructType(raw.schema.fields.map(f =>
-            if (f.name == "ts") StructField("ts", LongType) else f)))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir0)
-          .withColumn("tse", expr("ts div 1000000000"))
+        // timestamp→long cast floor-divides micros by 1e6: exactly the
+        // oracle's floor(epoch(ts)) second truncation
+        val streamed = Tables.eventsStream(s, dir0)
+          .withColumn("tse", col("ts").cast(LongType))
           .withColumn("tst", timestamp_seconds(col("tse")))
         val q = streamed
           .withWatermark("tst", "1 hour")

@@ -15,13 +15,7 @@ class StreamOuterAvailableNowSpec extends SparkSpecBase {
 
   test("AvailableNow flushes outer rows up to the final watermark") {
     val dir0 = "/root/testdata/sf0.001"
-    val raw = Tables.load(spark, dir0, "events")
-    def eventsStream = spark.readStream
-      .schema(StructType(raw.schema.fields.map(f =>
-        if (f.name == "ts") StructField("ts", LongType) else f)))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir0)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def eventsStream = Tables.eventsStream(spark, dir0)
     val clicks = eventsStream.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
