@@ -31,10 +31,7 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         val back = spark.read.parquet(s"$outDir/$name")
-        val canon = back.collect().map(_.toString).sorted
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        canon.foreach(r => md.update(r.getBytes("UTF-8")))
-        hashes(name) = md.digest().map("%02x".format(_)).mkString
+        hashes(name) = ResultHash.hash(back.collect())
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -48,12 +48,14 @@ case class SnapshotChunkPartition(dialect: String, path: String,
     ranges: Seq[(Option[Long], Option[Long])],
     high: Long, schemaDdl: String,
     chunkKey: String = "",
-    parsePolicy: String = "fail") extends InputPartition
+    parsePolicy: String = "fail",
+    serverTimeZone: String = "UTC") extends InputPartition
 
 case class LogRangePartition(dialect: String, path: String, table: String,
     from: Long, to: Long, changelogMode: String,
     schemaDdl: String,
-    parsePolicy: String = "fail") extends InputPartition
+    parsePolicy: String = "fail",
+    serverTimeZone: String = "UTC") extends InputPartition
 
 class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -73,7 +75,7 @@ class CdcReaderFactory extends PartitionReaderFactory {
   * 40-column table must not JSON-decode the other 38. */
 private[source] class EnvelopeDecoder(dialectName: String, path: String,
     table: String, schemaDdl: String, chunkKeyOpt: String = "",
-    parsePolicy: String = "fail") {
+    parsePolicy: String = "fail", serverTimeZone: String = "UTC") {
   val dialect = CdcDialects.byName(dialectName)
   val meta: FileCdcDatabase.TableMeta = dialect.tableMeta(path, table)
   /** Snapshot split key: pk unless overridden (chunk-key.column). Range
@@ -101,7 +103,7 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
       need.map(n => meta.schema(meta.schema.fieldIndex(n))))
   }
 
-  val codec = new JsonRowCodec(decodeSchema)
+  val codec = new JsonRowCodec(decodeSchema, serverTimeZone)
   val pkIdx: Int = decodeSchema.fieldIndex(meta.pk)
   val pkType = decodeSchema(pkIdx).dataType
   val ckIdx: Int = decodeSchema.fieldIndex(chunkKey)
@@ -290,7 +292,7 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
   ReaderFailureInjection.maybeFail(isSnapshot = true)
 
   private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table,
-    p.schemaDdl, p.chunkKey, p.parsePolicy)
+    p.schemaDdl, p.chunkKey, p.parsePolicy, p.serverTimeZone)
 
   // The partition's chunk ranges are consecutive, so the whole partition
   // spans one contiguous key interval.
@@ -401,7 +403,8 @@ class LogRangeReader(p: LogRangePartition)
   ReaderFailureInjection.maybeFail(isSnapshot = false)
 
   private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table,
-    p.schemaDdl, parsePolicy = p.parsePolicy)
+    p.schemaDdl, parsePolicy = p.parsePolicy,
+    serverTimeZone = p.serverTimeZone)
 
   // lazy: a JDBC dialect's logLines borrows a pooled connection and
   // registers the cursor the moment it is CALLED — that must happen inside

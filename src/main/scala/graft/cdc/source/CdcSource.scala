@@ -115,6 +115,13 @@ object CdcSourceConfig {
     * snapshot is trusted storage. */
   val ParseErrorPolicyKey = "scan.parse.error-policy"
 
+  /** Zone that zoneless TIMESTAMP wire strings are interpreted in — the
+    * reference's `server-time-zone` (MySqlSourceOptions.java:88-96, applied
+    * by RowDataDebeziumDeserializeSchema.java:469-530: a non-UTC MySQL
+    * server emits TIMESTAMP columns as server-local wall clock, and the
+    * reader must shift them to epoch). Default UTC. */
+  val ServerTimeZoneKey = "server-time-zone"
+
   /** Comma-separated payload columns to drop at the source — the
     * reference's Debezium `column.exclude.list` (debezium docs; surfaced
     * through `DebeziumSourceFunction` properties): excluded columns never
@@ -162,7 +169,8 @@ object CdcSourceConfig {
     boundedOffset = o.getOrDefault(BoundedOffsetKey, "-1").toLong,
     parseErrorPolicy = o.getOrDefault(ParseErrorPolicyKey, "fail"),
     excludeColumns = o.getOrDefault(ExcludeColumnsKey, "").split(",")
-      .map(_.trim).filter(_.nonEmpty).toSet)
+      .map(_.trim).filter(_.nonEmpty).toSet,
+    serverTimeZone = o.getOrDefault(ServerTimeZoneKey, "UTC"))
 }
 
 case class CdcSourceConfig(
@@ -186,9 +194,17 @@ case class CdcSourceConfig(
     distributionFactorLower: Double = ChunkSplitter.DistributionFactorLower,
     boundedOffset: Long = -1L,
     parseErrorPolicy: String = "fail",
-    excludeColumns: Set[String] = Set.empty) {
+    excludeColumns: Set[String] = Set.empty,
+    serverTimeZone: String = "UTC") {
 
   def dialect: CdcDialect = CdcDialects.byName(dialectName)
+  // fail at analysis, not per-row on the executor (the reference validates
+  // server-time-zone up front the same way, MySqlValidator)
+  require(
+    try { java.time.ZoneId.of(serverTimeZone); true }
+    catch { case _: java.time.DateTimeException => false },
+    s"${CdcSourceConfig.ServerTimeZoneKey} is not a valid zone id: " +
+      s"$serverTimeZone")
   require(Set("fail", "skip").contains(parseErrorPolicy),
     s"${CdcSourceConfig.ParseErrorPolicyKey} must be fail|skip: " +
       s"$parseErrorPolicy")
@@ -548,7 +564,7 @@ object CdcPlanner {
     cs.grouped(group).zipWithIndex.map { case (g, i) =>
       SnapshotChunkPartition(cfg.dialectName, cfg.path, table, i,
         g.map(c => (c.lo, c.hi)), high, schemaDdl, cfg.chunkKey,
-        cfg.parseErrorPolicy)
+        cfg.parseErrorPolicy, cfg.serverTimeZone)
     }.toSeq
   }
 
@@ -569,7 +585,8 @@ object CdcPlanner {
           // file snapshot all chunks share one high == logFrom.
           logRanges(logFrom, logTo, cfg.logPartitions).map { case (lo, hi) =>
             LogRangePartition(cfg.dialectName, cfg.path, table,
-              lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy)
+              lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy,
+              cfg.serverTimeZone)
           }
         else Seq.empty
       snap ++ log
@@ -753,7 +770,8 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
         CdcPlanner.logRanges(s.logOffset, e.logOffset, cfg.logPartitions)
           .map { case (lo, hi) =>
             LogRangePartition(cfg.dialectName, cfg.path, table,
-              lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy)
+              lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy,
+              cfg.serverTimeZone)
           }
       else Seq.empty
     }.toArray

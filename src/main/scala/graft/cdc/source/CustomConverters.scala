@@ -30,6 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
  *    `String.split` does).
  *  - `year`: wire int → INT with MySQL YEAR two-digit widening
  *    (0-69 → 2000+v, 70-99 → 1900+v — io.debezium.time.Year semantics).
+ *  - `objectid`: BSON extended-JSON `{"$oid": <24-hex>}` (or a bare hex
+ *    string) → STRING — the reference renders ObjectId as its hex string
+ *    (MongoDBConnectorDeserializationSchema.java:580-582).
+ *  - `decimal128`: `{"$numberDecimal": "…"}` / string / number → DECIMAL,
+ *    with the reference's coercions and non-finite clamping to
+ *    ±Double.MAX_VALUE (createDecimalConverter, :657-687).
+ *  - `uuid`: `{"$binary":{"base64":…,"subType":"04"}}` (or `{"$uuid":…}`)
+ *    → canonical UUID STRING — the reference stringifies UUID-subtype
+ *    binaries via `bsonBinary.asUuid()` (:573-578).
  */
 object CustomConverters {
 
@@ -68,9 +77,27 @@ object CustomConverters {
         s"graft.type=year column '${f.name}' must be declared INT, " +
           s"got ${f.dataType.sql}")
       yearToInt _
+    case "objectid" =>
+      require(f.dataType == StringType,
+        s"graft.type=objectid column '${f.name}' must be declared STRING, " +
+          s"got ${f.dataType.sql}")
+      objectIdToString _
+    case "decimal128" =>
+      val d = f.dataType match {
+        case d: DecimalType => d
+        case other => throw new IllegalArgumentException(
+          s"graft.type=decimal128 column '${f.name}' must be declared " +
+            s"DECIMAL(p,s), got ${other.sql}")
+      }
+      (n: JsonNode) => decimal128ToDecimal(n, d.precision, d.scale)
+    case "uuid" =>
+      require(f.dataType == StringType,
+        s"graft.type=uuid column '${f.name}' must be declared STRING, " +
+          s"got ${f.dataType.sql}")
+      uuidToString _
     case other => throw new IllegalArgumentException(
       s"unknown graft.type converter '$other' on column '${f.name}' " +
-        "(known: geometry, set, year)")
+        "(known: geometry, set, year, objectid, decimal128, uuid)")
   }
 
   /** Debezium-geometry wire struct → GeoJSON string. Parses point WKB
@@ -114,5 +141,75 @@ object CustomConverters {
     if (v >= 0 && v <= 69) 2000 + v
     else if (v >= 70 && v <= 99) 1900 + v
     else v
+  }
+
+  /** BSON ObjectId → hex string (reference
+    * `asObjectId().getValue().toHexString()`). Accepts the extended-JSON
+    * `{"$oid": …}` wrapper or a bare string. */
+  private def objectIdToString(node: JsonNode): Any = {
+    val hex =
+      if (node.isTextual) node.asText()
+      else {
+        val oid = node.get("$oid")
+        require(oid != null && oid.isTextual,
+          s"ObjectId value carries no '$$oid' field: $node")
+        oid.asText()
+      }
+    require(hex.length == 24 && hex.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')
+        || (c >= 'A' && c <= 'F')),
+      s"not a 24-hex ObjectId: '$hex'")
+    UTF8String.fromString(hex.toLowerCase)
+  }
+
+  /** BSON Decimal128 → Spark Decimal, with the reference's coercion set
+    * (string, int32/int64, double) and its non-finite clamping: ±Infinity
+    * (and NaN, which Decimal128 treats as non-negative non-finite) map to
+    * ±Double.MAX_VALUE (createDecimalConverter, :664-672). */
+  private def decimal128ToDecimal(node: JsonNode, precision: Int,
+      scale: Int): Any = {
+    val text =
+      if (node.isObject) {
+        val d = node.get("$numberDecimal")
+        require(d != null && d.isTextual,
+          s"Decimal128 value carries no '$$numberDecimal' field: $node")
+        d.asText()
+      } else if (node.isTextual || node.isNumber) node.asText()
+      else throw new IllegalArgumentException(
+        s"unable to convert to decimal from: $node")
+    val bd = text match {
+      case "-Infinity" => java.math.BigDecimal.valueOf(-Double.MaxValue)
+      case "Infinity" | "NaN" => java.math.BigDecimal.valueOf(Double.MaxValue)
+      case t => new java.math.BigDecimal(t)
+    }
+    // overflow → null, the reference's DecimalData.fromBigDecimal contract
+    // (a clamped ±Double.MAX_VALUE rarely fits the declared precision)
+    try Decimal(bd, precision, scale)
+    catch { case _: ArithmeticException => null }
+  }
+
+  /** BSON UUID-subtype binary → canonical UUID string (reference
+    * `bsonBinary.asUuid().toString()`). Accepts extended-JSON
+    * `{"$binary":{"base64":…,"subType":"04"}}` or the `{"$uuid": …}`
+    * canonical form. */
+  private def uuidToString(node: JsonNode): Any = {
+    val u = node.get("$uuid")
+    if (u != null && u.isTextual)
+      return UTF8String.fromString(
+        java.util.UUID.fromString(u.asText()).toString)
+    val bin = node.get("$binary")
+    require(bin != null && bin.isObject,
+      s"UUID value carries no '$$binary'/'$$uuid' field: $node")
+    val sub = Option(bin.get("subType")).map(_.asText()).getOrElse("")
+    require(sub == "04" || sub == "4" || sub == "03" || sub == "3",
+      s"not a UUID binary subtype: '$sub'") // legacy 0x03 accepted like
+        // BsonBinarySubType.isUuid does
+    val bytes = java.util.Base64.getDecoder.decode(
+      bin.get("base64").asText())
+    require(bytes.length == 16, s"UUID binary must be 16 bytes, " +
+      s"got ${bytes.length}")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    UTF8String.fromString(
+      new java.util.UUID(bb.getLong, bb.getLong).toString)
   }
 }

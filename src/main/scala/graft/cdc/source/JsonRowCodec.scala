@@ -23,9 +23,16 @@ import java.time.{Instant, LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
  * The encode side is Spark's own `df.write.json` (fixture writer), so the
  * wire format is Spark-JSON: ISO-8601 temporals, base64 binary.
  */
-class JsonRowCodec(schema: StructType) extends Serializable {
+class JsonRowCodec(schema: StructType, serverTimeZone: String = "UTC")
+    extends Serializable {
 
   @transient private lazy val mapper = new ObjectMapper()
+
+  /** Zone that zoneless TIMESTAMP wire strings are interpreted in — the
+    * reference's `server-time-zone` shift (RowDataDebeziumDeserializeSchema
+    * .java:469-530: MySQL TIMESTAMP values reach the converter as wall-clock
+    * strings in the SERVER's zone and must be shifted to epoch). */
+  @transient private lazy val serverZoneId = java.time.ZoneId.of(serverTimeZone)
 
   /** Per-struct custom-converter slots (U2 hook): for every StructType
     * reachable from `schema` with at least one `graft.type`-tagged field,
@@ -102,7 +109,7 @@ class JsonRowCodec(schema: StructType) extends Serializable {
       case DateType =>
         LocalDate.parse(node.asText()).toEpochDay.toInt
       case TimestampType =>
-        JsonRowCodec.parseTimestampMicros(node.asText())
+        JsonRowCodec.parseTimestampMicros(node.asText(), serverZoneId)
       case TimestampNTZType =>
         val ldt = LocalDateTime.parse(node.asText(),
           DateTimeFormatter.ISO_LOCAL_DATE_TIME)
@@ -130,15 +137,19 @@ class JsonRowCodec(schema: StructType) extends Serializable {
 }
 
 object JsonRowCodec {
-  /** Parse Spark-JSON timestamps ("2024-01-01T00:09:58.778Z" or with offset /
-    * without zone) to epoch micros (UTC session zone). */
-  def parseTimestampMicros(s: String): Long = {
+  /** Parse Spark-JSON timestamps to epoch micros. Strings carrying an
+    * explicit offset ("2024-01-01T00:09:58.778Z", "+02:00") are absolute;
+    * ZONELESS wall-clock strings are interpreted in `zone` — the
+    * reference's server-time-zone semantics (MySqlSourceOptions
+    * `server-time-zone`; RowDataDebeziumDeserializeSchema.java:469-530). */
+  def parseTimestampMicros(s: String,
+      zone: java.time.ZoneId = ZoneOffset.UTC): Long = {
     val inst: Instant =
       try OffsetDateTime.parse(s).toInstant
       catch {
         case _: Exception =>
           LocalDateTime.parse(s, DateTimeFormatter.ISO_LOCAL_DATE_TIME)
-            .toInstant(ZoneOffset.UTC)
+            .atZone(zone).toInstant
       }
     inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }

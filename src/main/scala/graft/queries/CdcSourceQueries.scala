@@ -521,6 +521,73 @@ object CdcSourceQueries {
         ChangelogGen.oracleFinalStateSql(typedSpec,
           Seq("ck", "flags_joined", "n_flags", "loc_geojson", "est_year",
             "bal"), derived) + "\nORDER BY ck"
+      }),
+
+    // Mongo-specific BSON extended types through the converter hook (U2):
+    // ObjectId `{"$oid":…}` → hex string, Decimal128 `{"$numberDecimal":…}`
+    // → DECIMAL, UUID-subtype binary → canonical UUID string — the
+    // reference's BSON conversions (MongoDBConnectorDeserializationSchema
+    // .java:220-272, :565-594, :657-687), surviving the snapshot+changelog
+    // merge like every converted type.
+    "cdc_mongo_extended_types" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareMongo(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "mongoish")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          // decimal values surface as DOUBLE for the compare (the suite's
+          // decimal contract, MoneyMath) — x.25 is double-exact
+          .select(col("mk"), col("_id"),
+            col("d128").cast(DoubleType).as("d128"), col("uid"), col("val"))
+          .orderBy(col("mk"))
+      },
+      Some {
+        val derived =
+          """(SELECT c_custkey AS mk,
+            |  printf('%024x', c_custkey) AS _id,
+            |  CAST(CAST(CAST(c_custkey AS DECIMAL(20,4)) + 0.25
+            |    AS DECIMAL(20,4)) AS DOUBLE) AS d128,
+            |  concat(substr(printf('%016x', c_custkey), 1, 8), '-',
+            |    substr(printf('%016x', c_custkey), 9, 4), '-',
+            |    substr(printf('%016x', c_custkey), 13, 4), '-',
+            |    substr(printf('%016x', c_custkey * 31), 1, 4), '-',
+            |    substr(printf('%016x', c_custkey * 31), 5, 12)) AS uid,
+            |  c_custkey % 50 AS val
+            |FROM customer) AS mongo_src""".stripMargin
+        ChangelogGen.oracleFinalStateSql(mongoSpec,
+          Seq("mk", "_id", "d128", "uid", "val"), derived) + "\nORDER BY mk"
+      }),
+
+    // server-time-zone (MySqlSourceOptions.java:88-96, shift applied in
+    // RowDataDebeziumDeserializeSchema.java:469-530; ITCase
+    // MySqlTimezoneITCase.java): a non-UTC database emits TIMESTAMP columns
+    // as ZONELESS server-local wall-clock strings — the fixture writes
+    // wall clocks 8 h ahead (Asia/Shanghai, fixed +08:00 for these dates),
+    // and the reader configured with that zone must land every value back
+    // on the UTC epoch timeline, through snapshot AND changelog images.
+    "cdc_timezone_shift" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareTz(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "tz")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .option("server-time-zone", "Asia/Shanghai")
+          .load()
+          .select(col("ok"), col("ots"), col("val"))
+          .orderBy(col("ok"))
+      },
+      Some {
+        val derived =
+          """(SELECT c_custkey AS ok,
+            |  TIMESTAMP '1995-06-01 00:00:00'
+            |    + c_custkey * INTERVAL 1 SECOND AS ots,
+            |  c_custkey % 50 AS val
+            |FROM customer) AS tz_src""".stripMargin
+        ChangelogGen.oracleFinalStateSql(tzSpec,
+          Seq("ok", "ots", "val"), derived) + "\nORDER BY ok"
       })
   )
 
@@ -606,6 +673,74 @@ object CdcSourceQueries {
         "ck BIGINT,flags ARRAY<STRING> COMMENT 'graft.type=set'," +
           "loc STRING COMMENT 'graft.type=geometry'," +
           "est INT COMMENT 'graft.type=year',bal BIGINT"))
+    dir
+  }
+
+  private val tzSpec = ChangelogGen.Spec(pk = "ok", measure = "val",
+    table = "tz")
+
+  private val mongoSpec = ChangelogGen.Spec(pk = "mk", measure = "val",
+    table = "mongoish")
+
+  private case class MongoSrcRow(mk: Long, oid: String, decs: String,
+      b64: String, v: Long)
+
+  /** File CDC database whose wire values are BSON extended JSON: ObjectId
+    * `{"$oid":…}`, Decimal128 `{"$numberDecimal":…}`, UUID-subtype binary
+    * `{"$binary":{"base64":…,"subType":"04"}}` — what a Mongo changelog
+    * physically ships; the declared schema tags the converter per column. */
+  private[queries] def prepareMongo(spark: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_mongo/$sf"
+    import spark.implicits._
+    val rows = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("mk")).as[Long]
+      .map { mk =>
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putLong(mk); bb.putLong(mk * 31)
+        MongoSrcRow(mk, f"$mk%024x", s"$mk.25",
+          java.util.Base64.getEncoder.encodeToString(bb.array()), mk % 50)
+      }
+    val snapshot = rows.toDF().select(
+      col("mk"),
+      struct(col("oid").as("$oid")).as("_id"),
+      struct(col("decs").as("$numberDecimal")).as("d128"),
+      struct(struct(col("b64").as("base64"), lit("04").as("subType"))
+        .as("$binary")).as("uid"),
+      col("v").as("val"))
+    FileCdcDatabase.write(spark, dir, "mongoish", "graft", mongoSpec.pk,
+      snapshot = snapshot,
+      changes = ChangelogGen.changes(snapshot, mongoSpec),
+      snapshotPartitions = 4,
+      schemaDdlOverride = Some(
+        "mk BIGINT,_id STRING COMMENT 'graft.type=objectid'," +
+          "d128 DECIMAL(20,4) COMMENT 'graft.type=decimal128'," +
+          "uid STRING COMMENT 'graft.type=uuid',val BIGINT"))
+    dir
+  }
+
+  /** File CDC database simulating a non-UTC server: the `ots` wire strings
+    * are zoneless wall clocks in Asia/Shanghai (UTC instant + 8 h,
+    * formatted), while the declared schema says TIMESTAMP — decode must
+    * shift by `server-time-zone` to recover the UTC instants. */
+  private[queries] def prepareTz(spark: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_tz/$sf"
+    // UTC session: unix_timestamp parses as UTC, date_format renders UTC —
+    // so rendering (instant + 8 h) zoneless IS the Shanghai wall clock
+    val wallBase = unix_timestamp(lit("1995-06-01 08:00:00")
+      .cast("timestamp"))
+    val snapshot = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("ok"))
+      .select(col("ok"),
+        date_format(timestamp_seconds(wallBase + col("ok")),
+          "yyyy-MM-dd'T'HH:mm:ss").as("ots"),
+        (col("ok") % 50).as("val"))
+    FileCdcDatabase.write(spark, dir, "tz", "graft", tzSpec.pk,
+      snapshot = snapshot,
+      changes = ChangelogGen.changes(snapshot, tzSpec),
+      snapshotPartitions = 4,
+      schemaDdlOverride = Some("ok BIGINT,ots TIMESTAMP,val BIGINT"))
     dir
   }
 

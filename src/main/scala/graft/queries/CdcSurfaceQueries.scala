@@ -73,6 +73,21 @@ object CdcSurfaceQueries {
     spark.read.parquet(dir).toDF("value").as[String]
   }
 
+  /** Same hoist as [[prepareJsonFixture]], schema-included wire format. */
+  private[queries] def prepareJsonSchemaFixture(spark: SparkSession,
+      sfDir: String, base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[String] = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/json_roundtrip_schema/$sf"
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val env = ChangelogGen.full(base, ordersSpec)
+      Deserializers.toJsonStringsWithSchema(env, base.schema)
+        .write.mode("overwrite").parquet(dir)
+    }
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    spark.read.parquet(dir).toDF("value").as[String]
+  }
+
   private[queries] def prepareCorrupt(spark: SparkSession, sfDir: String): String = {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     val sf = new java.io.File(sfDir).getName
@@ -206,6 +221,27 @@ object CdcSurfaceQueries {
         val base = Tables.load(s, dir0, "orders")
         val jsons = prepareJsonFixture(s, dir0, base)
         val back = Deserializers.fromJsonStrings(jsons, base.schema)
+        opCounts(Materialize.emit(back, ChangelogAll))
+      },
+      Some("""SELECT __op, n FROM (
+             |  SELECT '+I' AS __op,
+             |    (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 1) AS n
+             |  UNION ALL SELECT '+U', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
+             |  UNION ALL SELECT '-U', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7)
+             |  UNION ALL SELECT '-D', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
+             |) ORDER BY __op""".stripMargin)),
+
+    // Schema-INCLUDED Debezium-JSON round trip (the reference's
+    // `includeSchema` constructor, JsonDebeziumDeserializationSchema.java):
+    // each document embeds its Connect-style schema, and the reader
+    // re-derives the row StructType FROM the wire — no caller-supplied
+    // schema anywhere on the parse path. Same changelog histogram as the
+    // schemaless round trip, so any drift in either wire format shows.
+    "cdc_json_roundtrip_schema" -> QueryDef(
+      (s, dir0) => {
+        val base = Tables.load(s, dir0, "orders")
+        val jsons = prepareJsonSchemaFixture(s, dir0, base)
+        val back = Deserializers.fromJsonStringsWithSchema(jsons)
         opCounts(Materialize.emit(back, ChangelogAll))
       },
       Some("""SELECT __op, n FROM (

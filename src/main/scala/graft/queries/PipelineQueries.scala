@@ -944,7 +944,8 @@ object PipelineQueries {
            |    SUM(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
            |      AS cum
            |  FROM w)
-           |SELECT ((cum - wt) // step) AS bin, MIN(doc_id) AS first_doc,
+           |SELECT CAST((cum - wt) // step AS BIGINT) AS bin,
+           |  MIN(doc_id) AS first_doc,
            |  COUNT(*) AS n_docs, CAST(SUM(wt) AS BIGINT) AS bin_weight
            |FROM c, tot
            |GROUP BY bin ORDER BY bin""".stripMargin

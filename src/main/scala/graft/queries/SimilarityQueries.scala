@@ -529,7 +529,8 @@ object SimilarityQueries {
            |  FROM sub s JOIN c2 c ON c.m = s.m
            |  WHERE s.vec_id < $NumQueries),
            |adc AS (
-           |  SELECT l.query_id, co.vec_id, SUM(l.qd2) AS adc
+           |  SELECT l.query_id, co.vec_id,
+           |    CAST(SUM(l.qd2) AS BIGINT) AS adc
            |  FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.cid
            |  WHERE co.vec_id <> l.query_id
            |  GROUP BY l.query_id, co.vec_id)
@@ -556,9 +557,15 @@ object SimilarityQueries {
     // twice per round, both times as map-side-combined aggregations.
     "embed_power_iteration" -> QueryDef(
       (s, dir) => {
+        // hash-partition the exploded N·Dim table by vec_id ONCE before
+        // caching: the Ev join is broadcast (partitioning-preserving), so
+        // the per-round groupBy(vec_id) and ex ⋈ sr both reuse the cached
+        // layout with no further Exchange of the big side — the same
+        // pre-partition-once trick as PageRank.edgeDeg / BFS edges
         val ex = quantizedVecs(s, dir)
           .select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "q")))
           .select(col("vec_id"), col("i").cast(LongType).as("i"), col("q"))
+          .repartition(col("vec_id"))
           .cache()
         var v = s.range(0, Dim.toLong)
           .select(col("id").as("i"), lit(1L).as("v"))

@@ -87,6 +87,47 @@ class CustomConvertersSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("STRING"))
   }
 
+  test("objectid: extended-JSON and bare hex forms " +
+    "(MongoDBConnectorDeserializationSchema.java:580-582)") {
+    val f = tagged("o", StringType, "objectid")
+    val hex = "65a1b2c3d4e5f60718293a4b"
+    assert(convert(f, s"""{"$$oid":"$hex"}""").toString === hex)
+    assert(convert(f, s""""${hex.toUpperCase}"""").toString === hex)
+    intercept[IllegalArgumentException] { convert(f, """{"$oid":"zz"}""") }
+    intercept[IllegalArgumentException] { convert(f, """{"oid":"ab"}""") }
+  }
+
+  test("decimal128: $numberDecimal / string / number coercions and " +
+    "non-finite clamping (:657-687)") {
+    val f = tagged("d", DecimalType(20, 4), "decimal128")
+    assert(convert(f, """{"$numberDecimal":"12.5"}""").toString === "12.5000")
+    assert(convert(f, "\"7.25\"").toString === "7.2500")
+    assert(convert(f, "42").toString === "42.0000")
+    // non-finite Decimal128 clamps to ±Double.MAX_VALUE in the reference;
+    // at DECIMAL(20,4) that overflows precision → null (Spark's overflow
+    // contract for Decimal.set with precision bound), never garbage
+    val inf = convert(f, """{"$numberDecimal":"Infinity"}""")
+    assert(inf === null)
+    intercept[IllegalArgumentException] { convert(f, "true") }
+  }
+
+  test("uuid: binary subtype 04 and $uuid forms stringify canonically " +
+    "(:573-578)") {
+    val f = tagged("u", StringType, "uuid")
+    val msb = 0x0123456789abcdefL; val lsb = 0xfedcba9876543210L
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(msb); bb.putLong(lsb)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
+    val expect = new java.util.UUID(msb, lsb).toString
+    assert(convert(f,
+      s"""{"$$binary":{"base64":"$b64","subType":"04"}}""").toString
+      === expect)
+    assert(convert(f, s"""{"$$uuid":"$expect"}""").toString === expect)
+    intercept[IllegalArgumentException] { // generic (non-UUID) subtype
+      convert(f, s"""{"$$binary":{"base64":"$b64","subType":"00"}}""")
+    }
+  }
+
   test("malformed geometry flows to the parse-error policy, not garbage") {
     val f = tagged("g", StringType, "geometry")
     intercept[IllegalArgumentException] { // non-point WKB type

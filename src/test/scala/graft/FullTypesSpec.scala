@@ -165,4 +165,32 @@ class FullTypesSpec extends SparkSpecBase {
     assert(got.length === 1)
     (1 until payload.size).foreach(i => assert(got(0).isNullAt(i), s"col $i"))
   }
+
+  test("server-time-zone shifts zoneless TIMESTAMP wire strings " +
+    "(RowDataDebeziumDeserializeSchema.java:469-530)") {
+    import graft.cdc.source.JsonRowCodec
+    val schema = StructType(Seq(StructField("ts", TimestampType)))
+    def decodeMicros(codec: JsonRowCodec, s: String): Long =
+      codec.decode(s"""{"ts":"$s"}""").getLong(0)
+    val utc = new JsonRowCodec(schema) // default zone
+    val sha = new JsonRowCodec(schema, "Asia/Shanghai")
+    val berlin = new JsonRowCodec(schema, "Europe/Berlin")
+    val wall = "2024-01-15T12:00:00"
+    val base = decodeMicros(utc, wall)
+    // Shanghai wall noon is 8 h before UTC wall noon on the epoch timeline
+    assert(decodeMicros(sha, wall) === base - 8L * 3600 * 1000000)
+    // Berlin in January is CET (+01:00)
+    assert(decodeMicros(berlin, wall) === base - 1L * 3600 * 1000000)
+    // explicit offsets are absolute: server-time-zone must NOT shift them
+    val zoned = "2024-01-15T12:00:00Z"
+    assert(decodeMicros(sha, zoned) === base)
+    assert(decodeMicros(berlin, "2024-01-15T13:00:00+01:00") === base)
+    // an invalid zone fails analysis-time validation, not per row
+    val e = intercept[IllegalArgumentException] {
+      graft.cdc.source.CdcSourceConfig(path = "/tmp/x", table = "t",
+        startupMode = "initial", chunkSize = 1, changelogMode = "all",
+        serverTimeZone = "Not/AZone")
+    }
+    assert(e.getMessage.contains("server-time-zone"))
+  }
 }

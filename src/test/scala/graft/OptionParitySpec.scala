@@ -42,9 +42,10 @@ class OptionParitySpec extends AnyFunSuite {
     "database-name" -> NA("the database is the store at `path`; its name " +
       "is read from store metadata and emitted as the `__db` column"),
     "table-name" -> Mapped(CdcSourceConfig.TableNameKey, None),
-    "server-time-zone" -> NA("envelopes carry UTC epoch millis (`__ts_ms`);" +
-      " rendering follows spark.sql.session.timeZone, so there is no " +
-      "server-local wall-clock to reinterpret"),
+    "server-time-zone" -> Mapped(CdcSourceConfig.ServerTimeZoneKey,
+      // reference default: system zone; here UTC — zero-egress stores are
+      // colocated, and a non-UTC store declares its zone explicitly
+      Some(_.serverTimeZone == "UTC")),
     "server-id" -> NA("binlog wire-protocol client identity (ServerIdRange" +
       ".java) — a Spark reader holds no replication-protocol session; " +
       "documented accepted gap (SURVEY §2)"),

@@ -37,7 +37,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {q}: no output dir"); n_fail += 1; continue
         try:
             got = norm(pd.read_parquet(got_dir))
-            want = norm(con.sql(sql).df())
+            rel = con.sql(sql)
+            # DuckDB returns HUGEINT (int128) for un-cast SUM-derived
+            # expressions; the driver's hash canonicalization renders those
+            # differently from Spark's int64 (hash-only mismatch with
+            # matching rows). Fail here so the CAST lands before the driver.
+            hug = [c for c, t in zip(rel.columns, rel.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT")]
+            if hug:
+                print(f"FAIL {q}: oracle returns HUGEINT column(s) {hug} — "
+                      f"add CAST(... AS BIGINT) in the oracle SQL")
+                n_fail += 1; continue
+            want = norm(rel.df())
         except Exception as e:
             print(f"FAIL {q}: {e}"); n_fail += 1; continue
         status = []
