@@ -41,7 +41,6 @@ object PageRank {
     * time and recovery lineage stay bounded on long runs. */
   def run(edges: DataFrame, iterations: Int,
       reliableEvery: Int = 0, barrierEvery: Int = 1): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val e = edges.select(col("src"), col("dst")).cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // persisted hash-partitioned on the join key: every round's
@@ -50,6 +49,19 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().cache()
+    val out = runPrepared(edgeDeg, nodes, iterations, reliableEvery,
+      barrierEvery)
+    e.unpersist(); nodes.unpersist(); edgeDeg.unpersist()
+    out
+  }
+
+  /** Iteration core over a PRE-BUILT graph: `edgeDeg` = (src, dst, outdeg)
+    * persisted hash-partitioned on `src`, `nodes` = every node id once.
+    * Callers that already paid a degree pass (or share the graph with
+    * another operator) skip [[run]]'s rebuild; caches stay caller-owned. */
+  def runPrepared(edgeDeg: DataFrame, nodes: DataFrame, iterations: Int,
+      reliableEvery: Int = 0, barrierEvery: Int = 1): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
     // one zero message per node: makes the aggregate itself produce every
     // node's row (dangling included) — replaces the former per-round
     // nodes⋈contribs left join and its extra exchange
@@ -73,7 +85,6 @@ object PageRank {
         IterBarrier.cut(next, i, reliableEvery)
       else next
     }
-    e.unpersist(); nodes.unpersist(); edgeDeg.unpersist()
     ranks
   }
 }

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * Relational operators beyond the TPC-H-shaped headliners: as-of join
@@ -12,6 +13,40 @@ import org.apache.spark.sql.types._
  * relational capability is the host engine's job), each oracle-checked.
  */
 object AdvancedQueries {
+
+  private case class TradeGraph(edgeDeg: DataFrame, nodes: DataFrame)
+
+  /** The customer↔supplier trade graph both graph queries walk, built in
+    * ONE folded pass: the deduped pair table is the only big shuffle;
+    * per-side degrees are tiny aggregates broadcast back onto it; both
+    * edge directions ride a single union carrying their out-degree
+    * (bipartite: a c→p edge's outdeg is c's partner count). `edgeDeg` is
+    * persisted hash-partitioned on src so every iterative round — PageRank
+    * messages or BFS frontier — reuses the layout with no new exchange;
+    * `nodes` falls out of the degree aggregates (disjoint by parity), no
+    * extra distinct over the doubled edge list. */
+  private def tradeGraph(s: SparkSession, dir: String): TradeGraph = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct().cache()
+    val degC = pairs.groupBy(col("c")).agg(count(lit(1)).as("dc"))
+    val degP = pairs.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+    val withDeg = pairs
+      .join(broadcast(degC), "c").join(broadcast(degP), "p")
+    val edgeDeg = withDeg
+      .select(col("c").as("src"), col("p").as("dst"), col("dc").as("outdeg"))
+      .union(withDeg
+        .select(col("p").as("src"), col("c").as("dst"), col("dp").as("outdeg")))
+      .repartition(col("src")).cache()
+    val nodes = degC.select(col("c").as("node"))
+      .union(degP.select(col("p").as("node"))).cache()
+    TradeGraph(edgeDeg, nodes)
+  }
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -484,24 +519,15 @@ object AdvancedQueries {
       // same tuning the streaming queries apply via withShufflePartitions;
       // at cluster scale the caller sizes partitions to edge volume)
       (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
-        val o = Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val l = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        // cached: BOTH direction branches of the edge union read this —
-        // uncached, the join+distinct would run twice into the edge cache
-        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("c"),
-            (col("l_suppkey") * 2 + 1).as("p"))
-          .distinct().cache()
-        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        val g = tradeGraph(s, dir)
         // barrierEvery=5: all five rounds in ONE lazy plan/job — a round
         // references prev ranks once, so lineage grows linearly and the
         // per-round checkpoint jobs were pure fixed cost at this scale
-        graft.operators.PageRank.run(edges, 5, barrierEvery = 5)
+        val out = graft.operators.PageRank.runPrepared(g.edgeDeg, g.nodes,
+            5, barrierEvery = 5)
           .orderBy(col("rank").desc, col("node"))
           .limit(50)
+        out
       },
       Some {
         def iter(prev: String, k: Int): String =
@@ -545,21 +571,9 @@ object AdvancedQueries {
     // the only big side and it is hash-partitioned by src once.
     "graph_bfs_layers" -> QueryDef(
       (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
-        val o = Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val l = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("c"),
-            (col("l_suppkey") * 2 + 1).as("p"))
-          .distinct().cache()
-        // edges pre-partitioned by src ONCE: every round's frontier join
-        // reuses this layout instead of re-exchanging the big side
-        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-          .repartition(col("src")).cache()
-        // bipartite + undirected: every node appears as a src
-        val nodes = edges.select(col("src").as("node")).distinct().cache()
+        val g = tradeGraph(s, dir)
+        val edges = g.edgeDeg.select(col("src"), col("dst"))
+        val nodes = g.nodes
         var dist = nodes.agg(min(col("node")).as("node"))
           .select(col("node"), lit(0L).as("d"))
         for (r <- 0 until 4) {

@@ -545,42 +545,43 @@ object SimilarityQueries {
     // POWER ITERATION for the dominant eigenvector of the embedding Gram
     // matrix EᵀE — the distributed-linear-algebra primitive behind PCA
     // whitening / spectral embedding passes. INTEGER-EXACT: vectors are
-    // int8-quantized, v₀ = 1⃗, and each round computes u = Eᵀ(Ev) as two
-    // integer sum-aggregations — Ev is one broadcast-join + groupBy(row)
-    // (map-side combined, one row per vector on the shuffle), Eᵀ·(·) is
-    // one groupBy(dim) over 64 cells — then renormalizes v to [-127,127]
-    // by exact floor division against the max |u| (integer sums are
+    // int8-quantized, v₀ = 1⃗, and each round computes u = Eᵀ(Ev) with the
+    // iterate held DENSE ON THE DRIVER (O(Dim) — how distributed eigen
+    // solvers ship the dense vector, independent of N): Ev is a pure map
+    // over the cached (vec_id, qv) rows (dot product against the literal
+    // v — no join, no shuffle of the big side), and Eᵀ·(·) is ONE
+    // map-side-combined 64-key aggregation; renormalization divides by
+    // max |u| in exact integer arithmetic on the driver (integer sums are
     // commutative, so there is no float-order nondeterminism anywhere).
     // |u| ≤ 127·(127²·64)·N keeps int64 headroom to N ≈ 10⁹ rows; beyond
     // that the round rescales s_r by ⌊N/2ᵏ⌋ first — same algebra.
-    // Three rounds in one lazy plan; the N-sized side is touched exactly
-    // twice per round, both times as map-side-combined aggregations.
+    // Per round the N-sized side is touched exactly once, as one scan +
+    // one 64-row shuffle — at 100 TB that is the optimal shape. The final
+    // round stays lazy so the plan contract is assertable (PlanSpec).
     "embed_power_iteration" -> QueryDef(
       (s, dir) => {
-        // hash-partition the exploded N·Dim table by vec_id ONCE before
-        // caching: the Ev join is broadcast (partitioning-preserving), so
-        // the per-round groupBy(vec_id) and ex ⋈ sr both reuse the cached
-        // layout with no further Exchange of the big side — the same
-        // pre-partition-once trick as PageRank.edgeDeg / BFS edges
-        val ex = quantizedVecs(s, dir)
-          .select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "q")))
-          .select(col("vec_id"), col("i").cast(LongType).as("i"), col("q"))
-          .repartition(col("vec_id"))
-          .cache()
-        var v = s.range(0, Dim.toLong)
-          .select(col("id").as("i"), lit(1L).as("v"))
-        for (_ <- 0 until 3) {
-          val sr = ex.join(broadcast(v), "i")
-            .groupBy(col("vec_id")).agg(sum(col("q") * col("v")).as("sr"))
-          val u = ex.join(sr, "vec_id")
+        val qv = quantizedVecs(s, dir) // cached (vec_id, qv)
+        def uOf(v: Array[Long]): DataFrame = {
+          val vlit = array(v.map(x => lit(x)): _*)
+          qv.withColumn("sr", aggregate(
+              zip_with(col("qv"), vlit, (a, b) => a * b), lit(0L), _ + _))
+            .select(posexplode(col("qv")).as(Seq("i", "q")), col("sr"))
             .groupBy(col("i")).agg(sum(col("q") * col("sr")).as("u"))
-          val m = u.agg(max(abs(col("u"))).as("m"))
-          // `div` truncates toward zero on negative u — same semantics
-          // as DuckDB's `//` (verified: -7 // 2 = -3)
-          v = u.crossJoin(broadcast(m))
-            .selectExpr("i", "(u * 127) div m AS v")
         }
-        v.orderBy(col("i"))
+        var v = Array.fill(Dim)(1L)
+        for (_ <- 0 until 2) { // O(Dim)=64-row collects, not data-sized
+          val u = Array.ofDim[Long](Dim)
+          uOf(v).collect().foreach(r => u(r.getInt(0)) = r.getLong(1))
+          val m = u.map(math.abs).max
+          // Java `/` truncates toward zero on negative u — same semantics
+          // as DuckDB's `//` (verified: -7 // 2 = -3) and Spark's `div`
+          v = u.map(x => (x * 127) / m)
+        }
+        val u3 = uOf(v)
+        val m3 = u3.agg(max(abs(col("u"))).as("m"))
+        u3.crossJoin(broadcast(m3))
+          .selectExpr("CAST(i AS BIGINT) AS i", "(u * 127) div m AS v")
+          .orderBy(col("i"))
       },
       Some {
         def round(k: Int): String =

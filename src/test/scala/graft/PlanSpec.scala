@@ -305,12 +305,16 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
-  test("embed_power_iteration: v broadcast every round, no cartesian") {
+  test("embed_power_iteration: dense-v map + one 64-key agg, " +
+    "no join or shuffle of the N-sized side") {
     val plan = formatted(q("embed_power_iteration"))
-    // Ev: ex ⋈ broadcast(v) per round; only the 1-row max may ride a
-    // broadcast nested loop
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    // the iterate is a literal array: Ev must be a pure map over the
+    // cached vectors — any join of the big side is the scale regression
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // only dimension-sized exchanges: the 64-key aggregation (+ the 1-row
+    // max broadcast); never a hashpartitioning(vec_id) of the corpus
+    assert(!plan.contains("hashpartitioning(vec_id"), plan.take(3000))
   }
 
   test("graph_triangles: wedge close is an equi-join, never a cross product") {
