@@ -48,6 +48,12 @@ object Bench {
         s"/root/repo/.scratch/cdcdb_ddl/$sfName",
         s"/root/repo/.scratch/cdcdb_docs/$sfName",
         s"/root/repo/.scratch/cdcdb_docs_replay/$sfName",
+        s"/root/repo/.scratch/cdcdb_typed/$sfName",
+        s"/root/repo/.scratch/cdcdb_tz/$sfName",
+        s"/root/repo/.scratch/cdcdb_mongo/$sfName",
+        s"/root/repo/.scratch/cdcdb_charset/$sfName",
+        s"/root/repo/.scratch/json_roundtrip/$sfName",
+        s"/root/repo/.scratch/json_roundtrip_schema/$sfName",
         s"/root/repo/.scratch/bucketed/$sfName",
         s"/root/repo/.scratch/jdbccdc/$sfName")
       .map(new java.io.File(_)).filter(_.isDirectory).foreach(warmRead)

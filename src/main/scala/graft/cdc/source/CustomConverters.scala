@@ -39,6 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - `uuid`: `{"$binary":{"base64":…,"subType":"04"}}` (or `{"$uuid":…}`)
  *    → canonical UUID STRING — the reference stringifies UUID-subtype
  *    binaries via `bsonBinary.asUuid()` (:573-578).
+ *  - `charset:<name>`: base64 bytes → STRING decoded with the declared
+ *    column charset — the engine-side half of Debezium's per-column
+ *    charset handling (the reference pins the capability in
+ *    MysqlConnectorCharsetITCase: latin1/gbk/big5/… tables must read back
+ *    as correct strings). The charset name resolves at construction.
  */
 object CustomConverters {
 
@@ -95,9 +100,19 @@ object CustomConverters {
         s"graft.type=uuid column '${f.name}' must be declared STRING, " +
           s"got ${f.dataType.sql}")
       uuidToString _
+    case cs if cs.startsWith("charset:") =>
+      require(f.dataType == StringType,
+        s"graft.type=$cs column '${f.name}' must be declared STRING, " +
+          s"got ${f.dataType.sql}")
+      val charset = // resolve NOW: a bad name is a configuration error
+        try java.nio.charset.Charset.forName(cs.substring("charset:".length))
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"unknown charset in graft.type=$cs on column '${f.name}'", e) }
+      (n: JsonNode) => charsetDecode(n, charset)
     case other => throw new IllegalArgumentException(
       s"unknown graft.type converter '$other' on column '${f.name}' " +
-        "(known: geometry, set, year, objectid, decimal128, uuid)")
+        "(known: geometry, set, year, objectid, decimal128, uuid, " +
+        "charset:<name>)")
   }
 
   /** Debezium-geometry wire struct → GeoJSON string. Parses point WKB
@@ -186,6 +201,14 @@ object CustomConverters {
     // (a clamped ±Double.MAX_VALUE rarely fits the declared precision)
     try Decimal(bd, precision, scale)
     catch { case _: ArithmeticException => null }
+  }
+
+  /** Base64 bytes in the declared column charset → string. */
+  private def charsetDecode(node: JsonNode,
+      charset: java.nio.charset.Charset): Any = {
+    require(node.isTextual, s"charset value must be base64 text, got: $node")
+    UTF8String.fromString(new String(
+      java.util.Base64.getDecoder.decode(node.asText()), charset))
   }
 
   /** BSON UUID-subtype binary → canonical UUID string (reference

@@ -58,9 +58,14 @@ object PageRank {
   /** Iteration core over a PRE-BUILT graph: `edgeDeg` = (src, dst, outdeg)
     * persisted hash-partitioned on `src`, `nodes` = every node id once.
     * Callers that already paid a degree pass (or share the graph with
-    * another operator) skip [[run]]'s rebuild; caches stay caller-owned. */
+    * another operator) skip [[run]]'s rebuild; caches stay caller-owned.
+    * `cutFinal=false` skips the LAST round's eager checkpoint — safe only
+    * when the caller consumes the result exactly once while the input
+    * caches are still alive ([[run]] must keep it: it unpersists the
+    * inputs before the returned plan ever executes). */
   def runPrepared(edgeDeg: DataFrame, nodes: DataFrame, iterations: Int,
-      reliableEvery: Int = 0, barrierEvery: Int = 1): DataFrame = {
+      reliableEvery: Int = 0, barrierEvery: Int = 1,
+      cutFinal: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     // one zero message per node: makes the aggregate itself produce every
     // node's row (dangling included) — replaces the former per-round
@@ -81,7 +86,8 @@ object PageRank {
         .agg((lit(base) + sum(col("c"))).as("rank"))
       // cut on the period (and always before unpersisting the inputs the
       // final plan would otherwise still reference)
-      ranks = if (i % cutEvery == 0 || i == iterations)
+      ranks = if ((i % cutEvery == 0 || i == iterations)
+          && (cutFinal || i != iterations))
         IterBarrier.cut(next, i, reliableEvery)
       else next
     }

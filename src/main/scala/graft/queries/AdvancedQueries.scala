@@ -25,7 +25,8 @@ object AdvancedQueries {
     * messages or BFS frontier — reuses the layout with no new exchange;
     * `nodes` falls out of the degree aggregates (disjoint by parity), no
     * extra distinct over the doubled edge list. */
-  private def tradeGraph(s: SparkSession, dir: String): TradeGraph = {
+  private def tradeGraph(s: SparkSession, dir: String,
+      withDegrees: Boolean = true): TradeGraph = {
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.load(s, dir, "lineitem")
@@ -34,18 +35,32 @@ object AdvancedQueries {
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("p"))
       .distinct().cache()
-    val degC = pairs.groupBy(col("c")).agg(count(lit(1)).as("dc"))
-    val degP = pairs.groupBy(col("p")).agg(count(lit(1)).as("dp"))
-    val withDeg = pairs
-      .join(broadcast(degC), "c").join(broadcast(degP), "p")
-    val edgeDeg = withDeg
-      .select(col("c").as("src"), col("p").as("dst"), col("dc").as("outdeg"))
-      .union(withDeg
-        .select(col("p").as("src"), col("c").as("dst"), col("dp").as("outdeg")))
-      .repartition(col("src")).cache()
-    val nodes = degC.select(col("c").as("node"))
-      .union(degP.select(col("p").as("node"))).cache()
-    TradeGraph(edgeDeg, nodes)
+    if (withDegrees) {
+      val degC = pairs.groupBy(col("c")).agg(count(lit(1)).as("dc"))
+      val degP = pairs.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+      val withDeg = pairs
+        .join(broadcast(degC), "c").join(broadcast(degP), "p")
+      val edgeDeg = withDeg
+        .select(col("c").as("src"), col("p").as("dst"),
+          col("dc").as("outdeg"))
+        .union(withDeg
+          .select(col("p").as("src"), col("c").as("dst"),
+            col("dp").as("outdeg")))
+        .repartition(col("src")).cache()
+      val nodes = degC.select(col("c").as("node"))
+        .union(degP.select(col("p").as("node"))).cache()
+      TradeGraph(edgeDeg, nodes)
+    } else {
+      // degree-free shape for min-plus walks (BFS): no degree pass at all
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        .repartition(col("src")).cache()
+      val nodes = pairs.select(col("c")).distinct()
+        .select(col("c").as("node"))
+        .union(pairs.select(col("p")).distinct()
+          .select(col("p").as("node"))).cache()
+      TradeGraph(edges, nodes)
+    }
   }
 
   def defs: Map[String, QueryDef] = Map(
@@ -518,13 +533,16 @@ object AdvancedQueries {
       // cost dominates at test scale — pin partitions to data volume (the
       // same tuning the streaming queries apply via withShufflePartitions;
       // at cluster scale the caller sizes partitions to edge volume)
-      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 4) {
         val g = tradeGraph(s, dir)
         // barrierEvery=5: all five rounds in ONE lazy plan/job — a round
         // references prev ranks once, so lineage grows linearly and the
-        // per-round checkpoint jobs were pure fixed cost at this scale
+        // per-round checkpoint jobs were pure fixed cost at this scale.
+        // cutFinal=false: the result is consumed exactly once right here
+        // while the graph caches are alive — the last eager checkpoint
+        // would be one more materialization for nothing.
         val out = graft.operators.PageRank.runPrepared(g.edgeDeg, g.nodes,
-            5, barrierEvery = 5)
+            5, barrierEvery = 5, cutFinal = false)
           .orderBy(col("rank").desc, col("node"))
           .limit(50)
         out
@@ -570,9 +588,9 @@ object AdvancedQueries {
     // At 100× this is the standard iterative-BFS shape: the edge table is
     // the only big side and it is hash-partitioned by src once.
     "graph_bfs_layers" -> QueryDef(
-      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
-        val g = tradeGraph(s, dir)
-        val edges = g.edgeDeg.select(col("src"), col("dst"))
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        val g = tradeGraph(s, dir, withDegrees = false)
+        val edges = g.edgeDeg
         val nodes = g.nodes
         var dist = nodes.agg(min(col("node")).as("node"))
           .select(col("node"), lit(0L).as("d"))

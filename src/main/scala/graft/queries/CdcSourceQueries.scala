@@ -523,6 +523,34 @@ object CdcSourceQueries {
             "bal"), derived) + "\nORDER BY ck"
       }),
 
+    // Per-column charset decode (the capability MysqlConnectorCharsetITCase
+    // pins: latin1/gbk/… tables must read back as correct strings; Debezium
+    // does the byte→string decode inside the connector): wire values are
+    // raw bytes in the column's declared charset, the converter decodes
+    // with it — bytes like 0xE9 (latin1 'é') or GBK multibyte sequences
+    // would be mojibake under a UTF-8 assumption.
+    "cdc_charset_decode" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareCharset(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "charsets")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .select(col("ck"), col("s_latin1"), col("s_gbk"), col("val"))
+          .orderBy(col("ck"))
+      },
+      Some {
+        val derived =
+          """(SELECT c_custkey AS ck,
+            |  concat('café nº ', CAST(c_custkey AS VARCHAR)) AS s_latin1,
+            |  concat('数据 ', CAST(c_custkey AS VARCHAR)) AS s_gbk,
+            |  c_custkey % 50 AS val
+            |FROM customer) AS charset_src""".stripMargin
+        ChangelogGen.oracleFinalStateSql(charsetSpec,
+          Seq("ck", "s_latin1", "s_gbk", "val"), derived) + "\nORDER BY ck"
+      }),
+
     // Mongo-specific BSON extended types through the converter hook (U2):
     // ObjectId `{"$oid":…}` → hex string, Decimal128 `{"$numberDecimal":…}`
     // → DECIMAL, UUID-subtype binary → canonical UUID string — the
@@ -681,6 +709,44 @@ object CdcSourceQueries {
 
   private val mongoSpec = ChangelogGen.Spec(pk = "mk", measure = "val",
     table = "mongoish")
+
+  private val charsetSpec = ChangelogGen.Spec(pk = "ck", measure = "val",
+    table = "charsets")
+
+  private case class CharsetSrcRow(ck: Long, latin1B64: String,
+      gbkB64: String, v: Long)
+
+  /** File CDC database whose string wire values are raw bytes in non-UTF-8
+    * charsets (base64-wrapped): latin1 é/º single bytes, GBK multibyte
+    * hanzi — exactly what a charset-diverse MySQL ships. */
+  private[queries] def prepareCharset(spark: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_charset/$sf"
+    import spark.implicits._
+    val rows = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("ck")).as[Long]
+      .map { ck =>
+        val b64 = java.util.Base64.getEncoder
+        CharsetSrcRow(ck,
+          b64.encodeToString(
+            s"café nº $ck".getBytes(java.nio.charset.Charset.forName(
+              "ISO-8859-1"))),
+          b64.encodeToString(
+            s"数据 $ck".getBytes(java.nio.charset.Charset.forName("GBK"))),
+          ck % 50)
+      }
+    val snapshot = rows.toDF().select(col("ck"),
+      col("latin1B64").as("s_latin1"), col("gbkB64").as("s_gbk"),
+      col("v").as("val"))
+    FileCdcDatabase.write(spark, dir, "charsets", "graft", charsetSpec.pk,
+      snapshot = snapshot,
+      changes = ChangelogGen.changes(snapshot, charsetSpec),
+      snapshotPartitions = 4,
+      schemaDdlOverride = Some(
+        "ck BIGINT,s_latin1 STRING COMMENT 'graft.type=charset:ISO-8859-1'," +
+          "s_gbk STRING COMMENT 'graft.type=charset:GBK',val BIGINT"))
+    dir
+  }
 
   private case class MongoSrcRow(mk: Long, oid: String, decs: String,
       b64: String, v: Long)

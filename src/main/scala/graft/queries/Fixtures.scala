@@ -16,6 +16,9 @@ object Fixtures {
     CdcSourceQueries.prepareJdbc(spark, sfDir)
     CdcSourceQueries.prepareCustomer(spark, sfDir)
     CdcSourceQueries.prepareTyped(spark, sfDir)
+    CdcSourceQueries.prepareTz(spark, sfDir)
+    CdcSourceQueries.prepareMongo(spark, sfDir)
+    CdcSourceQueries.prepareCharset(spark, sfDir)
     CdcSurfaceQueries.prepare(spark, sfDir)
     CdcSurfaceQueries.prepareSharded(spark, sfDir)
     CdcSurfaceQueries.prepareCorrupt(spark, sfDir)

@@ -81,10 +81,11 @@ object SimilarityQueries {
        |  FROM scored)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
-  /** IVF-style ANN — shared by the query entry and the recall measurement.
-    * Coarse centroids seeded as the min-vec_id member of each label,
-    * nprobe=2 cell probing, exact re-ranking inside the probed cells. */
-  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+  /** IVF coarse structure — cell assignment + query probes — shared by
+    * the exact-rerank search, the recall gate, and the IVF-PQ compose. */
+  private case class IvfParts(assigned: DataFrame, probes: DataFrame)
+
+  private def ivfParts(s: SparkSession, dir: String): IvfParts = {
     // norms hoisted to one fold per vector (vs 2 extra folds per pair)
     val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
     val seedIds = e.groupBy(col("label").as("c_label"))
@@ -118,10 +119,17 @@ object SimilarityQueries {
       .filter(col("prank") <= 2)
       .select(col("query_id"), col("qv"), col("qn"),
         col("c_label").as("cell"))
+    IvfParts(assigned, probes)
+  }
+
+  /** IVF-style ANN — coarse cells, nprobe=2, exact re-ranking inside the
+    * probed cells. */
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val parts = ivfParts(s, dir)
     // exact search inside probed cells
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes, "cell")
+    parts.assigned.join(parts.probes, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
         col("qn"), col("nrm")))
@@ -132,8 +140,9 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private def ivfSql: String =
-    s"""WITH cents AS (
+  /** CTE chain `cents, assigned, probes` mirroring [[ivfParts]]. */
+  private def sqlIvfCtes: String =
+    s"""cents AS (
        |  SELECT e.label AS c_label, e.embedding AS cv FROM embeddings e
        |  JOIN (SELECT label, min(vec_id) AS seed_id FROM embeddings
        |        GROUP BY label) s ON e.vec_id = s.seed_id),
@@ -150,7 +159,10 @@ object SimilarityQueries {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${sqlCosine("c.cv", "q.embedding", Dim)} DESC, c.c_label) AS prank
        |    FROM embeddings q, cents c WHERE q.vec_id < $NumQueries)
-       |  WHERE prank <= 2)
+       |  WHERE prank <= 2)""".stripMargin
+
+  private def ivfSql: String =
+    s"""WITH $sqlIvfCtes
        |SELECT query_id, rank, neighbor_id, cos FROM (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    ${sqlCosine("p.qv", "a.embedding", Dim)} AS cos,
@@ -534,6 +546,74 @@ object SimilarityQueries {
            |  FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.cid
            |  WHERE co.vec_id <> l.query_id
            |  GROUP BY l.query_id, co.vec_id)
+           |SELECT query_id, rank, neighbor_id, adc FROM (
+           |  SELECT query_id, vec_id AS neighbor_id, adc,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adc, vec_id) AS BIGINT) AS rank
+           |  FROM adc)
+           |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // IVF-PQ — the industry-standard composed index (Jégou et al.'s
+    // IVFADC): the coarse quantizer restricts the search to the probed
+    // cells' inverted lists, then PQ ADC ranks the candidates from the
+    // broadcast LUT — no full-precision vectors touched at query time.
+    // At 100 TB the inverted lists prune the scan ~cells/nprobe-fold and
+    // the per-candidate cost is M LUT lookups; candidate pairs ride ONE
+    // shuffle into the top-k. Composes the two independently-verified
+    // pipelines (IVF cells + PQ codebook), sharing their exact arithmetic.
+    "ann_ivfpq_topk" -> QueryDef(
+      (s, dir) => {
+        val ivf = ivfParts(s, dir)
+        val pq = pqPipeline(s, dir)
+        val codes = pqAssign(pq.sub, pq.c2)
+          .select(col("m"), col("vec_id"), col("cid"))
+        val lut = pq.sub.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+          .join(broadcast(pq.c2), "m")
+          .select(col("query_id"), col("m"), col("cid"),
+            aggregate(
+              zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+              lit(0L), _ + _).as("qd2"))
+        // candidate set = vectors in the query's probed cells
+        val cand = ivf.assigned.select(col("vec_id"), col("cell"))
+          .join(ivf.probes.select(col("query_id"), col("cell")), "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("vec_id"))
+        cand.join(codes, "vec_id")
+          .join(broadcast(lut), Seq("query_id", "m", "cid"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("qd2")).as("adc"))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("rank"),
+            col("vec_id").as("neighbor_id"), col("adc"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        s"""WITH $sqlPqPrefix,
+           |${sqlPqAssignCte("a3", "c2")},
+           |codes AS (SELECT m, vec_id, cid FROM a3),
+           |$sqlIvfCtes,
+           |lut AS (
+           |  SELECT s.vec_id AS query_id, s.m, c.cid,
+           |    ${sqlPqD2("s.sv", "c.cv")} AS qd2
+           |  FROM sub s JOIN c2 c ON c.m = s.m
+           |  WHERE s.vec_id < $NumQueries),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id
+           |  FROM assigned a JOIN probes p ON a.cell = p.cell
+           |  WHERE a.vec_id <> p.query_id),
+           |adc AS (
+           |  SELECT cd.query_id, cd.vec_id,
+           |    CAST(SUM(l.qd2) AS BIGINT) AS adc
+           |  FROM cand cd
+           |  JOIN codes co ON co.vec_id = cd.vec_id
+           |  JOIN lut l ON l.query_id = cd.query_id AND l.m = co.m
+           |    AND l.cid = co.cid
+           |  GROUP BY cd.query_id, cd.vec_id)
            |SELECT query_id, rank, neighbor_id, adc FROM (
            |  SELECT query_id, vec_id AS neighbor_id, adc,
            |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id

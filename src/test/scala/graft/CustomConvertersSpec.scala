@@ -128,6 +128,27 @@ class CustomConvertersSpec extends AnyFunSuite {
     }
   }
 
+  test("charset:<name>: bytes decode with the declared column charset " +
+    "(MysqlConnectorCharsetITCase capability)") {
+    val b64 = java.util.Base64.getEncoder
+    val latin1 = tagged("s", StringType, "charset:ISO-8859-1")
+    val latin1Bytes = "café nº 7".getBytes(
+      java.nio.charset.Charset.forName("ISO-8859-1"))
+    assert(convert(latin1,
+      s""""${b64.encodeToString(latin1Bytes)}"""").toString === "café nº 7")
+    // the same bytes under a UTF-8 assumption would NOT round-trip
+    // (0xE9 is not valid UTF-8 alone) — that is the decode being tested
+    assert(new String(latin1Bytes, "UTF-8") != "café nº 7")
+    val gbk = tagged("s", StringType, "charset:GBK")
+    val gbkBytes = "数据 3".getBytes(java.nio.charset.Charset.forName("GBK"))
+    assert(convert(gbk,
+      s""""${b64.encodeToString(gbkBytes)}"""").toString === "数据 3")
+    // unknown charset fails at construction, not per row
+    val bad = StructType(Seq(tagged("s", StringType, "charset:NO-SUCH")))
+    val e = intercept[IllegalArgumentException] { new JsonRowCodec(bad) }
+    assert(e.getMessage.contains("charset"))
+  }
+
   test("malformed geometry flows to the parse-error policy, not garbage") {
     val f = tagged("g", StringType, "geometry")
     intercept[IllegalArgumentException] { // non-point WKB type
