@@ -52,6 +52,7 @@ object Bench {
         s"/root/repo/.scratch/cdcdb_tz/$sfName",
         s"/root/repo/.scratch/cdcdb_mongo/$sfName",
         s"/root/repo/.scratch/cdcdb_charset/$sfName",
+        s"/root/repo/.scratch/cdcdb_vecs_replay/$sfName",
         s"/root/repo/.scratch/json_roundtrip/$sfName",
         s"/root/repo/.scratch/json_roundtrip_schema/$sfName",
         s"/root/repo/.scratch/bucketed/$sfName",

@@ -26,5 +26,6 @@ object Fixtures {
     PipelineQueries.prepareBucketed(spark, sfDir)
     DedupQueries.prepareDocs(spark, sfDir)
     DedupQueries.prepareDocsReplay(spark, sfDir)
+    SimilarityQueries.prepareVecsReplay(spark, sfDir)
   }
 }

@@ -641,6 +641,71 @@ object PipelineQueries {
            |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
       }),
 
+    // CONTENT-DEFINED chunking (the Rabin/CDC idea at word granularity):
+    // a word ENDS its chunk when its 60-bit hash ≡ 0 (mod 16), so chunk
+    // boundaries are a function of local content — inserting a word early
+    // in a document shifts only its own chunk, not every boundary after
+    // it (the property fixed-stride chunking lacks, and the reason CDC
+    // chunk-level dedup survives edits). Computed ENTIRELY inside each
+    // row with array expressions (boundary positions → chunk slices →
+    // per-chunk hash) + one explode: the corpus never shuffles except the
+    // presentation sort — at 100 TB this is a map over the document scan.
+    // Chunk identity is the hash of the joined words, so chunk-level
+    // dedup composes downstream.
+    "chunk_content_defined" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.{md5Long, words}
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) > 0)
+          .withColumn("n", size(col("ws")))
+          // 0-based positions whose word closes a chunk
+          .withColumn("bounds", filter(sequence(lit(0), col("n") - 1),
+            i => md5Long(element_at(col("ws"), i + 1)) % 16 === 0))
+          // chunk k spans [starts(k), ends(k)] inclusive
+          .withColumn("starts", filter(
+            concat(array(lit(0)), transform(col("bounds"), p => p + 1)),
+            st => st < col("n")))
+          .select(col("doc_id"), col("ws"), col("n"), col("bounds"),
+            posexplode(col("starts")).as(Seq("chunk_id", "start_pos")))
+          .withColumn("endp",
+            when(col("chunk_id") < size(col("bounds")),
+              element_at(col("bounds"), col("chunk_id") + 1))
+              .otherwise(col("n") - 1))
+          .select(col("doc_id"), col("chunk_id").cast(LongType),
+            col("start_pos").cast(LongType),
+            (col("endp") - col("start_pos") + 1).cast(LongType)
+              .as("n_words"),
+            md5Long(concat_ws(" ", slice(col("ws"), col("start_pos") + 1,
+              col("endp") - col("start_pos") + 1))).as("chunk_hash"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some {
+        import graft.functions.TextFunctions.{sqlMd5Long, sqlWords}
+        s"""WITH toks AS (
+           |  SELECT doc_id, ws
+           |  FROM (SELECT doc_id, ${sqlWords("text")} AS ws FROM documents)
+           |  WHERE len(ws) > 0),
+           |t AS (
+           |  SELECT doc_id,
+           |    CAST(unnest(range(0, len(ws))) AS BIGINT) AS pos,
+           |    unnest(ws) AS w
+           |  FROM toks),
+           |c AS (
+           |  SELECT doc_id, pos, w,
+           |    CAST(COALESCE(SUM(CASE WHEN ${sqlMd5Long("w")} % 16 = 0
+           |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+           |        ORDER BY pos
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS chunk_id
+           |  FROM t)
+           |SELECT doc_id, chunk_id, MIN(pos) AS start_pos,
+           |  COUNT(*) AS n_words,
+           |  ${sqlMd5Long("string_agg(w, ' ' ORDER BY pos)")} AS chunk_hash
+           |FROM c GROUP BY doc_id, chunk_id
+           |ORDER BY doc_id, chunk_id""".stripMargin
+      }),
+
     // Bloom-filter runtime pruning — the explicit form of Spark's injected
     // runtime filters: bits built over the dim side's join keys in ONE
     // small aggregate, shipped to the fact scan as a literal, non-candidate

@@ -35,6 +35,11 @@ object SimilarityQueries {
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
 
+  // streaming IVF-ingest types (Encoders need object-level case classes)
+  case class CellEvt(cell: Int, off: Long, vec_id: Long, op: String)
+  case class CellState(ids: Seq[Long])
+  case class CellVer(cell: Int, off: Long, n_live: Long, sum_ids: Long)
+
   /** 12 deterministic random hyperplanes: component i of plane j is
     * ((md5("hp<j>:<i>") mod 2001) - 1000) / 1000 ∈ [-1, 1]. */
   private def hyperplane(j: Int): Column = array(
@@ -288,6 +293,37 @@ object SimilarityQueries {
        |${sqlPqUpdateCte("c1", "a1")},
        |${sqlPqAssignCte("a2", "c1")},
        |${sqlPqUpdateCte("c2", "a2")}""".stripMargin
+
+  /** Replay CDC database for the embeddings table (no snapshot — pure
+    * changelog): phase 1 inserts every vector, phase 2 deletes
+    * vec_id % 13 = 3, phase 3 inserts copies of vec_id % 100 = 1 under
+    * vec_id + 1e9 — the vector-side twin of the docs replay fixture. */
+  private[queries] def prepareVecsReplay(s: SparkSession, sfDir: String): String = {
+    import graft.cdc.ChangeRecord._
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_vecs_replay/$sf"
+    val base = Tables.load(s, sfDir, "embeddings")
+    def img(over: Map[String, Column]) =
+      struct(base.schema.fieldNames.toSeq
+        .map(c => over.getOrElse(c, col(c)).as(c)): _*)
+    val nullImg = lit(null).cast(base.schema)
+    def env(off: Column, op: String, before: Column, after: Column)(
+        d: DataFrame) =
+      d.select(off.as(OffsetCol), lit(op).as(OpCol), off.as(TsCol),
+        lit("graft").as(DbCol), lit("embeddings").as(TableCol),
+        before.as(BeforeCol), after.as(AfterCol))
+    val ins = env(lit(1L) + col("vec_id"), ExternalOp.Create,
+      nullImg, img(Map.empty))(base)
+    val dels = env(lit(2000000000L) + col("vec_id"), ExternalOp.Delete,
+      img(Map.empty), nullImg)(base.filter(col("vec_id") % 13 === 3))
+    val copies = env(lit(4000000000L) + col("vec_id"), ExternalOp.Create,
+      nullImg, img(Map("vec_id" -> (col("vec_id") + 1000000000L))))(
+      base.filter(col("vec_id") % 100 === 1))
+    graft.cdc.FileCdcDatabase.write(s, dir, "embeddings", "graft", "vec_id",
+      snapshot = base.limit(0),
+      changes = ins.unionByName(dels).unionByName(copies))
+    dir
+  }
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -620,6 +656,118 @@ object SimilarityQueries {
            |      ORDER BY adc, vec_id) AS BIGINT) AS rank
            |  FROM adc)
            |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // INGEST-TIME streaming IVF index maintenance — the vector-side twin
+    // of cdc_stream_lsh_ingest: embeddings arrive as a rate-limited CDC
+    // stream, each event is coarse-quantized to its cell by a PURE MAP
+    // (the 8 label-seeded centroids and the int8 scale are STATIC
+    // driver-held literals from the base corpus — no stream-side join or
+    // aggregate before the keyed state), and per-cell keyed state holds
+    // the live posting list: inserts append, deletes retire. Every event
+    // emits the cell's new (size, id-checksum) versioned by offset;
+    // final index state = max-offset version per cell. This is how a
+    // vector index stays fresh under a changelog without ever re-running
+    // a batch build: per-event cost is O(1) assignment + O(postings)
+    // state touch, state is O(live vectors). All integer (quantized L2),
+    // so the maintained index matches the relational oracle exactly.
+    "cdc_stream_ivf_ingest" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+        import graft.cdc.ChangeRecord._
+        import s.implicits._
+        val dir = prepareVecsReplay(s, dir0)
+        val name = s"sivf_${System.nanoTime()}"
+        val nBase = emb(s, dir0).count()
+        // static coarse structure, driver-held (8 centroids × 64 ints)
+        val scale = emb(s, dir0).select(explode(col("embedding")).as("x"))
+          .agg(max(abs(col("x"))).cast(DoubleType)).head().getDouble(0)
+        val qv0 = quantizedVecs(s, dir0)
+        val cents: Array[(Int, Seq[Long])] = emb(s, dir0)
+          .groupBy(col("label")).agg(min(col("vec_id")).as("seed"))
+          .join(qv0, col("seed") === qv0("vec_id"))
+          .select(col("label"), col("qv")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
+        val centsLit = array(cents.map { case (l, cv) =>
+          struct(lit(l).as("l"), array(cv.map(x => lit(x)): _*).as("cv"))
+        }: _*)
+        // argmin over the literal centroid array: strict < keeps the
+        // FIRST minimal label (ascending), i.e. ORDER BY d2, label rank 1
+        def cellOf(q: Column): Column = aggregate(
+          centsLit,
+          struct(lit(Long.MaxValue).as("d"), lit(Int.MaxValue).as("l")),
+          (acc, c) => {
+            val d = aggregate(
+              zip_with(q, c.getField("cv"), (a, b) => (a - b) * (a - b)),
+              lit(0L), _ + _)
+            when(d < acc.getField("d"),
+              struct(d.as("d"), c.getField("l").as("l"))).otherwise(acc)
+          }).getField("l")
+        val evts = s.readStream.format("graft-cdc")
+          .option("path", dir).option("table", "embeddings")
+          .option("scan.startup.mode", "earliest")
+          .option("changelog.mode", "all")
+          .option("scan.stream.max-events-per-trigger",
+            math.max(64L, nBase / 3).toString)
+          .load()
+          .filter(col(OpCol).isin(RowKind.Insert, RowKind.Delete))
+          .withColumn("qvv", transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * lit(127.0d) / lit(scale)
+              + lit(0.5d)).cast(LongType)))
+          .select(cellOf(col("qvv")).as("cell"), col(OffsetCol).as("off"),
+            col("vec_id"), col(OpCol).as("op"))
+          .as[CellEvt]
+        val vers = evts.groupByKey(_.cell)
+          .flatMapGroupsWithState[CellState, CellVer](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (cell: Int, rows: Iterator[CellEvt],
+                state: GroupState[CellState]) =>
+              var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
+              val out = Seq.newBuilder[CellVer]
+              // offset order = arrival order (offsets are unique)
+              rows.toSeq.sortBy(_.off).foreach { e =>
+                ids = if (e.op == RowKind.Delete) ids.filterNot(_ == e.vec_id)
+                      else ids :+ e.vec_id
+                out += CellVer(cell, e.off, ids.size.toLong, ids.sum)
+              }
+              state.update(CellState(ids))
+              out.result().iterator
+          }
+        val q = vers.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.QueryUtil.detachMemorySink(s, name)
+          .groupBy(col("cell"))
+          .agg(max_by(struct(col("n_live"), col("sum_ids")), col("off"))
+            .as("v"))
+          .select(col("cell").cast(LongType).as("cell"),
+            col("v.n_live").as("n_live"), col("v.sum_ids").as("sum_ids"))
+          .orderBy(col("cell"))
+      },
+      Some {
+        s"""WITH $sqlQuantPrefix,
+           |cents AS (
+           |  SELECT e.label AS cl, q.qv AS cv
+           |  FROM embeddings e
+           |  JOIN (SELECT label, min(vec_id) AS seed FROM embeddings
+           |        GROUP BY label) s ON e.vec_id = s.seed
+           |  JOIN qvecs q ON q.vec_id = e.vec_id),
+           |corpus AS (
+           |  SELECT vec_id, qv FROM qvecs WHERE vec_id % 13 <> 3
+           |  UNION ALL
+           |  SELECT vec_id + 1000000000, qv FROM qvecs
+           |  WHERE vec_id % 100 = 1),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT c.vec_id, ct.cl AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+           |        list_sum(list_transform(range(1, ${Dim + 1}),
+           |          i -> (c.qv[i] - ct.cv[i]) * (c.qv[i] - ct.cv[i]))),
+           |        ct.cl) AS rn
+           |    FROM corpus c, cents ct) WHERE rn = 1)
+           |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_live,
+           |  CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+           |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
       }),
 
     // POWER ITERATION for the dominant eigenvector of the embedding Gram

@@ -150,6 +150,52 @@ object TextQueries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // N-GRAM NOVELTY — the n-gram-LM-free novelty signal: per document,
+    // the fraction of its word bigrams that are corpus-RARE (total corpus
+    // count ≤ 2). High novelty = content unlike the rest of the corpus
+    // (fresh data or noise); near-zero = boilerplate/duplication. Exact
+    // integer ppm. Scale shape: corpus bigram counts are ONE map-side-
+    // combined aggregate keyed by 60-bit hash; the count table joins back
+    // on the hash (both sides hash-partitioned, the standard big-join) and
+    // the per-doc rollup is one more combine — no per-doc state anywhere.
+    "text_ngram_novelty" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.{md5Long, shingles, words}
+        val d = Tables.load(s, dir, "documents")
+        val hashed = d
+          .select(col("doc_id"),
+            explode(shingles(words(col("text")), 2)).as("bg"))
+          .select(col("doc_id"), md5Long(col("bg")).as("h"))
+        val counts = hashed.groupBy(col("h"))
+          .agg(count(lit(1)).as("cnt"))
+        hashed.join(counts, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_novel"))
+          .selectExpr("doc_id", "n_bigrams", "n_novel",
+            "(n_novel * 1000000) div n_bigrams AS novelty_ppm")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.functions.TextFunctions.{sqlMd5Long, sqlShingles, sqlWords}
+        s"""WITH toks AS (
+           |  SELECT doc_id, ws
+           |  FROM (SELECT doc_id, ${sqlWords("text")} AS ws FROM documents)
+           |  WHERE len(ws) > 1),
+           |h AS (
+           |  SELECT doc_id, ${sqlMd5Long("s")} AS h
+           |  FROM (SELECT doc_id, unnest(${sqlShingles("ws", 2)}) AS s
+           |        FROM toks)),
+           |c AS (SELECT h, COUNT(*) AS cnt FROM h GROUP BY h)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |  CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_novel,
+           |  CAST(CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+           |FROM h JOIN c USING (h)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
     // TOP-P QUALITY SELECTION per language — "keep the best 25% of each
     // lang by quality score" — via DISTRIBUTED SELECTION, not a full
     // per-group sort: the corpus-sized side contributes only a

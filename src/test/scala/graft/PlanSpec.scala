@@ -321,4 +321,20 @@ class PlanSpec extends SparkSpecBase {
     val plan = formatted(q("graph_triangles"))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("chunk_content_defined: in-row array computation — the corpus " +
+    "never hash-shuffles, only the presentation sort ranges") {
+    val plan = formatted(q("chunk_content_defined"))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("text_ngram_novelty: hash-keyed count join, no cross product") {
+    val plan = formatted(q("text_ngram_novelty"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the per-doc rollup and the count table must both partial-aggregate
+    assert("partial_count|partial_sum".r.findAllIn(plan).nonEmpty,
+      plan.take(3000))
+  }
 }
