@@ -253,7 +253,10 @@ object SimilarityQueries {
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
     val c1 = pqUpdate(pqAssign(sub, c0))
     val a2 = pqAssign(sub, c1)
-    val c2 = pqUpdate(a2)
+    // M·K rows: cached so the consumers' MULTIPLE references to the
+    // trained codebook (codes assign + LUT build) run the two Lloyd
+    // iterations once, not once per reference
+    val c2 = pqUpdate(a2).cache()
     PqModel(sub, a2, c2)
   }
 
