@@ -161,11 +161,17 @@ object TextQueries {
     "text_ngram_novelty" -> QueryDef(
       (s, dir) => {
         import graft.functions.TextFunctions.{md5Long, shingles, words}
-        val d = Tables.load(s, dir, "documents")
+        // the corpus arrives as few(=1 locally) input splits; the per-word
+        // hashing is the dominant cost and runs BEFORE any shuffle, so
+        // spread the docs first — and cache the hashed bigrams: both the
+        // count build and the join-back consume them (uncached they'd be
+        // tokenized + hashed twice)
+        val d = Tables.load(s, dir, "documents").repartition(col("doc_id"))
         val hashed = d
           .select(col("doc_id"),
             explode(shingles(words(col("text")), 2)).as("bg"))
           .select(col("doc_id"), md5Long(col("bg")).as("h"))
+          .cache()
         val counts = hashed.groupBy(col("h"))
           .agg(count(lit(1)).as("cnt"))
         hashed.join(counts, "h")

@@ -322,10 +322,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
-  test("chunk_content_defined: in-row array computation — the corpus " +
-    "never hash-shuffles, only the presentation sort ranges") {
+  test("chunk_content_defined: in-row array computation — one input " +
+    "spread, then no further hash-shuffle, join, or window") {
     val plan = formatted(q("chunk_content_defined"))
-    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    // the only hash exchanges allowed are the explicit doc_id spread of
+    // the (few) input splits (REPARTITION_BY_COL, printed once per cached
+    // -subtree render); an ENSURE_REQUIREMENTS hash exchange would mean a
+    // join/aggregate shuffle of the corpus snuck in
+    val ensured = "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r
+    assert(ensured.findAllIn(plan).isEmpty, plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
     assert(!plan.contains("Window"), plan.take(3000))
   }
