@@ -49,13 +49,15 @@ case class SnapshotChunkPartition(dialect: String, path: String,
     high: Long, schemaDdl: String,
     chunkKey: String = "",
     parsePolicy: String = "fail",
-    serverTimeZone: String = "UTC") extends InputPartition
+    serverTimeZone: String = "UTC",
+    maskSpec: String = "") extends InputPartition
 
 case class LogRangePartition(dialect: String, path: String, table: String,
     from: Long, to: Long, changelogMode: String,
     schemaDdl: String,
     parsePolicy: String = "fail",
-    serverTimeZone: String = "UTC") extends InputPartition
+    serverTimeZone: String = "UTC",
+    maskSpec: String = "") extends InputPartition
 
 class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -75,7 +77,8 @@ class CdcReaderFactory extends PartitionReaderFactory {
   * 40-column table must not JSON-decode the other 38. */
 private[source] class EnvelopeDecoder(dialectName: String, path: String,
     table: String, schemaDdl: String, chunkKeyOpt: String = "",
-    parsePolicy: String = "fail", serverTimeZone: String = "UTC") {
+    parsePolicy: String = "fail", serverTimeZone: String = "UTC",
+    maskSpec: String = "") {
   val dialect = CdcDialects.byName(dialectName)
   val meta: FileCdcDatabase.TableMeta = dialect.tableMeta(path, table)
   /** Snapshot split key: pk unless overridden (chunk-key.column). Range
@@ -166,6 +169,16 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
     }
   }
 
+  /** Capture-time mask rule per decodeSchema slot (null = pass-through) —
+    * applied at emit so BOTH images of every change event and all snapshot
+    * rows leave the reader already redacted (Debezium applies its
+    * column.mask/truncate options at the same point: before the record is
+    * handed to the pipeline). Pruned-away masked columns cost nothing. */
+  private val maskers: Array[ColumnMasks.Rule] = {
+    val rules = ColumnMasks.decode(maskSpec)
+    decodeSchema.fields.map(f => rules.getOrElse(f.name, null))
+  }
+
   /** Project a decoded image + event metadata onto the output schema. */
   def emit(img: InternalRow, op: String, offset: Long, ts: Long): InternalRow = {
     val out = new GenericInternalRow(outSchema.size)
@@ -178,7 +191,11 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
         case MetaDb => out.update(i, UTF8String.fromString(meta.db))
         case MetaTable => out.update(i, UTF8String.fromString(meta.table))
         case j => out.update(i,
-          if (img.isNullAt(j)) null else img.get(j, decodeSchema(j).dataType))
+          if (img.isNullAt(j)) null
+          else if (maskers(j) != null)
+            maskers(j)(img.get(j, decodeSchema(j).dataType)
+              .asInstanceOf[UTF8String])
+          else img.get(j, decodeSchema(j).dataType))
       }
       i += 1
     }
@@ -292,7 +309,7 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
   ReaderFailureInjection.maybeFail(isSnapshot = true)
 
   private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table,
-    p.schemaDdl, p.chunkKey, p.parsePolicy, p.serverTimeZone)
+    p.schemaDdl, p.chunkKey, p.parsePolicy, p.serverTimeZone, p.maskSpec)
 
   // The partition's chunk ranges are consecutive, so the whole partition
   // spans one contiguous key interval.
@@ -404,7 +421,7 @@ class LogRangeReader(p: LogRangePartition)
 
   private val dec = new EnvelopeDecoder(p.dialect, p.path, p.table,
     p.schemaDdl, parsePolicy = p.parsePolicy,
-    serverTimeZone = p.serverTimeZone)
+    serverTimeZone = p.serverTimeZone, maskSpec = p.maskSpec)
 
   // lazy: a JDBC dialect's logLines borrows a pooled connection and
   // registers the cursor the moment it is CALLED — that must happen inside

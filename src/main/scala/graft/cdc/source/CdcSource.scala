@@ -130,6 +130,15 @@ object CdcSourceConfig {
     * excluded. */
   val ExcludeColumnsKey = "scan.exclude-columns"
 
+  /** Prefix of passthrough options — the reference forwards every
+    * `debezium.`-prefixed option to the embedded engine
+    * (DebeziumOptions.java:24-41, every TableFactory calls
+    * `validateExcept(DEBEZIUM_OPTIONS_PREFIX)`). The supported subset here
+    * is the column-redaction grammar ([[ColumnMasks]]); other passthrough
+    * keys are accepted and ignored, matching the reference's validation
+    * (it never enumerates them either). */
+  val DebeziumPrefix = "debezium."
+
   /** The V2 session catalog qualifies a stored table's `path` option into a
     * location URI (`file:/...`) before handing it back — CREATE TABLE ...
     * USING graft-cdc surfaces it that way while direct reads pass the raw
@@ -170,7 +179,17 @@ object CdcSourceConfig {
     parseErrorPolicy = o.getOrDefault(ParseErrorPolicyKey, "fail"),
     excludeColumns = o.getOrDefault(ExcludeColumnsKey, "").split(",")
       .map(_.trim).filter(_.nonEmpty).toSet,
-    serverTimeZone = o.getOrDefault(ServerTimeZoneKey, "UTC"))
+    serverTimeZone = o.getOrDefault(ServerTimeZoneKey, "UTC"),
+    columnMaskSpec = {
+      import scala.jdk.CollectionConverters._
+      val dbz = o.asCaseSensitiveMap().asScala.collect {
+        // CaseInsensitiveStringMap lower-cases keys; the mask grammar is
+        // already all-lower-case in the reference docs
+        case (k, v) if k.toLowerCase.startsWith(DebeziumPrefix) =>
+          k.toLowerCase.substring(DebeziumPrefix.length) -> v
+      }.toMap
+      ColumnMasks.encode(ColumnMasks.fromOptions(dbz))
+    })
 }
 
 case class CdcSourceConfig(
@@ -195,7 +214,8 @@ case class CdcSourceConfig(
     boundedOffset: Long = -1L,
     parseErrorPolicy: String = "fail",
     excludeColumns: Set[String] = Set.empty,
-    serverTimeZone: String = "UTC") {
+    serverTimeZone: String = "UTC",
+    columnMaskSpec: String = "") {
 
   def dialect: CdcDialect = CdcDialects.byName(dialectName)
   // fail at analysis, not per-row on the executor (the reference validates
@@ -260,6 +280,21 @@ case class CdcSourceConfig(
       // a bounded (point-in-time) read uses the schema AS OF the bound:
       // DDL past the bound must not widen the result
       if (boundedOffset >= 0L) boundedOffset else Long.MaxValue, dialect)
+    // masked columns: must exist (post-exclusion), be STRING, and not be
+    // the merge/split identity — fail at analysis, not mid-scan
+    val masks = ColumnMasks.decode(columnMaskSpec)
+    if (masks.nonEmpty) {
+      val visible = full.fields.filterNot(f => excludeColumns.contains(f.name))
+      masks.keys.foreach { c =>
+        val f = visible.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"debezium column mask names unknown or excluded column: $c"))
+        require(f.dataType == org.apache.spark.sql.types.StringType,
+          s"debezium column mask on non-STRING column $c (${f.dataType})")
+        require(c != meta.pk && c != chunkKey,
+          s"debezium column mask cannot redact the primary/chunk key: $c")
+      }
+    }
     if (excludeColumns.isEmpty) full
     else {
       require(!excludeColumns.contains(meta.pk) &&
@@ -564,7 +599,7 @@ object CdcPlanner {
     cs.grouped(group).zipWithIndex.map { case (g, i) =>
       SnapshotChunkPartition(cfg.dialectName, cfg.path, table, i,
         g.map(c => (c.lo, c.hi)), high, schemaDdl, cfg.chunkKey,
-        cfg.parseErrorPolicy, cfg.serverTimeZone)
+        cfg.parseErrorPolicy, cfg.serverTimeZone, cfg.columnMaskSpec)
     }.toSeq
   }
 
@@ -586,7 +621,7 @@ object CdcPlanner {
           logRanges(logFrom, logTo, cfg.logPartitions).map { case (lo, hi) =>
             LogRangePartition(cfg.dialectName, cfg.path, table,
               lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy,
-              cfg.serverTimeZone)
+              cfg.serverTimeZone, cfg.columnMaskSpec)
           }
         else Seq.empty
       snap ++ log
@@ -771,7 +806,7 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
           .map { case (lo, hi) =>
             LogRangePartition(cfg.dialectName, cfg.path, table,
               lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy,
-              cfg.serverTimeZone)
+              cfg.serverTimeZone, cfg.columnMaskSpec)
           }
       else Seq.empty
     }.toArray

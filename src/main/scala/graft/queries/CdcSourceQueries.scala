@@ -142,6 +142,35 @@ object CdcSourceQueries {
              |  UNION ALL SELECT '-D', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
              |) ORDER BY __op""".stripMargin)),
 
+    // Capture-time column redaction (Debezium passthrough grammar,
+    // DebeziumOptions.java:24-41 + Debezium column.mask.*/column.truncate.*):
+    // the hash rule pseudonymizes o_orderstatus (equality-preserving hex
+    // digest of salt+value), the truncate rule clips o_orderpriority — both
+    // applied inside the readers, so the merged batch state never contains
+    // an original value. Oracle applies the same transforms in SQL over the
+    // changelog's final state.
+    "cdc_column_masking" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .option("debezium.column.mask.hash.md5.with.salt.s3",
+            "o_orderstatus")
+          .option("debezium.column.truncate.to.3.chars", "o_orderpriority")
+          .load()
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey,
+             |       md5(concat('s3', o_orderstatus)) AS o_orderstatus,
+             |       substr(o_orderpriority, 1, 3) AS o_orderpriority
+             |FROM (${ChangelogGen.oracleFinalStateSql(ordersSpec,
+                        orderCols, "orders")})
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Live-JDBC dialect end-to-end: the same orders changelog materialized
     // into an embedded Derby database, read back through the generic source
     // with dialect=jdbc — chunk range scans, the log slice and the rate

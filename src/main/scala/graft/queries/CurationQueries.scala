@@ -266,6 +266,85 @@ object CurationQueries {
              |SELECT source, n_docs, round(w / wsum, 6) AS weight,
              |  CAST(FLOOR(CAST(total AS DOUBLE) * w / wsum) AS BIGINT)
              |    AS target_n
-             |FROM w, tot ORDER BY source""".stripMargin))
+             |FROM w, tot ORDER BY source""".stripMargin)),
+
+    // DETERMINISTIC EPOCH SHUFFLE: the global training-order shuffle every
+    // epoch needs — each document gets a shard (seeded hash mod S) and a
+    // dense position within its shard (rank of the hash). Same seed → same
+    // order on any cluster size; next epoch = new seed. Scale shape: NO
+    // global sort — the rank window partitions by shard, so the sort
+    // parallelizes S-ways (S grows with the corpus; a 100 TB epoch uses
+    // tens of thousands of shards and each task sorts one shard). Output is
+    // the per-shard verification summary: count, the shard's first
+    // document, and a position-weighted checksum any mis-ranking breaks.
+    "curation_epoch_shuffle" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val h = d.select(col("doc_id"),
+          md5Long(concat(lit("ep1:"), col("doc_id"))).as("h"))
+          .withColumn("shard", col("h") % 64L)
+        val pos = h.withColumn("pos",
+          row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+            .cast(LongType))
+        pos.groupBy(col("shard")).agg(
+            count(lit(1)).as("n_docs"),
+            min(when(col("pos") === 1L, col("doc_id"))).as("first_doc"),
+            sum(col("pos") * col("doc_id")).as("checksum"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""WITH h AS (
+             |  SELECT doc_id,
+             |         ${sqlMd5Long("concat('ep1:', doc_id)")} AS h
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, h % 64 AS shard,
+             |         ROW_NUMBER() OVER (PARTITION BY h % 64
+             |                            ORDER BY h, doc_id) AS pos
+             |  FROM h)
+             |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT)
+             |         AS first_doc,
+             |       CAST(SUM(pos * doc_id) AS BIGINT) AS checksum
+             |FROM p GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // CORPUS COMPOSITION REPORT: the per-source audit a mixing/curation
+    // pass starts from — document and character volume, language spread,
+    // the dominant language, and the Simpson concentration numerator
+    // Σ n_lang² (÷ n_docs² gives the probability two random docs share a
+    // language — 1.0 = monolingual source). All exact integers; one
+    // map-side-combined (source, lang) aggregate then a |sources×langs|-row
+    // reduce — the 100 TB scan contributes counts only.
+    "corpus_mix_report" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val sl = d.groupBy(col("source"), col("lang")).agg(
+          count(lit(1)).as("n_l"), sum(col("n_chars")).as("chars_l"))
+        sl.groupBy(col("source")).agg(
+            sum(col("n_l")).as("n_docs"),
+            count(lit(1)).as("n_langs"),
+            sum(col("chars_l")).as("n_chars"),
+            max_by(col("lang"), struct(col("n_l"), col("lang")))
+              .as("top_lang"),
+            sum(col("n_l") * col("n_l")).as("simpson_num"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sl AS (
+             |  SELECT source, lang, count(*) AS n_l,
+             |         CAST(SUM(n_chars) AS BIGINT) AS chars_l
+             |  FROM documents GROUP BY source, lang),
+             |ranked AS (
+             |  SELECT source, lang,
+             |         ROW_NUMBER() OVER (PARTITION BY source
+             |                            ORDER BY n_l DESC, lang DESC) AS rk
+             |  FROM sl)
+             |SELECT sl.source, CAST(SUM(n_l) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(*) AS BIGINT) AS n_langs,
+             |       CAST(SUM(chars_l) AS BIGINT) AS n_chars,
+             |       MIN(r.lang) AS top_lang,
+             |       CAST(SUM(n_l * n_l) AS BIGINT) AS simpson_num
+             |FROM sl JOIN ranked r ON sl.source = r.source AND r.rk = 1
+             |GROUP BY sl.source ORDER BY sl.source""".stripMargin))
   )
 }

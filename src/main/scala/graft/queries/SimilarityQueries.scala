@@ -833,6 +833,41 @@ object SimilarityQueries {
            |       CAST(1 AS BIGINT) AS v),
            |${(1 to 3).map(round).mkString(",\n")}
            |SELECT i, CAST(v AS BIGINT) AS v FROM v3 ORDER BY i""".stripMargin
-      })
+      }),
+
+    // PER-CLASS CENTROIDS over the labeled embeddings — the statistic a
+    // classifier-based curation pass (quality classes, domain classes)
+    // reads off the corpus, and the seed step of supervised re-clustering.
+    // Exact integer arithmetic: vectors are int8-quantized by the shared
+    // global scale, the centroid is reported as (Σq, n) per (label, dim) —
+    // derivable mean with no float summation order to drift. Scale shape:
+    // posexplode ×Dim then ONE map-side-combined aggregate; result is
+    // |labels|·Dim rows regardless of corpus size.
+    "embed_class_centroids" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val scale = e.select(explode(col("embedding")).as("x"))
+          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+        e.crossJoin(broadcast(scale))
+          .select(col("label"),
+            posexplode(transform(col("embedding"),
+              x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
+                + lit(0.5d)).cast(LongType))).as(Seq("i", "q")))
+          .groupBy(col("label"), col("i"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+          .select(col("label").cast(LongType).as("label"),
+            col("i").cast(LongType).as("i"), col("n_vecs"), col("sum_q"))
+          .orderBy(col("label"), col("i"))
+      },
+      Some(s"""WITH scale AS (
+             |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+             |    x -> abs(x)), 'max')) AS DOUBLE) AS scale FROM embeddings)
+             |SELECT CAST(label AS BIGINT) AS label, i,
+             |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |       CAST(SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+             |         * 127.0 / scale + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
+             |FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i) r, scale
+             |WHERE i < len(embedding)
+             |GROUP BY label, i ORDER BY label, i""".stripMargin))
   )
 }

@@ -725,4 +725,80 @@ class CdcSourceSpec extends SparkSpecBase {
     val unk = intercept[Exception](readExcl("nope"))
     assert(unk.getMessage.contains("unknown columns"), unk.getMessage)
   }
+
+  test("debezium column masks redact every emitted image at the source") {
+    val dir = tmpDir("cdc-mask")
+    writeDb(dir, 6L)
+    // truncate: final state carries clipped values for every surviving row,
+    // including log-inserted (22) and log-updated (1, 3) keys
+    val trunc = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option("debezium.column.truncate.to.2.chars", "v")
+      .load().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(trunc(1L) === "v1" && trunc(22L) === "v2" && trunc(10L) === "v1",
+      trunc.toString)
+    // hash: earliest (log-only) replay — BOTH images of an update event are
+    // redacted, and equal plaintext hashes to equal tokens
+    val hashed = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("debezium.column.mask.hash.sha-256.with.salt.k", "v")
+      .load().select("v").collect().map(_.getString(0))
+    assert(hashed.forall(v => v.matches("[0-9a-f]{64}")), hashed.mkString(","))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update("kv1b".getBytes("UTF-8"))
+    val expect = md.digest().map(b => f"${b & 0xff}%02x").mkString
+    assert(hashed.contains(expect))
+    // constant-width mask
+    val masked = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option("debezium.column.mask.with.4.chars", "v")
+      .load().select("v").distinct().collect().map(_.getString(0))
+    assert(masked.toSeq === Seq("****"))
+  }
+
+  test("debezium column masks fail fast on bad rules") {
+    val dir = tmpDir("cdc-mask-bad")
+    writeDb(dir, 3L)
+    def readMask(key: String, cols: String) = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option(key, cols)
+      .load().count()
+    val pk = intercept[Exception](
+      readMask("debezium.column.mask.with.3.chars", "id"))
+    assert(pk.getMessage.contains("non-STRING") ||
+      pk.getMessage.contains("primary/chunk key"), pk.getMessage)
+    val unk = intercept[Exception](
+      readMask("debezium.column.truncate.to.3.chars", "nope"))
+    assert(unk.getMessage.contains("unknown"), unk.getMessage)
+    val algo = intercept[Exception](
+      readMask("debezium.column.mask.hash.crc32.with.salt.s", "v"))
+    assert(algo.getMessage.contains("unsupported mask hash algorithm"),
+      algo.getMessage)
+    val gram = intercept[Exception](
+      readMask("debezium.column.mask.by.3.chars", "v"))
+    assert(gram.getMessage.contains("unrecognized debezium column option"),
+      gram.getMessage)
+    // one column, two rules
+    val dup = intercept[Exception](spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("debezium.column.mask.with.3.chars", "v")
+      .option("debezium.column.truncate.to.2.chars", "v")
+      .load().count())
+    assert(dup.getMessage.contains("more than one mask rule"), dup.getMessage)
+  }
+
+  test("mask spec encode/decode round-trips every rule shape") {
+    import graft.cdc.source.ColumnMasks
+    val rules: Map[String, ColumnMasks.Rule] = Map(
+      "a" -> ColumnMasks.MaskWith(7),
+      "b" -> ColumnMasks.TruncateTo(2),
+      "c" -> ColumnMasks.HashWithSalt("MD5", "salt with spaces"))
+    assert(ColumnMasks.decode(ColumnMasks.encode(rules)) === rules)
+    assert(ColumnMasks.decode("") === Map.empty)
+  }
 }

@@ -342,4 +342,33 @@ class PlanSpec extends SparkSpecBase {
     assert("partial_count|partial_sum".r.findAllIn(plan).nonEmpty,
       plan.take(3000))
   }
+
+  test("curation_epoch_shuffle: rank parallelizes by shard — no global " +
+      "single-partition sort") {
+    val plan = formatted(q("curation_epoch_shuffle"))
+    // the rank window must partition by shard; a missing partition spec
+    // collapses the whole corpus into Exchange SinglePartition
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(2000))
+    // per-shard summary partial-aggregates before its exchange
+    assert("partial_sum|partial_count".r.findAllIn(plan).nonEmpty,
+      plan.take(3000))
+  }
+
+  test("embed_class_centroids: scale broadcast, one map-side-combined agg") {
+    val plan = formatted(q("embed_class_centroids"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1, s"scale must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("corpus_mix_report: two-level rollup, everything partial-aggregated") {
+    val plan = formatted(q("corpus_mix_report"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+  }
 }
