@@ -57,7 +57,8 @@ case class LogRangePartition(dialect: String, path: String, table: String,
     schemaDdl: String,
     parsePolicy: String = "fail",
     serverTimeZone: String = "UTC",
-    maskSpec: String = "") extends InputPartition
+    maskSpec: String = "",
+    skippedOps: String = "") extends InputPartition
 
 class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -428,11 +429,18 @@ class LogRangeReader(p: LogRangePartition)
   // next()'s inScope so the cursor lands in this reader's scope (a
   // constructor-time open would fall into the thread scope and survive
   // close() on early-stopped scans, leaking the pooled connection)
+  // Debezium skipped.operations: op types dropped from the emitted stream
+  // (log phase only — the snapshot merge still applies every op, like
+  // Debezium's snapshot of live state that already reflects them)
+  private val skipped: Set[String] =
+    p.skippedOps.split(",").map(_.trim).filter(_.nonEmpty).toSet
+
   private lazy val rows: Iterator[InternalRow] =
     // shouldEmit (W3): only events past the key's finished-chunk high
     // watermark; uniform high == p.from for the file dialect. Offsets are
     // prefiltered cheaply before the full envelope decode.
     dec.logLinesInRange(p.from, p.to).flatMap(dec.decodeEnvelopeSafe)
+      .filterNot(env => skipped.contains(env.op))
       .flatMap { env =>
         env.op match {
           // schema changes route to SchemaHistory, not the row stream (the

@@ -139,6 +139,16 @@ object CdcSourceConfig {
     * (it never enumerates them either). */
   val DebeziumPrefix = "debezium."
 
+  /** Debezium `skipped.operations` (passthrough under [[DebeziumPrefix]]):
+    * comma list of op types dropped from the EMITTED change stream —
+    * c (create), u (update), d (delete), t (truncate; accepted for grammar
+    * parity, no truncate events exist here), or `none`. Affects only the
+    * log phase: the snapshot merge must still apply every op or the
+    * reconstructed table state would diverge from the store (Debezium's
+    * snapshot likewise reads live state that already reflects skipped
+    * ops). */
+  val SkippedOperationsKey = "debezium.skipped.operations"
+
   /** The V2 session catalog qualifies a stored table's `path` option into a
     * location URI (`file:/...`) before handing it back — CREATE TABLE ...
     * USING graft-cdc surfaces it that way while direct reads pass the raw
@@ -189,6 +199,11 @@ object CdcSourceConfig {
           k.toLowerCase.substring(DebeziumPrefix.length) -> v
       }.toMap
       ColumnMasks.encode(ColumnMasks.fromOptions(dbz))
+    },
+    skippedOperations = {
+      val raw = o.getOrDefault(SkippedOperationsKey, "none").trim
+      if (raw.isEmpty || raw == "none") Set.empty
+      else raw.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
     })
 }
 
@@ -215,7 +230,12 @@ case class CdcSourceConfig(
     parseErrorPolicy: String = "fail",
     excludeColumns: Set[String] = Set.empty,
     serverTimeZone: String = "UTC",
-    columnMaskSpec: String = "") {
+    columnMaskSpec: String = "",
+    skippedOperations: Set[String] = Set.empty) {
+
+  require(skippedOperations.subsetOf(Set("c", "u", "d", "t")),
+    s"${CdcSourceConfig.SkippedOperationsKey} accepts c,u,d,t or none: " +
+      skippedOperations.mkString(","))
 
   def dialect: CdcDialect = CdcDialects.byName(dialectName)
   // fail at analysis, not per-row on the executor (the reference validates
@@ -621,7 +641,8 @@ object CdcPlanner {
           logRanges(logFrom, logTo, cfg.logPartitions).map { case (lo, hi) =>
             LogRangePartition(cfg.dialectName, cfg.path, table,
               lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy,
-              cfg.serverTimeZone, cfg.columnMaskSpec)
+              cfg.serverTimeZone, cfg.columnMaskSpec,
+              cfg.skippedOperations.toSeq.sorted.mkString(","))
           }
         else Seq.empty
       snap ++ log
@@ -806,7 +827,8 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
           .map { case (lo, hi) =>
             LogRangePartition(cfg.dialectName, cfg.path, table,
               lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy,
-              cfg.serverTimeZone, cfg.columnMaskSpec)
+              cfg.serverTimeZone, cfg.columnMaskSpec,
+              cfg.skippedOperations.toSeq.sorted.mkString(","))
           }
       else Seq.empty
     }.toArray

@@ -171,6 +171,27 @@ object CdcSourceQueries {
                         orderCols, "orders")})
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Debezium `skipped.operations` passthrough: update events never reach
+    // the emitted stream (log replay drops them before emit), while inserts
+    // and deletes flow — the op histogram loses exactly its +U/-U rows
+    // relative to cdc_source_earliest_ops. Snapshot reads are unaffected by
+    // design: the merge must still apply every op to reconstruct state.
+    "cdc_skipped_operations" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("scan.startup.mode", "earliest")
+          .option("debezium.skipped.operations", "u")
+          .load()
+          .groupBy(col(OpCol)).agg(count(lit(1)).as("n"))
+          .orderBy(col(OpCol))
+      },
+      Some("""SELECT __op, n FROM (
+             |  SELECT '+I' AS __op, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 1) AS n
+             |  UNION ALL SELECT '-D', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
+             |) ORDER BY __op""".stripMargin)),
+
     // Live-JDBC dialect end-to-end: the same orders changelog materialized
     // into an embedded Derby database, read back through the generic source
     // with dialect=jdbc — chunk range scans, the log slice and the rate

@@ -460,6 +460,44 @@ object CorpusQueries {
            |  UNION ALL SELECT 2, replace(pair, ' ', '_'), cnt FROM top2
            |  UNION ALL SELECT 3, replace(pair, ' ', '_'), cnt FROM top3)
            |ORDER BY merge_round""".stripMargin
-      })
+      }),
+
+    // KNESER-NEY BIGRAM STATISTICS: the two count tables an interpolated-KN
+    // language model (the classic data-side LM pass) is built from — raw
+    // bigram counts, and the RIGHT-CONTINUATION count of the second word
+    // (how many DISTINCT left contexts it follows; KN's lower-order
+    // distribution uses this instead of unigram frequency). Scale shape:
+    // one map-side-combined count over the exploded bigram stream; the
+    // continuation table derives from the (vocab²-bounded) distinct-bigram
+    // table, not the corpus; top-k via TakeOrdered, never a global sort.
+    "corpus_bigram_kn" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val cnt = d
+          .select(explode(shingles(words(col("text")), 2)).as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+          .cache() // top-k and the continuation rollup both read it
+        val cont = cnt
+          .select(split(col("bg"), " ").getItem(1).as("w2"))
+          .groupBy(col("w2")).agg(count(lit(1)).as("r_cont"))
+        cnt.orderBy(col("n").desc, col("bg")).limit(40)
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+          .join(cont, "w2")
+          .select(col("bg"), col("n"), col("r_cont"))
+          .orderBy(col("n").desc, col("bg"))
+      },
+      Some(s"""WITH w AS (
+             |  SELECT ${sqlWords("text")} AS ws FROM documents),
+             |bg AS (
+             |  SELECT unnest(${sqlShingles("ws", 2)}) AS bg FROM w),
+             |cnt AS (SELECT bg, count(*) AS n FROM bg GROUP BY bg),
+             |cont AS (
+             |  SELECT string_split(bg, ' ')[2] AS w2, count(*) AS r_cont
+             |  FROM cnt GROUP BY 1),
+             |top AS (SELECT bg, n FROM cnt ORDER BY n DESC, bg LIMIT 40)
+             |SELECT t.bg, CAST(t.n AS BIGINT) AS n,
+             |       CAST(c.r_cont AS BIGINT) AS r_cont
+             |FROM top t JOIN cont c ON string_split(t.bg, ' ')[2] = c.w2
+             |ORDER BY n DESC, bg""".stripMargin))
   )
 }

@@ -792,6 +792,33 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(dup.getMessage.contains("more than one mask rule"), dup.getMessage)
   }
 
+  test("skipped.operations drops ops from the stream, never from the " +
+      "snapshot merge") {
+    val dir = tmpDir("cdc-skipops")
+    writeDb(dir, 6L)
+    // log replay with deletes and updates skipped: only inserts remain
+    val ops = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("debezium.skipped.operations", "d,u")
+      .load().select("__op").collect().map(_.getString(0)).toSet
+    assert(ops === Set("+I"), ops.toString)
+    // snapshot (initial) still applies every op: state matches finalState
+    val st = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option("debezium.skipped.operations", "d,u")
+      .load().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(st === finalState, st.toString)
+    // grammar: unknown op letter fails at analysis
+    val bad = intercept[Exception](spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("debezium.skipped.operations", "x")
+      .load().count())
+    assert(bad.getMessage.contains("skipped.operations"), bad.getMessage)
+  }
+
   test("mask spec encode/decode round-trips every rule shape") {
     import graft.cdc.source.ColumnMasks
     val rules: Map[String, ColumnMasks.Rule] = Map(
