@@ -868,6 +868,107 @@ object SimilarityQueries {
              |         * 127.0 / scale + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
              |FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i) r, scale
              |WHERE i < len(embedding)
-             |GROUP BY label, i ORDER BY label, i""".stripMargin))
+             |GROUP BY label, i ORDER BY label, i""".stripMargin)),
+
+    // EMBEDDING OUTLIER FILTER — drop the ~10% of each class farthest from
+    // its centroid (mislabeled/degenerate vectors, the standard
+    // embedding-space curation pass). Everything exact integers: distance
+    // is Σ(n·q − Σq)² (the mean-distance scaled by n², so NO division),
+    // and the per-class cut point is a 1000-bin integer histogram
+    // threshold — the smallest bin with ≤ n/10 vectors strictly above —
+    // never a per-class global sort (a label can hold 1/|labels| of a
+    // 100 TB corpus; the histogram is ≤1001 rows/label, the threshold
+    // broadcasts back onto the scan). Output: per-class summary any
+    // misclassification breaks (outlier count + vec_id checksum).
+    "embed_outlier_filter" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        val scale = e.select(explode(col("embedding")).as("x"))
+          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+        val ex = e.crossJoin(broadcast(scale))
+          .select(col("vec_id"), col("label"),
+            posexplode(transform(col("embedding"),
+              x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
+                + lit(0.5d)).cast(LongType))).as(Seq("i", "q")))
+        val cs = ex.groupBy(col("label"), col("i"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        val d2 = ex.join(broadcast(cs), Seq("label", "i"))
+          .select(col("vec_id"), col("label"),
+            ((col("n") * col("q") - col("sq"))
+              * (col("n") * col("q") - col("sq"))).as("t"))
+          .groupBy(col("vec_id"), col("label")).agg(sum(col("t")).as("d2"))
+          .cache() // binning and the final rollup both read it
+        val mx = d2.groupBy(col("label"))
+          .agg(max(col("d2")).as("mx"), count(lit(1)).as("n"))
+        val binned = d2.join(broadcast(mx), "label")
+          .select(col("vec_id"), col("label"), col("n"),
+            expr("d2 div (mx div 1000 + 1)").as("bin"))
+        val hist = binned.groupBy(col("label"), col("bin"))
+          .agg(count(lit(1)).as("c"))
+        val wDesc = Window.partitionBy(col("label"))
+          .orderBy(col("bin").desc)
+        val thr = hist
+          .withColumn("cum_above", sum(col("c")).over(wDesc) - col("c"))
+          .join(broadcast(mx.select(col("label"), col("n"))), "label")
+          .filter(col("cum_above") <= expr("n div 10"))
+          .groupBy(col("label")).agg(min(col("bin")).as("thr_bin"))
+        binned.join(broadcast(thr), "label")
+          .groupBy(col("label")).agg(
+            count(lit(1)).as("n_vecs"),
+            sum(when(col("bin") > col("thr_bin"), 1L).otherwise(0L))
+              .as("n_outliers"),
+            sum(when(col("bin") > col("thr_bin"), col("vec_id"))
+              .otherwise(0L)).as("out_checksum"),
+            max(col("thr_bin")).as("thr_bin"))
+          .select(col("label").cast(LongType).as("label"), col("n_vecs"),
+            col("n_outliers"), col("out_checksum"), col("thr_bin"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH scale AS (
+             |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+             |    x -> abs(x)), 'max')) AS DOUBLE) AS scale FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, label, i,
+             |    CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 127.0 / scale
+             |      + 0.5) AS BIGINT) AS qv
+             |  FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i) r, scale
+             |  WHERE i < len(embedding)),
+             |cs AS (
+             |  SELECT label, i, CAST(SUM(qv) AS BIGINT) AS sq,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM q GROUP BY label, i),
+             |d2 AS (
+             |  SELECT q.vec_id, q.label,
+             |    CAST(SUM((cs.n * q.qv - cs.sq) * (cs.n * q.qv - cs.sq))
+             |      AS BIGINT) AS d2
+             |  FROM q JOIN cs ON q.label = cs.label AND q.i = cs.i
+             |  GROUP BY q.vec_id, q.label),
+             |mx AS (SELECT label, MAX(d2) AS mx,
+             |         CAST(COUNT(*) AS BIGINT) AS n FROM d2 GROUP BY label),
+             |b AS (
+             |  SELECT d2.vec_id, d2.label, mx.n,
+             |         d2.d2 // (mx.mx // 1000 + 1) AS bin
+             |  FROM d2 JOIN mx USING (label)),
+             |h AS (SELECT label, bin, CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM b GROUP BY label, bin),
+             |a AS (
+             |  SELECT h.label, h.bin,
+             |    CAST(SUM(c) OVER (PARTITION BY h.label ORDER BY h.bin DESC)
+             |      - c AS BIGINT) AS cum_above
+             |  FROM h),
+             |t AS (
+             |  SELECT a.label, CAST(MIN(a.bin) AS BIGINT) AS thr_bin
+             |  FROM a JOIN mx USING (label)
+             |  WHERE cum_above <= n // 10 GROUP BY a.label)
+             |SELECT CAST(b.label AS BIGINT) AS label,
+             |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  CAST(SUM(CASE WHEN b.bin > t.thr_bin THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers,
+             |  CAST(SUM(CASE WHEN b.bin > t.thr_bin THEN b.vec_id ELSE 0 END)
+             |    AS BIGINT) AS out_checksum,
+             |  CAST(MAX(t.thr_bin) AS BIGINT) AS thr_bin
+             |FROM b JOIN t USING (label)
+             |GROUP BY b.label ORDER BY label""".stripMargin))
   )
 }

@@ -364,6 +364,19 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("embed_outlier_filter: centroid/threshold broadcasts onto the scan " +
+      "— the corpus is never single-partition sorted") {
+    val plan = formatted(q("embed_outlier_filter"))
+    // the histogram threshold must come back as a broadcast; a window over
+    // the VECTORS (not the ≤1001-row histogram) would single-partition a
+    // whole class
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
+
   test("corpus_mix_report: two-level rollup, everything partial-aggregated") {
     val plan = formatted(q("corpus_mix_report"))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
