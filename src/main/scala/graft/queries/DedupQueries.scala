@@ -363,6 +363,39 @@ object DedupQueries {
               |SELECT id_a, id_b, jac FROM pairs
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // CROSS-SOURCE NEAR-DUP MATRIX: the contamination map between corpus
+    // sources — which (source, source) pairs share near-duplicate
+    // documents, and how strongly. Drives source-level curation decisions
+    // (drop a mirrored crawl, dedup one source against another). Scale
+    // shape: the verified near-dup PAIR table (tiny relative to the
+    // corpus) broadcasts onto two source lookups; the aggregate is
+    // |sources|² rows. max(jac) is order-independent, so no float-sum
+    // drift rides the matrix.
+    "dedup_cross_source" -> QueryDef(
+      (s, dir) => {
+        val src = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        minhashPairs(s, dir)
+          .join(src.select(col("doc_id").as("id_a"),
+            col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"),
+            col("source").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"), col("jac"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"), max(col("jac")).as("max_jac"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH $minhashPairsCte
+              |SELECT least(da.source, db.source) AS source_a,
+              |       greatest(da.source, db.source) AS source_b,
+              |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |       MAX(jac) AS max_jac
+              |FROM pairs p
+              |JOIN documents da ON p.id_a = da.doc_id
+              |JOIN documents db ON p.id_b = db.doc_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // LSH RECALL measurement — the quality gate for the banded index (the
     // dedup twin of ann_ivf_recall). SAMPLING CONTRACT: ground truth is
     // exact Jaccard ≥ 0.5 restricted to pairs TOUCHING a deterministic
