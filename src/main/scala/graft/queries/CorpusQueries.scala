@@ -472,11 +472,21 @@ object CorpusQueries {
     // table, not the corpus; top-k via TakeOrdered, never a global sort.
     "corpus_bigram_kn" -> QueryDef(
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        val cnt = d
-          .select(explode(shingles(words(col("text")), 2)).as("bg"))
-          .groupBy(col("bg")).agg(count(lit(1)).as("n"))
-          .cache() // top-k and the continuation rollup both read it
+        // The corpus arrives as ONE input split locally, and tokenization
+        // is the dominant cost — spread it with an EXPLICIT-N round-robin
+        // repartition (a keyed repartition's exchange is AQE-coalesced
+        // right back to ~1 partition at this byte size; an explicit count
+        // is pinned), so the split+shingle map runs on every core. The
+        // shingled rows are cached — the count and the continuation
+        // rollup both read them, and caching stores the ARRAYS so
+        // projection collapse can't inline the tokenizer into the
+        // per-element lambdas (the O(words²) re-split trap).
+        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val bgs = Tables.load(s, dir, "documents").repartition(np)
+          .select(words(col("text")).as("ws"))
+          .select(explode(shingles(col("ws"), 2)).as("bg"))
+          .cache()
+        val cnt = bgs.groupBy(col("bg")).agg(count(lit(1)).as("n"))
         val cont = cnt
           .select(split(col("bg"), " ").getItem(1).as("w2"))
           .groupBy(col("w2")).agg(count(lit(1)).as("r_cont"))

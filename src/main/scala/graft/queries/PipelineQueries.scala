@@ -655,13 +655,16 @@ object PipelineQueries {
     "chunk_content_defined" -> QueryDef(
       (s, dir) => {
         import graft.functions.TextFunctions.{md5Long, words}
-        // spread the few input splits, then CACHE the tokenized rows:
-        // `ws` is referenced from inside per-element lambdas downstream,
-        // and Catalyst's projection collapse would otherwise inline the
+        // spread the few input splits (EXPLICIT-N round-robin — AQE
+        // coalesces a keyed repartition's exchange back to ~1 partition
+        // at this byte size), then CACHE the tokenized rows: `ws` is
+        // referenced from inside per-element lambdas downstream, and
+        // Catalyst's projection collapse would otherwise inline the
         // split() into every reference site — re-tokenizing the document
         // once per WORD (measured 3.8 s → 1.2 s at sf0.1). The cached
         // attribute makes every reference an array read.
-        val d = Tables.load(s, dir, "documents").repartition(col("doc_id"))
+        val d = Tables.load(s, dir, "documents")
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         d.select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) > 0)
           .withColumn("n", size(col("ws")))

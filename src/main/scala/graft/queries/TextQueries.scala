@@ -163,10 +163,13 @@ object TextQueries {
         import graft.functions.TextFunctions.{md5Long, shingles, words}
         // the corpus arrives as few(=1 locally) input splits; the per-word
         // hashing is the dominant cost and runs BEFORE any shuffle, so
-        // spread the docs first — and cache the hashed bigrams: both the
-        // count build and the join-back consume them (uncached they'd be
-        // tokenized + hashed twice)
-        val d = Tables.load(s, dir, "documents").repartition(col("doc_id"))
+        // spread the docs first (EXPLICIT-N round-robin: AQE coalesces a
+        // keyed repartition's exchange right back to ~1 partition at this
+        // byte size) — and cache the hashed bigrams: both the count build
+        // and the join-back consume them (uncached they'd be tokenized +
+        // hashed twice)
+        val d = Tables.load(s, dir, "documents")
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         val hashed = d
           .select(col("doc_id"),
             explode(shingles(words(col("text")), 2)).as("bg"))
