@@ -883,7 +883,12 @@ object SimilarityQueries {
     "embed_outlier_filter" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // one input split locally — pin an explicit-N spread (a keyed
+        // repartition would be AQE-coalesced back) so the quantize+explode
+        // map parallelizes; cache ex: the centroid pass AND the distance
+        // pass both read it
         val e = emb(s, dir)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         val scale = e.select(explode(col("embedding")).as("x"))
           .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
         val ex = e.crossJoin(broadcast(scale))
@@ -891,6 +896,7 @@ object SimilarityQueries {
             posexplode(transform(col("embedding"),
               x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
                 + lit(0.5d)).cast(LongType))).as(Seq("i", "q")))
+          .cache()
         val cs = ex.groupBy(col("label"), col("i"))
           .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
         val d2 = ex.join(broadcast(cs), Seq("label", "i"))
