@@ -37,6 +37,12 @@ object CorpusQueries {
     * same rule discriminates at every SF. */
   private val CommonDfPct = 10
 
+  /** Vocabulary size for coverage measurement (`text_vocab_coverage`) —
+    * the synthetic corpus has a tiny closed vocabulary, so a small V keeps
+    * the covered/uncovered split non-degenerate at every SF; a production
+    * run would set 32k–256k. */
+  private val VocabTopV = 24
+
   def defs: Map[String, QueryDef] = Map(
 
     // PII redaction: the corpus text carries deterministic contact blocks
@@ -508,6 +514,112 @@ object CorpusQueries {
              |SELECT t.bg, CAST(t.n AS BIGINT) AS n,
              |       CAST(c.r_cont AS BIGINT) AS r_cont
              |FROM top t JOIN cont c ON string_split(t.bg, ' ')[2] = c.w2
-             |ORDER BY n DESC, bg""".stripMargin))
+             |ORDER BY n DESC, bg""".stripMargin)),
+
+    // OOV-BIGRAM RATE: per-document fraction of word bigrams never seen in
+    // a trusted REFERENCE sub-corpus (source 'src0' stands in for the
+    // Wikipedia-grade reference) — the integer-exact stand-in for LM
+    // perplexity filtering (a doc whose bigrams the reference LM has never
+    // seen is exactly the doc a KN bigram model assigns its backoff mass).
+    // Scale shape: the reference's DISTINCT bigram table is corpus-scale,
+    // so membership is an equi-JOIN on the bigram (shuffle ∝ corpus
+    // bigrams, map-side pre-shrunk by nothing — but never a broadcast of
+    // an unbounded set and never per-pair array work); the per-doc rollup
+    // is one map-side-combined aggregate.
+    "text_oov_bigram_rate" -> QueryDef(
+      (s, dir) => {
+        // explicit-N round-robin spread: tokenization dominates and the
+        // corpus arrives as one input split locally (see corpus_bigram_kn)
+        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val d = Tables.load(s, dir, "documents")
+        val bg = d.repartition(np)
+          .select(col("doc_id"), col("source"),
+            explode(shingles(words(col("text")), 2)).as("bg"))
+          .cache()
+        val ref = bg.filter(col("source") === "src0")
+          .select(col("bg")).distinct()
+        val st = bg
+          .join(ref.withColumn("seen", lit(1L)), Seq("bg"), "left")
+          .groupBy(col("doc_id")).agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov"))
+        d.select(col("doc_id")).join(st, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+            when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+              round(coalesce(col("n_oov"), lit(0L)).cast(DoubleType) /
+                col("n_bigrams").cast(DoubleType), 6)).as("oov_rate"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        s"""WITH bg AS (
+           |  SELECT doc_id, source, unnest(${sqlShingles(ws, 2)}) AS bg
+           |  FROM documents),
+           |ref AS (SELECT DISTINCT bg FROM bg WHERE source = 'src0'),
+           |st AS (
+           |  SELECT b.doc_id, count(*) AS n_bigrams,
+           |    sum(CASE WHEN r.bg IS NULL THEN 1 ELSE 0 END) AS n_oov
+           |  FROM bg b LEFT JOIN ref r ON b.bg = r.bg
+           |  GROUP BY b.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(st.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(coalesce(st.n_oov, 0) AS BIGINT) AS n_oov,
+           |  CASE WHEN coalesce(st.n_bigrams, 0) > 0 THEN
+           |    round(CAST(st.n_oov AS DOUBLE) / CAST(st.n_bigrams AS DOUBLE), 6)
+           |  END AS oov_rate
+           |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // TOKENIZER-VOCAB COVERAGE: per source, the fraction of token
+    // occurrences covered by the corpus-wide top-V vocabulary — the
+    // go/no-go statistic run after every tokenizer/vocab build (a source
+    // whose coverage is low will fragment into byte-fallback tokens).
+    // Scale shape: the vocab build is one map-side-combined word count and
+    // a TakeOrdered top-V (never a global sort); the V-row vocab
+    // BROADCASTS back onto the exploded scan; per-source rollup is a
+    // ≤sources-row aggregate. The token stream is cached — the count and
+    // the coverage pass both read it, and caching stores the exploded
+    // tokens so projection collapse can't re-run the tokenizer.
+    "text_vocab_coverage" -> QueryDef(
+      (s, dir) => {
+        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val tok = Tables.load(s, dir, "documents").repartition(np)
+          .select(col("source"), explode(words(col("text"))).as("w"))
+          .cache()
+        val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w")).limit(VocabTopV)
+          .select(col("w"))
+        tok.join(broadcast(vocab.withColumn("in_v", lit(1L))),
+            Seq("w"), "left")
+          .groupBy(col("source")).agg(
+            count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("in_v"), lit(0L))).as("n_covered"))
+          .select(col("source"), col("n_tokens"), col("n_covered"),
+            round(col("n_covered").cast(DoubleType) /
+              col("n_tokens").cast(DoubleType), 6).as("coverage"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        s"""WITH tok AS (
+           |  SELECT source, unnest($ws) AS w FROM documents),
+           |vocab AS (
+           |  SELECT w FROM (
+           |    SELECT w, count(*) AS n FROM tok GROUP BY w
+           |    ORDER BY n DESC, w LIMIT $VocabTopV)),
+           |st AS (
+           |  SELECT t.source, count(*) AS n_tokens,
+           |    sum(CASE WHEN v.w IS NULL THEN 0 ELSE 1 END) AS n_covered
+           |  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+           |  GROUP BY t.source)
+           |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(n_covered AS BIGINT) AS n_covered,
+           |  round(CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           |    AS coverage
+           |FROM st ORDER BY source""".stripMargin
+      })
   )
 }

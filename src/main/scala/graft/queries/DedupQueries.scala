@@ -632,6 +632,82 @@ object DedupQueries {
               |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // DUPLICATION INFLATION BY SOURCE — the dup-rate dashboard statistic
+    // that decides which crawls/sources get deduped first: per source the
+    // doc count, the distinct-content count, and the inflation ratio.
+    // Content identity is the md5 of the text, so the distinct-count
+    // shuffle carries 32-byte digests, never the documents themselves —
+    // the difference between a metadata-sized and a corpus-sized exchange
+    // at 100 TB.
+    "dedup_inflation_by_source" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("source"), md5(col("text")).as("h"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          round(col("n_docs").cast(DoubleType) /
+            col("n_distinct").cast(DoubleType), 6).as("inflation"))
+        .orderBy(col("source")),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+             |  round(CAST(count(*) AS DOUBLE) /
+             |    CAST(count(DISTINCT md5(text)) AS DOUBLE), 6) AS inflation
+             |FROM documents GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    // CLUSTER-DOWNWEIGHTED SAMPLING — dedup as soft reweighting instead of
+    // hard removal: each near-dup cluster of size k keeps each member with
+    // probability 1/k (so every cluster contributes ~1 expected doc and
+    // repeated content stops dominating the token mix — the "count-based
+    // downweighting" alternative to dropping duplicates outright).
+    // Selection is the suite's reproducible md5-threshold device compared
+    // in exact integer cross-multiplication (h·k < 10^6 ⇔ h/10^6 < 1/k),
+    // so singletons (k=1) always pass and the keep-set is partition- and
+    // order-independent. Scale shape: CC closes clusters in O(log² n)
+    // rounds; the size rollup and its join back are keyed on cluster_id
+    // (one shuffle each); the keep decision is a pure map.
+    "sample_cluster_downweight" -> QueryDef(
+      (s, dir) => {
+        val clusters = graft.operators.ConnectedComponents
+          .components(minhashPairs(s, dir), "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component").as("cid"))
+        val withC = Tables.load(s, dir, "documents").select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+        val sizes = withC.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        val h = md5Long(concat(lit("cdw:"), col("doc_id"))) % 1000000L
+        withC.join(sizes, "cluster_id")
+          .filter(h * col("cluster_size") < 1000000L)
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val h = s"(${sqlMd5Long("concat('cdw:', doc_id)")} % 1000000)"
+        s"""WITH RECURSIVE $minhashPairsCte,
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM pairs
+           |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT u AS id, u AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+           |clusters AS (
+           |  SELECT id AS doc_id, MIN(r) AS cid FROM reach GROUP BY id),
+           |withc AS (
+           |  SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+           |sizes AS (
+           |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           |  FROM withc GROUP BY cluster_id)
+           |SELECT w.doc_id, w.cluster_id, s.cluster_size
+           |FROM withc w JOIN sizes s ON w.cluster_id = s.cluster_id
+           |WHERE $h * s.cluster_size < 1000000
+           |ORDER BY w.doc_id""".stripMargin
+      }),
+
     // Quality-aware canonical selection: within each duplicate cluster keep
     // the LONGEST member (n_chars, ties → smaller doc_id) instead of the
     // smallest id — the "keep the most complete copy" policy real pipelines

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextFunctions.hamming
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -67,6 +68,28 @@ object FakeCodec {
         MediaWindow(b.doc_id, start / 128L, len.toLong, energy, peak)
       }
     }
+
+  /** 32-bit perceptual-hash stand-in: the payload is cut into 32
+    * interleaved byte stripes, bit k set iff stripe k's unsigned sum is
+    * above the payload mean (integer cross-multiplied). A real pHash
+    * thresholds DCT coefficients of the decoded image the same way (STUB —
+    * stripe sums stand in for frequency coefficients; the signature/
+    * banding/hamming plumbing downstream is the real part). */
+  def phashBatch(batch: Seq[MediaBlob]): Seq[(Long, Long)] = batch.map { b =>
+    val stripes = new Array[Long](32)
+    var total = 0L; var i = 0
+    while (i < b.content.length) {
+      val v = (b.content(i) & 0xff).toLong
+      stripes(i % 32) += v; total += v
+      i += 1
+    }
+    var sig = 0L; var k = 0
+    while (k < 32) {
+      if (stripes(k) * 32 > total) sig |= (1L << k)
+      k += 1
+    }
+    (b.doc_id, sig)
+  }
 
   /** Batched "resize" to half resolution: the stand-in transform crops the
     * payload to out_w×out_h units (STUB — a real codec rescales pixels;
@@ -217,6 +240,70 @@ object MultimodalQueries {
              |    CAST(greatest((octet_length(encode(text)) % 64 + 16) // 2, 1) AS BIGINT) AS out_w,
              |    CAST(greatest(((octet_length(encode(text)) * 31) % 48 + 16) // 2, 1) AS BIGINT) AS out_h
              |  FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // PERCEPTUAL-HASH NEAR-DUP over the binary media column — image dedup
+    // without ever joining on pixels: the batched codec emits a 32-bit
+    // stripe-threshold signature per asset (STUB for a DCT pHash), then
+    // candidates come from 4×8-bit BAND buckets (hamming ≤ 3 over 4 bands
+    // pigeonholes at least one equal band, so banding loses nothing) and
+    // only candidates pay the hamming check. Scale shape: signature is a
+    // map over the scan; the band join never materializes non-colliding
+    // pairs (production widens to 16-bit bands of a 64-bit hash as the
+    // corpus grows — collision rate per band is corpus²/2^bandbits). The
+    // oracle brute-forces the same pair set.
+    "mm_phash_neardup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit("fake/v1").as("fmt"),
+            encode(col("text"), "UTF-8").as("content"))
+          .as[MediaBlob]
+        val sigs = blobs
+          .mapPartitions(_.grouped(FakeCodec.BatchSize)
+            .flatMap(b => FakeCodec.phashBatch(b.toSeq)))
+          .toDF("doc_id", "sig")
+          .cache()
+        val bandVals = array((0 until 4).map { i =>
+          shiftright(col("sig"), i * 8).bitwiseAND(lit(255L))
+        }: _*)
+        val banded = sigs.select(col("doc_id"), col("sig"),
+          posexplode(bandVals).as(Seq("band", "bv")))
+        banded.as("a")
+          .join(banded.as("b"), col("a.band") === col("b.band")
+            && col("a.bv") === col("b.bv")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.sig").as("sa"), col("b.sig").as("sb"))
+          .distinct()
+          .withColumn("ham", hamming(col("sa"), col("sb")))
+          .filter(col("ham") <= 3)
+          .select(col("id_a"), col("id_b"),
+            col("ham").cast(LongType).as("ham"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0,32), k -> coalesce(list_sum(
+             |      list_transform(range(CAST(k+1 AS INTEGER), CAST(n+1 AS INTEGER), 32),
+             |        i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0)) AS stripes,
+             |    coalesce(list_sum(list_transform(range(1, CAST(n+1 AS INTEGER)),
+             |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS total
+             |  FROM base),
+             |sig AS (
+             |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32),
+             |    k -> CASE WHEN stripes[CAST(k+1 AS INTEGER)] * 32 > total
+             |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END))
+             |    AS BIGINT) AS sig
+             |  FROM st)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -381,6 +381,53 @@ object PipelineQueries {
              |WHERE i < len(embedding)
              |ORDER BY vec_id, i""".stripMargin)),
 
+    // PER-DIMENSION EMBEDDING STATISTICS — the normalization/whitening
+    // pass every embedding pipeline runs before indexing or training: per
+    // dimension the count, Σq and the exact variance NUMERATOR
+    // n·Σq² − (Σq)² (variance scaled by n² — no division, stays BIGINT;
+    // consumers divide once at the end). Values ride the suite's shared
+    // int8 quantization (global max-abs scale, the vec_quantize_int8
+    // contract) so every term is integer-exact and order-independent.
+    // Scale shape: scalar scale broadcast onto the scan, posexplode → ONE
+    // map-side-combined aggregate, Dim rows out regardless of corpus size
+    // (at ≥10^9 vectors the Σq² products promote to DECIMAL — same note
+    // as the sampling cross-multiplications).
+    "embed_dim_stats" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val scale = e.select(explode(col("embedding")).as("x"))
+          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+        val q = floor(col("x").cast(DoubleType) * lit(127.0d) / col("scale")
+          + lit(0.5d)).cast(LongType)
+        e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .crossJoin(broadcast(scale))
+          .select(col("i").cast(LongType).as("i"), q.as("q"))
+          .groupBy(col("i")).agg(
+            count(lit(1)).as("n"),
+            sum(col("q")).as("sum_q"),
+            sum(col("q") * col("q")).as("sum_q2"))
+          .select(col("i"), col("n"), col("sum_q"),
+            (col("n") * col("sum_q2") - col("sum_q") * col("sum_q"))
+              .as("var_num"))
+          .orderBy(col("i"))
+      },
+      Some("""WITH scale AS (
+             |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+             |    x -> abs(x)), 'max')) AS DOUBLE) AS scale
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT i, CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+             |      * 127.0 / scale + 0.5) AS BIGINT) AS q
+             |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) r, scale
+             |  WHERE i < len(embedding)),
+             |st AS (
+             |  SELECT i, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(q) AS BIGINT) AS sum_q,
+             |    CAST(sum(q * q) AS BIGINT) AS sum_q2
+             |  FROM q GROUP BY i)
+             |SELECT i, n, sum_q, n * sum_q2 - sum_q * sum_q AS var_num
+             |FROM st ORDER BY i""".stripMargin)),
+
     // KMV (k-minimum-values) distinct-count sketch — the mergeable-sketch
     // family (theta/HLL) in a deterministic, cross-engine-exact form:
     // per group, the k=8 smallest DISTINCT 60-bit hashes of the value; the

@@ -335,6 +335,47 @@ object SimilarityQueries {
     "ann_bruteforce_topk" -> QueryDef(
       (s, dir) => bruteforceTopk(s, dir), Some(bruteforceSql)),
 
+    // HARD-NEGATIVE MINING — the contrastive-training data pass: for each
+    // query vector, the top-k most similar vectors whose LABEL differs
+    // (nearest wrong-class examples — exactly what a dual-encoder trains
+    // against). Same scale shape as brute-force search (broadcast query
+    // set onto the scan, label predicate applied IN the join condition so
+    // same-class pairs never materialize, one top-k window shuffle); at
+    // 100 TB the candidate stream drops to the IVF/LSH probe set first —
+    // the filtered ranking here is the re-rank stage either way.
+    "retrieval_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("embedding").as("qv"), col("nrm").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        e.join(broadcast(q), col("label") =!= col("qlabel"))
+          .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
+            col("qn"), col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+            col("vec_id").as("negative_id"),
+            col("label").cast(LongType).as("neg_label"), col("cos"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+              |            embedding AS qv
+              |          FROM embeddings WHERE vec_id < $NumQueries),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id, e.label,
+              |    ${sqlCosine("q.qv", "e.embedding", Dim)} AS cos
+              |  FROM embeddings e, q WHERE e.label <> q.qlabel)
+              |SELECT query_id, rank, negative_id, neg_label, cos FROM (
+              |  SELECT query_id, vec_id AS negative_id,
+              |    CAST(label AS BIGINT) AS neg_label, cos,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+              |  FROM scored)
+              |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
     // IVF-style ANN: coarse centroids (deterministically seeded as the
     // min-vec_id member of each label), nprobe=2 cell probing, exact
     // re-ranking inside the probed cells.

@@ -384,4 +384,70 @@ class PlanSpec extends SparkSpecBase {
       plan.take(3000))
     assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
   }
+
+  test("text_vocab_coverage: top-V vocab broadcasts onto the token stream " +
+      "— the corpus is never globally sorted") {
+    val plan = formatted(q("text_vocab_coverage"))
+    // top-V by count must be a TakeOrdered (bounded heap per partition),
+    // not a global Sort of the word-count table
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1, s"vocab must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("text_oov_bigram_rate: reference membership is an equi-join, " +
+      "never a broadcast of the unbounded reference set") {
+    val plan = formatted(q("text_oov_bigram_rate"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // per-doc rollup is map-side combined
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan.take(3000))
+  }
+
+  test("retrieval_hard_negatives: query set broadcast onto the corpus scan; " +
+      "ranking is the only wide shuffle") {
+    val plan = formatted(q("retrieval_hard_negatives"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1, s"query side must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("sample_cluster_downweight: keep decision is a map after keyed " +
+      "joins — the corpus is never window-sorted") {
+    val plan = formatted(q("sample_cluster_downweight"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+  }
+
+  test("mm_phash_neardup: band bucket join is an equi-join — " +
+      "non-colliding pairs never materialize") {
+    val plan = formatted(q("mm_phash_neardup"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("embed_dim_stats: scale broadcast, one map-side-combined Dim-key agg") {
+    val plan = formatted(q("embed_dim_stats"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1, s"scale must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("dedup_inflation_by_source: distinct-count shuffles digests, " +
+      "never the documents") {
+    val plan = formatted(q("dedup_inflation_by_source"))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    // the distinct-count exchange hashes on (source, h) — the md5 digest —
+    // so no Exchange partitions on the raw text column
+    assert(!"hashpartitioning\\([^)]*text#".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
 }
