@@ -37,6 +37,26 @@ object CorpusQueries {
     * same rule discriminates at every SF. */
   private val CommonDfPct = 10
 
+  /** One BPE training round as oracle CTEs: pair count over `d{k-1}`,
+    * greedy argmax (count desc, lexico-min pair), literal-replace
+    * application into `d{k}`. Shared by the training query (which reads
+    * the `top$k` tables) and the application query (which reads `d3`). */
+  private def bpeRoundCtes(k: Int): String =
+    s"""pc$k AS (
+       |  SELECT pair, count(*) AS cnt FROM (
+       |    SELECT unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i + 1])) AS pair
+       |    FROM d${k - 1} WHERE len(ws) >= 2)
+       |  GROUP BY pair),
+       |top$k AS (SELECT pair, cnt FROM pc$k
+       |          ORDER BY cnt DESC, pair LIMIT 1),
+       |d$k AS (
+       |  SELECT doc_id, string_split(trim(
+       |    replace('  ' || array_to_string(ws, '  ') || '  ',
+       |      '  ' || replace(pair, ' ', '  '),
+       |      '  ' || replace(pair, ' ', '_'))), '  ') AS ws
+       |  FROM d${k - 1}, top$k)""".stripMargin
+
   /** Vocabulary size for coverage measurement (`text_vocab_coverage`) —
     * the synthetic corpus has a tiny closed vocabulary, so a small V keeps
     * the covered/uncovered split non-degenerate at every SF; a production
@@ -441,31 +461,67 @@ object CorpusQueries {
         out.orderBy(col("merge_round"))
       },
       Some {
-        import graft.functions.TextFunctions.sqlWords
-        def roundCtes(k: Int): String =
-          s"""pc$k AS (
-             |  SELECT pair, count(*) AS cnt FROM (
-             |    SELECT unnest(list_transform(range(1, len(ws)),
-             |      i -> ws[i] || ' ' || ws[i + 1])) AS pair
-             |    FROM d${k - 1} WHERE len(ws) >= 2)
-             |  GROUP BY pair),
-             |top$k AS (SELECT pair, cnt FROM pc$k
-             |          ORDER BY cnt DESC, pair LIMIT 1),
-             |d$k AS (
-             |  SELECT doc_id, string_split(trim(
-             |    replace('  ' || array_to_string(ws, '  ') || '  ',
-             |      '  ' || replace(pair, ' ', '  '),
-             |      '  ' || replace(pair, ' ', '_'))), '  ') AS ws
-             |  FROM d${k - 1}, top$k)""".stripMargin
         s"""WITH d0 AS (
            |  SELECT doc_id, ${sqlWords("text")} AS ws FROM documents),
-           |${(1 to 3).map(roundCtes).mkString(",\n")}
+           |${(1 to 3).map(bpeRoundCtes).mkString(",\n")}
            |SELECT merge_round, merged, n_occ FROM (
            |  SELECT CAST(1 AS BIGINT) AS merge_round,
            |    replace(pair, ' ', '_') AS merged, cnt AS n_occ FROM top1
            |  UNION ALL SELECT 2, replace(pair, ' ', '_'), cnt FROM top2
            |  UNION ALL SELECT 3, replace(pair, ' ', '_'), cnt FROM top3)
            |ORDER BY merge_round""".stripMargin
+      }),
+
+    // BPE MERGE APPLICATION — the tokenize step that follows training:
+    // the three learned merge rules applied to every document, reporting
+    // per-doc token counts before/after (the statistic that prices a
+    // tokenizer change in sequence-length terms). Training and
+    // application share one loop body (same argmax, same literal-replace
+    // semantics), so the learned rules here are BY CONSTRUCTION the ones
+    // `text_bpe_merge` reports; per round the corpus pays one pure map +
+    // one map-side-combined pair count, and the rule is a 1-row
+    // broadcast. The final count join is doc_id-keyed.
+    "text_bpe_apply" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.words
+        val d0 = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+        var docs = d0
+        for (r <- 1 to 3) {
+          val top = graft.operators.IterBarrier.cut(
+            docs.filter(size(col("ws")) >= 2)
+              .select(explode(expr("transform(sequence(1, size(ws) - 1), " +
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+                .as("pair"))
+              .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+              .agg(min_by(struct(col("pair"), col("cnt")),
+                struct((-col("cnt")).as("nc"), col("pair"))).as("t"))
+              .select(col("t.pair").as("pair")),
+            r, reliableEvery = 0)
+          docs = graft.operators.IterBarrier.cut(
+            docs.crossJoin(broadcast(top)).selectExpr("doc_id",
+              "split(trim(replace(concat('  ', array_join(ws, '  '), '  '), " +
+                "concat('  ', replace(pair, ' ', '  ')), " +
+                "concat('  ', replace(pair, ' ', '_')))), '  ') AS ws"),
+            r, reliableEvery = 0)
+        }
+        d0.select(col("doc_id"), size(col("ws")).cast(LongType)
+            .as("n_tokens"))
+          .join(docs.select(col("doc_id"),
+            size(col("ws")).cast(LongType).as("n_after")), "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("n_after"),
+            (col("n_tokens") - col("n_after")).as("n_merged"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH d0 AS (
+           |  SELECT doc_id, ${sqlWords("text")} AS ws FROM documents),
+           |${(1 to 3).map(bpeRoundCtes).mkString(",\n")}
+           |SELECT a.doc_id, CAST(len(a.ws) AS BIGINT) AS n_tokens,
+           |  CAST(len(b.ws) AS BIGINT) AS n_after,
+           |  CAST(len(a.ws) - len(b.ws) AS BIGINT) AS n_merged
+           |FROM d0 a JOIN d3 b ON a.doc_id = b.doc_id
+           |ORDER BY a.doc_id""".stripMargin
       }),
 
     // KNESER-NEY BIGRAM STATISTICS: the two count tables an interpolated-KN

@@ -353,6 +353,43 @@ object PipelineQueries {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // BALANCED SHARD ASSIGNMENT — the export-writer step: documents dealt
+    // to a fixed shard count by size-sorted round-robin (largest docs
+    // spread first — the greedy LPT heuristic in its deterministic dealt
+    // form), so output files stay within a tight size band for downstream
+    // trainers. The global size rank is packBins with UNIT weight and
+    // budget 1 (bin ≡ rank) — the same range-partition + driver-prefix
+    // device, so there is NO single-task global window at any scale; the
+    // sort key folds (n_chars desc, doc_id) into one long so the range
+    // exchange has a total order. Per-shard rollup is ≤shards rows.
+    "pack_balanced_shards" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("one", lit(1L))
+          .withColumn("key",
+            col("doc_id") - col("n_chars") * 10000000000L)
+        graft.operators.SequencePacking
+          .packBins(d, "key", "one", budget = 1L)
+          .withColumn("shard", col("bin") % 16L)
+          .groupBy(col("shard")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            max(col("n_chars")).as("max_chars"),
+            min(col("n_chars")).as("min_chars"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, n_chars,
+             |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+             |  FROM documents)
+             |SELECT CAST(rk % 16 AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars
+             |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)),
+
     // Symmetric int8 scalar quantization of the embedding column — the
     // compression step before an ANN index ships to serving. One global
     // scale (max |x|, an exact float max) broadcast to a pure map;

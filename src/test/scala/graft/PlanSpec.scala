@@ -431,6 +431,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("pack_balanced_shards: global size rank is the distributed prefix " +
+      "device — never a single-partition window") {
+    val plan = formatted(q("pack_balanced_shards"))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("text_bpe_apply: per-round corpus cost is a 1-row broadcast rule " +
+      "onto a map — no shuffle join of the corpus") {
+    val plan = formatted(q("text_bpe_apply"))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("embed_dim_stats: scale broadcast, one map-side-combined Dim-key agg") {
     val plan = formatted(q("embed_dim_stats"))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
