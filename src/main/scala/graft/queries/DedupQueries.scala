@@ -632,6 +632,71 @@ object DedupQueries {
               |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // CORPUS FILTER FUNNEL — the attrition report of an end-to-end
+    // cleaning run: every document is attributed to its FIRST failing
+    // stage (near-dup removal → repetition filter → length floor → kept)
+    // and the funnel reports docs and characters lost per stage — the
+    // accounting a data team reads before signing off a corpus release.
+    // Composes the verified pieces: CC-closed near-dup clusters (drop
+    // non-canonical members; the drop set is bounded by duplicates, so it
+    // broadcasts), the Gopher repetition rule and the length floor (pure
+    // integer maps), then one ≤4-row aggregate.
+    "corpus_filter_funnel" -> QueryDef(
+      (s, dir) => {
+        val clusters = graft.operators.ConnectedComponents
+          .components(minhashPairs(s, dir), "id_a", "id_b")
+        val drop = clusters.filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"), lit(1L).as("dropped"))
+        val d = Tables.load(s, dir, "documents")
+          .join(broadcast(drop), Seq("doc_id"), "left")
+        val ws = words(col("text"))
+        val n = size(ws).cast(LongType)
+        val nd = size(array_distinct(ws)).cast(LongType)
+        val topc = array_max(transform(array_distinct(ws),
+          x => size(filter(ws, w => w === x)))).cast(LongType)
+        val repKeep = ((n - nd) * 10 <= n * 7) && (topc * 10 <= n * 3)
+        val stage = when(col("dropped").isNotNull, "near_dup")
+          .when(!repKeep, "repetitive")
+          .when(n < 50, "too_short")
+          .otherwise("kept")
+        d.select(stage.as("stage"), col("n_chars"))
+          .groupBy(col("stage")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"))
+          .orderBy(col("stage"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        val n = s"CAST(len($ws) AS BIGINT)"
+        val nd = s"CAST(len(list_distinct($ws)) AS BIGINT)"
+        val topc = s"CAST(list_max(list_transform(list_distinct($ws), " +
+          s"x -> len(list_filter($ws, w -> w = x)))) AS BIGINT)"
+        s"""WITH RECURSIVE $minhashPairsCte,
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM pairs
+           |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT u AS id, u AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+           |clusters AS (
+           |  SELECT id AS doc_id, MIN(r) AS cid FROM reach GROUP BY id),
+           |dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cid),
+           |st AS (
+           |  SELECT CASE
+           |      WHEN doc_id IN (SELECT doc_id FROM dropped) THEN 'near_dup'
+           |      WHEN NOT (((n - nd) * 10 <= n * 7)
+           |        AND (topc * 10 <= n * 3)) THEN 'repetitive'
+           |      WHEN n < 50 THEN 'too_short'
+           |      ELSE 'kept' END AS stage,
+           |    n_chars
+           |  FROM (SELECT doc_id, n_chars, $n AS n, $nd AS nd, $topc AS topc
+           |        FROM documents))
+           |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+           |FROM st GROUP BY stage ORDER BY stage""".stripMargin
+      }),
+
     // DUPLICATION INFLATION BY SOURCE — the dup-rate dashboard statistic
     // that decides which crawls/sources get deduped first: per source the
     // doc count, the distinct-content count, and the inflation ratio.

@@ -431,6 +431,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("corpus_filter_funnel: drop set broadcasts onto the scan; stage " +
+      "attribution is a map into a tiny aggregate") {
+    val plan = formatted(q("corpus_filter_funnel"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1, s"drop set must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan.take(3000))
+  }
+
   test("pack_balanced_shards: global size rank is the distributed prefix " +
       "device — never a single-partition window") {
     val plan = formatted(q("pack_balanced_shards"))
