@@ -376,6 +376,66 @@ object SimilarityQueries {
               |  FROM scored)
               |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
 
+    // DIMENSION-TRUNCATION RECALL — the Matryoshka-embedding quality
+    // gate: per query, how much of the exact full-dimension top-k the
+    // FIRST-16-DIMENSION search retains (|trunc top-k ∩ full top-k| / k).
+    // Truncation is the cheapest index compression there is (prefix
+    // slice, 4× less I/O and compute); this measures what it costs in
+    // recall before a pipeline commits to it. Same scale shape as the
+    // brute-force baseline — broadcast query set, one top-k window
+    // shuffle per search, and the recall join is queries×k rows.
+    "ann_truncated_recall" -> QueryDef(
+      (s, dir) => {
+        val td = 16
+        val e = emb(s, dir)
+          .withColumn("tv", slice(col("embedding"), 1, td))
+          .withColumn("tn", norm(col("tv")))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("tv").as("qv"),
+            col("tn").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val tr = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosineHoisted(col("qv"), col("tv"),
+            col("qn"), col("tn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val bf = bruteforceTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = bf.join(tr, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        bf.select(col("query_id")).distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
+              / lit(TopK.toDouble)).as("recall_at_k"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($bruteforceSql)),
+              |q AS (SELECT vec_id AS query_id, embedding AS qv
+              |      FROM embeddings WHERE vec_id < $NumQueries),
+              |tr AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT q.query_id, e.vec_id AS neighbor_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${sqlCosine("q.qv", "e.embedding", 16)} DESC,
+              |          e.vec_id) AS rank
+              |    FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+              |  WHERE rank <= $TopK),
+              |hits AS (
+              |  SELECT query_id, count(*) AS n_hits
+              |  FROM bf JOIN tr USING (query_id, neighbor_id)
+              |  GROUP BY query_id)
+              |SELECT b.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT)
+              |    AS n_hits,
+              |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $TopK.0
+              |    AS recall_at_k
+              |FROM (SELECT DISTINCT query_id FROM bf) b
+              |LEFT JOIN hits h ON b.query_id = h.query_id
+              |ORDER BY b.query_id""".stripMargin)),
+
     // IVF-style ANN: coarse centroids (deterministically seeded as the
     // min-vec_id member of each label), nprobe=2 cell probing, exact
     // re-ranking inside the probed cells.
