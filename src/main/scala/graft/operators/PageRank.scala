@@ -74,10 +74,15 @@ object PageRank {
 
     val base = Scale * 15 / 100
     val cutEvery = math.max(1, barrierEvery)
-    var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
-    if (cutEvery == 1) ranks = ranks.localCheckpoint(true)
+    var ranks: DataFrame = null
     for (i <- 1 to iterations) {
-      val msgs = ranks
+      // round 1's ranks are uniformly Scale, so its messages are a PURE
+      // MAP over edgeDeg — the first ranks⋈edges join (and the initial
+      // ranks materialization) never exists; identical arithmetic
+      val msgs = if (i == 1)
+        edgeDeg.select(col("dst").as("node"),
+          expr(s"(${Scale}L * 85) div (100 * outdeg)").as("c"))
+      else ranks
         .join(edgeDeg, ranks("node") === edgeDeg("src"))
         .select(col("dst").as("node"),
           expr(s"(rank * 85) div (100 * outdeg)").as("c"))
