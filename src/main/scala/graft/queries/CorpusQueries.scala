@@ -676,6 +676,170 @@ object CorpusQueries {
            |  round(CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
            |    AS coverage
            |FROM st ORDER BY source""".stripMargin
+      }),
+
+    // ZIPF HISTOGRAM: the corpus frequency-spectrum audit — word types
+    // bucketed by power-of-two frequency (bucket = floor(log2 n), computed
+    // EXACTLY as the bit length of the count, `length(bin(n)) - 1`, so no
+    // float log rides the bucket boundary). The resulting ~log2(corpus)
+    // rows are what a Zipf / frequency-mass plot is drawn from, and the
+    // go-to sanity check after any tokenizer change (a broken tokenizer
+    // collapses the head or explodes the singleton tail). Scale shape: one
+    // map-side-combined word count, then a ≤64-row rollup — the 100 TB
+    // scan contributes counts only.
+    "text_zipf_histogram" -> QueryDef(
+      (s, dir) => {
+        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val cnt = Tables.load(s, dir, "documents").repartition(np)
+          .select(explode(words(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        cnt.select(col("w"), col("n"),
+            (length(bin(col("n"))) - 1).cast(LongType).as("bucket"))
+          .groupBy(col("bucket")).agg(
+            count(lit(1)).as("n_types"),
+            sum(col("n")).as("n_tokens"),
+            min(col("w")).as("first_word"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT unnest(${sqlWords("text")}) AS w FROM documents),
+             |cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY w)
+             |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_types,
+             |  CAST(sum(n) AS BIGINT) AS n_tokens,
+             |  min(w) AS first_word
+             |FROM cnt GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // BIGRAM-SURPRISAL FILTER: the integer-exact stand-in for LM-perplexity
+    // filtering that needs NO reference sub-corpus — each bigram occurrence
+    // costs floor(log2 c(w1·)) − floor(log2 c(w1w2)) bits (the bit-length
+    // difference of two exact counts, i.e. ⌈−log2 p̂(w2|w1)⌉ up to rounding),
+    // and a document is kept while its mean surprisal stays under 4 bits.
+    // Low-probability word sequences (garbled text, wrong-language spans)
+    // cost many bits exactly as they would under a real bigram LM, but the
+    // decision stays bit-reproducible. Scale shape: both count tables
+    // derive from ONE cached bigram explode (map-side-combined); membership
+    // is equi-JOINs on the bigram / first word (vocab-scale sides, never
+    // broadcast, never per-pair array work); the keep decision is integer
+    // cross-multiplication in a per-doc rollup.
+    "text_surprisal_filter" -> QueryDef(
+      (s, dir) => {
+        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val d = Tables.load(s, dir, "documents")
+        val bg = d.repartition(np)
+          .select(col("doc_id"),
+            explode(shingles(words(col("text")), 2)).as("bg"))
+          .cache()
+        val bgc = bg.groupBy(col("bg")).agg(count(lit(1)).as("n_bg"))
+        val w1c = bgc
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .groupBy(col("w1")).agg(sum(col("n_bg")).as("n_w1"))
+        val st = bg.join(bgc, "bg")
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .join(w1c, "w1")
+          .withColumn("bits",
+            (length(bin(col("n_w1"))) - length(bin(col("n_bg"))))
+              .cast(LongType))
+          .groupBy(col("doc_id")).agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(col("bits")).as("sum_bits"))
+        d.select(col("doc_id")).join(st, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+            when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+              round(col("sum_bits").cast(DoubleType) /
+                col("n_bigrams").cast(DoubleType), 6)).as("avg_bits"),
+            (coalesce(col("n_bigrams"), lit(0L)) === 0L ||
+              coalesce(col("sum_bits"), lit(0L)) <=
+                coalesce(col("n_bigrams"), lit(0L)) * 4L).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        s"""WITH bg AS (
+           |  SELECT doc_id, unnest(${sqlShingles(ws, 2)}) AS bg
+           |  FROM documents),
+           |bgc AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY bg),
+           |w1c AS (
+           |  SELECT string_split(bg, ' ')[1] AS w1,
+           |         CAST(sum(n_bg) AS BIGINT) AS n_w1
+           |  FROM bgc GROUP BY 1),
+           |st AS (
+           |  SELECT b.doc_id, count(*) AS n_bigrams,
+           |    sum(length(bin(w.n_w1)) - length(bin(c.n_bg))) AS sum_bits
+           |  FROM bg b JOIN bgc c ON b.bg = c.bg
+           |  JOIN w1c w ON string_split(b.bg, ' ')[1] = w.w1
+           |  GROUP BY b.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(st.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(coalesce(st.sum_bits, 0) AS BIGINT) AS sum_bits,
+           |  CASE WHEN coalesce(st.n_bigrams, 0) > 0 THEN
+           |    round(CAST(st.sum_bits AS DOUBLE)
+           |          / CAST(st.n_bigrams AS DOUBLE), 6) END AS avg_bits,
+           |  (coalesce(st.n_bigrams, 0) = 0 OR
+           |   coalesce(st.sum_bits, 0) <= coalesce(st.n_bigrams, 0) * 4)
+           |    AS keep
+           |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // HEAPS'-LAW GROWTH CURVE: vocabulary size as a function of corpus
+    // position — per ingest decile (by doc_id), the tokens it contributes,
+    // the word types FIRST seen in it, and the cumulative vocabulary. The
+    // flattening of cum_types against n_tokens is the Heaps exponent a
+    // crawl pipeline watches to decide whether more data still buys new
+    // vocabulary. Scale shape: first-occurrence is a map-side-combined
+    // min(doc_id) per word; the decile bucket is integer arithmetic
+    // against a broadcast 1-row corpus bound; the cumulative window runs
+    // over TEN rows (never the corpus).
+    "corpus_heaps_curve" -> QueryDef(
+      (s, dir) => {
+        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val d = Tables.load(s, dir, "documents")
+        val mx = d.agg((max(col("doc_id")) + 1L).as("n_docs"))
+        val tok = d.repartition(np)
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+          .cache()
+        val decTok = tok.crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) div n_docs").as("decile"))
+          .groupBy(col("decile")).agg(count(lit(1)).as("n_tokens"))
+        val decNew = tok.groupBy(col("w"))
+          .agg(min(col("doc_id")).as("first_doc"))
+          .crossJoin(broadcast(mx))
+          .select(expr("(first_doc * 10) div n_docs").as("decile"))
+          .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+        val wCum = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        decTok.join(decNew, Seq("decile"), "left")
+          .select(col("decile"), col("n_tokens"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"))
+          .withColumn("cum_types", sum(col("new_types")).over(wCum))
+          .orderBy(col("decile"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        s"""WITH mx AS (
+           |  SELECT max(doc_id) + 1 AS n_docs FROM documents),
+           |tok AS (
+           |  SELECT doc_id, unnest($ws) AS w FROM documents),
+           |dtok AS (
+           |  SELECT (doc_id * 10) // n_docs AS decile,
+           |         count(*) AS n_tokens
+           |  FROM tok, mx GROUP BY 1),
+           |dnew AS (
+           |  SELECT (first_doc * 10) // n_docs AS decile,
+           |         count(*) AS new_types
+           |  FROM (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w),
+           |       mx
+           |  GROUP BY 1)
+           |SELECT t.decile, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+           |  CAST(SUM(coalesce(n.new_types, 0)) OVER (
+           |    ORDER BY t.decile ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND CURRENT ROW) AS BIGINT) AS cum_types
+           |FROM dtok t LEFT JOIN dnew n ON t.decile = n.decile
+           |ORDER BY t.decile""".stripMargin
       })
   )
 }

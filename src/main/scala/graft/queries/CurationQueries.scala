@@ -345,6 +345,53 @@ object CurationQueries {
              |       MIN(r.lang) AS top_lang,
              |       CAST(SUM(n_l * n_l) AS BIGINT) AS simpson_num
              |FROM sl JOIN ranked r ON sl.source = r.source AND r.rk = 1
-             |GROUP BY sl.source ORDER BY sl.source""".stripMargin))
+             |GROUP BY sl.source ORDER BY sl.source""".stripMargin)),
+
+    // PER-SOURCE SCORE CDF — the calibration table that turns a raw
+    // quality score into a per-source percentile (quality thresholds must
+    // be source-relative: "top 30% of each crawl", not one global cut that
+    // empties the noisier sources). Scores bucket at width 50 (n_chars
+    // stands in for the integer quality score); per (source, bucket) the
+    // histogram count, the running count, and the cumulative fraction. A
+    // filtering pass then BROADCASTS this table and keeps a doc by
+    // comparing its bucket against the source's threshold row. Scale
+    // shape: the corpus contributes ONE map-side-combined histogram
+    // aggregate; the cumulative window runs over the tiny per-source
+    // bucket list (score range / 50 rows), NEVER over documents — the
+    // same histogram-cumsum device as text_quality_topp.
+    "curation_score_cdf" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val hist = d
+          .select(col("source"), expr("n_chars div 50").as("bucket"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+        val wCum = Window.partitionBy(col("source")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy(col("source"))
+        hist
+          .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+          .withColumn("total", sum(col("n_docs")).over(wTot))
+          .select(col("source"), col("bucket"), col("n_docs"),
+            col("cum_docs"),
+            round(col("cum_docs").cast(DoubleType) /
+              col("total").cast(DoubleType), 6).as("cum_frac"))
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some("""WITH hist AS (
+             |  SELECT source, n_chars // 50 AS bucket, count(*) AS n_docs
+             |  FROM documents GROUP BY source, bucket)
+             |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum_docs,
+             |  round(CAST(SUM(n_docs) OVER (PARTITION BY source
+             |      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS DOUBLE)
+             |    / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE),
+             |    6) AS cum_frac
+             |FROM hist ORDER BY source, bucket""".stripMargin))
   )
 }

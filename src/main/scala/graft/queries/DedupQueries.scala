@@ -363,6 +363,77 @@ object DedupQueries {
               |SELECT id_a, id_b, jac FROM pairs
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // MINHASH ESTIMATOR CALIBRATION: for every LSH candidate pair (band
+    // buckets BEFORE Jaccard verification — the false positives are the
+    // point), the sketch-side similarity estimate (matching signature
+    // positions / 16) against the exact shingle Jaccard. This is the
+    // measurement that justifies the index parameters: the estimate's
+    // spread at the 0.5 decision boundary tells you whether 16 hashes and
+    // 4×4 bands are enough before a 100 TB dedup commits to them. Scale
+    // shape: identical to the LSH pipeline itself (signature table cached
+    // once, equi-join on band buckets, per-pair work bounded by the 16-slot
+    // signature and the pair's own shingle sets) — the calibration is free
+    // relative to the dedup it audits. Integers everywhere except the two
+    // 6-dp-rounded ratio columns.
+    "dedup_minhash_estimate" -> QueryDef(
+      (s, dir) => {
+        val sigs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+          .withColumn("sig", minHashSignature(col("sh"), 16))
+          .withColumn("bands", bandKeys(col("sig"), 4, 4))
+          .cache()
+        val ex = sigs.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band", "key")))
+        val cands = ex.as("a")
+          .join(ex.as("b"), col("a.band") === col("b.band")
+            && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        val side = sigs.select(col("doc_id"), col("sh"), col("sig"))
+        cands
+          .join(side.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+            col("sig").as("sig_a")), "id_a")
+          .join(side.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+            col("sig").as("sig_b")), "id_b")
+          .withColumn("est_matches", aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("est_jac",
+            round(col("est_matches").cast(DoubleType) / 16.0d, 6))
+          .withColumn("true_jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
+          .select(col("id_a"), col("id_b"), col("est_matches"),
+            col("est_jac"), col("true_jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 3)
+        val sig = sqlMinHashSignature("sh", 16)
+        val bands = sqlBandKeys("sig", 4, 4)
+        val bandRows = (1 to 4)
+          .map(i => s"SELECT doc_id, $i AS band, bands[$i] AS key FROM sigs")
+          .mkString("\n    UNION ALL ")
+        val est = "list_sum(list_transform(range(1, 17), " +
+          "i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"
+        s"""WITH docs AS (SELECT doc_id, $sh AS sh FROM documents),
+           |sigs AS (SELECT doc_id, sh, sig, $bands AS bands
+           |         FROM (SELECT doc_id, sh, $sig AS sig FROM docs)),
+           |brows AS ($bandRows),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM brows a JOIN brows b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT c.id_a, c.id_b,
+           |  CAST($est AS BIGINT) AS est_matches,
+           |  round(CAST($est AS DOUBLE) / 16.0, 6) AS est_jac,
+           |  round(${sqlJaccard("sa.sh", "sb.sh")}, 6) AS true_jac
+           |FROM cands c
+           |JOIN sigs sa ON sa.doc_id = c.id_a
+           |JOIN sigs sb ON sb.doc_id = c.id_b
+           |ORDER BY c.id_a, c.id_b""".stripMargin
+      }),
+
     // CROSS-SOURCE NEAR-DUP MATRIX: the contamination map between corpus
     // sources — which (source, source) pairs share near-duplicate
     // documents, and how strongly. Drives source-level curation decisions

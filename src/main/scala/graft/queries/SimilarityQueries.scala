@@ -335,6 +335,46 @@ object SimilarityQueries {
     "ann_bruteforce_topk" -> QueryDef(
       (s, dir) => bruteforceTopk(s, dir), Some(bruteforceSql)),
 
+    // RADIUS (range) SEARCH: per query, how many corpus vectors fall
+    // within a fixed cosine radius (cos ≥ 0.3), the closest within-radius
+    // id, and the best cosine overall — the other half of the vector-search
+    // API surface (top-k answers "give me k", radius answers "give me all
+    // within τ", the primitive near-dup thresholding and density probes
+    // build on). Scale shape is STRICTLY LIGHTER than top-k: broadcast
+    // query set onto the scan, then ONE map-side-combined conditional
+    // aggregate per query — no window, no per-query sort, nothing shuffles
+    // but |queries| partial rows per task. Every aggregate is
+    // order-independent (counts, max of 6-dp-rounded cosines, min id), so
+    // the result is bit-stable at any parallelism.
+    "ann_radius_count" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"))
+        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
+            col("qn"), col("nrm")))
+          .groupBy(col("query_id")).agg(
+            sum(when(col("cos") >= 0.3d, 1L).otherwise(0L)).as("n_within"),
+            min(when(col("cos") >= 0.3d, col("vec_id"))).as("min_id_within"),
+            max(col("cos")).as("max_cos"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+              |          FROM embeddings WHERE vec_id < $NumQueries),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id,
+              |    ${sqlCosine("q.qv", "e.embedding", Dim)} AS cos
+              |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+              |SELECT query_id,
+              |  CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_within,
+              |  CAST(min(CASE WHEN cos >= 0.3 THEN vec_id END) AS BIGINT)
+              |    AS min_id_within,
+              |  max(cos) AS max_cos
+              |FROM scored GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
     // HARD-NEGATIVE MINING — the contrastive-training data pass: for each
     // query vector, the top-k most similar vectors whose LABEL differs
     // (nearest wrong-class examples — exactly what a dual-encoder trains

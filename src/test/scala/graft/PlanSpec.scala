@@ -474,4 +474,54 @@ class PlanSpec extends SparkSpecBase {
     assert(!"hashpartitioning\\([^)]*text#".r.findFirstIn(plan).isDefined,
       plan.take(3000))
   }
+
+  test("ann_radius_count: broadcast query set, conditional aggregate — " +
+      "no window, no per-query sort") {
+    val plan = formatted(q("ann_radius_count"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1, s"query set must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("text_zipf_histogram: map-side-combined count into a tiny rollup, " +
+      "no join") {
+    val plan = formatted(q("text_zipf_histogram"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("text_surprisal_filter: count-table membership is equi-joins — " +
+      "never a cross product or unbounded broadcast") {
+    val plan = formatted(q("text_surprisal_filter"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("corpus_heaps_curve: corpus bound broadcasts; first-occurrence is " +
+      "map-side-combined") {
+    val plan = formatted(q("corpus_heaps_curve"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1, s"1-row bound must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("partial_min"), plan.take(3000))
+  }
+
+  test("curation_score_cdf: cumulative window runs per source over the " +
+      "histogram — never a single-partition corpus sort") {
+    val plan = formatted(q("curation_score_cdf"))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("dedup_minhash_estimate: candidate generation is the banded " +
+      "equi-join — non-colliding pairs never materialize") {
+    val plan = formatted(q("dedup_minhash_estimate"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
