@@ -1021,6 +1021,79 @@ object PipelineQueries {
            |ORDER BY event_type""".stripMargin
       }),
 
+    // HLL MERGE LAW, verified end-to-end: per-group register sketches
+    // (event_type shards of the stream — at scale these are sketches built
+    // INDEPENDENTLY per partition/day/source) merged by pairwise bucket
+    // MAX, against the sketch built directly over the union. The merged
+    // and direct registers must agree EXACTLY (max of per-group maxima =
+    // global max — this algebraic identity is what makes HLL state
+    // mergeable across 1000 executors without a global shuffle), so the
+    // query emits both denominators, both estimates, the exact distinct,
+    // and a merge_exact flag any register divergence breaks. Shuffle cost:
+    // ≤ 64 rows per group after map-side max-combine — never the ids.
+    "sketch_hll_merge" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        val rhos = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            md5Long(col("user_id").cast(StringType)).as("h"),
+            col("user_id"))
+          .select(col("event_type"), expr("h & 63").as("bucket"),
+            expr(s"55 - bit_count(${smearExpr("(h >> 6)")})").as("rho"),
+            col("user_id"))
+        def denomOf(regs: org.apache.spark.sql.DataFrame) = regs
+          .agg((sum(expr("CAST(1 AS BIGINT) << (55 - register)"))
+            + (lit(64L) - count(lit(1)))
+              * expr("CAST(1 AS BIGINT) << 55")).as("denom"))
+        val merged = denomOf(
+          rhos.groupBy(col("event_type"), col("bucket"))
+            .agg(max(col("rho")).as("register"))
+            .groupBy(col("bucket"))
+            .agg(max(col("register")).as("register")))
+          .select(col("denom").as("merged_denom"))
+        val direct = denomOf(
+          rhos.groupBy(col("bucket")).agg(max(col("rho")).as("register")))
+          .select(col("denom").as("direct_denom"))
+        val exact = rhos.agg(
+          countDistinct(col("user_id")).as("exact_distinct"))
+        def est(denom: org.apache.spark.sql.Column) =
+          round(lit(0.709) * lit(4096.0) * expr("POWER(2.0, 55)")
+            / denom.cast(DoubleType), 4)
+        exact.crossJoin(merged).crossJoin(direct)
+          .select(col("exact_distinct"), col("merged_denom"),
+            col("direct_denom"),
+            est(col("merged_denom")).as("merged_est"),
+            est(col("direct_denom")).as("direct_est"),
+            (col("merged_denom") === col("direct_denom")).as("merge_exact"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val h = sqlMd5Long("CAST(user_id AS VARCHAR)")
+        val denom = "CAST(SUM(CAST(1 AS BIGINT) << (55 - register))" +
+          " + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT)"
+        s"""WITH rhos AS (
+           |  SELECT event_type, h & 63 AS bucket,
+           |    55 - bit_count(${smearExpr("(h >> 6)")}) AS rho, user_id
+           |  FROM (SELECT event_type, $h AS h, user_id FROM events)),
+           |grp AS (SELECT event_type, bucket, MAX(rho) AS register
+           |        FROM rhos GROUP BY event_type, bucket),
+           |mregs AS (SELECT bucket, MAX(register) AS register
+           |          FROM grp GROUP BY bucket),
+           |dregs AS (SELECT bucket, MAX(rho) AS register
+           |          FROM rhos GROUP BY bucket),
+           |m AS (SELECT $denom AS merged_denom FROM mregs),
+           |d AS (SELECT $denom AS direct_denom FROM dregs),
+           |ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct
+           |       FROM rhos)
+           |SELECT exact_distinct, merged_denom, direct_denom,
+           |  round(0.709 * 4096.0 * POWER(2.0, 55)
+           |    / CAST(merged_denom AS DOUBLE), 4) AS merged_est,
+           |  round(0.709 * 4096.0 * POWER(2.0, 55)
+           |    / CAST(direct_denom AS DOUBLE), 4) AS direct_est,
+           |  (merged_denom = direct_denom) AS merge_exact
+           |FROM ex, m, d""".stripMargin
+      }),
+
     // Posting-list inverted index WITH POSITIONS — the retrieval-side
     // construction step (term → (doc, tf, first occurrence), plus document
     // frequency). One posexplode + one (term, doc) aggregate + a df join

@@ -476,6 +476,80 @@ object SimilarityQueries {
               |LEFT JOIN hits h ON b.query_id = h.query_id
               |ORDER BY b.query_id""".stripMargin)),
 
+    // RANDOM-PROJECTION RECALL — the Johnson-Lindenstrauss counterpart of
+    // the truncation gate: project 64 dims onto 16 deterministic random
+    // hyperplanes (a dense JL sketch, 4× compression that MIXES all input
+    // dims instead of discarding 48 of them), search in the projected
+    // space, and measure how much of the exact top-k survives. Together
+    // with ann_truncated_recall this is the compression bake-off a
+    // pipeline runs before choosing its cheap first-pass index. Scale
+    // shape: projection is a PURE MAP (16 sequential-fold dots per vector
+    // against broadcast-literal planes — the fold order matches DuckDB's
+    // list_reduce, so doubles agree bit-for-bit); then the same
+    // broadcast-queries + one-top-k-window shape as the brute-force
+    // baseline.
+    "ann_rp_recall" -> QueryDef(
+      (s, dir) => {
+        val pd = 16
+        val planes = array((0 until pd).map(hyperplane): _*)
+        val e = emb(s, dir)
+          .withColumn("pv",
+            transform(planes, p => dotHof(p, col("embedding"))))
+          .withColumn("pn", sqrt(dotHof(col("pv"), col("pv"))))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("pv").as("qv"),
+            col("pn").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val pr = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            round(dotHof(col("qv"), col("pv")) / (col("qn") * col("pn")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val bf = bruteforceTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = bf.join(pr, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        bf.select(col("query_id")).distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
+              / lit(TopK.toDouble)).as("recall_at_k"))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        val pd = 16
+        val projList = (0 until pd)
+          .map(j => sqlDot(sqlHyperplane(j), "e.embedding", Dim))
+          .mkString("[", ",\n      ", "]")
+        s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($bruteforceSql)),
+           |pe AS (
+           |  SELECT e.vec_id, $projList AS pv FROM embeddings e),
+           |q AS (SELECT vec_id AS query_id, pv AS qv FROM pe
+           |      WHERE vec_id < $NumQueries),
+           |pr AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.query_id, e.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${sqlCosine("q.qv", "e.pv", pd)} DESC,
+           |          e.vec_id) AS rank
+           |    FROM pe e, q WHERE e.vec_id <> q.query_id)
+           |  WHERE rank <= $TopK),
+           |hits AS (
+           |  SELECT query_id, count(*) AS n_hits
+           |  FROM bf JOIN pr USING (query_id, neighbor_id)
+           |  GROUP BY query_id)
+           |SELECT b.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT)
+           |    AS n_hits,
+           |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $TopK.0
+           |    AS recall_at_k
+           |FROM (SELECT DISTINCT query_id FROM bf) b
+           |LEFT JOIN hits h ON b.query_id = h.query_id
+           |ORDER BY b.query_id""".stripMargin
+      }),
+
     // IVF-style ANN: coarse centroids (deterministically seeded as the
     // min-vec_id member of each label), nprobe=2 cell probing, exact
     // re-ranking inside the probed cells.
