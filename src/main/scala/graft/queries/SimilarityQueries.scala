@@ -252,10 +252,12 @@ object SimilarityQueries {
     val c0 = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
     val c1 = pqUpdate(pqAssign(sub, c0))
-    val a2 = pqAssign(sub, c1)
-    // M·K rows: cached so the consumers' MULTIPLE references to the
-    // trained codebook (codes assign + LUT build) run the two Lloyd
-    // iterations once, not once per reference
+    // a2 (N·M rows) and c2 (M·K rows) are both cached: every consumer
+    // references the trained model more than once (train reads a2 for
+    // stats AND c2 for centroids; search assigns codes against c2 and
+    // builds the LUT from it), and without the a2 barrier each reference
+    // re-runs the full two-iteration Lloyd pipeline
+    val a2 = pqAssign(sub, c1).cache()
     val c2 = pqUpdate(a2).cache()
     PqModel(sub, a2, c2)
   }
@@ -1099,26 +1101,39 @@ object SimilarityQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         // one input split locally — pin an explicit-N spread (a keyed
-        // repartition would be AQE-coalesced back) so the quantize+explode
-        // map parallelizes; cache ex: the centroid pass AND the distance
-        // pass both read it
+        // repartition would be AQE-coalesced back) so the quantize map
+        // parallelizes; cache eq (N rows of quantized ARRAYS, not N·Dim
+        // exploded rows): the centroid pass and the distance pass both
+        // read it
         val e = emb(s, dir)
           .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-        val scale = e.select(explode(col("embedding")).as("x"))
-          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
-        val ex = e.crossJoin(broadcast(scale))
+        val scale = e.select(
+          max(array_max(transform(col("embedding"), x => abs(x))))
+            .cast(DoubleType).as("scale"))
+        val eq = e.crossJoin(broadcast(scale))
           .select(col("vec_id"), col("label"),
-            posexplode(transform(col("embedding"),
+            transform(col("embedding"),
               x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
-                + lit(0.5d)).cast(LongType))).as(Seq("i", "q")))
+                + lit(0.5d)).cast(LongType)).as("q"))
           .cache()
-        val cs = ex.groupBy(col("label"), col("i"))
-          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-        val d2 = ex.join(broadcast(cs), Seq("label", "i"))
+        // per-(label, dim) centroid sums: the only pass that explodes, one
+        // map-side-combined aggregate; then collected to labels×1 rows of
+        // dim-ordered ARRAYS so the distance pass can run IN-ROW against a
+        // broadcast (no N·Dim join, no per-vector re-aggregation shuffle)
+        val cs = eq.select(col("label"), posexplode(col("q"))
+            .as(Seq("i", "qi")))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("qi")).as("sq"), count(lit(1)).as("n"))
+        val csArr = cs.groupBy(col("label"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("sq")))),
+            p => p.getField("sq")).as("sqv"),
+            max(col("n")).as("n"))
+        val d2 = eq.join(broadcast(csArr), "label")
           .select(col("vec_id"), col("label"),
-            ((col("n") * col("q") - col("sq"))
-              * (col("n") * col("q") - col("sq"))).as("t"))
-          .groupBy(col("vec_id"), col("label")).agg(sum(col("t")).as("d2"))
+            aggregate(zip_with(col("q"), col("sqv"),
+              (qi, sqi) => (col("n") * qi - sqi) * (col("n") * qi - sqi)),
+              lit(0L), _ + _).as("d2"))
           .cache() // binning and the final rollup both read it
         val mx = d2.groupBy(col("label"))
           .agg(max(col("d2")).as("mx"), count(lit(1)).as("n"))
