@@ -636,6 +636,55 @@ object AdvancedQueries {
            |  SELECT CAST(-1 AS BIGINT), count(*) FROM nodes
            |  WHERE node NOT IN (SELECT node FROM md))
            |ORDER BY d""".stripMargin
-      })
+      }),
+
+    // EVENT-TRANSITION (Markov) MATRIX: per-user behavioral bigrams — for
+    // each consecutive event pair in a user's timeline, the (from, to)
+    // event-type transition, counted corpus-wide with the per-from-state
+    // transition probability. The first-order Markov statistics behind
+    // next-event models, funnel diagnostics, and bot detection
+    // (self-loop-heavy users). Scale shape: ONE shuffle on user_id (the
+    // lag window partitions by user and parallelizes user-ways — never a
+    // global sort), then a map-side-combined |types|²-row aggregate; row
+    // totals broadcast back. Tie-breaks on event_id make the sequence —
+    // and so the matrix — deterministic at any parallelism.
+    "q_event_transitions" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts").cast(LongType).as("tse"))
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("tse"), col("event_id"))
+        val tr = e
+          .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("n_from"))
+        tr.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+            round(col("n").cast(DoubleType) /
+              col("n_from").cast(DoubleType), 6).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+             |      AS from_type
+             |  FROM events),
+             |tr AS (
+             |  SELECT from_type, event_type AS to_type, count(*) AS n
+             |  FROM seq WHERE from_type IS NOT NULL
+             |  GROUP BY from_type, to_type),
+             |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+             |        FROM tr GROUP BY from_type)
+             |SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+             |  tot.n_from,
+             |  round(CAST(tr.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE), 6)
+             |    AS p
+             |FROM tr JOIN tot USING (from_type)
+             |ORDER BY tr.from_type, tr.to_type""".stripMargin))
   )
 }

@@ -299,6 +299,81 @@ object CorpusQueries {
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       }),
 
+    // RECIPROCAL-RANK FUSION — the OTHER standard hybrid-retrieval
+    // combiner: instead of blending raw scores (retrieval_hybrid_topk),
+    // each ranker contributes 1/(60+rank) and the fused list re-ranks on
+    // the sum — scale-free, so a ranker with inflated score magnitudes
+    // cannot dominate (why RRF is the default fusion in production search
+    // stacks). Rankers here: dense cosine and lexical 3-gram Jaccard.
+    // Scale shape: both rank windows share ONE query_id partitioning (a
+    // single shuffle, two in-partition sorts), the fused re-rank reuses
+    // it, and ranks are integers so the reciprocal sum is bit-identical
+    // cross-engine.
+    "retrieval_rrf_topk" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+        val corpus = d.join(e, "doc_id")
+        val q = corpus.filter(col("doc_id") < 4)
+          .select(col("doc_id").as("query_id"), col("sh").as("qsh"),
+            col("embedding").as("qv"), col("nrm").as("qn"))
+        val wCos = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("doc_id"))
+        val wJac = Window.partitionBy(col("query_id"))
+          .orderBy(col("jac").desc, col("doc_id"))
+        val wRrf = Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+        corpus.join(broadcast(q), col("doc_id") =!= col("query_id"))
+          .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
+            col("qn"), col("nrm")))
+          .withColumn("jac", round(jaccard(col("qsh"), col("sh")), 6))
+          .withColumn("r_cos", row_number().over(wCos).cast(LongType))
+          .withColumn("r_jac", row_number().over(wJac).cast(LongType))
+          .withColumn("rrf",
+            lit(1.0d) / (lit(60.0d) + col("r_cos").cast(DoubleType))
+              + lit(1.0d) / (lit(60.0d) + col("r_jac").cast(DoubleType)))
+          .withColumn("rank", row_number().over(wRrf).cast(LongType))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("r_cos"), col("r_jac"), round(col("rrf"), 6).as("rrf"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 3)
+        val cos = sqlCosine("q.qv", "c.embedding", 64)
+        val jac = s"round(${sqlJaccard("q.qsh", "c.sh")}, 6)"
+        s"""WITH corpus AS (
+           |  SELECT d.doc_id, $sh AS sh, e.embedding
+           |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+           |q AS (
+           |  SELECT doc_id AS query_id, sh AS qsh, embedding AS qv
+           |  FROM corpus WHERE doc_id < 4),
+           |ranked AS (
+           |  SELECT query_id, doc_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, doc_id) AS BIGINT) AS r_cos,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY jac DESC, doc_id) AS BIGINT) AS r_jac
+           |  FROM (
+           |    SELECT q.query_id, c.doc_id, $cos AS cos, $jac AS jac
+           |    FROM corpus c, q WHERE c.doc_id <> q.query_id)),
+           |fused AS (
+           |  SELECT query_id, doc_id, r_cos, r_jac,
+           |    1.0 / (60.0 + r_cos) + 1.0 / (60.0 + r_jac) AS rrf
+           |  FROM ranked)
+           |SELECT query_id, rank, doc_id, r_cos, r_jac,
+           |  round(rrf, 6) AS rrf
+           |FROM (
+           |  SELECT query_id, doc_id, r_cos, r_jac, rrf,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+           |  FROM fused)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
+
     // Cross-source overlap via KMV sketch ALGEBRA: per source, the k=16
     // smallest word-4-gram hashes via the bounded-buffer k-minima
     // aggregate ([[graft.functions.KMinimaAgg]] — ≤ k longs per source per

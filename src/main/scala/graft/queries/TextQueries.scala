@@ -290,6 +290,66 @@ object TextQueries {
            |SELECT doc_id, lang, score FROM full_kept
            |UNION ALL SELECT doc_id, lang, score FROM tie_kept
            |ORDER BY lang, doc_id""".stripMargin
+      }),
+
+    // LANGUAGE-ID CONFUSION MATRIX — the eval primitive for any corpus
+    // classifier: predicted (text_lang_id's unigram-profile argmax)
+    // against the labeled language, as (true, predicted) counts plus the
+    // per-true-language row fraction. The diagonal mass IS the
+    // classifier's per-language recall, and the off-diagonal cells name
+    // exactly which language pairs confuse — what a curation team reads
+    // before trusting lang-conditioned sampling weights. Scale shape: the
+    // classifier is a pure map over the scan (in-row score fold per
+    // language, argmax over |langs| columns), then ONE map-side-combined
+    // |langs|²-row aggregate; the row totals broadcast back onto the
+    // matrix. All exact integers plus one 6-dp division.
+    "text_langid_confusion" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ws = words(col("text"))
+        val scores = langs.map { l =>
+          l -> aggregate(ws, lit(0L),
+            (acc, w) => acc + md5Long(concat(lit(l + ":"), w)) % 1000)
+        }
+        val best = greatest(scores.map(_._2): _*)
+        val pred = scores.foldRight(lit("??")) { case ((l, sc), e) =>
+          when(sc === best, lit(l)).otherwise(e)
+        }
+        val cm = d.select(col("lang"), pred.as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+        cm.join(broadcast(tot), "lang")
+          .select(col("lang"), col("lang_pred"), col("n"), col("n_true"),
+            round(col("n").cast(DoubleType) /
+              col("n_true").cast(DoubleType), 6).as("row_frac"))
+          .orderBy(col("lang"), col("lang_pred"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        def score(l: String) =
+          s"CAST(list_sum(list_transform($ws, " +
+            s"w -> ${sqlMd5Long(s"concat('$l:', w)")} % 1000)) AS BIGINT)"
+        val cols = langs.map(l => s"${score(l)} AS s_$l").mkString(",\n  ")
+        val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val pred = langs.reverse.foldLeft("'??'") { (e, l) =>
+          s"CASE WHEN s_$l = best THEN '$l' ELSE $e END"
+        }
+        s"""WITH p AS (
+           |  SELECT lang, $pred AS lang_pred FROM (
+           |    SELECT lang, $cols, $best AS best FROM (
+           |      SELECT lang, text FROM documents))),
+           |cm AS (
+           |  SELECT lang, lang_pred, count(*) AS n
+           |  FROM p GROUP BY lang, lang_pred),
+           |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true
+           |        FROM cm GROUP BY lang)
+           |SELECT cm.lang, cm.lang_pred, CAST(cm.n AS BIGINT) AS n,
+           |  tot.n_true,
+           |  round(CAST(cm.n AS DOUBLE) / CAST(tot.n_true AS DOUBLE), 6)
+           |    AS row_frac
+           |FROM cm JOIN tot USING (lang)
+           |ORDER BY cm.lang, cm.lang_pred""".stripMargin
       })
   )
 }

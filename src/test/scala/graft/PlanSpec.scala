@@ -524,4 +524,33 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("q_event_transitions: lag window parallelizes by user — no " +
+      "single-partition event sort") {
+    val plan = formatted(q("q_event_transitions"))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("retrieval_rrf_topk: both rank windows share one query_id " +
+      "partitioning — a single wide exchange, queries broadcast") {
+    val plan = formatted(q("retrieval_rrf_topk"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1, s"query set must broadcast:\n${plan.take(2000)}")
+    val qidExchanges =
+      "Exchange hashpartitioning\\(query_id".r.findAllIn(plan).size
+    assert(qidExchanges <= 1,
+      s"rank windows must reuse one query_id exchange, got $qidExchanges")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("text_langid_confusion: classifier is a pure map; matrix is " +
+      "map-side-combined; totals broadcast back") {
+    val plan = formatted(q("text_langid_confusion"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+  }
 }
