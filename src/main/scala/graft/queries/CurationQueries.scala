@@ -392,6 +392,60 @@ object CurationQueries {
              |      AND CURRENT ROW) AS DOUBLE)
              |    / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE),
              |    6) AS cum_frac
-             |FROM hist ORDER BY source, bucket""".stripMargin))
+             |FROM hist ORDER BY source, bucket""".stripMargin)),
+
+    // TOKEN-BUDGET ALLOCATION — the mixture PLAN a pretraining run is
+    // actually built from: given a total token budget (half the corpus
+    // here), each source gets budget·w_s/Σw by temperature weight
+    // (α = 0.5, the sample_temperature rule), capped at what the source
+    // actually has; the deficit column shows which small-but-upweighted
+    // sources run out — the signal to re-run with epoch multipliers. The
+    // Σw normalizer is the same source-ordered sequential fold as
+    // sample_temperature, so the doubles agree with DuckDB bit-for-bit.
+    // Scale shape: ONE map-side-combined per-source aggregate off the
+    // scan; everything after runs on |sources| rows under a broadcast.
+    "curation_token_budget" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val srcs = d.groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+          .withColumn("w", sqrt(col("n_docs").cast(DoubleType)))
+        val tot = srcs.agg(
+          expr("sum(n_chars) div 2").as("budget"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("source"), col("w")))),
+              p => p.getField("w")),
+            lit(0.0d), (acc, x) => acc + x).as("wsum"))
+        srcs.crossJoin(broadcast(tot))
+          .withColumn("target_chars",
+            floor(col("budget").cast(DoubleType) * col("w") / col("wsum"))
+              .cast(LongType))
+          .select(col("source"), col("n_chars"),
+            round(col("w") / col("wsum"), 6).as("weight"),
+            col("target_chars"),
+            least(col("n_chars"), col("target_chars")).as("alloc_chars"),
+            greatest(col("target_chars") - col("n_chars"), lit(0L))
+              .as("deficit_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH srcs AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             |    sqrt(CAST(count(*) AS DOUBLE)) AS w
+             |  FROM documents GROUP BY source),
+             |tot AS (
+             |  SELECT CAST(SUM(n_chars) // 2 AS BIGINT) AS budget,
+             |    list_sum(list(w ORDER BY source)) AS wsum
+             |  FROM srcs)
+             |SELECT source, n_chars, round(w / wsum, 6) AS weight,
+             |  CAST(FLOOR(CAST(budget AS DOUBLE) * w / wsum) AS BIGINT)
+             |    AS target_chars,
+             |  least(n_chars,
+             |    CAST(FLOOR(CAST(budget AS DOUBLE) * w / wsum) AS BIGINT))
+             |    AS alloc_chars,
+             |  greatest(
+             |    CAST(FLOOR(CAST(budget AS DOUBLE) * w / wsum) AS BIGINT)
+             |      - n_chars, 0) AS deficit_chars
+             |FROM srcs, tot ORDER BY source""".stripMargin))
   )
 }

@@ -353,6 +353,51 @@ object PipelineQueries {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // PACKING EFFICIENCY REPORT — the accounting that decides whether the
+    // packer's budget is right: bins from pack_sequences bucketed by fill
+    // ratio (fill·10 div budget, capped at 10 — a doc that STARTS in a bin
+    // belongs to it wholly, so oversized docs overflow their bin), with
+    // bins, docs, and characters per fill decile. A left-skewed histogram
+    // means wasted padding (budget too big); mass at the cap means
+    // truncation pressure (budget too small). Scale shape: the same
+    // range-partition + driver-prefix cumsum as the packer itself (never a
+    // single-task global window), then a per-bin rollup and an ≤11-row
+    // histogram.
+    "pack_efficiency_report" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val fills = graft.operators.SequencePacking
+          .packBins(d, "doc_id", "n_chars", budget = 4096L)
+          .groupBy(col("bin")).agg(
+            count(lit(1)).as("n_docs"), sum(col("n_chars")).as("fill"))
+        fills
+          .select(col("n_docs"), col("fill"),
+            least(expr("fill * 10 div 4096"), lit(10L)).as("decile"))
+          .groupBy(col("decile")).agg(
+            count(lit(1)).as("n_bins"),
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("fill")).as("n_chars"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH packed AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST((cum - n_chars) // 4096 AS BIGINT) AS bin
+             |  FROM (
+             |    SELECT doc_id, n_chars,
+             |      SUM(n_chars) OVER (ORDER BY doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |    FROM documents)),
+             |fills AS (
+             |  SELECT bin, count(*) AS n_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS fill
+             |  FROM packed GROUP BY bin)
+             |SELECT least(fill * 10 // 4096, 10) AS decile,
+             |  CAST(count(*) AS BIGINT) AS n_bins,
+             |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             |  CAST(SUM(fill) AS BIGINT) AS n_chars
+             |FROM fills GROUP BY 1 ORDER BY decile""".stripMargin)),
+
     // BALANCED SHARD ASSIGNMENT — the export-writer step: documents dealt
     // to a fixed shard count by size-sorted round-robin (largest docs
     // spread first — the greedy LPT heuristic in its deterministic dealt
@@ -679,6 +724,93 @@ object PipelineQueries {
            |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
            |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
       }),
+
+    // QUANTILE-SKETCH MERGE LAW, verified end-to-end (the histogram twin
+    // of sketch_hll_merge): per-shard equi-width histograms over SHARED
+    // global bounds, merged by per-bin count ADDITION, against the
+    // histogram built directly over the union — then the p50/p95/p99
+    // estimates read off the merged sketch. Count addition is what lets
+    // 1000 executors histogram independently and union in one tiny
+    // reduce; the merge_exact flag breaks if bin boundaries ever drift
+    // per shard (the classic mergeable-sketch bug). Shuffle cost: ≤128
+    // rows per shard after map-side combine — never the values.
+    "sketch_quantile_merge" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = 128
+        val li = Tables.load(s, dir, "lineitem")
+          .select(floor(col("l_extendedprice") * 100.0d + 0.5d)
+            .cast(LongType).as("vc"),
+            (col("l_suppkey") % 8).as("shard"))
+        val stats = li.agg(min(col("vc")).as("minc"),
+          max(col("vc")).as("maxc"), count(lit(1)).as("n"))
+        val binned = li.crossJoin(broadcast(stats))
+          .select(col("shard"), col("minc"), col("maxc"), col("n"),
+            expr(s"(vc - minc) * $b div (maxc - minc + 1)").as("bin"))
+        val merged = binned
+          .groupBy(col("shard"), col("bin")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("bin")).agg(sum(col("cnt")).as("mcnt"))
+        val direct = binned
+          .groupBy(col("bin")).agg(count(lit(1)).as("dcnt"))
+        val agree = merged.join(direct, Seq("bin"), "full_outer")
+          .agg((sum(abs(coalesce(col("mcnt"), lit(0L))
+            - coalesce(col("dcnt"), lit(0L)))) === 0L).as("merge_exact"))
+        val w = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def rank(p: Int) = expr(s"(n * $p + 99) div 100")
+        def est(p: Int) = (col("minc") +
+          expr(s"q$p * (maxc - minc + 1) div $b")).cast(DoubleType) / 100.0d
+        merged.crossJoin(broadcast(stats))
+          .withColumn("cum", sum(col("mcnt")).over(w))
+          .groupBy(col("minc"), col("maxc"), col("n"))
+          .agg(min(when(col("cum") >= rank(50), col("bin"))).as("q50"),
+            min(when(col("cum") >= rank(95), col("bin"))).as("q95"),
+            min(when(col("cum") >= rank(99), col("bin"))).as("q99"))
+          .crossJoin(agree)
+          .select(col("n"), est(50).as("p50_est"), est(95).as("p95_est"),
+            est(99).as("p99_est"), col("merge_exact"))
+      },
+      Some("""WITH cents AS (
+             |  SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             |      AS vc,
+             |    l_suppkey % 8 AS shard
+             |  FROM lineitem),
+             |stats AS (
+             |  SELECT MIN(vc) AS minc, MAX(vc) AS maxc, COUNT(*) AS n
+             |  FROM cents),
+             |binned AS (
+             |  SELECT shard, (vc - minc) * 128 // (maxc - minc + 1) AS bin
+             |  FROM cents, stats),
+             |merged AS (
+             |  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS mcnt FROM (
+             |    SELECT shard, bin, COUNT(*) AS cnt
+             |    FROM binned GROUP BY shard, bin)
+             |  GROUP BY bin),
+             |direct AS (SELECT bin, COUNT(*) AS dcnt
+             |           FROM binned GROUP BY bin),
+             |agree AS (
+             |  SELECT CAST(SUM(ABS(coalesce(m.mcnt, 0)
+             |    - coalesce(d.dcnt, 0))) AS BIGINT) = 0 AS merge_exact
+             |  FROM merged m FULL OUTER JOIN direct d USING (bin)),
+             |cum AS (
+             |  SELECT bin, SUM(mcnt) OVER (ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM merged),
+             |qs AS (
+             |  SELECT minc, maxc, n,
+             |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS q50,
+             |    MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) AS q95,
+             |    MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS q99
+             |  FROM cum, stats GROUP BY minc, maxc, n)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST(minc + q50 * (maxc - minc + 1) // 128 AS DOUBLE) / 100.0
+             |    AS p50_est,
+             |  CAST(minc + q95 * (maxc - minc + 1) // 128 AS DOUBLE) / 100.0
+             |    AS p95_est,
+             |  CAST(minc + q99 * (maxc - minc + 1) // 128 AS DOUBLE) / 100.0
+             |    AS p99_est,
+             |  merge_exact
+             |FROM qs, agree""".stripMargin)),
 
     // Sliding-window document chunking — the context-length splitter that
     // precedes tokenization/packing in a training pipeline: each document

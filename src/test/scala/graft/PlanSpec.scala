@@ -553,4 +553,30 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
     assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
   }
+
+  test("pack_efficiency_report: bin fills come from the distributed " +
+      "prefix device — never a single-partition corpus window") {
+    val plan = formatted(q("pack_efficiency_report"))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("sketch_quantile_merge: global bounds broadcast; shard histograms " +
+      "partial-aggregate before any exchange") {
+    val plan = formatted(q("sketch_quantile_merge"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1, s"bounds must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("curation_token_budget: one map-side-combined source aggregate; " +
+      "plan math rides a broadcast") {
+    val plan = formatted(q("curation_token_budget"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1, s"totals must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
