@@ -685,6 +685,142 @@ object AdvancedQueries {
              |  round(CAST(tr.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE), 6)
              |    AS p
              |FROM tr JOIN tot USING (from_type)
-             |ORDER BY tr.from_type, tr.to_type""".stripMargin))
+             |ORDER BY tr.from_type, tr.to_type""".stripMargin)),
+
+    // HOURLY-RATE ANOMALY DETECTION (integer-exact z-score): per event
+    // type, hours whose event count deviates from the type's mean by more
+    // than two standard deviations — the monitoring primitive behind
+    // traffic-spike / outage alerting on an event firehose. The 2σ test is
+    // algebraically cleared of divisions: |c−μ|>2σ with μ=S/n and
+    // σ²=(n·SS−S²)/n² is exactly (c·n−S)² > 4·(n·SS−S²), all BIGINT — no
+    // float boundary can flip a verdict between engines. Scale shape: the
+    // raw scan collapses to one map-side-combined (type, hour) count; the
+    // per-type moment table is ≤|types| rows broadcast back onto the
+    // hourly table. Nothing downstream of the first aggregate scales with
+    // raw event volume.
+    "q_event_zscore_anomaly" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val hourly = e.groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = hourly.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_hours"),
+          sum(col("cnt")).as("s"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+        hourly.join(broadcast(stats), "event_type")
+          .withColumn("dev",
+            col("cnt") * col("n_hours") - col("s"))
+          .filter(col("dev") * col("dev") >
+            lit(4L) * (col("n_hours") * col("ss") - col("s") * col("s")))
+          .select(col("event_type"), col("hour"), col("cnt"),
+            col("n_hours"), col("s").as("sum_cnt"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, count(*) AS n_hours,
+             |    CAST(sum(cnt) AS BIGINT) AS s,
+             |    CAST(sum(cnt * cnt) AS BIGINT) AS ss
+             |  FROM hourly GROUP BY 1)
+             |SELECT h.event_type, h.hour, CAST(h.cnt AS BIGINT) AS cnt,
+             |  CAST(st.n_hours AS BIGINT) AS n_hours, st.s AS sum_cnt
+             |FROM hourly h JOIN stats st USING (event_type)
+             |WHERE (h.cnt * st.n_hours - st.s) * (h.cnt * st.n_hours - st.s)
+             |      > 4 * (st.n_hours * st.ss - st.s * st.s)
+             |ORDER BY h.event_type, h.hour""".stripMargin)),
+
+    // INTER-ARRIVAL HISTOGRAM: the distribution of per-user gaps between
+    // consecutive events, bucketed by power-of-two seconds (bit length of
+    // the exact gap — no float log at boundaries). The burstiness audit
+    // behind session-timeout choice (where does the bimodal gap valley
+    // sit?) and bot detection (impossible sub-second regularity). Scale
+    // shape: ONE user_id-partitioned lag window (parallelizes user-ways,
+    // never a global sort; event_id ties keep the sequence deterministic),
+    // then a ≤64-row map-side-combined rollup.
+    "q_interarrival_hist" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast(LongType).as("tse"))
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("tse"), col("event_id"))
+        e.withColumn("prev", lag(col("tse"), 1).over(byUser))
+          .filter(col("prev").isNotNull)
+          .select((col("tse") - col("prev")).as("gap"))
+          .select(col("gap"),
+            (length(bin(col("gap"))) - 1).cast(LongType).as("bucket"))
+          .groupBy(col("bucket")).agg(
+            count(lit(1)).as("n_gaps"),
+            min(col("gap")).as("min_gap"),
+            max(col("gap")).as("max_gap"),
+            sum(col("gap")).as("sum_gap"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+             |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             |        PARTITION BY user_id
+             |        ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+             |      AS gap
+             |  FROM events)
+             |SELECT CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_gaps,
+             |  CAST(min(gap) AS BIGINT) AS min_gap,
+             |  CAST(max(gap) AS BIGINT) AS max_gap,
+             |  CAST(sum(gap) AS BIGINT) AS sum_gap
+             |FROM seq WHERE gap IS NOT NULL
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // GRAPH DEGREE HISTOGRAM: the power-law audit run before ANY iterative
+    // graph algorithm commits — node degrees of the customer↔supplier
+    // trade graph bucketed by power-of-two degree (bit length of the exact
+    // count, no float log at bucket boundaries), split by bipartite side.
+    // A heavy right tail here is what forecasts skew in PageRank/CC
+    // message volume and motivates salting the hub keys. Scale shape: the
+    // deduped pair table is the only big shuffle; degrees are a map-side-
+    // combined count per node; the histogram is a ≤2·64-row rollup.
+    "graph_degree_hist" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .distinct()
+        val degC = pairs.groupBy(col("c").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .withColumn("side", lit("customer"))
+        val degP = pairs.groupBy(col("p").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .withColumn("side", lit("supplier"))
+        degC.union(degP)
+          .select(col("side"),
+            (length(bin(col("deg"))) - 1).cast(LongType).as("bucket"),
+            col("deg"), col("node"))
+          .groupBy(col("side"), col("bucket")).agg(
+            count(lit(1)).as("n_nodes"),
+            sum(col("deg")).as("n_edges"),
+            min(col("node")).as("min_node"))
+          .orderBy(col("side"), col("bucket"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |deg AS (
+             |  SELECT 'customer' AS side, c AS node, count(*) AS deg
+             |  FROM pairs GROUP BY c
+             |  UNION ALL
+             |  SELECT 'supplier' AS side, p AS node, count(*) AS deg
+             |  FROM pairs GROUP BY p)
+             |SELECT side, CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(sum(deg) AS BIGINT) AS n_edges,
+             |  CAST(min(node) AS BIGINT) AS min_node
+             |FROM deg GROUP BY 1, 2 ORDER BY side, bucket""".stripMargin))
   )
 }

@@ -63,6 +63,12 @@ object CorpusQueries {
     * run would set 32k–256k. */
   private val VocabTopV = 24
 
+  /** PMI collocation mining: pairs below the count floor are dropped (the
+    * standard correction for PMI's low-frequency bias — a hapax pair
+    * otherwise scores arbitrarily high), and the report is top-k. */
+  private val PmiMinCount = 8
+  private val PmiTopK = 24
+
   def defs: Map[String, QueryDef] = Map(
 
     // PII redaction: the corpus text carries deterministic contact blocks
@@ -915,6 +921,78 @@ object CorpusQueries {
            |    AND CURRENT ROW) AS BIGINT) AS cum_types
            |FROM dtok t LEFT JOIN dnew n ON t.decile = n.decile
            |ORDER BY t.decile""".stripMargin
+      }),
+
+    // PMI COLLOCATIONS: the top word pairs by pointwise mutual information
+    // — the association-mining pass behind phrase/tokenizer-merge candidate
+    // lists and multi-word-expression detection. Reported as LIFT (the PMI
+    // ratio before the log — same ranking, no transcendental):
+    // lift = p(w1w2)/(p(w1)·p(w2)) = (c12·N·N)/(B·c1·c2) with N = total
+    // unigram occurrences, B = total bigram occurrences. All five inputs
+    // are exact integers; the score is one double expression evaluated in
+    // the SAME association order on both engines (products and a single
+    // division are deterministic IEEE), rounded to 6 dp with a lexical
+    // tie-break. A count floor (c12 ≥ 8) applies the standard PMI
+    // correction for its low-frequency bias. Scale shape: unigram and
+    // bigram counts are two map-side-combined aggregates over ONE cached
+    // token explode; the candidate set after the floor is vocab²-bounded
+    // (tiny), joined against the |vocab|-row unigram table — the corpus
+    // never appears in the scoring join. Top-k via TakeOrdered, no global
+    // sort.
+    "corpus_pmi_topk" -> QueryDef(
+      (s, dir) => {
+        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val d = Tables.load(s, dir, "documents").repartition(np)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .cache()
+        val uni = d.select(explode(col("ws")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val bg = d.select(explode(shingles(col("ws"), 2)).as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        val totals = uni.agg(sum(col("c")).as("n_u"))
+          .crossJoin(bg.agg(sum(col("c12")).as("n_b")))
+        val cand = bg.filter(col("c12") >= PmiMinCount)
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+        cand
+          .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+          .crossJoin(broadcast(totals))
+          .select(col("bg").as("bigram"), col("c12"), col("c1"), col("c2"),
+            round((col("c12").cast(DoubleType) * col("n_u").cast(DoubleType) *
+                col("n_u").cast(DoubleType)) /
+              (col("n_b").cast(DoubleType) * col("c1").cast(DoubleType) *
+                col("c2").cast(DoubleType)), 6).as("lift"))
+          .orderBy(col("lift").desc, col("bigram"))
+          .limit(PmiTopK)
+      },
+      Some {
+        val ws = sqlWords("text")
+        s"""WITH docs AS (SELECT doc_id, $ws AS ws FROM documents),
+           |uni AS (
+           |  SELECT w, count(*) AS c FROM (
+           |    SELECT unnest(ws) AS w FROM docs) GROUP BY w),
+           |bg AS (
+           |  SELECT bg, count(*) AS c12 FROM (
+           |    SELECT unnest(${sqlShingles("ws", 2)}) AS bg FROM docs)
+           |  GROUP BY bg),
+           |tot AS (
+           |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_u,
+           |         (SELECT CAST(sum(c12) AS BIGINT) FROM bg) AS n_b)
+           |SELECT bg AS bigram, CAST(c12 AS BIGINT) AS c12,
+           |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, lift
+           |FROM (
+           |  SELECT bg.bg, bg.c12, u1.c AS c1, u2.c AS c2,
+           |    round((CAST(bg.c12 AS DOUBLE) * CAST(t.n_u AS DOUBLE) *
+           |        CAST(t.n_u AS DOUBLE)) /
+           |      (CAST(t.n_b AS DOUBLE) * CAST(u1.c AS DOUBLE) *
+           |        CAST(u2.c AS DOUBLE)), 6) AS lift
+           |  FROM bg
+           |  JOIN uni u1 ON u1.w = string_split(bg.bg, ' ')[1]
+           |  JOIN uni u2 ON u2.w = string_split(bg.bg, ' ')[2]
+           |  CROSS JOIN tot t
+           |  WHERE bg.c12 >= $PmiMinCount)
+           |ORDER BY lift DESC, bigram LIMIT $PmiTopK""".stripMargin
       })
   )
 }

@@ -1264,6 +1264,53 @@ object DedupQueries {
            |SELECT (SELECT count(*) FROM p) AS n_edges,
            |       (SELECT count(*) FROM w) AS n_wedges,
            |       (SELECT count(*) FROM t) AS n_triangles""".stripMargin
-      })
+      }),
+
+    // DUPLICATION TREND BY INGEST DECILE: per tenth of the corpus in
+    // arrival order, how many documents are near-duplicates of an EARLIER
+    // document (the later member id_b of each verified MinHash pair) —
+    // the drift monitor telling a crawl pipeline whether incoming data is
+    // getting more derivative over time (rising tail = the crawler is
+    // re-reading the web faster than the web grows, time to tighten seeds
+    // or dedup earlier). Scale shape: the banded/verified LSH pair pass is
+    // shared with `dedup_minhash_lsh` (no new corpus-scale work); the
+    // per-decile rollup is a 10-row aggregate under a broadcast 1-row
+    // corpus bound; the dup-doc set is pair-table-scale, never
+    // corpus-scale.
+    "dedup_rate_by_decile" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val mx = d.agg((max(col("doc_id")) + 1).as("n_docs"))
+        val dups = minhashPairs(s, dir)
+          .select(col("id_b").as("doc_id")).distinct()
+        val byDec = d.crossJoin(broadcast(mx))
+          .select(col("doc_id"), expr("(doc_id * 10) div n_docs").as("decile"))
+        val tot = byDec.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"))
+        val dup = byDec.join(dups, "doc_id").groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_dups"))
+        tot.join(dup, Seq("decile"), "left")
+          .select(col("decile"), col("n_docs"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            round(coalesce(col("n_dups"), lit(0L)).cast("double") /
+              col("n_docs").cast("double"), 6).as("dup_rate"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""WITH $minhashPairsCte,
+              |mx AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+              |dups AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+              |bydec AS (
+              |  SELECT d.doc_id, (d.doc_id * 10) // m.n_docs AS decile
+              |  FROM documents d, mx m),
+              |tot AS (SELECT decile, count(*) AS n_docs
+              |        FROM bydec GROUP BY decile),
+              |dup AS (SELECT decile, count(*) AS n_dups
+              |        FROM bydec JOIN dups USING (doc_id) GROUP BY decile)
+              |SELECT t.decile, CAST(t.n_docs AS BIGINT) AS n_docs,
+              |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+              |  round(CAST(coalesce(d.n_dups, 0) AS DOUBLE) /
+              |    CAST(t.n_docs AS DOUBLE), 6) AS dup_rate
+              |FROM tot t LEFT JOIN dup d ON t.decile = d.decile
+              |ORDER BY t.decile""".stripMargin))
   )
 }

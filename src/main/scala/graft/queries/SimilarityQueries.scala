@@ -31,6 +31,11 @@ object SimilarityQueries {
   private val NumQueries = 8 // query set = vec_id < 8
   private val TopK = 5
 
+  /** MMR re-rank: candidate pool per query and greedy picks (λ = 0.7 as
+    * the exact rational 7/10, kept in integer micro-units). */
+  private val MmrCand = 12
+  private val MmrPicks = 5
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
@@ -1205,6 +1210,135 @@ object SimilarityQueries {
              |    AS BIGINT) AS out_checksum,
              |  CAST(MAX(t.thr_bin) AS BIGINT) AS thr_bin
              |FROM b JOIN t USING (label)
-             |GROUP BY b.label ORDER BY label""".stripMargin))
+             |GROUP BY b.label ORDER BY label""".stripMargin)),
+
+    // MMR DIVERSITY RE-RANK (maximal marginal relevance): the standard
+    // post-retrieval diversifier — from each query's top-12 cosine
+    // candidates, greedily pick 5, each pick maximizing
+    // λ·relevance − (1−λ)·max-similarity-to-already-picked (λ = 0.7).
+    // Near-duplicate candidates collapse to one representative; this is
+    // the de-redundancy pass production search and RAG context selection
+    // run after ANN retrieval. Determinism: the 6-dp-rounded cosines are
+    // scaled to exact integer micro-units, so the greedy objective is pure
+    // BIGINT (7·rel − 3·maxsim) with vec_id tie-breaks — bit-identical at
+    // any parallelism and in the oracle's unrolled CTE recursion. Scale
+    // shape: retrieval is the broadcast-queries + one-top-k-window scan
+    // (the 100 TB path); everything after operates on |Q|·12 candidate
+    // rows and |Q|·12·11 pairwise sims — re-rank cost is bounded per
+    // query and NEVER touches the corpus again; each greedy round is an
+    // argmax aggregate (max_by), not a window sort.
+    "retrieval_mmr_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
+            col("qn"), col("nrm")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= MmrCand)
+          .select(col("query_id"), col("vec_id"),
+            round(col("cos") * 1e6d, 0).cast(LongType).as("rel"),
+            col("embedding"), col("nrm"))
+          .cache()
+        val sims = cand.select(col("query_id"), col("vec_id").as("i"),
+            col("embedding").as("ei"), col("nrm").as("ni"))
+          .join(cand.select(col("query_id"), col("vec_id").as("j"),
+            col("embedding").as("ej"), col("nrm").as("nj")), "query_id")
+          .filter(col("i") =!= col("j"))
+          .select(col("query_id").as("sq"), col("i"), col("j"),
+            round(cosineHoisted(col("ei"), col("ej"),
+              col("ni"), col("nj")) * 1e6d, 0).cast(LongType).as("sim"))
+          .cache()
+        val ids = cand.select(col("query_id"), col("vec_id"), col("rel"))
+        val sel1 = ids
+          .groupBy(col("query_id"))
+          .agg(max_by(struct(col("vec_id"), col("rel")),
+            struct(col("rel"), (-col("vec_id")).as("nv"))).as("t"))
+          .select(col("query_id"), lit(1L).as("pick"),
+            col("t.vec_id").as("vec_id"), col("t.rel").as("rel"),
+            lit(0L).as("ms"), (lit(7L) * col("t.rel")).as("score"))
+        val acc = (2 to MmrPicks).foldLeft(sel1) { (a, k) =>
+          val accIds = a.select(col("query_id"), col("vec_id"))
+          val rem = ids.join(accIds, Seq("query_id", "vec_id"), "left_anti")
+          val selK = rem
+            .join(sims, col("query_id") === col("sq") &&
+              col("vec_id") === col("i"))
+            .join(accIds.select(col("query_id").as("aq"),
+                col("vec_id").as("aj")),
+              col("sq") === col("aq") && col("j") === col("aj"))
+            .groupBy(col("query_id"), col("vec_id"), col("rel"))
+            .agg(max(col("sim")).as("ms"))
+            .withColumn("score", lit(7L) * col("rel") - lit(3L) * col("ms"))
+            .groupBy(col("query_id"))
+            .agg(max_by(struct(col("vec_id"), col("rel"), col("ms"),
+                col("score")),
+              struct(col("score"), (-col("vec_id")).as("nv"))).as("t"))
+            .select(col("query_id"), lit(k.toLong).as("pick"),
+              col("t.vec_id").as("vec_id"), col("t.rel").as("rel"),
+              col("t.ms").as("ms"), col("t.score").as("score"))
+          a.unionByName(selK)
+        }
+        acc.select(col("query_id"), col("pick"),
+            col("vec_id").as("selected_id"), col("rel"), col("ms"),
+            col("score"))
+          .orderBy(col("query_id"), col("pick"))
+      },
+      Some {
+        def round(k: Int): String =
+          s"""sc$k AS (
+             |  SELECT c.query_id, c.vec_id, c.rel, max(s.sim) AS ms
+             |  FROM cand c
+             |  JOIN sims s ON s.query_id = c.query_id AND s.i = c.vec_id
+             |  JOIN acc${k - 1} a ON a.query_id = s.query_id
+             |    AND a.vec_id = s.j
+             |  WHERE NOT EXISTS (SELECT 1 FROM acc${k - 1} x
+             |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+             |  GROUP BY c.query_id, c.vec_id, c.rel),
+             |sel$k AS (
+             |  SELECT query_id, CAST($k AS BIGINT) AS pick, vec_id, rel,
+             |    ms, 7 * rel - 3 * ms AS score
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY 7 * rel - 3 * ms DESC, vec_id) AS r
+             |    FROM sc$k) WHERE r = 1),
+             |acc$k AS (SELECT * FROM acc${k - 1}
+             |          UNION ALL SELECT * FROM sel$k)""".stripMargin
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |      FROM embeddings WHERE vec_id < $NumQueries),
+           |cand AS (
+           |  SELECT query_id, vec_id,
+           |    CAST(round(cos * 1000000) AS BIGINT) AS rel
+           |  FROM (
+           |    SELECT q.query_id, e.vec_id,
+           |      ${sqlCosine("q.qv", "e.embedding", Dim)} AS cos,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${sqlCosine("q.qv", "e.embedding", Dim)} DESC,
+           |          e.vec_id) AS rnk
+           |    FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           |  WHERE rnk <= $MmrCand),
+           |sims AS (
+           |  SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+           |    CAST(round(${sqlCosine("ea.embedding", "eb.embedding", Dim)}
+           |      * 1000000) AS BIGINT) AS sim
+           |  FROM cand a
+           |  JOIN cand b ON a.query_id = b.query_id
+           |    AND a.vec_id <> b.vec_id
+           |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+           |sel1 AS (
+           |  SELECT query_id, CAST(1 AS BIGINT) AS pick, vec_id, rel,
+           |    CAST(0 AS BIGINT) AS ms, 7 * rel AS score
+           |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY rel DESC, vec_id) AS r FROM cand) WHERE r = 1),
+           |acc1 AS (SELECT * FROM sel1),
+           |${(2 to MmrPicks).map(round).mkString(",\n")}
+           |SELECT query_id, pick, vec_id AS selected_id,
+           |  CAST(rel AS BIGINT) AS rel, CAST(ms AS BIGINT) AS ms,
+           |  CAST(score AS BIGINT) AS score
+           |FROM acc$MmrPicks ORDER BY query_id, pick""".stripMargin
+      })
   )
 }

@@ -579,4 +579,53 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("partial_count"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("q_interarrival_hist: the lag window partitions by user — never " +
+      "a single-partition global sort") {
+    val plan = formatted(q("q_interarrival_hist"))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("q_event_zscore_anomaly: hourly counts map-side combine; the " +
+      "per-type moment table broadcasts back") {
+    val plan = formatted(q("q_event_zscore_anomaly"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("corpus_pmi_topk: top-k is a TakeOrdered, never a global sort; " +
+      "corpus totals ride a broadcast") {
+    val df = q("corpus_pmi_topk")
+    val plan = formatted(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("retrieval_mmr_topk: greedy rounds re-rank the cached candidate " +
+      "set — the corpus is scanned for retrieval only") {
+    val df = q("retrieval_mmr_topk")
+    val rows = df.collect()
+    val plan = executed(df)
+    // every greedy round reads cand/sims from cache — the top-level plan's
+    // leaves are cache scans, never a fresh parquet scan of the corpus
+    val fileScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.isEmpty,
+      s"greedy rounds re-scan parquet: ${fileScans.size}")
+    assert(plan.toString.contains("InMemoryTableScan"),
+      plan.toString.take(2000))
+    // greedy invariants: 5 distinct picks per query, pick 1 = max relevance
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(2)).distinct.length === rs.length,
+        s"query $qid repeated a pick")
+      val p1 = rs.find(_.getLong(1) == 1L).get
+      assert(p1.getLong(3) === rs.map(_.getLong(3)).max,
+        s"query $qid pick 1 is not max relevance")
+    }
+  }
 }
