@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.cdc._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -80,6 +81,57 @@ object CdcQueries {
               |  COUNT(*) AS n_parts
               |FROM (${ChangelogGen.oracleFinalStateSql(partSpec, partCols, "part")})
               |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // SCD TYPE-2 HISTORY: the changelog materialized as a slowly-changing-
+    // dimension table — one row per VERSION of each key, carrying
+    // [valid_from, valid_to) offsets and an is_current flag. The other
+    // classic CDC consumer besides current-state upsert: warehouses build
+    // exactly this from Debezium streams to answer as-of queries. Shape:
+    // drop -U (its offset duplicates the paired +U), one pk-partitioned
+    // lead() window orders each key's images by offset (valid_to = next
+    // event's offset; a -D closes the last version without emitting one).
+    // Scale: one shuffle on pk; per-key version chains are short, so the
+    // window parallelizes key-ways — never a global sort.
+    "cdc_scd2_history" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.load(s, dir, "orders")
+        val env = ChangelogGen.full(base, ordersSpec)
+        val evs = Materialize.emit(env, ChangelogAll)
+          .filter(col(OpCol) =!= RowKind.UpdateBefore)
+        val w = Window.partitionBy(col("o_orderkey")).orderBy(col(OffsetCol))
+        evs.withColumn("valid_to", lead(col(OffsetCol), 1).over(w))
+          .filter(col(OpCol) =!= RowKind.Delete)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col(OffsetCol).as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy(col("o_orderkey"), col("valid_from"))
+      },
+      Some {
+        val sp = ordersSpec
+        s"""WITH v AS (
+           |  SELECT o_orderkey, o_totalprice, 0 AS valid_from,
+           |    CASE WHEN o_orderkey % ${sp.updEvery} = ${sp.updSel}
+           |           THEN ${sp.updBand} + o_orderkey
+           |         WHEN o_orderkey % ${sp.delEvery} = ${sp.delSel}
+           |           THEN ${sp.delBand} + o_orderkey
+           |         ELSE NULL END AS valid_to
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT o_orderkey, o_totalprice * 2,
+           |    ${sp.updBand} + o_orderkey,
+           |    CASE WHEN o_orderkey % ${sp.delEvery} = ${sp.delSel}
+           |         THEN ${sp.delBand} + o_orderkey END
+           |  FROM orders WHERE o_orderkey % ${sp.updEvery} = ${sp.updSel}
+           |  UNION ALL
+           |  SELECT o_orderkey + ${sp.insertKeyOffset}, o_totalprice,
+           |    ${sp.insBand} + o_orderkey, NULL
+           |  FROM orders WHERE o_orderkey % ${sp.insEvery} = ${sp.insSel})
+           |SELECT o_orderkey, o_totalprice,
+           |  CAST(valid_from AS BIGINT) AS valid_from,
+           |  CAST(valid_to AS BIGINT) AS valid_to,
+           |  valid_to IS NULL AS is_current
+           |FROM v ORDER BY o_orderkey, valid_from""".stripMargin
+      }),
 
     // Emitted row-kind stream accounting: the retract stream must contain
     // exactly +I per snapshot/insert, -U/+U per update, -D per delete

@@ -826,6 +826,83 @@ object StreamingQueries {
              |)
              |SELECT o_orderkey, o_totalprice, c_mktsegment, c_acctbal
              |FROM ofc JOIN cfc ON o_custkey = c_custkey
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // STREAMING SCD TYPE-2 (closed versions): the incremental twin of
+    // `cdc_scd2_history` — per-key state holds the OPEN version; each
+    // arriving image/delete CLOSES it, emitting an append-only history row
+    // [valid_from, valid_to). A version's row is final the moment it
+    // closes (no retractions), which is what makes SCD2 the
+    // warehouse-friendly shape of a changelog: history grows append-only
+    // even though the source stream has updates and deletes. Open versions
+    // stay in state (O(1)/key). Runs over the LOG-REPLAY stream
+    // (startup=earliest): versions open at +U/+I images and close at a
+    // later -D — the update-band and delete-band offsets drain in
+    // different micro-batches, so an open version genuinely crosses the
+    // batch boundary in state. (Snapshot seeding of pre-log history is the
+    // batch twin's job; a -D with no open version is a no-op here, exactly
+    // how a warehouse applies deletes for rows it never loaded.) Within a
+    // batch the group sorts its events by offset.
+    "cdc_stream_scd2" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        val dir = prepare(s, dir0)
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+        import s.implicits._
+        val name = s"scd2s_${System.nanoTime()}"
+        val evs = readStreamEarliest(s, dir)
+          .filter(col(OpCol) =!= RowKind.UpdateBefore)
+          .select(col("o_orderkey").as("k"), col(OffsetCol).as("off"),
+            col(OpCol).as("op"), col("o_totalprice").as("price"))
+          .as[Scd2Ev]
+        val closed = evs.groupByKey(_.k)
+          .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (key: Long, rows: Iterator[Scd2Ev],
+                state: org.apache.spark.sql.streaming.GroupState[Scd2Open]) =>
+              val out = Seq.newBuilder[Scd2Closed]
+              var open = state.getOption
+              rows.toSeq.sortBy(_.off).foreach { ev =>
+                open.foreach { o =>
+                  out += Scd2Closed(key, o.price, o.off, ev.off)
+                }
+                open =
+                  if (ev.op == RowKind.Delete) None
+                  else Some(Scd2Open(ev.off, ev.price))
+              }
+              open match {
+                case Some(o) => state.update(o)
+                case None => state.remove()
+              }
+              out.result().iterator
+          }
+        val q = closed.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.QueryUtil.detachMemorySink(s, name)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("valid_from"), col("valid_to"))
+          .orderBy(col("o_orderkey"), col("valid_from"))
+      },
+      // log-only closed versions: the post-update image of keys later
+      // deleted (update band opens, delete band closes); inserted copies
+      // and delete-without-open are never closed/emitted
+      Some {
+        val sp = ordersSpec
+        s"""SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+           |  CAST(${sp.updBand} + o_orderkey AS BIGINT) AS valid_from,
+           |  CAST(${sp.delBand} + o_orderkey AS BIGINT) AS valid_to
+           |FROM orders
+           |WHERE o_orderkey % ${sp.updEvery} = ${sp.updSel}
+           |  AND o_orderkey % ${sp.delEvery} = ${sp.delSel}
+           |ORDER BY o_orderkey, valid_from""".stripMargin
+      })
   )
+
+  /** Streaming-SCD2 event: one changelog image/delete for key `k`. */
+  case class Scd2Ev(k: Long, off: Long, op: String, price: Double)
+  /** Per-key state: the currently-open version. */
+  case class Scd2Open(off: Long, price: Double)
+  /** An emitted (closed) version row. */
+  case class Scd2Closed(o_orderkey: Long, o_totalprice: Double,
+      valid_from: Long, valid_to: Long)
 }
