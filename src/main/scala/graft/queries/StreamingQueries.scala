@@ -846,7 +846,6 @@ object StreamingQueries {
     "cdc_stream_scd2" -> QueryDef(
       (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
         val dir = prepare(s, dir0)
-        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
         import s.implicits._
         val name = s"scd2s_${System.nanoTime()}"
         val evs = readStreamEarliest(s, dir)
@@ -854,28 +853,7 @@ object StreamingQueries {
           .select(col("o_orderkey").as("k"), col(OffsetCol).as("off"),
             col(OpCol).as("op"), col("o_totalprice").as("price"))
           .as[Scd2Ev]
-        val closed = evs.groupByKey(_.k)
-          .flatMapGroupsWithState[Scd2Open, Scd2Closed](
-            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-            (key: Long, rows: Iterator[Scd2Ev],
-                state: org.apache.spark.sql.streaming.GroupState[Scd2Open]) =>
-              val out = Seq.newBuilder[Scd2Closed]
-              var open = state.getOption
-              rows.toSeq.sortBy(_.off).foreach { ev =>
-                open.foreach { o =>
-                  out += Scd2Closed(key, o.price, o.off, ev.off)
-                }
-                open =
-                  if (ev.op == RowKind.Delete) None
-                  else Some(Scd2Open(ev.off, ev.price))
-              }
-              open match {
-                case Some(o) => state.update(o)
-                case None => state.remove()
-              }
-              out.result().iterator
-          }
-        val q = closed.writeStream.format("memory").queryName(name)
+        val q = scd2ClosedStream(evs).writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         graft.QueryUtil.detachMemorySink(s, name)
@@ -905,4 +883,34 @@ object StreamingQueries {
   /** An emitted (closed) version row. */
   case class Scd2Closed(o_orderkey: Long, o_totalprice: Double,
       valid_from: Long, valid_to: Long)
+
+  /** The streaming-SCD2 transform: per-key open-version state; every
+    * arriving image/delete closes the open version (append-only output).
+    * Shared by `cdc_stream_scd2` and its spec. */
+  private[graft] def scd2ClosedStream(
+      evs: org.apache.spark.sql.Dataset[Scd2Ev])
+      : org.apache.spark.sql.Dataset[Scd2Closed] = {
+    import evs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    evs.groupByKey(_.k)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Scd2Ev], state: GroupState[Scd2Open]) =>
+          val out = Seq.newBuilder[Scd2Closed]
+          var open = state.getOption
+          rows.toSeq.sortBy(_.off).foreach { ev =>
+            open.foreach { o =>
+              out += Scd2Closed(key, o.price, o.off, ev.off)
+            }
+            open =
+              if (ev.op == ChangeRecord.RowKind.Delete) None
+              else Some(Scd2Open(ev.off, ev.price))
+          }
+          open match {
+            case Some(o) => state.update(o)
+            case None => state.remove()
+          }
+          out.result().iterator
+      }
+  }
 }

@@ -333,4 +333,49 @@ class StreamMaterializeSpec extends SparkSpecBase {
     assert(st === Set((1L, "v1"), (2L, "v2")))
     assert(!root.listFiles().exists(_.getName.startsWith(".old-bkt-")))
   }
+
+  test("scd2ClosedStream: versions close append-only, open state crosses " +
+      "micro-batches, delete-without-open is a no-op") {
+    import graft.queries.StreamingQueries
+    import StreamingQueries.{Scd2Closed, Scd2Ev}
+    val dir = tmpDir("scd2-db")
+    val pay = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType)))
+    val snapshot = Seq((9L, 0.0)).toDF("id", "price") // untouched key
+    val env = StructType(Seq(
+      StructField(OffsetCol, LongType), StructField(OpCol, StringType),
+      StructField(TsCol, LongType), StructField(DbCol, StringType),
+      StructField(TableCol, StringType),
+      StructField(BeforeCol, pay), StructField(AfterCol, pay)))
+    // id1: open(u@10) -> close at u@20 -> close at d@30; id2: lone delete
+    // (no open version in log-replay) must emit nothing; id3: open only
+    val changes = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(10L, "u", 0L, "graft", "t", Row(1L, 1.0), Row(1L, 2.0)),
+      Row(15L, "d", 0L, "graft", "t", Row(2L, 5.0), null),
+      Row(20L, "u", 0L, "graft", "t", Row(1L, 2.0), Row(1L, 3.0)),
+      Row(25L, "c", 0L, "graft", "t", null, Row(3L, 7.0)),
+      Row(30L, "d", 0L, "graft", "t", Row(1L, 3.0), null))), env)
+    FileCdcDatabase.write(spark, dir, "t", "graft", "id", snapshot, changes,
+      force = true)
+    val name = s"scd2spec_${System.nanoTime()}"
+    // 1 event per trigger: every open version must survive in state across
+    // a micro-batch boundary before it closes
+    val evs = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("scan.stream.max-events-per-trigger", "1")
+      .load()
+      .filter(col(OpCol) =!= RowKind.UpdateBefore)
+      .select(col("id").as("k"), col(OffsetCol).as("off"),
+        col(OpCol).as("op"), col("price").as("price"))
+      .as[Scd2Ev]
+    val q = StreamingQueries.scd2ClosedStream(evs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).as[Scd2Closed].collect().toSet
+    assert(got === Set(
+      Scd2Closed(1L, 2.0, 10L, 20L),
+      Scd2Closed(1L, 3.0, 20L, 30L)), got)
+  }
 }
