@@ -1228,7 +1228,10 @@ object SimilarityQueries {
     // query and NEVER touches the corpus again; each greedy round is an
     // argmax aggregate (max_by), not a window sort.
     "retrieval_mmr_topk" -> QueryDef(
-      (s, dir) => {
+      // every post-retrieval table is |Q|·12 or |Q|·12·11 rows — pin
+      // shuffle partitions to that volume (the same tuning the streaming
+      // queries apply); at cluster scale the caller sizes to |Q|
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 4) {
         val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
         val q = e.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -1261,7 +1264,12 @@ object SimilarityQueries {
           .select(col("query_id"), lit(1L).as("pick"),
             col("t.vec_id").as("vec_id"), col("t.rel").as("rel"),
             lit(0L).as("ms"), (lit(7L) * col("t.rel")).as("score"))
-        val acc = (2 to MmrPicks).foldLeft(sel1) { (a, k) =>
+        // each round's pick is ≤|Q| rows but its plan references ALL prior
+        // rounds — an eager barrier per round keeps the k-th round's plan
+        // (and the final union) from recomputing rounds 1..k-1
+        val acc = (2 to MmrPicks).foldLeft(
+          graft.operators.IterBarrier.cut(sel1, 1, reliableEvery = 0)) {
+          (a, k) =>
           val accIds = a.select(col("query_id"), col("vec_id"))
           val rem = ids.join(accIds, Seq("query_id", "vec_id"), "left_anti")
           val selK = rem
@@ -1280,7 +1288,8 @@ object SimilarityQueries {
             .select(col("query_id"), lit(k.toLong).as("pick"),
               col("t.vec_id").as("vec_id"), col("t.rel").as("rel"),
               col("t.ms").as("ms"), col("t.score").as("score"))
-          a.unionByName(selK)
+          a.unionByName(
+            graft.operators.IterBarrier.cut(selK, k, reliableEvery = 0))
         }
         acc.select(col("query_id"), col("pick"),
             col("vec_id").as("selected_id"), col("rel"), col("ms"),
