@@ -609,14 +609,15 @@ class PlanSpec extends SparkSpecBase {
     val df = q("retrieval_mmr_topk")
     val rows = df.collect()
     val plan = executed(df)
-    // every greedy round reads cand/sims from cache — the top-level plan's
-    // leaves are cache scans, never a fresh parquet scan of the corpus
+    // every greedy round is barrier-cut and reads cand/sims from cache —
+    // the final plan's leaves are the checkpointed round results (RDD
+    // scans), never a fresh parquet scan of the corpus
     val fileScans = plan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(fileScans.isEmpty,
       s"greedy rounds re-scan parquet: ${fileScans.size}")
-    assert(plan.toString.contains("InMemoryTableScan"),
+    assert(plan.toString.contains("Scan ExistingRDD"),
       plan.toString.take(2000))
     // greedy invariants: 5 distinct picks per query, pick 1 = max relevance
     val byQ = rows.groupBy(_.getLong(0))
