@@ -1311,6 +1311,83 @@ object DedupQueries {
               |  round(CAST(coalesce(d.n_dups, 0) AS DOUBLE) /
               |    CAST(t.n_docs AS DOUBLE), 6) AS dup_rate
               |FROM tot t LEFT JOIN dup d ON t.decile = d.decile
-              |ORDER BY t.decile""".stripMargin))
+              |ORDER BY t.decile""".stripMargin)),
+
+    // QUALITY × DUPLICATION CROSS-SIGNAL AUDIT: mean quality score per
+    // duplicate-cluster-size bucket (1 = unique, 2, 3, 4+ = heavily
+    // copied) — the measurement behind "are duplicated documents also
+    // low-quality?", which decides whether dedup and quality filtering are
+    // redundant or complementary on a corpus (if dup clusters skew
+    // low-quality, dedup-first saves the quality model's compute; if not,
+    // both passes pay for themselves). Determinism: the quality score is
+    // the shared text_quality_score formula (single-division doubles,
+    // 6 dp); the per-bucket mean divides an exact DECIMAL(18,6) sum by an
+    // exact count — order-insensitive, so any partitioning agrees with the
+    // oracle. Scale shape: pairs + CC closure are the shared LSH devices;
+    // cluster sizes are a pair-table-scale aggregate broadcast back; the
+    // corpus contributes one pure-map score pass and a ≤4-row rollup.
+    "dedup_quality_by_clustersize" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val comp = graft.operators.ConnectedComponents
+          .components(minhashPairs(s, dir), "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component").as("cid"))
+        val sizes = comp.groupBy(col("cid")).agg(count(lit(1)).as("csize"))
+        val ws = graft.functions.TextFunctions.words(col("text"))
+        val nWords = size(ws).cast(LongType)
+        val nStop = size(filter(ws,
+          w => w.isInCollection(TextQueries.stopwords))).cast(LongType)
+        val stopRatio = nStop.cast(DoubleType) / nWords.cast(DoubleType)
+        val lenScore = least(nWords.cast(DoubleType) / lit(50.0d), lit(1.0d))
+        val scored = d.select(col("doc_id"),
+          round(lit(0.5d) * stopRatio + lit(0.5d) * lenScore, 6)
+            .as("quality"))
+        scored
+          .join(comp, Seq("doc_id"), "left")
+          .join(broadcast(sizes), Seq("cid"), "left")
+          .select(col("quality"),
+            least(coalesce(col("csize"), lit(1L)), lit(4L))
+              .as("size_bucket"))
+          .groupBy(col("size_bucket")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("quality").cast(DecimalType(18, 6)))
+              .cast(DoubleType).as("sum_quality"))
+          .withColumn("mean_quality",
+            round(col("sum_quality") / col("n_docs").cast(DoubleType), 6))
+          .orderBy(col("size_bucket"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        val nWords = s"CAST(len($ws) AS BIGINT)"
+        val nStop = s"CAST(len(list_filter($ws, w -> w IN " +
+          TextQueries.stopwords.mkString("('", "','", "')") +
+          ")) AS BIGINT)"
+        val stopRatio = s"(CAST($nStop AS DOUBLE) / CAST($nWords AS DOUBLE))"
+        val lenScore = s"least(CAST($nWords AS DOUBLE) / 50.0, 1.0)"
+        s"""WITH RECURSIVE $minhashPairsCte,
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM pairs
+           |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT u AS id, u AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+           |comp AS (SELECT id AS doc_id, MIN(r) AS cid
+           |         FROM reach GROUP BY id),
+           |sizes AS (SELECT cid, count(*) AS csize FROM comp GROUP BY cid),
+           |scored AS (
+           |  SELECT d.doc_id,
+           |    round(0.5 * $stopRatio + 0.5 * $lenScore, 6) AS quality,
+           |    least(coalesce(sz.csize, 1), 4) AS size_bucket
+           |  FROM documents d
+           |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+           |  LEFT JOIN sizes sz ON c.cid = sz.cid)
+           |SELECT size_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+           |    AS sum_quality,
+           |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE), 6) AS mean_quality
+           |FROM scored GROUP BY size_bucket ORDER BY size_bucket""".stripMargin
+      })
   )
 }

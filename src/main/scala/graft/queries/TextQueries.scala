@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
  */
 object TextQueries {
 
-  private val stopwords = Seq("the", "a", "of", "to", "and")
+  private[queries] val stopwords = Seq("the", "a", "of", "to", "and")
   private val langs = Seq("de", "en", "es", "zh")
 
   /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
