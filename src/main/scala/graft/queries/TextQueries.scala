@@ -305,7 +305,11 @@ object TextQueries {
     // matrix. All exact integers plus one 6-dp division.
     "text_langid_confusion" -> QueryDef(
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        // |langs| md5 folds per document over a sub-split-size input file:
+        // spread the scan explicitly or the whole classifier runs on one
+        // core (same device as corpus_bigram_kn)
+        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val d = Tables.load(s, dir, "documents").repartition(np)
         val ws = words(col("text"))
         val scores = langs.map { l =>
           l -> aggregate(ws, lit(0L),
