@@ -1212,6 +1212,94 @@ object SimilarityQueries {
              |FROM b JOIN t USING (label)
              |GROUP BY b.label ORDER BY label""".stripMargin)),
 
+    // INT8 SCALAR-QUANTIZATION RECALL — third leg of the compression
+    // bake-off (with ann_truncated_recall and ann_rp_recall): embeddings
+    // quantized to int8 by the suite's shared global max-abs scale (the
+    // vec_quantize_int8 contract, 4× memory/bandwidth saved), searched,
+    // and recalled against the exact float top-k. Unlike the other two
+    // legs this keeps ALL dims at reduced precision — the trade production
+    // vector stores (faiss SQ8) default to. Determinism: the quantized
+    // dot/norms are EXACT BIGINT (|dot| ≤ 64·127², fold order irrelevant —
+    // integer sums commute), so the only doubles are one sqrt product and
+    // one division, identical in both engines. Scale shape: scalar scale
+    // broadcast onto the scan (pure-map quantization), then the standard
+    // broadcast-queries + one-top-k-window search; recall join is
+    // queries×k rows.
+    "ann_sq8_recall" -> QueryDef(
+      (s, dir) => {
+        val sc = emb(s, dir).select(explode(col("embedding")).as("x"))
+          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+        val e = emb(s, dir).crossJoin(broadcast(sc))
+          .withColumn("q8", transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
+              + lit(0.5d)).cast(LongType)))
+          .withColumn("nq", sqrt(aggregate(
+            zip_with(col("q8"), col("q8"), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v).cast(DoubleType)))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("q8").as("qq"),
+            col("nq").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosq").desc, col("vec_id"))
+        val tr = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cosq", round(aggregate(
+              zip_with(col("qq"), col("q8"), (a, b) => a * b),
+              lit(0L), (acc, v) => acc + v).cast(DoubleType)
+            / (col("qn") * col("nq")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val bf = bruteforceTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = bf.join(tr, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        bf.select(col("query_id")).distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
+              / lit(TopK.toDouble)).as("recall_at_k"))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        def idot(a: String, b: String) =
+          s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), " +
+            s"i -> $a[i] * $b[i])) AS DOUBLE)"
+        s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($bruteforceSql)),
+           |scale AS (
+           |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+           |    x -> abs(x)), 'max')) AS DOUBLE) AS scale
+           |  FROM embeddings),
+           |qv AS (
+           |  SELECT vec_id, q8,
+           |    sqrt(${idot("q8", "q8")}) AS nq
+           |  FROM (SELECT vec_id, list_transform(embedding,
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+           |        AS BIGINT)) AS q8
+           |    FROM embeddings, scale)),
+           |qs AS (SELECT vec_id AS query_id, q8 AS qq, nq AS qn
+           |       FROM qv WHERE vec_id < $NumQueries),
+           |tr AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT qs.query_id, e.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY qs.query_id
+           |        ORDER BY round(${idot("qs.qq", "e.q8")}
+           |          / (qs.qn * e.nq), 6) DESC, e.vec_id) AS rank
+           |    FROM qv e, qs WHERE e.vec_id <> qs.query_id)
+           |  WHERE rank <= $TopK),
+           |hits AS (
+           |  SELECT query_id, count(*) AS n_hits
+           |  FROM bf JOIN tr USING (query_id, neighbor_id)
+           |  GROUP BY query_id)
+           |SELECT b.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT)
+           |    AS n_hits,
+           |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $TopK.0
+           |    AS recall_at_k
+           |FROM (SELECT DISTINCT query_id FROM bf) b
+           |LEFT JOIN hits h ON b.query_id = h.query_id
+           |ORDER BY b.query_id""".stripMargin
+      }),
+
     // MMR DIVERSITY RE-RANK (maximal marginal relevance): the standard
     // post-retrieval diversifier — from each query's top-12 cosine
     // candidates, greedily pick 5, each pick maximizing
