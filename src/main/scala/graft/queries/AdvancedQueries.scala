@@ -785,11 +785,14 @@ object AdvancedQueries {
     // combined count per node; the histogram is a ≤2·64-row rollup.
     "graph_degree_hist" -> QueryDef(
       (s, dir) => {
-        val o = Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
+        // the 2-column orders projection is broadcast-size at any SF where
+        // lineitem is the fact side — BHJ keeps the edge build exchange-free
+        // until the distinct
+        val o = broadcast(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")))
         val l = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
-        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        val pairs = l.join(o, col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
           .distinct()
         val degC = pairs.groupBy(col("c").as("node"))

@@ -1103,7 +1103,10 @@ object SimilarityQueries {
     // broadcasts back onto the scan). Output: per-class summary any
     // misclassification breaks (outlier count + vec_id checksum).
     "embed_outlier_filter" -> QueryDef(
-      (s, dir) => {
+      // the whole pipeline after the scan runs on ≤N quantized rows and
+      // ≤1001-row histograms — pin partitions to that volume (at cluster
+      // scale the caller sizes to vector count)
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         import org.apache.spark.sql.expressions.Window
         // one input split locally — pin an explicit-N spread (a keyed
         // repartition would be AQE-coalesced back) so the quantize map
@@ -1226,7 +1229,9 @@ object SimilarityQueries {
     // broadcast-queries + one-top-k-window search; recall join is
     // queries×k rows.
     "ann_sq8_recall" -> QueryDef(
-      (s, dir) => {
+      // queries×corpus candidate table is the only sizable intermediate —
+      // pin partitions to it (same note as the other recall gates)
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val sc = emb(s, dir).select(explode(col("embedding")).as("x"))
           .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
         val e = emb(s, dir).crossJoin(broadcast(sc))
