@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions.hamming
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -90,6 +91,25 @@ object FakeCodec {
     }
     (b.doc_id, sig)
   }
+
+  /** Per-frame "energy": the payload cut into n_frames contiguous stripes
+    * (frame f = bytes [f·n/nf, (f+1)·n/nf), integer bounds), each reduced
+    * to its unsigned byte sum — the per-frame luminance/feature scalar a
+    * real video decoder would hand the scene-cut stage (STUB arithmetic;
+    * the frame segmentation, batch shape and exact-integer output are the
+    * real part). */
+  def frameEnergyBatch(batch: Seq[MediaBlob]): Seq[(Long, Long, Long)] =
+    batch.flatMap { b =>
+      val n = b.content.length.toLong
+      val nf = (n % 7 + 1).toInt
+      (0 until nf).map { f =>
+        val lo = (f * n / nf).toInt
+        val hi = ((f + 1) * n / nf).toInt
+        var e = 0L; var i = lo
+        while (i < hi) { e += (b.content(i) & 0xff).toLong; i += 1 }
+        (b.doc_id, f.toLong, e)
+      }
+    }
 
   /** Batched "resize" to half resolution: the stand-in transform crops the
     * payload to out_w×out_h units (STUB — a real codec rescales pixels;
@@ -304,6 +324,68 @@ object MultimodalQueries {
              |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // VIDEO SCENE-CUT DETECTION: the frame-delta stage of a video
+    // pipeline — the batched codec emits one exact-integer energy scalar
+    // per frame stripe, then consecutive-frame deltas (one doc-partitioned
+    // lag window) flag a cut wherever |Δe|·n_frames > Σe (the delta
+    // exceeds the doc's mean frame energy — integer cross-multiplied, no
+    // division). Per-doc rollup: frames, cuts, peak delta. This is how
+    // keyframe extraction and shot-boundary sampling pick which frames a
+    // vision encoder actually sees. Scale shape: codec map + ONE window
+    // shuffle on doc_id (frames-per-doc is bounded, parallelizes
+    // doc-ways) + map-side-combined rollup; payloads never shuffle.
+    "mm_scene_cuts" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit("fake/v1").as("fmt"),
+            encode(col("text"), "UTF-8").as("content"))
+          .as[MediaBlob]
+        val frames = blobs
+          .mapPartitions(_.grouped(FakeCodec.BatchSize)
+            .flatMap(b => FakeCodec.frameEnergyBatch(b.toSeq)))
+          .toDF("doc_id", "frame_id", "energy")
+        val byDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("frame_id"))
+        frames
+          .withColumn("de", col("energy") - lag(col("energy"), 1).over(byDoc))
+          .withColumn("total",
+            sum(col("energy")).over(Window.partitionBy(col("doc_id"))))
+          .withColumn("nf",
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+          .groupBy(col("doc_id")).agg(
+            max(col("nf")).as("n_frames"),
+            sum(when(abs(col("de")) * col("nf") > col("total"), 1L)
+              .otherwise(0L)).as("n_cuts"),
+            max(abs(col("de"))).as("max_delta"),
+            max(col("total")).as("total_energy"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             |    CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS nf
+             |  FROM documents),
+             |fr AS (
+             |  SELECT doc_id, nf, fid,
+             |    coalesce(CAST(list_sum(list_transform(
+             |      range(CAST(fid * n // nf + 1 AS INTEGER),
+             |            CAST((fid + 1) * n // nf + 1 AS INTEGER)),
+             |      i -> ascii(substr(text, i, 1)))) AS BIGINT), 0) AS e
+             |  FROM (SELECT doc_id, n, nf, text, unnest(range(0, nf)) AS fid
+             |        FROM base)),
+             |d AS (
+             |  SELECT doc_id, nf, e,
+             |    e - lag(e) OVER (PARTITION BY doc_id ORDER BY fid) AS de,
+             |    CAST(SUM(e) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+             |  FROM fr)
+             |SELECT doc_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+             |  CAST(SUM(CASE WHEN abs(de) * nf > total THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_cuts,
+             |  CAST(MAX(abs(de)) AS BIGINT) AS max_delta,
+             |  CAST(MAX(total) AS BIGINT) AS total_energy
+             |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
