@@ -43,6 +43,37 @@ object TextFunctions {
     * semantics total). DuckDB mirror: `string_split_regex(text, '\s+')`. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Shared stopword set for the quality score (and the lang heuristics
+    * that reuse it). ONE definition — every consumer of the quality
+    * signal (text_quality_score, top-p selection, the dedup cross-signal
+    * audit) must cross-tabulate the SAME score or its conclusion is about
+    * a different quantity. */
+  val qualityStopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  /** The suite's document quality score: 0.5·stopword-ratio +
+    * 0.5·min(n_words/50, 1), rounded 6 dp — single-division doubles of
+    * exact integers, bit-identical in DuckDB via [[sqlQualityScore]]. */
+  def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws).cast(LongType)
+    val nStop = size(filter(ws, w => w.isInCollection(qualityStopwords)))
+      .cast(LongType)
+    val stopRatio = nStop.cast(DoubleType) / nWords.cast(DoubleType)
+    val lenScore = least(nWords.cast(DoubleType) / lit(50.0d), lit(1.0d))
+    round(lit(0.5d) * stopRatio + lit(0.5d) * lenScore, 6)
+  }
+
+  /** DuckDB mirror of [[qualityScore]]. */
+  def sqlQualityScore(text: String): String = {
+    val ws = sqlWords(text)
+    val nWords = s"CAST(len($ws) AS BIGINT)"
+    val nStop = s"CAST(len(list_filter($ws, w -> w IN " +
+      qualityStopwords.mkString("('", "','", "')") + ")) AS BIGINT)"
+    val stopRatio = s"(CAST($nStop AS DOUBLE) / CAST($nWords AS DOUBLE))"
+    val lenScore = s"least(CAST($nWords AS DOUBLE) / 50.0, 1.0)"
+    s"round(0.5 * $stopRatio + 0.5 * $lenScore, 6)"
+  }
+
   /** Word k-shingles joined with spaces. Spark `sequence(0, n)` descends for
     * n < 0, so short docs short-circuit to an empty array.
     * DuckDB: `list_transform(range(len(w)-k+1), i -> array_to_string(w[i+1:i+k],' '))`. */

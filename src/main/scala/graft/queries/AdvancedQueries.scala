@@ -692,8 +692,12 @@ object AdvancedQueries {
     // than two standard deviations — the monitoring primitive behind
     // traffic-spike / outage alerting on an event firehose. The 2σ test is
     // algebraically cleared of divisions: |c−μ|>2σ with μ=S/n and
-    // σ²=(n·SS−S²)/n² is exactly (c·n−S)² > 4·(n·SS−S²), all BIGINT — no
-    // float boundary can flip a verdict between engines. Scale shape: the
+    // σ²=(n·SS−S²)/n² is exactly (c·n−S)² > 4·(n·SS−S²) — no float
+    // boundary can flip a verdict between engines. The squared products go
+    // through DECIMAL(38,0) (exact to 10^38, i.e. ~10^19 events/type):
+    // pure-BIGINT products would wrap silently in Spark but ERROR in
+    // DuckDB past ~3·10^9 events/type — a cross-engine divergence exactly
+    // where the integer claim matters. Scale shape: the
     // raw scan collapses to one map-side-combined (type, hour) count; the
     // per-type moment table is ≤|types| rows broadcast back onto the
     // hourly table. Nothing downstream of the first aggregate scales with
@@ -708,11 +712,14 @@ object AdvancedQueries {
           count(lit(1)).as("n_hours"),
           sum(col("cnt")).as("s"),
           sum(col("cnt") * col("cnt")).as("ss"))
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         hourly.join(broadcast(stats), "event_type")
           .withColumn("dev",
-            col("cnt") * col("n_hours") - col("s"))
+            dec(col("cnt")) * dec(col("n_hours")) - dec(col("s")))
           .filter(col("dev") * col("dev") >
-            lit(4L) * (col("n_hours") * col("ss") - col("s") * col("s")))
+            dec(lit(4L)) * (dec(col("n_hours")) * dec(col("ss"))
+              - dec(col("s")) * dec(col("s"))))
           .select(col("event_type"), col("hour"), col("cnt"),
             col("n_hours"), col("s").as("sum_cnt"))
           .orderBy(col("event_type"), col("hour"))
@@ -729,8 +736,10 @@ object AdvancedQueries {
              |SELECT h.event_type, h.hour, CAST(h.cnt AS BIGINT) AS cnt,
              |  CAST(st.n_hours AS BIGINT) AS n_hours, st.s AS sum_cnt
              |FROM hourly h JOIN stats st USING (event_type)
-             |WHERE (h.cnt * st.n_hours - st.s) * (h.cnt * st.n_hours - st.s)
-             |      > 4 * (st.n_hours * st.ss - st.s * st.s)
+             |WHERE (CAST(h.cnt AS DECIMAL(38,0)) * st.n_hours - st.s)
+             |      * (CAST(h.cnt AS DECIMAL(38,0)) * st.n_hours - st.s)
+             |      > 4 * (CAST(st.n_hours AS DECIMAL(38,0)) * st.ss
+             |             - CAST(st.s AS DECIMAL(38,0)) * st.s)
              |ORDER BY h.event_type, h.hour""".stripMargin)),
 
     // INTER-ARRIVAL HISTOGRAM: the distribution of per-user gaps between
@@ -785,11 +794,12 @@ object AdvancedQueries {
     // combined count per node; the histogram is a ≤2·64-row rollup.
     "graph_degree_hist" -> QueryDef(
       (s, dir) => {
-        // the 2-column orders projection is broadcast-size at any SF where
-        // lineitem is the fact side — BHJ keeps the edge build exchange-free
-        // until the distinct
-        val o = broadcast(Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey")))
+        // no broadcast hint: orders grows linearly with SF, so an
+        // unconditional hint would bypass autoBroadcastJoinThreshold and
+        // blow the driver at the very scale this audit exists for — let
+        // AQE pick BHJ when the projection fits and shuffle-join otherwise
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
         val l = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
         val pairs = l.join(o, col("o_orderkey") === col("l_orderkey"))

@@ -87,17 +87,18 @@ object CdcQueries {
     // [valid_from, valid_to) offsets and an is_current flag. The other
     // classic CDC consumer besides current-state upsert: warehouses build
     // exactly this from Debezium streams to answer as-of queries. Shape:
-    // drop -U (its offset duplicates the paired +U), one pk-partitioned
-    // lead() window orders each key's images by offset (valid_to = next
-    // event's offset; a -D closes the last version without emitting one).
-    // Scale: one shuffle on pk; per-key version chains are short, so the
-    // window parallelizes key-ways — never a global sort.
+    // the UPSERT changelog mode (no -U rows — an SCD2 build needs only
+    // images and deletes, and a -U's offset duplicates its paired +U);
+    // one pk-partitioned lead() window orders each key's images by offset
+    // (valid_to = next event's offset; a -D closes the last version
+    // without emitting one). Scale: one shuffle on pk; per-key version
+    // chains are short, so the window parallelizes key-ways — never a
+    // global sort.
     "cdc_scd2_history" -> QueryDef(
       (s, dir) => {
         val base = Tables.load(s, dir, "orders")
         val env = ChangelogGen.full(base, ordersSpec)
-        val evs = Materialize.emit(env, ChangelogAll)
-          .filter(col(OpCol) =!= RowKind.UpdateBefore)
+        val evs = Materialize.emit(env, ChangelogUpsert)
         val w = Window.partitionBy(col("o_orderkey")).orderBy(col(OffsetCol))
         evs.withColumn("valid_to", lead(col(OffsetCol), 1).over(w))
           .filter(col(OpCol) =!= RowKind.Delete)

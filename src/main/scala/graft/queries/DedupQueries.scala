@@ -1333,15 +1333,8 @@ object DedupQueries {
           .components(minhashPairs(s, dir), "id_a", "id_b")
           .select(col("id").as("doc_id"), col("component").as("cid"))
         val sizes = comp.groupBy(col("cid")).agg(count(lit(1)).as("csize"))
-        val ws = graft.functions.TextFunctions.words(col("text"))
-        val nWords = size(ws).cast(LongType)
-        val nStop = size(filter(ws,
-          w => w.isInCollection(TextQueries.stopwords))).cast(LongType)
-        val stopRatio = nStop.cast(DoubleType) / nWords.cast(DoubleType)
-        val lenScore = least(nWords.cast(DoubleType) / lit(50.0d), lit(1.0d))
         val scored = d.select(col("doc_id"),
-          round(lit(0.5d) * stopRatio + lit(0.5d) * lenScore, 6)
-            .as("quality"))
+          qualityScore(col("text")).as("quality"))
         scored
           .join(comp, Seq("doc_id"), "left")
           .join(broadcast(sizes), Seq("cid"), "left")
@@ -1357,13 +1350,6 @@ object DedupQueries {
           .orderBy(col("size_bucket"))
       },
       Some {
-        val ws = sqlWords("text")
-        val nWords = s"CAST(len($ws) AS BIGINT)"
-        val nStop = s"CAST(len(list_filter($ws, w -> w IN " +
-          TextQueries.stopwords.mkString("('", "','", "')") +
-          ")) AS BIGINT)"
-        val stopRatio = s"(CAST($nStop AS DOUBLE) / CAST($nWords AS DOUBLE))"
-        val lenScore = s"least(CAST($nWords AS DOUBLE) / 50.0, 1.0)"
         s"""WITH RECURSIVE $minhashPairsCte,
            |edges AS (
            |  SELECT id_a AS u, id_b AS v FROM pairs
@@ -1377,7 +1363,7 @@ object DedupQueries {
            |sizes AS (SELECT cid, count(*) AS csize FROM comp GROUP BY cid),
            |scored AS (
            |  SELECT d.doc_id,
-           |    round(0.5 * $stopRatio + 0.5 * $lenScore, 6) AS quality,
+           |    ${sqlQualityScore("text")} AS quality,
            |    least(coalesce(sz.csize, 1), 4) AS size_bucket
            |  FROM documents d
            |  LEFT JOIN comp c ON d.doc_id = c.doc_id

@@ -1103,10 +1103,11 @@ object SimilarityQueries {
     // broadcasts back onto the scan). Output: per-class summary any
     // misclassification breaks (outlier count + vec_id checksum).
     "embed_outlier_filter" -> QueryDef(
-      // the whole pipeline after the scan runs on ≤N quantized rows and
-      // ≤1001-row histograms — pin partitions to that volume (at cluster
-      // scale the caller sizes to vector count)
-      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
+      // (a construction-scoped shuffle-partition pin would be a NO-OP
+      // here: this query is lazy, and Spark resolves shuffle counts at
+      // first action — after the conf restores. AQE's coalescing already
+      // collapses the tiny post-scan exchanges.)
+      (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         // one input split locally — pin an explicit-N spread (a keyed
         // repartition would be AQE-coalesced back) so the quantize map
@@ -1229,11 +1230,13 @@ object SimilarityQueries {
     // broadcast-queries + one-top-k-window search; recall join is
     // queries×k rows.
     "ann_sq8_recall" -> QueryDef(
-      // queries×corpus candidate table is the only sizable intermediate —
-      // pin partitions to it (same note as the other recall gates)
-      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
-        val sc = emb(s, dir).select(explode(col("embedding")).as("x"))
-          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+      (s, dir) => {
+        // in-row max over each vector, then one scalar aggregate — never
+        // the N·Dim explode (the same device as embed_outlier_filter)
+        val sc = emb(s, dir)
+          .select(array_max(transform(col("embedding"), x => abs(x)))
+            .as("mx"))
+          .agg(max(col("mx")).cast(DoubleType).as("scale"))
         val e = emb(s, dir).crossJoin(broadcast(sc))
           .withColumn("q8", transform(col("embedding"),
             x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")

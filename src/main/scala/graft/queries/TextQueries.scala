@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
  */
 object TextQueries {
 
-  private[queries] val stopwords = Seq("the", "a", "of", "to", "and")
+  // ONE stopword set for every consumer of the quality signal — see
+  // TextFunctions.qualityStopwords (shared with the dedup cross-signal
+  // audit so both sides tabulate the same score)
+  private[queries] val stopwords = qualityStopwords
   private val langs = Seq("de", "en", "es", "zh")
 
   /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
@@ -67,8 +70,7 @@ object TextQueries {
             round(stopRatio, 6).as("stop_ratio"),
             round(nAlpha.cast(DoubleType) / nChars.cast(DoubleType), 6)
               .as("alpha_ratio"),
-            round(lit(0.5d) * stopRatio + lit(0.5d) * lenScore, 6)
-              .as("quality"))
+            qualityScore(col("text")).as("quality"))
           .orderBy(col("doc_id"))
       },
       Some {
@@ -85,7 +87,7 @@ object TextQueries {
            |  round($stopRatio, 6) AS stop_ratio,
            |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
            |        / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
-           |  round(0.5 * $stopRatio + 0.5 * $lenScore, 6) AS quality
+           |  ${sqlQualityScore("text")} AS quality
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
