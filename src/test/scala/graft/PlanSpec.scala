@@ -587,6 +587,20 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("mm_scene_cuts: codec map + one doc-partitioned window — payloads " +
+      "never shuffle more than once") {
+    val plan = executed(q("mm_scene_cuts"))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // one exchange for the doc_id window/rollup + the presentation sort
+    assert(shuffles.size <= 2, s"${shuffles.size} shuffles (want <=2)")
+  }
+
+  test("cdc_scd2_history: one pk window shuffle, never a global sort " +
+      "before the presentation order") {
+    val plan = formatted(q("cdc_scd2_history"))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+  }
+
   test("q_event_zscore_anomaly: hourly counts map-side combine; the " +
       "per-type moment table broadcasts back") {
     val plan = formatted(q("q_event_zscore_anomaly"))
