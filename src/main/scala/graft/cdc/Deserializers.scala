@@ -224,7 +224,12 @@ object Deserializers {
     * document's embedded schema (one driver-side head() — schema
     * inference is O(1), the data pass stays distributed `from_json`). */
   def fromJsonStringsWithSchema(jsons: Dataset[String]): DataFrame = {
-    val payload = payloadSchemaFromJson(jsons.head())
+    val first = jsons.limit(1).collect()
+    require(first.nonEmpty,
+      "cannot infer the embedded Connect schema from an EMPTY document " +
+        "set — schema-included decoding needs at least one envelope " +
+        "(use fromJsonStrings with an explicit schema for empty slices)")
+    val payload = payloadSchemaFromJson(first.head)
     val docSchema = StructType(Seq(
       StructField("payload", envelopeDocSchema(payload))))
     jsons.toDF("value")

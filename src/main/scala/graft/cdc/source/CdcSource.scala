@@ -193,10 +193,13 @@ object CdcSourceConfig {
     columnMaskSpec = {
       import scala.jdk.CollectionConverters._
       val dbz = o.asCaseSensitiveMap().asScala.collect {
-        // CaseInsensitiveStringMap lower-cases keys; the mask grammar is
-        // already all-lower-case in the reference docs
+        // prefix matches case-insensitively, but the key passes through
+        // CASE-PRESERVED: the hash grammar's salt is user text embedded in
+        // the key (column.mask.hash.<algo>.with.salt.<salt>) and
+        // lower-casing it would silently hash with the wrong salt; the
+        // fixed grammar tokens are matched case-insensitively downstream
         case (k, v) if k.toLowerCase.startsWith(DebeziumPrefix) =>
-          k.toLowerCase.substring(DebeziumPrefix.length) -> v
+          k.substring(DebeziumPrefix.length) -> v
       }.toMap
       ColumnMasks.encode(ColumnMasks.fromOptions(dbz))
     },

@@ -57,9 +57,12 @@ object ColumnMasks {
     }
   }
 
-  private val MaskRe = """column\.mask\.with\.(\d+)\.chars""".r
-  private val TruncRe = """column\.truncate\.to\.(\d+)\.chars""".r
-  private val HashRe = """column\.mask\.hash\.([A-Za-z0-9-]+)\.with\.salt\.(.+)""".r
+  // fixed grammar tokens match case-insensitively; the salt capture is
+  // case-PRESERVED (it is user text embedded in the option key)
+  private val MaskRe = """(?i:column\.mask\.with\.)(\d+)(?i:\.chars)""".r
+  private val TruncRe = """(?i:column\.truncate\.to\.)(\d+)(?i:\.chars)""".r
+  private val HashRe =
+    """(?i:column\.mask\.hash\.)([A-Za-z0-9-]+)(?i:\.with\.salt\.)(.+)""".r
 
   /** Known digest names accepted by the hash rule (validated up front so a
     * typo fails at analysis, not per-row on an executor). */
@@ -78,10 +81,19 @@ object ColumnMasks {
             throw new IllegalArgumentException(
               s"unsupported mask hash algorithm '$algo' — " +
                 s"expected one of ${Algos.keys.mkString("|")}"))
+          // delimiters of the wire encoding must fail HERE (analysis), not
+          // as a cryptic "bad mask spec" inside an executor's decode
+          require(!salt.contains(RS) && !salt.contains(US),
+            "mask salt must not contain tab or unit-separator characters")
           Some(HashWithSalt(jdk, salt): Rule)
-        case k if k.startsWith("column.") =>
+        case k if k.toLowerCase.startsWith("column.mask.") ||
+            k.toLowerCase.startsWith("column.truncate.") =>
+          // a MALFORMED masking rule is a privacy hazard if ignored —
+          // reject; other column.* Debezium options (propagate.source.type,
+          // exclude.list, ...) are accepted and ignored like every other
+          // debezium.* passthrough key
           throw new IllegalArgumentException(
-            s"unrecognized debezium column option 'debezium.$k'")
+            s"unrecognized debezium column mask option 'debezium.$k'")
         case _ => None // other debezium.* passthrough options: ignored
       }
       rule.toSeq.flatMap(r =>

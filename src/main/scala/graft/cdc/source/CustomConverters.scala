@@ -224,9 +224,15 @@ object CustomConverters {
     require(bin != null && bin.isObject,
       s"UUID value carries no '$$binary'/'$$uuid' field: $node")
     val sub = Option(bin.get("subType")).map(_.asText()).getOrElse("")
-    require(sub == "04" || sub == "4" || sub == "03" || sub == "3",
-      s"not a UUID binary subtype: '$sub'") // legacy 0x03 accepted like
-        // BsonBinarySubType.isUuid does
+    // legacy subtype 0x03's byte order depends on the WRITING driver
+    // (Java/C#/Python all differ) — decoding it big-endian would emit a
+    // wrong-but-plausible UUID. The reference's bsonBinary.asUuid() throws
+    // for 0x03 without an explicit UuidRepresentation; mirror that.
+    require(sub != "03" && sub != "3",
+      "legacy UUID binary subtype 0x03 has driver-dependent byte order; " +
+        "re-write with the standard subtype 0x04 or decode as raw binary")
+    require(sub == "04" || sub == "4",
+      s"not a UUID binary subtype: '$sub'")
     val bytes = java.util.Base64.getDecoder.decode(
       bin.get("base64").asText())
     require(bytes.length == 16, s"UUID binary must be 16 bytes, " +

@@ -63,6 +63,20 @@ object TextFunctions {
     round(lit(0.5d) * stopRatio + lit(0.5d) * lenScore, 6)
   }
 
+  /** The suite's shared int8 quantization contract — ONE definition of
+    * floor(x·127/scale + 0.5) so the rounding rule and the 127 bound
+    * cannot silently fork between the PQ pipeline, the embedding stats,
+    * the outlier filter, the class centroids, the streaming IVF index and
+    * the SQ8 search. `scale` is the corpus-wide max-abs (a broadcast
+    * scalar column or literal). */
+  def quantizeInt8(x: Column, scale: Column): Column =
+    floor(x.cast(DoubleType) * lit(127.0d) / scale + lit(0.5d))
+      .cast(LongType)
+
+  /** [[quantizeInt8]] over a whole ARRAY<FLOAT> embedding. */
+  def quantizeInt8Vec(embedding: Column, scale: Column): Column =
+    transform(embedding, x => quantizeInt8(x, scale))
+
   /** DuckDB mirror of [[qualityScore]]. */
   def sqlQualityScore(text: String): String = {
     val ws = sqlWords(text)

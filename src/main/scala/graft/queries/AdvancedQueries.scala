@@ -24,7 +24,14 @@ object AdvancedQueries {
     * persisted hash-partitioned on src so every iterative round — PageRank
     * messages or BFS frontier — reuses the layout with no new exchange;
     * `nodes` falls out of the degree aggregates (disjoint by parity), no
-    * extra distinct over the doubled edge list. */
+    * extra distinct over the doubled edge list.
+    *
+    * Cache lifetime: the caches CANNOT be released inside the query — the
+    * returned plan is lazy and (pagerank's uncut final round, BFS's
+    * unreachable anti-join) still references edgeDeg/nodes at execution;
+    * an in-query unpersist would silently force a full graph rebuild.
+    * Release is the harness's per-query `spark.catalog.clearCache()`
+    * (Verify/Bench both do this between queries). */
   private def tradeGraph(s: SparkSession, dir: String,
       withDegrees: Boolean = true): TradeGraph = {
     val o = Tables.load(s, dir, "orders")

@@ -47,13 +47,19 @@ object DedupQueries {
     * document generate candidates, so candidate cost scales with the
     * ingest batch, not the corpus. One set of LSH calibration constants
     * (3-shingles, 16 hashes, 4×4 bands, jac ≥ 0.5) serves every caller. */
-  private def minhashPairsOf(d: DataFrame,
-      probeFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+  /** The candidate-generation half of the LSH index, with the signature
+    * table EXPOSED (doc_id, sh, sig, bands — cached): one definition of
+    * the calibration constants (3-shingles, 16 hashes, 4×4 bands) serves
+    * both the verified-pair pipeline and the estimator-calibration query,
+    * which needs the raw signatures the pair pipeline would drop. */
+  private case class LshIndex(sigs: DataFrame, cands: DataFrame)
+
+  private def minhashCandidatesOf(d: DataFrame,
+      probeFilter: Option[org.apache.spark.sql.Column] = None): LshIndex = {
     val sigs = d.select(col("doc_id"),
         shingleHashes(col("text"), 3).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), 16))
       .withColumn("bands", bandKeys(col("sig"), 4, 4))
-      .select(col("doc_id"), col("sh"), col("bands"))
       .cache()
     val exploded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "key")))
@@ -74,8 +80,14 @@ object DedupQueries {
             greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
           .dropDuplicates("id_a", "id_b")
     }
-    val sets = sigs.select(col("doc_id"), col("sh"))
-    cands
+    LshIndex(sigs, cands)
+  }
+
+  private def minhashPairsOf(d: DataFrame,
+      probeFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val ix = minhashCandidatesOf(d, probeFilter)
+    val sets = ix.sigs.select(col("doc_id"), col("sh"))
+    ix.cands
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
         "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
@@ -377,21 +389,9 @@ object DedupQueries {
     // 6-dp-rounded ratio columns.
     "dedup_minhash_estimate" -> QueryDef(
       (s, dir) => {
-        val sigs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
-          .withColumn("sig", minHashSignature(col("sh"), 16))
-          .withColumn("bands", bandKeys(col("sig"), 4, 4))
-          .cache()
-        val ex = sigs.select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band", "key")))
-        val cands = ex.as("a")
-          .join(ex.as("b"), col("a.band") === col("b.band")
-            && col("a.key") === col("b.key")
-            && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-        val side = sigs.select(col("doc_id"), col("sh"), col("sig"))
-        cands
+        val ix = minhashCandidatesOf(Tables.load(s, dir, "documents"))
+        val side = ix.sigs.select(col("doc_id"), col("sh"), col("sig"))
+        ix.cands
           .join(side.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
             col("sig").as("sig_a")), "id_a")
           .join(side.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextFunctions.quantizeInt8
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -449,8 +450,7 @@ object PipelineQueries {
         e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
           .crossJoin(broadcast(scale))
           .select(col("vec_id"), col("i").cast(LongType).as("i"),
-            floor(col("x").cast(DoubleType) * lit(127.0d) / col("scale")
-              + lit(0.5d)).cast(LongType).as("q"))
+            quantizeInt8(col("x"), col("scale")).as("q"))
           .orderBy(col("vec_id"), col("i"))
       },
       Some("""WITH scale AS (
@@ -479,8 +479,7 @@ object PipelineQueries {
         val e = Tables.load(s, dir, "embeddings")
         val scale = e.select(explode(col("embedding")).as("x"))
           .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
-        val q = floor(col("x").cast(DoubleType) * lit(127.0d) / col("scale")
-          + lit(0.5d)).cast(LongType)
+        val q = quantizeInt8(col("x"), col("scale"))
         e.select(posexplode(col("embedding")).as(Seq("i", "x")))
           .crossJoin(broadcast(scale))
           .select(col("i").cast(LongType).as("i"), q.as("q"))

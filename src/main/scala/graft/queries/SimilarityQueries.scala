@@ -231,9 +231,7 @@ object SimilarityQueries {
     val scale = e.select(explode(col("embedding")).as("x"))
       .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
     e.crossJoin(broadcast(scale))
-      .select(col("vec_id"), transform(col("embedding"),
-        x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
-          + lit(0.5d)).cast(LongType)).as("qv"))
+      .select(col("vec_id"), quantizeInt8Vec(col("embedding"), col("scale")).as("qv"))
       .cache()
   }
 
@@ -643,9 +641,8 @@ object SimilarityQueries {
         val scale = e.select(explode(col("embedding")).as("x"))
           .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
         val qv = e.crossJoin(broadcast(scale))
-          .select(col("vec_id"), transform(col("embedding"),
-            x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
-              + lit(0.5d)).cast(LongType)).as("qv"))
+          .select(col("vec_id"),
+            quantizeInt8Vec(col("embedding"), col("scale")).as("qv"))
           .cache() // scanned by both iterations — quantize once
         val cents0 = qv.filter(col("vec_id") < K)
           .select(col("vec_id").as("cid"), col("qv").as("cv"))
@@ -936,9 +933,8 @@ object SimilarityQueries {
             math.max(64L, nBase / 3).toString)
           .load()
           .filter(col(OpCol).isin(RowKind.Insert, RowKind.Delete))
-          .withColumn("qvv", transform(col("embedding"),
-            x => floor(x.cast(DoubleType) * lit(127.0d) / lit(scale)
-              + lit(0.5d)).cast(LongType)))
+          .withColumn("qvv",
+            quantizeInt8Vec(col("embedding"), lit(scale)))
           .select(cellOf(col("qvv")).as("cell"), col(OffsetCol).as("off"),
             col("vec_id"), col(OpCol).as("op"))
           .as[CellEvt]
@@ -1072,9 +1068,8 @@ object SimilarityQueries {
           .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
         e.crossJoin(broadcast(scale))
           .select(col("label"),
-            posexplode(transform(col("embedding"),
-              x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
-                + lit(0.5d)).cast(LongType))).as(Seq("i", "q")))
+            posexplode(quantizeInt8Vec(col("embedding"), col("scale")))
+              .as(Seq("i", "q")))
           .groupBy(col("label"), col("i"))
           .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
           .select(col("label").cast(LongType).as("label"),
@@ -1121,9 +1116,7 @@ object SimilarityQueries {
             .cast(DoubleType).as("scale"))
         val eq = e.crossJoin(broadcast(scale))
           .select(col("vec_id"), col("label"),
-            transform(col("embedding"),
-              x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
-                + lit(0.5d)).cast(LongType)).as("q"))
+            quantizeInt8Vec(col("embedding"), col("scale")).as("q"))
           .cache()
         // per-(label, dim) centroid sums: the only pass that explodes, one
         // map-side-combined aggregate; then collected to labels×1 rows of
@@ -1238,9 +1231,8 @@ object SimilarityQueries {
             .as("mx"))
           .agg(max(col("mx")).cast(DoubleType).as("scale"))
         val e = emb(s, dir).crossJoin(broadcast(sc))
-          .withColumn("q8", transform(col("embedding"),
-            x => floor(x.cast(DoubleType) * lit(127.0d) / col("scale")
-              + lit(0.5d)).cast(LongType)))
+          .withColumn("q8",
+            quantizeInt8Vec(col("embedding"), col("scale")))
           .withColumn("nq", sqrt(aggregate(
             zip_with(col("q8"), col("q8"), (a, b) => a * b),
             lit(0L), (acc, v) => acc + v).cast(DoubleType)))

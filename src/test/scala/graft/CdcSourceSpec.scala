@@ -751,6 +751,18 @@ class CdcSourceSpec extends SparkSpecBase {
     md.update("kv1b".getBytes("UTF-8"))
     val expect = md.digest().map(b => f"${b & 0xff}%02x").mkString
     assert(hashed.contains(expect))
+    // the salt is user text embedded in the OPTION KEY: its case must be
+    // preserved (a lower-cased salt would hash every value wrongly)
+    val mixedSalt = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("debezium.column.mask.hash.sha-256.with.salt.Xy9", "v")
+      .load().select("v").collect().map(_.getString(0))
+    val md2 = java.security.MessageDigest.getInstance("SHA-256")
+    md2.update("Xy9v1b".getBytes("UTF-8"))
+    val expectMixed = md2.digest().map(b => f"${b & 0xff}%02x").mkString
+    assert(mixedSalt.contains(expectMixed),
+      "mixed-case salt was not preserved through option parsing")
     // constant-width mask
     val masked = spark.read.format("graft-cdc")
       .option("path", dir).option("table", "t")
@@ -781,8 +793,20 @@ class CdcSourceSpec extends SparkSpecBase {
       algo.getMessage)
     val gram = intercept[Exception](
       readMask("debezium.column.mask.by.3.chars", "v"))
-    assert(gram.getMessage.contains("unrecognized debezium column option"),
+    assert(gram.getMessage.contains("unrecognized debezium column mask"),
       gram.getMessage)
+    // a tab in the salt would break the executor-side wire decode — must
+    // fail at analysis with a message naming the rule
+    val tab = intercept[Exception](
+      readMask("debezium.column.mask.hash.md5.with.salt.a\tb", "v"))
+    assert(tab.getMessage.contains("salt"), tab.getMessage)
+    // real Debezium column.* passthrough options are accepted and ignored
+    // (they are not mask grammars)
+    assert(spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option("debezium.column.propagate.source.type", ".*")
+      .load().count() > 0)
     // one column, two rules
     val dup = intercept[Exception](spark.read.format("graft-cdc")
       .option("path", dir).option("table", "t")

@@ -126,6 +126,13 @@ class CustomConvertersSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // generic (non-UUID) subtype
       convert(f, s"""{"$$binary":{"base64":"$b64","subType":"00"}}""")
     }
+    // legacy subtype 0x03: byte order depends on the WRITING driver —
+    // decoding it big-endian would emit a wrong-but-plausible UUID, so it
+    // is rejected (the reference's bsonBinary.asUuid() throws the same way)
+    val legacy = intercept[IllegalArgumentException] {
+      convert(f, s"""{"$$binary":{"base64":"$b64","subType":"03"}}""")
+    }
+    assert(legacy.getMessage.contains("0x03"), legacy.getMessage)
   }
 
   test("charset:<name>: bytes decode with the declared column charset " +
