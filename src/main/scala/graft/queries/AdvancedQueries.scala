@@ -14,6 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object AdvancedQueries {
 
+  /** One (type, hour) input row of the EWMA recurrence. */
+  case class HourCnt(event_type: String, hour: java.sql.Timestamp, cnt: Long)
+  /** One smoothed output row (ewma in fixed-point millis). */
+  case class EwmaRow(event_type: String, hour: java.sql.Timestamp,
+      cnt: Long, ewma_milli: Long)
+
   private case class TradeGraph(edgeDeg: DataFrame, nodes: DataFrame)
 
   /** The customer↔supplier trade graph both graph queries walk, built in
@@ -790,6 +796,59 @@ object AdvancedQueries {
              |  CAST(sum(gap) AS BIGINT) AS sum_gap
              |FROM seq WHERE gap IS NOT NULL
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // EWMA TRAFFIC SMOOTHING (integer-exact recurrence): per event type,
+    // the exponentially-weighted moving average of hourly counts with
+    // α = 0.2 in fixed-point millis — E_t = (200·(c_t·1000) + 800·E_{t−1})
+    // div 1000, E_0 = c_0·1000. The smoothing baseline behind rate
+    // alerting and capacity forecasting; kept in pure BIGINT so the
+    // sequential recurrence is bit-identical to the oracle's recursive
+    // CTE at any parallelism. Scale shape: the firehose collapses to one
+    // map-side-combined (type, hour) count, then the recurrence runs
+    // per-type via flatMapGroups over a BOUNDED series (hours in the
+    // window) — parallelizes type-ways; at 100 TB the series would be
+    // segmented by day and the per-segment carry chained, same shape as
+    // the distributed prefix-sum device.
+    "q_events_ewma" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .as[HourCnt]
+        hourly.groupByKey(_.event_type)
+          .flatMapGroups { (_, rows) =>
+            var e = 0L
+            rows.toSeq.sortBy(_.hour.getTime).iterator.zipWithIndex.map {
+              case (r, i) =>
+                e = if (i == 0) r.cnt * 1000L
+                    else (200L * (r.cnt * 1000L) + 800L * e) / 1000L
+                EwmaRow(r.event_type, r.hour, r.cnt, e)
+            }
+          }
+          .toDF()
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH RECURSIVE hourly0 AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |hourly AS (
+             |  SELECT event_type, hour, cnt,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY hour) AS BIGINT) AS rn
+             |  FROM hourly0),
+             |ew(event_type, rn, hour, cnt, e) AS (
+             |  SELECT event_type, rn, hour, cnt, cnt * 1000
+             |  FROM hourly WHERE rn = 1
+             |  UNION ALL
+             |  SELECT h.event_type, h.rn, h.hour, h.cnt,
+             |    (200 * (h.cnt * 1000) + 800 * w.e) // 1000
+             |  FROM ew w JOIN hourly h
+             |    ON h.event_type = w.event_type AND h.rn = w.rn + 1)
+             |SELECT event_type, hour, cnt, CAST(e AS BIGINT) AS ewma_milli
+             |FROM ew ORDER BY event_type, hour""".stripMargin)),
 
     // GRAPH DEGREE HISTOGRAM: the power-law audit run before ANY iterative
     // graph algorithm commits — node degrees of the customer↔supplier
