@@ -16,6 +16,12 @@ object AdvancedQueries {
 
   /** One (type, hour) input row of the EWMA recurrence. */
   case class HourCnt(event_type: String, hour: java.sql.Timestamp, cnt: Long)
+  /** HourCnt + the per-type moments the CUSUM recurrence consumes. */
+  case class HourCntStats(event_type: String, hour: java.sql.Timestamp,
+      cnt: Long, n_hours: Long, s: Long)
+  /** One CUSUM output row (statistic scaled by n_hours — exact integers). */
+  case class CusumRow(event_type: String, hour: java.sql.Timestamp,
+      cnt: Long, cusum_scaled: Long, is_alarm: Boolean)
   /** One smoothed output row (ewma in fixed-point millis). */
   case class EwmaRow(event_type: String, hour: java.sql.Timestamp,
       cnt: Long, ewma_milli: Long)
@@ -849,6 +855,72 @@ object AdvancedQueries {
              |    ON h.event_type = w.event_type AND h.rn = w.rn + 1)
              |SELECT event_type, hour, cnt, CAST(e AS BIGINT) AS ewma_milli
              |FROM ew ORDER BY event_type, hour""".stripMargin)),
+
+    // CUSUM CHANGE-POINT DETECTION (integer-exact): the sequential drift
+    // detector that catches what a pointwise z-test misses — a SUSTAINED
+    // small rate shift. Per type, the one-sided CUSUM over hourly counts,
+    // S_t = max(0, S_{t−1} + (c_t − μ) − slack), alarming when S_t clears
+    // the decision interval. Cleared of divisions by scaling through
+    // n_hours: with μ = S/n, slack = μ/4 and h = 2μ, the recurrence is
+    // S'_t = max(0, S'_{t−1} + n·c_t − S − S div 4), alarm at S'_t > 2·S —
+    // all BIGINT, bit-identical to the oracle's recursive CTE. Scale
+    // shape: one map-side (type, hour) count + a ≤|types|-row moment
+    // broadcast; the recurrence parallelizes type-ways over bounded
+    // series (same segmentation note as q_events_ewma at 100 TB).
+    "q_events_cusum" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = hourly.groupBy(col("event_type").as("et")).agg(
+          count(lit(1)).as("n_hours"), sum(col("cnt")).as("s"))
+        hourly.join(broadcast(stats), col("event_type") === col("et"))
+          .select(col("event_type"), col("hour"), col("cnt"),
+            col("n_hours"), col("s"))
+          .as[HourCntStats]
+          .groupByKey(_.event_type)
+          .flatMapGroups { (_, rows) =>
+            var cusum = 0L
+            rows.toSeq.sortBy(_.hour.getTime).iterator.map { r =>
+              cusum = math.max(0L,
+                cusum + r.n_hours * r.cnt - r.s - r.s / 4L)
+              CusumRow(r.event_type, r.hour, r.cnt, cusum,
+                cusum > 2L * r.s)
+            }
+          }
+          .toDF()
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH RECURSIVE hourly0 AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             |    CAST(sum(cnt) AS BIGINT) AS s
+             |  FROM hourly0 GROUP BY 1),
+             |hourly AS (
+             |  SELECT h.event_type, h.hour, h.cnt, st.n_hours, st.s,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY h.event_type
+             |      ORDER BY h.hour) AS BIGINT) AS rn
+             |  FROM hourly0 h JOIN stats st USING (event_type)),
+             |cu(event_type, rn, hour, cnt, s, cusum) AS (
+             |  SELECT event_type, rn, hour, cnt, s,
+             |    greatest(CAST(0 AS BIGINT),
+             |      n_hours * cnt - s - s // 4)
+             |  FROM hourly WHERE rn = 1
+             |  UNION ALL
+             |  SELECT h.event_type, h.rn, h.hour, h.cnt, h.s,
+             |    greatest(CAST(0 AS BIGINT),
+             |      w.cusum + h.n_hours * h.cnt - h.s - h.s // 4)
+             |  FROM cu w JOIN hourly h
+             |    ON h.event_type = w.event_type AND h.rn = w.rn + 1)
+             |SELECT event_type, hour, cnt,
+             |  CAST(cusum AS BIGINT) AS cusum_scaled,
+             |  cusum > 2 * s AS is_alarm
+             |FROM cu ORDER BY event_type, hour""".stripMargin)),
 
     // GRAPH DEGREE HISTOGRAM: the power-law audit run before ANY iterative
     // graph algorithm commits — node degrees of the customer↔supplier
