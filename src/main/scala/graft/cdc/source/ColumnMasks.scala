@@ -97,7 +97,15 @@ object ColumnMasks {
         case _ => None // other debezium.* passthrough options: ignored
       }
       rule.toSeq.flatMap(r =>
-        cols.split(",").map(_.trim).filter(_.nonEmpty).map(_ -> r))
+        cols.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+          // same fail-at-analysis guarantee as the salt check: a
+          // delimiter in a COLUMN NAME would otherwise surface as a
+          // per-task "bad mask spec" during the scan
+          require(!c.contains(RS) && !c.contains(US),
+            s"masked column name must not contain tab or unit-separator " +
+              s"characters: '$c'")
+          c -> r
+        })
     }
     val dup = entries.groupBy(_._1).filter(_._2.size > 1).keys
     require(dup.isEmpty,

@@ -34,32 +34,35 @@ object DedupQueries {
     * 32,768 buckets per band; Hamming ≤ 3 ⇒ ≥ 1 band agrees (pigeonhole). */
   val SimHashBands = 4
 
-  /** Verified MinHash-LSH duplicate pairs (id_a < id_b, jac ≥ 0.5) — the
-    * candidate-generation half of [[defs dedup_minhash_lsh]], shared with
-    * the clustering step. */
+  /** Verified MinHash-LSH duplicate pairs (id_a < id_b, jac ≥ 0.5) over
+    * the documents table — [[minhashCandidatesOf]]'s candidates verified
+    * by exact shingle Jaccard; shared with the clustering step. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOf(Tables.load(s, dir, "documents"))
 
-  /** [[minhashPairs]] over any (doc_id, text) relation — the corpus can be
-    * a parquet table or a CDC-materialized state. `probeFilter` switches
-    * candidate generation from the symmetric self-join to the ASYMMETRIC
-    * incremental probe: only band buckets containing a probe-side (new)
-    * document generate candidates, so candidate cost scales with the
-    * ingest batch, not the corpus. One set of LSH calibration constants
-    * (3-shingles, 16 hashes, 4×4 bands, jac ≥ 0.5) serves every caller. */
-  /** The candidate-generation half of the LSH index, with the signature
-    * table EXPOSED (doc_id, sh, sig, bands — cached): one definition of
-    * the calibration constants (3-shingles, 16 hashes, 4×4 bands) serves
-    * both the verified-pair pipeline and the estimator-calibration query,
-    * which needs the raw signatures the pair pipeline would drop. */
+  /** The candidate-generation half of the LSH index: `sigs` is the cached
+    * signature table, `cands` the deduped candidate pairs. */
   private case class LshIndex(sigs: DataFrame, cands: DataFrame)
 
+  /** LSH candidate generation over any (doc_id, text) relation — ONE
+    * definition of the calibration constants (3-shingles, 16 hashes,
+    * 4×4 bands) serving the verified-pair pipeline AND the
+    * estimator-calibration query. `probeFilter` switches from the
+    * symmetric self-join to the ASYMMETRIC incremental probe: only band
+    * buckets containing a probe-side (new) document generate candidates,
+    * so candidate cost scales with the ingest batch, not the corpus.
+    * `keepSig` additionally retains the raw 16-slot signature in the
+    * cached table (the calibration query needs it; the pairs path caches
+    * the narrower (doc_id, sh, bands) projection). */
   private def minhashCandidatesOf(d: DataFrame,
-      probeFilter: Option[org.apache.spark.sql.Column] = None): LshIndex = {
+      probeFilter: Option[org.apache.spark.sql.Column] = None,
+      keepSig: Boolean = false): LshIndex = {
     val sigs = d.select(col("doc_id"),
         shingleHashes(col("text"), 3).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), 16))
       .withColumn("bands", bandKeys(col("sig"), 4, 4))
+      .select((Seq("doc_id", "sh") ++ (if (keepSig) Seq("sig") else Nil)
+        ++ Seq("bands")).map(col): _*)
       .cache()
     val exploded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "key")))
@@ -389,7 +392,8 @@ object DedupQueries {
     // 6-dp-rounded ratio columns.
     "dedup_minhash_estimate" -> QueryDef(
       (s, dir) => {
-        val ix = minhashCandidatesOf(Tables.load(s, dir, "documents"))
+        val ix = minhashCandidatesOf(Tables.load(s, dir, "documents"),
+          keepSig = true)
         val side = ix.sigs.select(col("doc_id"), col("sh"), col("sig"))
         ix.cands
           .join(side.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),

@@ -93,20 +93,25 @@ object FakeCodec {
   }
 
   /** Per-frame "energy": the payload cut into n_frames contiguous stripes
-    * (frame f = bytes [f·n/nf, (f+1)·n/nf), integer bounds), each reduced
-    * to its unsigned byte sum — the per-frame luminance/feature scalar a
-    * real video decoder would hand the scene-cut stage (STUB arithmetic;
-    * the frame segmentation, batch shape and exact-integer output are the
-    * real part). */
+    * (frame f = code points [f·n/nf, (f+1)·n/nf), integer bounds), each
+    * reduced to its code-point sum — the per-frame luminance/feature
+    * scalar a real video decoder would hand the scene-cut stage (STUB
+    * arithmetic; the frame segmentation, batch shape and exact-integer
+    * output are the real part). Units are Unicode CODE POINTS, not bytes
+    * — same convention as [[resizeBatch]] — so the oracle's char-indexed
+    * `ascii(substr(...))` mirrors the stripes exactly even for multi-byte
+    * text. */
   def frameEnergyBatch(batch: Seq[MediaBlob]): Seq[(Long, Long, Long)] =
     batch.flatMap { b =>
-      val n = b.content.length.toLong
+      val cps = new String(b.content,
+        java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray
+      val n = cps.length.toLong
       val nf = (n % 7 + 1).toInt
       (0 until nf).map { f =>
         val lo = (f * n / nf).toInt
         val hi = ((f + 1) * n / nf).toInt
         var e = 0L; var i = lo
-        while (i < hi) { e += (b.content(i) & 0xff).toLong; i += 1 }
+        while (i < hi) { e += cps(i).toLong; i += 1 }
         (b.doc_id, f.toLong, e)
       }
     }
@@ -363,10 +368,11 @@ object MultimodalQueries {
             max(col("total")).as("total_energy"))
           .orderBy(col("doc_id"))
       },
+      // char (code-point) units throughout, matching the codec
       Some("""WITH base AS (
              |  SELECT doc_id, text,
-             |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
-             |    CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS nf
+             |    CAST(length(text) AS BIGINT) AS n,
+             |    CAST(length(text) % 7 + 1 AS BIGINT) AS nf
              |  FROM documents),
              |fr AS (
              |  SELECT doc_id, nf, fid,
