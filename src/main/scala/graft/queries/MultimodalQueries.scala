@@ -143,6 +143,14 @@ object FakeCodec {
  * Shuffle-free map pipeline end-to-end (the presentation sort is the only
  * exchange); at scale the decode stage is the compute bottleneck and
  * parallelizes per input split.
+ *
+ * Unit conventions of the stub codec vs its oracles: `resizeBatch` and
+ * `frameEnergyBatch` work in Unicode CODE POINTS (oracle: char-indexed
+ * `substr`, exact for any text); `audioWindowBatch` and `phashBatch` work
+ * in raw BYTES — the natural framing for audio samples / pixel data —
+ * whose `ascii(substr)` oracles coincide only on the all-ASCII synthetic
+ * corpus (a real deployment feeds genuine binary payloads, where the
+ * oracle side would read the same bytes).
  */
 object MultimodalQueries {
 
