@@ -509,6 +509,82 @@ object PipelineQueries {
              |SELECT i, n, sum_q, n * sum_q2 - sum_q * sum_q AS var_num
              |FROM st ORDER BY i""".stripMargin)),
 
+    // EMBEDDING COVARIANCE MATRIX (upper triangle) — the full whitening /
+    // decorrelation pre-pass that embed_dim_stats' per-dimension variances
+    // are the diagonal of: per (i ≤ j) the exact covariance NUMERATOR
+    // n·Σq_i·q_j − Σq_i·Σq_j in the suite's shared int8 domain (scaled by
+    // n² — no division, stays BIGINT; at ≥10^9 vectors the triple product
+    // promotes to DECIMAL, same note as the sampling cross-multiplies).
+    // What a PCA/whitening stage consumes and what detects redundant or
+    // anti-correlated dimensions before index compression. Scale shape:
+    // each vector expands IN-ROW to its Dim·(Dim+1)/2 upper-triangle
+    // products (one explode — no self-join of the corpus), which
+    // map-side-combine to 2080 rows regardless of corpus size; the Dim-row
+    // sums table broadcasts back onto them twice.
+    "embed_covariance" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val scale = e.select(
+          max(array_max(transform(col("embedding"), x => abs(x))))
+            .cast(DoubleType).as("scale"))
+        val qv = e.crossJoin(broadcast(scale))
+          .select(transform(col("embedding"),
+            x => quantizeInt8(x, col("scale"))).as("q8"))
+        // per-vector upper-triangle products as a FLAT long array (no 4M
+        // struct allocations); the (pos → i, j) tri-index is a 2080-row
+        // broadcast lookup built ONCE from the same enumeration order
+        val triIdx = s.range(1).select(posexplode(expr(
+            """flatten(transform(sequence(0, 63), i ->
+              |  transform(sequence(i, 63), j -> named_struct(
+              |    'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT)))))"""
+              .stripMargin)).as(Seq("pos", "t")))
+          .select(col("pos"), col("t.i").as("i"), col("t.j").as("j"))
+        val prods = qv.select(posexplode(expr(
+            """flatten(transform(sequence(0, 63), i ->
+              |  transform(sequence(i, 63), j ->
+              |    element_at(q8, i + 1) * element_at(q8, j + 1))))"""
+              .stripMargin)).as(Seq("pos", "p")))
+          .groupBy(col("pos")).agg(
+            count(lit(1)).as("n"), sum(col("p")).as("s_ij"))
+          .join(broadcast(triIdx), "pos")
+        val sums = qv.select(posexplode(col("q8")).as(Seq("d", "q")))
+          .groupBy(col("d").cast(LongType).as("d"))
+          .agg(sum(col("q")).as("s"))
+        prods
+          .join(broadcast(sums.select(col("d").as("i"), col("s").as("s_i"))),
+            "i")
+          .join(broadcast(sums.select(col("d").as("j"), col("s").as("s_j"))),
+            "j")
+          .select(col("i"), col("j"), col("n"), col("s_ij"),
+            (col("n") * col("s_ij") - col("s_i") * col("s_j"))
+              .as("cov_num"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""WITH scale AS (
+             |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+             |    x -> abs(x)), 'max')) AS DOUBLE) AS scale
+             |  FROM embeddings),
+             |qv AS (
+             |  SELECT list_transform(embedding,
+             |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+             |      AS BIGINT)) AS q8
+             |  FROM embeddings, scale),
+             |dims AS (SELECT unnest(range(0, 64)) AS d),
+             |sums AS (
+             |  SELECT d, CAST(sum(q8[d + 1]) AS BIGINT) AS s
+             |  FROM qv, dims GROUP BY d),
+             |prods AS (
+             |  SELECT d1.d AS i, d2.d AS j,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(q8[d1.d + 1] * q8[d2.d + 1]) AS BIGINT) AS s_ij
+             |  FROM qv, dims d1, dims d2 WHERE d2.d >= d1.d
+             |  GROUP BY 1, 2)
+             |SELECT p.i, p.j, p.n, p.s_ij,
+             |  p.n * p.s_ij - si.s * sj.s AS cov_num
+             |FROM prods p JOIN sums si ON si.d = p.i
+             |             JOIN sums sj ON sj.d = p.j
+             |ORDER BY p.i, p.j""".stripMargin)),
+
     // KMV (k-minimum-values) distinct-count sketch — the mergeable-sketch
     // family (theta/HLL) in a deterministic, cross-engine-exact form:
     // per group, the k=8 smallest DISTINCT 60-bit hashes of the value; the
