@@ -1087,6 +1087,90 @@ object SimilarityQueries {
              |WHERE i < len(embedding)
              |GROUP BY label, i ORDER BY label, i""".stripMargin)),
 
+    // EMBEDDING DISTRIBUTION SHIFT BETWEEN SOURCES — the domain-shift
+    // detector behind "did this crawl move in embedding space": for every
+    // source pair, the squared distance between the sources' MEAN
+    // embeddings, computed with NO division as
+    // Σ_i (S_a[i]·n_b − S_b[i]·n_a)² — the mean-difference scaled by
+    // (n_a·n_b)² — through DECIMAL(38,0) (the per-dim term can clear
+    // int64; exact to ~10^19-scale products). A normalized double rides
+    // along: one cast + one division of exact quantities. Sources meet
+    // embeddings on doc_id = vec_id (docs without embeddings drop — the
+    // real multimodal-corpus condition, same as retrieval_hybrid_topk).
+    // Scale shape: one map-side-combined (source, dim) aggregate, the
+    // |sources|·Dim sums collected to |sources| array rows, pair math on
+    // ≤|sources|² tiny rows — the corpus is scanned once.
+    "embed_source_shift" -> QueryDef(
+      (s, dir) => {
+        val dec38 = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        val e = emb(s, dir)
+        val scale = e.select(explode(col("embedding")).as("x"))
+          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+        val sums = e.join(docs, col("vec_id") === col("doc_id"))
+          .crossJoin(broadcast(scale))
+          .select(col("source"),
+            posexplode(quantizeInt8Vec(col("embedding"), col("scale")))
+              .as(Seq("i", "q")))
+          .groupBy(col("source"), col("i"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        val arrs = sums.groupBy(col("source")).agg(
+          transform(array_sort(collect_list(struct(col("i"), col("sq")))),
+            p => p.getField("sq")).as("sv"),
+          max(col("n")).as("n"))
+        val a = arrs.select(col("source").as("source_a"),
+          col("sv").as("sa"), col("n").as("n_a"))
+        val b = arrs.select(col("source").as("source_b"),
+          col("sv").as("sb"), col("n").as("n_b"))
+        a.join(b, col("source_a") < col("source_b"))
+          .withColumn("shift_num", aggregate(
+            zip_with(col("sa"), col("sb"), (x, y) =>
+              (dec38(x) * dec38(col("n_b")) - dec38(y) * dec38(col("n_a")))
+                * (dec38(x) * dec38(col("n_b"))
+                  - dec38(y) * dec38(col("n_a")))),
+            dec38(lit(0)), (acc, v) => acc + v))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            round(col("shift_num").cast(DoubleType) /
+              (col("n_a").cast(DoubleType) * col("n_a").cast(DoubleType) *
+                col("n_b").cast(DoubleType) * col("n_b").cast(DoubleType)),
+              6).as("mean_dist2"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH scale AS (
+             |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+             |    x -> abs(x)), 'max')) AS DOUBLE) AS scale FROM embeddings),
+             |sums AS (
+             |  SELECT d.source, r.i,
+             |    CAST(SUM(CAST(FLOOR(CAST(e.embedding[r.i + 1] AS DOUBLE)
+             |      * 127.0 / scale + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM embeddings e
+             |  JOIN documents d ON e.vec_id = d.doc_id
+             |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i) r
+             |  CROSS JOIN scale
+             |  WHERE r.i < len(e.embedding)
+             |  GROUP BY d.source, r.i),
+             |arrs AS (
+             |  SELECT source, list(sq ORDER BY i) AS sv, MAX(n) AS n
+             |  FROM sums GROUP BY source),
+             |pairs AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |    a.n AS n_a, b.n AS n_b,
+             |    list_sum(list_transform(range(1, ${Dim + 1}), i ->
+             |      (CAST(a.sv[i] AS DECIMAL(38,0)) * b.n
+             |        - CAST(b.sv[i] AS DECIMAL(38,0)) * a.n)
+             |      * (CAST(a.sv[i] AS DECIMAL(38,0)) * b.n
+             |        - CAST(b.sv[i] AS DECIMAL(38,0)) * a.n))) AS shift_num
+             |  FROM arrs a JOIN arrs b ON a.source < b.source)
+             |SELECT source_a, source_b, n_a, n_b,
+             |  round(CAST(shift_num AS DOUBLE) /
+             |    (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
+             |     * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+             |    AS mean_dist2
+             |FROM pairs ORDER BY source_a, source_b""".stripMargin)),
+
     // EMBEDDING OUTLIER FILTER — drop the ~10% of each class farthest from
     // its centroid (mislabeled/degenerate vectors, the standard
     // embedding-space curation pass). Everything exact integers: distance
