@@ -587,6 +587,31 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("monitoring recurrences: hourly counts map-side combine and the " +
+      "firehose never hits a single-partition exchange") {
+    for (name <- Seq("q_events_ewma", "q_events_cusum")) {
+      val plan = formatted(q(name))
+      assert(plan.contains("partial_count"), s"$name:\n${plan.take(2000)}")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name:\n${plan.take(2000)}")
+    }
+  }
+
+  test("embed_covariance: in-row triangle expansion map-side combines to " +
+      "2080 rows; the tri-index and dim sums broadcast") {
+    val plan = formatted(q("embed_covariance"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("embed_source_shift: one (source, dim) map-side aggregate; pair " +
+      "math never re-scans or shuffle-joins the corpus") {
+    val plan = formatted(q("embed_source_shift"))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("mm_scene_cuts: codec map + one doc-partitioned window — payloads " +
       "never shuffle more than once") {
     val plan = executed(q("mm_scene_cuts"))
