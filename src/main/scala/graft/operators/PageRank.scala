@@ -63,6 +63,49 @@ object PageRank {
     * when the caller consumes the result exactly once while the input
     * caches are still alive ([[run]] must keep it: it unpersists the
     * inputs before the returned plan ever executes). */
+  /** Iteration core over an ADJACENCY-LIST graph: `adj` = (src,
+    * dsts ARRAY<LONG>, outdeg) persisted hash-partitioned on `src`, one
+    * row per source node. Identical arithmetic to [[runPrepared]] —
+    * each (src, dst) edge still contributes `floor(rank·85/(100·outdeg))`
+    * — but the per-round join touches |V| adjacency rows instead of |E|
+    * edge rows: the fan-out happens as an in-task `explode` feeding the
+    * map-side partial aggregate, so the round's only |E|-sized flow never
+    * sorts or shuffles (the message shuffle carries the per-partition
+    * combined partials, |V|-bounded). This is the vertex-cut trade every
+    * adjacency-layout graph engine makes: a pathological super-node's
+    * dsts array is one row — at 100 TB scale, segment high-degree
+    * adjacency rows into bounded slices (each slice keeps the full
+    * outdeg, so arithmetic is unchanged) or fall back to the
+    * edge-partitioned [[runPrepared]]. */
+  def runAdjacency(adj: DataFrame, nodes: DataFrame, iterations: Int,
+      reliableEvery: Int = 0, barrierEvery: Int = 1,
+      cutFinal: Boolean = true): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val zero = nodes.select(col("node"), lit(0L).as("c"))
+    val base = Scale * 15 / 100
+    val cutEvery = math.max(1, barrierEvery)
+    var ranks: DataFrame = null
+    for (i <- 1 to iterations) {
+      // round 1: uniform ranks make messages a pure map over adj
+      val msgs = if (i == 1)
+        adj.select(explode(col("dsts")).as("node"),
+          expr(s"(${Scale}L * 85) div (100 * outdeg)").as("c"))
+      else ranks
+        .join(adj, ranks("node") === adj("src"))
+        // column order matters: the union with `zero` below is positional
+        .select(explode(col("dsts")).as("node"),
+          expr(s"(rank * 85) div (100 * outdeg)").as("c"))
+      val next = msgs.union(zero)
+        .groupBy(col("node"))
+        .agg((lit(base) + sum(col("c"))).as("rank"))
+      ranks = if ((i % cutEvery == 0 || i == iterations)
+          && (cutFinal || i != iterations))
+        IterBarrier.cut(next, i, reliableEvery)
+      else next
+    }
+    ranks
+  }
+
   def runPrepared(edgeDeg: DataFrame, nodes: DataFrame, iterations: Int,
       reliableEvery: Int = 0, barrierEvery: Int = 1,
       cutFinal: Boolean = true): DataFrame = {

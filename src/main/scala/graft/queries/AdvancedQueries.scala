@@ -55,20 +55,21 @@ object AdvancedQueries {
         (col("l_suppkey") * 2 + 1).as("p"))
       .distinct().cache()
     if (withDegrees) {
-      val degC = pairs.groupBy(col("c")).agg(count(lit(1)).as("dc"))
-      val degP = pairs.groupBy(col("p")).agg(count(lit(1)).as("dp"))
-      val withDeg = pairs
-        .join(broadcast(degC), "c").join(broadcast(degP), "p")
-      val edgeDeg = withDeg
-        .select(col("c").as("src"), col("p").as("dst"),
-          col("dc").as("outdeg"))
-        .union(withDeg
-          .select(col("p").as("src"), col("c").as("dst"),
-            col("dp").as("outdeg")))
+      // ADJACENCY layout: one row per source node with its neighbor
+      // array — built by ONE groupBy per direction straight from the
+      // pairs (the former edge layout needed two degree aggregates, two
+      // broadcast joins and a |E|-row repartition on top of them).
+      // outdeg falls out as size(dsts). See PageRank.runAdjacency for
+      // the skew trade (segment super-node rows at scale).
+      val adj = pairs
+        .groupBy(col("c").as("src")).agg(collect_list(col("p")).as("dsts"))
+        .union(pairs
+          .groupBy(col("p").as("src")).agg(collect_list(col("c")).as("dsts")))
+        .withColumn("outdeg", size(col("dsts")).cast(LongType))
         .repartition(col("src")).cache()
-      val nodes = degC.select(col("c").as("node"))
-        .union(degP.select(col("p").as("node"))).cache()
-      TradeGraph(edgeDeg, nodes)
+      // bipartite with both directions: every node occurs as a src
+      val nodes = adj.select(col("src").as("node")).cache()
+      TradeGraph(adj, nodes)
     } else {
       // degree-free shape for min-plus walks (BFS): no degree pass at all
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
@@ -552,16 +553,20 @@ object AdvancedQueries {
       // cost dominates at test scale — pin partitions to data volume (the
       // same tuning the streaming queries apply via withShufflePartitions;
       // at cluster scale the caller sizes partitions to edge volume)
-      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 4) {
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val g = tradeGraph(s, dir)
         // barrierEvery=5: all five rounds in ONE lazy plan/job — a round
         // references prev ranks once, so lineage grows linearly and the
         // per-round checkpoint jobs were pure fixed cost at this scale.
-        // cutFinal=false: the result is consumed exactly once right here
-        // while the graph caches are alive — the last eager checkpoint
-        // would be one more materialization for nothing.
-        val out = graft.operators.PageRank.runPrepared(g.edgeDeg, g.nodes,
-            5, barrierEvery = 5, cutFinal = false)
+        // cutFinal=true: the final cut EXECUTES the whole chain here,
+        // INSIDE the withShufflePartitions scope — a lazy return would
+        // resolve every groupBy/join at the session default (the conf
+        // restores before the harness's action; see QueryUtil scaladoc),
+        // and exchange stages at 32 tasks over a 16k-row rank table are
+        // pure scheduling fixed cost. The one extra materialization is
+        // 16k (node, rank) rows.
+        val out = graft.operators.PageRank.runAdjacency(g.edgeDeg, g.nodes,
+            5, barrierEvery = 5, cutFinal = true)
           .orderBy(col("rank").desc, col("node"))
           .limit(50)
         out

@@ -47,6 +47,35 @@ class PageRankSpec extends SparkSpecBase {
     assert(run(5) === want)
   }
 
+  test("adjacency layout: bit-identical to the edge layout, dangling kept") {
+    // includes a dangling node (500 appears only as dst) and skewed degrees
+    val edges = ((1L to 400L)
+      .flatMap(i => Seq((i, i % 37 + 1), (i % 37 + 1, i % 11 + 2))) :+
+      ((7L, 500L))).toDF("src", "dst").distinct().cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgeDeg = edges.join(deg, "src").repartition(col("src")).cache()
+    val adj = edges.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("dsts"))
+      .withColumn("outdeg", size(col("dsts")).cast("long"))
+      .repartition(col("src")).cache()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().cache()
+    for (iters <- Seq(1, 2, 5); be <- Seq(1, 5)) {
+      val want = PageRank.runPrepared(edgeDeg, nodes, iters, barrierEvery = be)
+        .orderBy(col("node")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val got = PageRank.runAdjacency(adj, nodes, iters, barrierEvery = be)
+        .orderBy(col("node")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got === want, s"iters=$iters barrierEvery=$be")
+    }
+    // a node with no in-edges holds exactly the base term, and the
+    // dangling node (no adjacency row at all) still gets its row
+    val r = PageRank.runAdjacency(adj, nodes, 3)
+      .filter(col("node").isin(38L, 500L))
+      .orderBy(col("node")).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(38L, 500L))
+    assert(r.head.getLong(1) === PageRank.Scale * 15 / 100)
+  }
+
   test("reliable checkpoint option: same ranks, durable files written") {
     val edges = (1L to 100L).map(i => (i, i % 17 + 1)).toDF("src", "dst")
       .distinct()
