@@ -42,7 +42,39 @@ object SimilarityQueries {
 
   // streaming IVF-ingest types (Encoders need object-level case classes)
   case class CellEvt(cell: Int, off: Long, vec_id: Long, op: String)
-  case class CellState(ids: Seq[Long])
+  /** Posting-list state for the streaming IVF cell: the id set plus its
+    * RUNNING sum, so a batch's per-event emit is O(1) — recomputing
+    * `ids.sum` per event was O(postings) and quadratic per batch. */
+  case class CellState(ids: Seq[Long], sum: Long)
+
+  /** Per-cell posting-list maintenance for `cdc_stream_ivf_ingest`,
+    * O(1) per event: the state round-trips as a Seq (encoder friendly)
+    * but the batch works on a mutable LinkedHashSet (insertion-ordered,
+    * O(1) add/remove/membership) with the id-sum carried as running
+    * state — the former immutable `ids :+ e` / `filterNot` / per-event
+    * `ids.sum` were each O(postings), O(postings²) per batch per cell:
+    * invisible at 2k vectors/8 cells, fatal when a cell's posting list
+    * is millions of ids at ingest scale. Inserts are upserts (a live id
+    * re-inserted is a no-op), deletes of absent ids are no-ops. */
+  private[graft] def ivfCellTransition(cell: Int, rows: Iterator[CellEvt],
+      state: org.apache.spark.sql.streaming.GroupState[CellState])
+      : Iterator[CellVer] = {
+    import graft.cdc.ChangeRecord.RowKind
+    val st = state.getOption
+    val ids = scala.collection.mutable.LinkedHashSet
+      .from(st.map(_.ids).getOrElse(Seq.empty))
+    var sum = st.map(_.sum).getOrElse(0L)
+    val out = Seq.newBuilder[CellVer]
+    // offset order = arrival order (offsets are unique)
+    rows.toSeq.sortBy(_.off).foreach { e =>
+      if (e.op == RowKind.Delete) {
+        if (ids.remove(e.vec_id)) sum -= e.vec_id
+      } else if (ids.add(e.vec_id)) sum += e.vec_id
+      out += CellVer(cell, e.off, ids.size.toLong, sum)
+    }
+    state.update(CellState(ids.toSeq, sum))
+    out.result().iterator
+  }
   case class CellVer(cell: Int, off: Long, n_live: Long, sum_ids: Long)
 
   /** 12 deterministic random hyperplanes: component i of plane j is
@@ -996,20 +1028,8 @@ object SimilarityQueries {
           .as[CellEvt]
         val vers = evts.groupByKey(_.cell)
           .flatMapGroupsWithState[CellState, CellVer](
-            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-            (cell: Int, rows: Iterator[CellEvt],
-                state: GroupState[CellState]) =>
-              var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
-              val out = Seq.newBuilder[CellVer]
-              // offset order = arrival order (offsets are unique)
-              rows.toSeq.sortBy(_.off).foreach { e =>
-                ids = if (e.op == RowKind.Delete) ids.filterNot(_ == e.vec_id)
-                      else ids :+ e.vec_id
-                out += CellVer(cell, e.off, ids.size.toLong, ids.sum)
-              }
-              state.update(CellState(ids))
-              out.result().iterator
-          }
+            OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+            ivfCellTransition)
         val q = vers.toDF().writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
