@@ -88,6 +88,27 @@ object TextFunctions {
     s"round(0.5 * $stopRatio + 0.5 * $lenScore, 6)"
   }
 
+  /** Count of the most frequent element of `ws` — the Gopher
+    * top-unigram statistic — in O(n log n): sort, then ONE run-length
+    * fold tracking (previous element, current run, best run). The
+    * obvious `transform(array_distinct(ws), x -> count of x)` is
+    * O(n · distinct) per document — quadratic on repetitive documents,
+    * exactly the ones this statistic exists to catch. NULL on an empty
+    * array, matching `list_max`/`array_max` over an empty distinct set
+    * so both engines agree on degenerate docs. */
+  def topElementCount(ws: Column): Column = when(size(ws) > 0,
+    aggregate(
+      array_sort(ws),
+      struct(lit(null).cast(StringType).as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")))
+
   /** Word k-shingles joined with spaces. Spark `sequence(0, n)` descends for
     * n < 0, so short docs short-circuit to an empty array.
     * DuckDB: `list_transform(range(len(w)-k+1), i -> array_to_string(w[i+1:i+k],' '))`. */

@@ -47,8 +47,7 @@ object CurationQueries {
         val ws = words(col("text"))
         val n = size(ws).cast(LongType)
         val nd = size(array_distinct(ws)).cast(LongType)
-        val topc = array_max(transform(array_distinct(ws),
-          x => size(filter(ws, w => w === x)))).cast(LongType)
+        val topc = topElementCount(ws)
         val gs = shingles(ws, 2)
         val n2 = size(gs).cast(LongType)
         val nd2 = size(array_distinct(gs)).cast(LongType)

@@ -26,6 +26,24 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(2, 0))
   }
 
+  test("topElementCount: run-length device matches the quadratic count") {
+    val docs = Seq(
+      "a", "a a", "a b a b a", "x y z", "b b b b",
+      "the cat the dog the bird the",
+      (1 to 50).map(i => s"w${i % 7}").mkString(" "),
+      (1 to 200).map(i => s"t${i % 3}").mkString(" "))
+    val df = docs.toDF("t").select(
+      topElementCount(words(col("t"))).as("fast"),
+      array_max(transform(array_distinct(words(col("t"))),
+        x => size(filter(words(col("t")), w => w === x))))
+        .cast("long").as("slow"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1), docs))
+    // empty input: NULL, matching array_max over an empty distinct set
+    val e = Seq("").toDF("t")
+      .select(topElementCount(array().cast("array<string>"))).collect()
+    assert(e(0).isNullAt(0))
+  }
+
   test("minhash: identical sets -> identical signatures; estimate tracks jaccard") {
     val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
     val df = Seq(
