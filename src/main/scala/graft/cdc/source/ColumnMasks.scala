@@ -14,6 +14,13 @@ import java.security.MessageDigest
  *   debezium.column.mask.with.<n>.chars        = col[,col…]
  *   debezium.column.truncate.to.<n>.chars      = col[,col…]
  *   debezium.column.mask.hash.<algo>.with.salt.<salt> = col[,col…]
+ *   debezium.column.mask.hash.v2.<algo>.with.salt.<salt> = col[,col…]
+ *
+ * The v2 variant is accepted with the same salted-digest semantics as v1:
+ * upstream, v2 only pins the charset/byte-order handling that v1 left
+ * driver-dependent, and this re-expression always digests
+ * UTF-8(salt) ++ UTF-8(value) — i.e. it already implements the v2
+ * contract, for both spellings.
  *
  * Masked/truncated/hashed values replace the original STRING payload value
  * in every emitted image (snapshot rows, and before/after of every change
@@ -63,6 +70,10 @@ object ColumnMasks {
   private val TruncRe = """(?i:column\.truncate\.to\.)(\d+)(?i:\.chars)""".r
   private val HashRe =
     """(?i:column\.mask\.hash\.)([A-Za-z0-9-]+)(?i:\.with\.salt\.)(.+)""".r
+  // the algo capture cannot span a '.', so the v2 segment needs its own
+  // alternative — without it a valid upstream option fell to fail-loud
+  private val HashV2Re =
+    """(?i:column\.mask\.hash\.v2\.)([A-Za-z0-9-]+)(?i:\.with\.salt\.)(.+)""".r
 
   /** Known digest names accepted by the hash rule (validated up front so a
     * typo fails at analysis, not per-row on an executor). */
@@ -76,6 +87,16 @@ object ColumnMasks {
       val rule = key match {
         case MaskRe(n) => Some(MaskWith(n.toInt))
         case TruncRe(n) => Some(TruncateTo(n.toInt))
+        // v2 FIRST: HashRe's algo capture would otherwise be tried (and
+        // fail on the '.') for v2-spelled keys
+        case HashV2Re(algo, salt) =>
+          val jdk = Algos.getOrElse(algo.toLowerCase,
+            throw new IllegalArgumentException(
+              s"unsupported mask hash algorithm '$algo' — " +
+                s"expected one of ${Algos.keys.mkString("|")}"))
+          require(!salt.contains(RS) && !salt.contains(US),
+            "mask salt must not contain tab or unit-separator characters")
+          Some(HashWithSalt(jdk, salt): Rule)
         case HashRe(algo, salt) =>
           val jdk = Algos.getOrElse(algo.toLowerCase,
             throw new IllegalArgumentException(

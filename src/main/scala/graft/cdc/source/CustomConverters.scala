@@ -38,7 +38,12 @@ import org.apache.spark.unsafe.types.UTF8String
  *    ±Double.MAX_VALUE (createDecimalConverter, :657-687).
  *  - `uuid`: `{"$binary":{"base64":…,"subType":"04"}}` (or `{"$uuid":…}`)
  *    → canonical UUID STRING — the reference stringifies UUID-subtype
- *    binaries via `bsonBinary.asUuid()` (:573-578).
+ *    binaries via `bsonBinary.asUuid()` (:573-578). Legacy subtype 0x03
+ *    is rejected (driver-dependent byte order, as `asUuid()` throws
+ *    without a UuidRepresentation) unless the column opts in via
+ *    `uuid:java-legacy` / `uuid:csharp-legacy` / `uuid:python-legacy`,
+ *    the analogue of constructing the Mongo driver with that
+ *    UuidRepresentation.
  *  - `charset:<name>`: base64 bytes → STRING decoded with the declared
  *    column charset — the engine-side half of Debezium's per-column
  *    charset handling (the reference pins the capability in
@@ -99,7 +104,19 @@ object CustomConverters {
       require(f.dataType == StringType,
         s"graft.type=uuid column '${f.name}' must be declared STRING, " +
           s"got ${f.dataType.sql}")
-      uuidToString _
+      (n: JsonNode) => uuidToString(n, None)
+    case u if u.startsWith("uuid:") =>
+      require(f.dataType == StringType,
+        s"graft.type=$u column '${f.name}' must be declared STRING, " +
+          s"got ${f.dataType.sql}")
+      val rep = u.substring("uuid:".length) match {
+        case r @ ("java-legacy" | "csharp-legacy" | "python-legacy") => r
+        case other => throw new IllegalArgumentException(
+          s"unknown legacy UUID representation '$other' on column " +
+            s"'${f.name}' (known: java-legacy, csharp-legacy, " +
+            "python-legacy)")
+      }
+      (n: JsonNode) => uuidToString(n, Some(rep))
     case cs if cs.startsWith("charset:") =>
       require(f.dataType == StringType,
         s"graft.type=$cs column '${f.name}' must be declared STRING, " +
@@ -112,7 +129,7 @@ object CustomConverters {
     case other => throw new IllegalArgumentException(
       s"unknown graft.type converter '$other' on column '${f.name}' " +
         "(known: geometry, set, year, objectid, decimal128, uuid, " +
-        "charset:<name>)")
+        "uuid:<legacy-representation>, charset:<name>)")
   }
 
   /** Debezium-geometry wire struct → GeoJSON string. Parses point WKB
@@ -214,8 +231,22 @@ object CustomConverters {
   /** BSON UUID-subtype binary → canonical UUID string (reference
     * `bsonBinary.asUuid().toString()`). Accepts extended-JSON
     * `{"$binary":{"base64":…,"subType":"04"}}` or the `{"$uuid": …}`
-    * canonical form. */
-  private def uuidToString(node: JsonNode): Any = {
+    * canonical form.
+    *
+    * Legacy subtype 0x03's byte order depends on the WRITING driver
+    * (Java/C#/Python all differ) — decoding it big-endian would emit a
+    * wrong-but-plausible UUID. The reference's `bsonBinary.asUuid()`
+    * throws for 0x03 without an explicit UuidRepresentation, and so does
+    * the bare `uuid` tag here; `legacyRep` is the opt-in analogue of
+    * passing a UuidRepresentation (`uuid:java-legacy` etc.), applying the
+    * Mongo driver's documented byte orders:
+    *  - java-legacy: both 8-byte halves byte-reversed,
+    *  - csharp-legacy: bytes 0-3, 4-5, 6-7 each reversed (GUID layout),
+    *  - python-legacy: big-endian, same bytes as standard.
+    * Standard 0x04 values always decode big-endian; `legacyRep` only
+    * governs 0x03. */
+  private def uuidToString(node: JsonNode,
+      legacyRep: Option[String]): Any = {
     val u = node.get("$uuid")
     if (u != null && u.isTextual)
       return UTF8String.fromString(
@@ -224,20 +255,29 @@ object CustomConverters {
     require(bin != null && bin.isObject,
       s"UUID value carries no '$$binary'/'$$uuid' field: $node")
     val sub = Option(bin.get("subType")).map(_.asText()).getOrElse("")
-    // legacy subtype 0x03's byte order depends on the WRITING driver
-    // (Java/C#/Python all differ) — decoding it big-endian would emit a
-    // wrong-but-plausible UUID. The reference's bsonBinary.asUuid() throws
-    // for 0x03 without an explicit UuidRepresentation; mirror that.
-    require(sub != "03" && sub != "3",
-      "legacy UUID binary subtype 0x03 has driver-dependent byte order; " +
-        "re-write with the standard subtype 0x04 or decode as raw binary")
-    require(sub == "04" || sub == "4",
+    val isLegacy = sub == "03" || sub == "3"
+    require(isLegacy || sub == "04" || sub == "4",
       s"not a UUID binary subtype: '$sub'")
+    require(!isLegacy || legacyRep.isDefined,
+      "legacy UUID binary subtype 0x03 has driver-dependent byte order; " +
+        "re-write with the standard subtype 0x04, tag the column " +
+        "uuid:<java-legacy|csharp-legacy|python-legacy>, or decode as " +
+        "raw binary")
     val bytes = java.util.Base64.getDecoder.decode(
       bin.get("base64").asText())
     require(bytes.length == 16, s"UUID binary must be 16 bytes, " +
       s"got ${bytes.length}")
-    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val ordered =
+      if (!isLegacy) bytes
+      else legacyRep.get match {
+        case "java-legacy" =>
+          bytes.slice(0, 8).reverse ++ bytes.slice(8, 16).reverse
+        case "csharp-legacy" =>
+          bytes.slice(0, 4).reverse ++ bytes.slice(4, 6).reverse ++
+            bytes.slice(6, 8).reverse ++ bytes.slice(8, 16)
+        case "python-legacy" => bytes
+      }
+    val bb = java.nio.ByteBuffer.wrap(ordered)
     UTF8String.fromString(
       new java.util.UUID(bb.getLong, bb.getLong).toString)
   }

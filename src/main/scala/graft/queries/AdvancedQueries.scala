@@ -721,7 +721,12 @@ object AdvancedQueries {
     // through DECIMAL(38,0) (exact to 10^38, i.e. ~10^19 events/type):
     // pure-BIGINT products would wrap silently in Spark but ERROR in
     // DuckDB past ~3·10^9 events/type — a cross-engine divergence exactly
-    // where the integer claim matters. Scale shape: the
+    // where the integer claim matters. Past the DECIMAL(38) envelope the
+    // engines would STILL diverge in kind (non-ANSI Spark nulls an
+    // overflowed decimal product, silently dropping the row from the
+    // filter; DuckDB raises), so the plan carries an assert_true
+    // precondition on the moment magnitudes: Spark now fails loudly at
+    // the same boundary instead of suppressing anomalies. Scale shape: the
     // raw scan collapses to one map-side-combined (type, hour) count; the
     // per-type moment table is ≤|types| rows broadcast back onto the
     // hourly table. Nothing downstream of the first aggregate scales with
@@ -738,7 +743,22 @@ object AdvancedQueries {
           sum(col("cnt") * col("cnt")).as("ss"))
         val dec = (c: org.apache.spark.sql.Column) =>
           c.cast(DecimalType(38, 0))
+        val dbl = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+        // exact-envelope precondition: with cnt·n < 1e18, s < 1e18 and
+        // n·ss < 1e37 every product below stays inside DECIMAL(38,0)
+        // (dev² < 4e36, 4·(n·ss − s²) < 8e37). Beyond it, non-ANSI Spark
+        // would null the overflow and silently DROP the row where DuckDB
+        // errors — assert_true makes this side fail loudly instead.
+        val withinEnvelope =
+          (dbl(col("cnt")) * dbl(col("n_hours")) < 1e18) &&
+          (dbl(col("s")) < 1e18) &&
+          (dbl(col("n_hours")) * dbl(col("ss")) < 1e37)
         hourly.join(broadcast(stats), "event_type")
+          .filter(assert_true(withinEnvelope,
+            lit("q_event_zscore_anomaly: per-type moments exceed the " +
+              "exact DECIMAL(38,0) envelope (~1e18 events/type); " +
+              "verdicts past this bound would be engine-divergent"))
+            .isNull)
           .withColumn("dev",
             dec(col("cnt")) * dec(col("n_hours")) - dec(col("s")))
           .filter(col("dev") * col("dev") >

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions.quantizeInt8
+import graft.queries.SimilarityQueries.Dim
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -534,14 +535,14 @@ object PipelineQueries {
         // struct allocations); the (pos → i, j) tri-index is a 2080-row
         // broadcast lookup built ONCE from the same enumeration order
         val triIdx = s.range(1).select(posexplode(expr(
-            """flatten(transform(sequence(0, 63), i ->
-              |  transform(sequence(i, 63), j -> named_struct(
+            s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
+              |  transform(sequence(i, ${Dim - 1}), j -> named_struct(
               |    'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT)))))"""
               .stripMargin)).as(Seq("pos", "t")))
           .select(col("pos"), col("t.i").as("i"), col("t.j").as("j"))
         val prods = qv.select(posexplode(expr(
-            """flatten(transform(sequence(0, 63), i ->
-              |  transform(sequence(i, 63), j ->
+            s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
+              |  transform(sequence(i, ${Dim - 1}), j ->
               |    element_at(q8, i + 1) * element_at(q8, j + 1))))"""
               .stripMargin)).as(Seq("pos", "p")))
           .groupBy(col("pos")).agg(
@@ -560,7 +561,7 @@ object PipelineQueries {
               .as("cov_num"))
           .orderBy(col("i"), col("j"))
       },
-      Some("""WITH scale AS (
+      Some(s"""WITH scale AS (
              |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
              |    x -> abs(x)), 'max')) AS DOUBLE) AS scale
              |  FROM embeddings),
@@ -569,7 +570,7 @@ object PipelineQueries {
              |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
              |      AS BIGINT)) AS q8
              |  FROM embeddings, scale),
-             |dims AS (SELECT unnest(range(0, 64)) AS d),
+             |dims AS (SELECT unnest(range(0, $Dim)) AS d),
              |sums AS (
              |  SELECT d, CAST(sum(q8[d + 1]) AS BIGINT) AS s
              |  FROM qv, dims GROUP BY d),

@@ -27,7 +27,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  */
 object SimilarityQueries {
 
-  private val Dim = 64
+  private[queries] val Dim = 64
   private val NumQueries = 8 // query set = vec_id < 8
   private val TopK = 5
 

@@ -770,6 +770,16 @@ class CdcSourceSpec extends SparkSpecBase {
       .option("debezium.column.mask.with.4.chars", "v")
       .load().select("v").distinct().collect().map(_.getString(0))
     assert(masked.toSeq === Seq("****"))
+    // Debezium's v2 hash spelling is a valid upstream passthrough option:
+    // same salted-digest semantics (this engine always digests
+    // UTF-8(salt) ++ UTF-8(value), which IS the v2 contract)
+    val hashedV2 = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "earliest")
+      .option("debezium.column.mask.hash.v2.sha-256.with.salt.k", "v")
+      .load().select("v").collect().map(_.getString(0))
+    assert(hashedV2.toSeq.sorted === hashed.toSeq.sorted,
+      "v2 hash spelling must produce the v1 salted digests")
   }
 
   test("debezium column masks fail fast on bad rules") {

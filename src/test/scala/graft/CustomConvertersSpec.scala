@@ -135,6 +135,40 @@ class CustomConvertersSpec extends AnyFunSuite {
     assert(legacy.getMessage.contains("0x03"), legacy.getMessage)
   }
 
+  test("uuid:<legacy-representation>: opt-in 0x03 decode per driver " +
+    "byte order; 0x04 stays standard; unknown rep fails at construction") {
+    // raw BSON bytes as a Java-legacy driver writes them for this UUID
+    val expect = "01234567-89ab-cdef-fedc-ba9876543210"
+    val u = java.util.UUID.fromString(expect)
+    val std = java.nio.ByteBuffer.allocate(16)
+    std.putLong(u.getMostSignificantBits)
+    std.putLong(u.getLeastSignificantBits)
+    val stdBytes = std.array()
+    val javaBytes = stdBytes.slice(0, 8).reverse ++
+      stdBytes.slice(8, 16).reverse
+    val csBytes = stdBytes.slice(0, 4).reverse ++
+      stdBytes.slice(4, 6).reverse ++ stdBytes.slice(6, 8).reverse ++
+      stdBytes.slice(8, 16)
+    val b64 = java.util.Base64.getEncoder
+    def legacyJson(bytes: Array[Byte]) =
+      s"""{"$$binary":{"base64":"${b64.encodeToString(bytes)}","subType":"03"}}"""
+    assert(convert(tagged("u", StringType, "uuid:java-legacy"),
+      legacyJson(javaBytes)).toString === expect)
+    assert(convert(tagged("u", StringType, "uuid:csharp-legacy"),
+      legacyJson(csBytes)).toString === expect)
+    assert(convert(tagged("u", StringType, "uuid:python-legacy"),
+      legacyJson(stdBytes)).toString === expect)
+    // subtype 04 decodes identically with or without a legacy rep
+    val stdJson =
+      s"""{"$$binary":{"base64":"${b64.encodeToString(stdBytes)}","subType":"04"}}"""
+    assert(convert(tagged("u", StringType, "uuid:java-legacy"),
+      stdJson).toString === expect)
+    // unknown representation is a construction-time error
+    val bad = StructType(Seq(tagged("u", StringType, "uuid:oracle-legacy")))
+    val e = intercept[IllegalArgumentException] { new JsonRowCodec(bad) }
+    assert(e.getMessage.contains("legacy UUID representation"))
+  }
+
   test("charset:<name>: bytes decode with the declared column charset " +
     "(MysqlConnectorCharsetITCase capability)") {
     val b64 = java.util.Base64.getEncoder
