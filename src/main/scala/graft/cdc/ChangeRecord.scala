@@ -60,8 +60,17 @@ object ChangeRecord {
   /** Metadata ("virtual") columns, reference MySqlReadableMetadata.java:33-86. */
   val DbCol    = "__db"
   val TableCol = "__table"
+  /** Per-connector EXTRA metadata columns, NULL where the source store has
+    * no such concept: Oracle exposes the owning schema
+    * (OracleReadableMetaData.java:34-99, `schema_name`) and OceanBase the
+    * tenant (OceanBaseReadableMetadata.java:28-86, `tenant_name`). One
+    * closed column set serves every dialect — Catalyst prunes the columns
+    * when unused, so dialects without the concept pay nothing. */
+  val SchemaCol = "__schema"
+  val TenantCol = "__tenant"
 
-  val MetaCols: Seq[String] = Seq(OpCol, OffsetCol, TsCol, DbCol, TableCol)
+  val MetaCols: Seq[String] =
+    Seq(OpCol, OffsetCol, TsCol, DbCol, TableCol, SchemaCol, TenantCol)
 
   /** Envelope storage columns (before/after images as nested structs). */
   val BeforeCol = "before"

@@ -44,7 +44,13 @@ object FileCdcDatabase {
       snapshotFiles: Seq[FileRange] = Seq.empty,
       /** Store-native range boundaries (TiKV-region / shard-chunk
         * analogue) over the pk; empty = none. */
-      regions: Seq[Long] = Seq.empty) {
+      regions: Seq[Long] = Seq.empty,
+      /** Owning schema, when the store has the concept (Oracle
+        * OracleReadableMetaData.java:34-99); None elsewhere. */
+      schemaName: Option[String] = None,
+      /** Owning tenant, when the store has the concept (OceanBase
+        * OceanBaseReadableMetadata.java:28-86); None elsewhere. */
+      tenant: Option[String] = None) {
     // lazy VAL, not def: fromDDL is a full Catalyst parser invocation
     // (~30µs) — as a def, a caller touching `.schema` inside a per-row
     // lambda silently re-parsed the DDL 150k times per scan
@@ -61,7 +67,9 @@ object FileCdcDatabase {
       pk: String, snapshot: DataFrame, changes: DataFrame,
       snapshotPartitions: Int = 1, force: Boolean = false,
       regionBoundaries: Seq[Long] = Seq.empty,
-      schemaDdlOverride: Option[String] = None): Unit = {
+      schemaDdlOverride: Option[String] = None,
+      schemaName: Option[String] = None,
+      tenant: Option[String] = None): Unit = {
     val root = Paths.get(dir, table)
     val donePath = root.resolve("_WRITTEN")
     if (!force && Files.exists(donePath)) return
@@ -103,7 +111,7 @@ object FileCdcDatabase {
     val meta = TableMeta(table, db, pk,
       schemaDdlOverride.getOrElse(snapshot.schema.toDDL),
       stats.getLong(0), stats.getLong(1), stats.getLong(2), maxOff,
-      fileRanges, regionBoundaries)
+      fileRanges, regionBoundaries, schemaName, tenant)
     Files.writeString(root.resolve("meta.json"), metaToJson(meta))
     Files.writeString(donePath, "ok")
   }
@@ -118,10 +126,14 @@ object FileCdcDatabase {
     }.toSeq).getOrElse(Seq.empty)
     val regions = Option(n.get("regions"))
       .map(_.elements().asScala.map(_.asLong()).toSeq).getOrElse(Seq.empty)
+    // absent on metas written before these fields existed → None
+    def optStr(field: String): Option[String] =
+      Option(n.get(field)).filterNot(_.isNull).map(_.asText())
     TableMeta(n.get("table").asText(), n.get("db").asText(),
       n.get("pk").asText(), n.get("schemaDdl").asText(),
       n.get("rowCount").asLong(), n.get("minPk").asLong(),
-      n.get("maxPk").asLong(), n.get("maxOffset").asLong(), files, regions)
+      n.get("maxPk").asLong(), n.get("maxOffset").asLong(), files, regions,
+      optStr("schemaName"), optStr("tenant"))
   }
 
   /** Fast path: pull a TOP-LEVEL integer field out of a JSONL line without
@@ -322,9 +334,12 @@ object FileCdcDatabase {
       s"""{"file":${q(f.file)},"minPk":${f.minPk},"maxPk":${f.maxPk}}""")
       .mkString("[", ",", "]")
     val regions = m.regions.mkString("[", ",", "]")
+    val extras = m.schemaName.map(s => s""","schemaName":${q(s)}""")
+      .getOrElse("") +
+      m.tenant.map(t => s""","tenant":${q(t)}""").getOrElse("")
     s"""{"table":${q(m.table)},"db":${q(m.db)},"pk":${q(m.pk)},
        |"schemaDdl":${q(m.schemaDdl)},"rowCount":${m.rowCount},
        |"minPk":${m.minPk},"maxPk":${m.maxPk},"maxOffset":${m.maxOffset},
-       |"snapshotFiles":$files,"regions":$regions}""".stripMargin
+       |"snapshotFiles":$files,"regions":$regions$extras}""".stripMargin
   }
 }

@@ -159,6 +159,7 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
   // out position -> decodeSchema position (payload) or -1-tag (meta col)
   private val MetaOp = -1; private val MetaOffset = -2; private val MetaTs = -3
   private val MetaDb = -4; private val MetaTable = -5
+  private val MetaSchema = -6; private val MetaTenant = -7
   private val outMap: Array[Int] = outSchema.fields.map { f =>
     f.name match {
       case ChangeRecord.OpCol => MetaOp
@@ -166,9 +167,16 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
       case ChangeRecord.TsCol => MetaTs
       case ChangeRecord.DbCol => MetaDb
       case ChangeRecord.TableCol => MetaTable
+      case ChangeRecord.SchemaCol => MetaSchema
+      case ChangeRecord.TenantCol => MetaTenant
       case n => decodeSchema.fieldIndex(n)
     }
   }
+  // hoisted: per-row Option.map allocation is decode-loop hot-path cost
+  private val metaSchemaName: UTF8String =
+    meta.schemaName.map(UTF8String.fromString).orNull
+  private val metaTenant: UTF8String =
+    meta.tenant.map(UTF8String.fromString).orNull
 
   /** Capture-time mask rule per decodeSchema slot (null = pass-through) —
     * applied at emit so BOTH images of every change event and all snapshot
@@ -191,6 +199,8 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
         case MetaTs => out.update(i, ts)
         case MetaDb => out.update(i, UTF8String.fromString(meta.db))
         case MetaTable => out.update(i, UTF8String.fromString(meta.table))
+        case MetaSchema => out.update(i, metaSchemaName)
+        case MetaTenant => out.update(i, metaTenant)
         case j => out.update(i,
           if (img.isNullAt(j)) null
           else if (maskers(j) != null)

@@ -366,7 +366,12 @@ object CdcTable {
     StructField(ChangeRecord.OffsetCol, LongType, nullable = false),
     StructField(ChangeRecord.TsCol, LongType, nullable = false),
     StructField(ChangeRecord.DbCol, StringType, nullable = false),
-    StructField(ChangeRecord.TableCol, StringType, nullable = false))
+    StructField(ChangeRecord.TableCol, StringType, nullable = false),
+    // per-connector extras — NULL where the store has no such concept
+    // (Oracle schema_name, OracleReadableMetaData.java:34-99; OceanBase
+    // tenant_name, OceanBaseReadableMetadata.java:28-86)
+    StructField(ChangeRecord.SchemaCol, StringType, nullable = true),
+    StructField(ChangeRecord.TenantCol, StringType, nullable = true))
 
   /** Source schema = payload columns + metadata columns; Catalyst prunes
     * unused ones and the pruning is pushed into the source decode

@@ -142,6 +142,48 @@ object CdcSourceQueries {
              |  UNION ALL SELECT '-D', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
              |) ORDER BY __op""".stripMargin)),
 
+    // Per-connector EXTRA metadata columns (__schema/__tenant) — the
+    // closed-set analogue of Oracle's schema_name
+    // (OracleReadableMetaData.java:34-99) and OceanBase's tenant_name
+    // (OceanBaseReadableMetadata.java:28-86): populated when the source
+    // store declares the concept, NULL elsewhere, pruned by Catalyst when
+    // unused. One read of each kind: the plain orders database (no
+    // schema/tenant concept → NULLs) and the schema+tenant-owned customer
+    // database, both merged to final state, grouped on the full metadata
+    // key.
+    "cdc_schema_tenant_metadata" -> QueryDef(
+      (s, dir0) => {
+        val plain = prepare(s, dir0)
+        val tdir = prepareTenant(s, dir0)
+        def agg(dir: String, table: String) = s.read.format("graft-cdc")
+          .option("path", dir).option("table", table)
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .groupBy(col(DbCol), col(TableCol), col(SchemaCol),
+            col(TenantCol))
+          .agg(count(lit(1)).as("n"))
+        agg(plain, "orders").unionByName(agg(tdir, "customer"))
+          .orderBy(col(TableCol))
+      },
+      Some {
+        val ordersState =
+          ChangelogGen.oracleFinalStateSql(ordersSpec, Seq("o_orderkey"),
+            "orders")
+        val custState =
+          ChangelogGen.oracleFinalStateSql(custSpec, Seq("c_custkey"),
+            "customer")
+        s"""SELECT __db, __table, __schema, __tenant, n FROM (
+           |  SELECT 'graft' AS __db, 'customer' AS __table,
+           |    'app' AS __schema, 'tenant_a' AS __tenant,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ($custState)) AS n
+           |  UNION ALL
+           |  SELECT 'graft', 'orders', CAST(NULL AS VARCHAR),
+           |    CAST(NULL AS VARCHAR),
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ($ordersState))
+           |) ORDER BY __table""".stripMargin
+      }),
+
     // Capture-time column redaction (Debezium passthrough grammar,
     // DebeziumOptions.java:24-41 + Debezium column.mask.*/column.truncate.*):
     // the hash rule pseudonymizes o_orderstatus (equality-preserving hex
@@ -705,6 +747,22 @@ object CdcSourceQueries {
       snapshot = base,
       changes = ChangelogGen.changes(base, custSpec),
       snapshotPartitions = 8)
+    dir
+  }
+
+  /** A `customer` CDC database owned by a named schema AND tenant — the
+    * fixture for the per-connector extra metadata columns (Oracle
+    * `schema_name`, OceanBase `tenant_name`; a real store has one or the
+    * other, the fixture sets both to exercise both columns at once). */
+  private[queries] def prepareTenant(spark: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_tenant/$sf"
+    val base = Tables.load(spark, sfDir, "customer")
+    FileCdcDatabase.write(spark, dir, "customer", "graft", custSpec.pk,
+      snapshot = base,
+      changes = ChangelogGen.changes(base, custSpec),
+      snapshotPartitions = 8,
+      schemaName = Some("app"), tenant = Some("tenant_a"))
     dir
   }
 

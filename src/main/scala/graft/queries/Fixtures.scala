@@ -15,6 +15,7 @@ object Fixtures {
     CdcSourceQueries.prepareDdl(spark, sfDir)
     CdcSourceQueries.prepareJdbc(spark, sfDir)
     CdcSourceQueries.prepareCustomer(spark, sfDir)
+    CdcSourceQueries.prepareTenant(spark, sfDir)
     CdcSourceQueries.prepareTyped(spark, sfDir)
     CdcSourceQueries.prepareTz(spark, sfDir)
     CdcSourceQueries.prepareMongo(spark, sfDir)

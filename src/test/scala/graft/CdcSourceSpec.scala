@@ -853,6 +853,36 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(bad.getMessage.contains("skipped.operations"), bad.getMessage)
   }
 
+  test("__schema/__tenant metadata columns: NULL without the concept, " +
+    "populated when the store declares them, snapshot and log alike") {
+    val plain = tmpDir("cdc-tenant-plain")
+    writeDb(plain, 6L)
+    val p = read(plain, "initial")
+      .select("id", SchemaCol, TenantCol)
+      .collect()
+    assert(p.nonEmpty)
+    assert(p.forall(r => r.isNullAt(1) && r.isNullAt(2)),
+      "a store without schema/tenant concepts must surface NULLs")
+    val owned = tmpDir("cdc-tenant-owned")
+    FileCdcDatabase.write(spark, owned, "t", "graft", "id",
+      snapshot = snapshotDf,
+      changes = changesDf(allEvents.filter(_._1 <= 6L)),
+      snapshotPartitions = 2, force = true,
+      schemaName = Some("app"), tenant = Some("ten1"))
+    // both snapshot-merged rows (initial) and raw log rows (earliest)
+    // carry the owning schema/tenant on every record
+    for (mode <- Seq("initial", "earliest")) {
+      val rows = read(owned, mode)
+        .select(SchemaCol, TenantCol)
+        .collect()
+      assert(rows.nonEmpty, mode)
+      assert(rows.forall(r =>
+        r.getString(0) == "app" && r.getString(1) == "ten1"), mode)
+    }
+    // pruning: a payload-only projection never touches the meta columns
+    assert(read(owned, "initial").select("id", "v").count() > 0)
+  }
+
   test("mask spec encode/decode round-trips every rule shape") {
     import graft.cdc.source.ColumnMasks
     val rules: Map[String, ColumnMasks.Rule] = Map(
