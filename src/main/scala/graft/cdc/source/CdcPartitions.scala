@@ -58,7 +58,11 @@ case class LogRangePartition(dialect: String, path: String, table: String,
     parsePolicy: String = "fail",
     serverTimeZone: String = "UTC",
     maskSpec: String = "",
-    skippedOps: String = "") extends InputPartition
+    skippedOps: String = "",
+    /** Emitted rows of this range's FIRST event to drop — the
+      * mid-transaction resume of BinlogOffset.rowsToSkip; nonzero only on
+      * the range starting at a specific-offset seek position. */
+    skipRows: Int = 0) extends InputPartition
 
 class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -445,14 +449,15 @@ class LogRangeReader(p: LogRangePartition)
   private val skipped: Set[String] =
     p.skippedOps.split(",").map(_.trim).filter(_.nonEmpty).toSet
 
-  private lazy val rows: Iterator[InternalRow] =
+  private lazy val rows: Iterator[InternalRow] = {
     // shouldEmit (W3): only events past the key's finished-chunk high
     // watermark; uniform high == p.from for the file dialect. Offsets are
     // prefiltered cheaply before the full envelope decode.
+    var firstEventOffset = Long.MinValue
     dec.logLinesInRange(p.from, p.to).flatMap(dec.decodeEnvelopeSafe)
       .filterNot(env => skipped.contains(env.op))
       .flatMap { env =>
-        env.op match {
+        val emitted: Seq[InternalRow] = env.op match {
           // schema changes route to SchemaHistory, not the row stream (the
           // reference emits them only under includeSchemaChanges)
           case ExternalOp.SchemaChange => Seq.empty
@@ -466,7 +471,17 @@ class LogRangeReader(p: LogRangePartition)
             Seq(dec.emit(env.before, RowKind.UpdateBefore, env.offset, env.ts),
               dec.emit(env.after, RowKind.UpdateAfter, env.offset, env.ts))
         }
+        // mid-transaction resume (skipRows): rows already delivered from
+        // the FIRST event past the seek position are dropped; later
+        // events are never affected (BinlogOffset.rowsToSkip scope)
+        if (p.skipRows > 0 && emitted.nonEmpty &&
+            (firstEventOffset == Long.MinValue ||
+              env.offset == firstEventOffset)) {
+          firstEventOffset = env.offset
+          emitted.drop(p.skipRows)
+        } else emitted
       }
+  }
 
   private val scope = new FileCdcDatabase.ResourceScope
   private var cur: InternalRow = _

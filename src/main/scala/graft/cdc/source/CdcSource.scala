@@ -43,6 +43,18 @@ object CdcSourceConfig {
   // (reference StartupOptions.java:39-90 / StartupMode.java)
   val StartupModeKey = "scan.startup.mode"
   val SpecificOffsetKey = "scan.startup.specific-offset"
+  /** Mid-transaction resume refinement of [[SpecificOffsetKey]] — the
+    * reference's composite BinlogOffset carries (file, pos, eventsToSkip,
+    * rowsToSkip) so a reader can re-seek INSIDE a position already
+    * partially processed (`scan.startup.specific-offset.skip-events` /
+    * `.skip-rows`, MySqlSourceOptions.java:160-178; BinlogOffset.java).
+    * Re-expressed on the linear offset space: `skip-events` advances the
+    * start past N distinct change events AFTER the specific offset, and
+    * `skip-rows` drops the first M EMITTED rows of the first event read
+    * (an update event emits -U then +U under changelog.mode=all — a
+    * resume that already delivered the -U skips one row). */
+  val SkipEventsKey = "scan.startup.specific-offset.skip-events"
+  val SkipRowsKey = "scan.startup.specific-offset.skip-rows"
   val TimestampKey = "scan.startup.timestamp-millis"
   /** Pre-round-4 spelling of [[TimestampKey]], kept as a fallback alias;
     * the canonical name matches the reference
@@ -169,6 +181,8 @@ object CdcSourceConfig {
       ChunkSplitter.DefaultChunkSize.toString).toInt,
     changelogMode = o.getOrDefault(ChangelogModeKey, "all"),
     specificOffset = o.getOrDefault(SpecificOffsetKey, "-1").toLong,
+    skipEvents = o.getOrDefault(SkipEventsKey, "0").toLong,
+    skipRows = o.getOrDefault(SkipRowsKey, "0").toInt,
     timestampMs = o.getOrDefault(TimestampKey,
       o.getOrDefault(TimestampLegacyKey, "-1")).toLong,
     maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey, "0").toLong,
@@ -217,6 +231,8 @@ case class CdcSourceConfig(
     chunkSize: Int,
     changelogMode: String,
     specificOffset: Long = -1L,
+    skipEvents: Long = 0L,
+    skipRows: Int = 0,
     timestampMs: Long = -1L,
     maxEventsPerTrigger: Long = 0L,
     dialectName: String = "file",
@@ -259,6 +275,18 @@ case class CdcSourceConfig(
     "changelog.mode must be all|upsert (DebeziumChangelogMode.java:20-27)")
   require(startupMode != "specific-offset" || specificOffset >= 0,
     s"scan.startup.mode=specific-offset requires ${CdcSourceConfig.SpecificOffsetKey}")
+  require(skipEvents >= 0 && skipEvents <= Int.MaxValue,
+    s"${CdcSourceConfig.SkipEventsKey} out of range [0, ${Int.MaxValue}]: " +
+      s"$skipEvents")
+  require(skipRows >= 0,
+    s"${CdcSourceConfig.SkipRowsKey} must be >= 0: $skipRows")
+  // a skip without a position to skip FROM is a configuration error, not
+  // a silent no-op (BinlogOffsetUtils.initializeEffectiveOffset applies
+  // the skips only to a SPECIFIC_OFFSET-kind start the same way)
+  require((skipEvents == 0 && skipRows == 0) ||
+    startupMode == "specific-offset",
+    s"${CdcSourceConfig.SkipEventsKey}/${CdcSourceConfig.SkipRowsKey} " +
+      "require scan.startup.mode=specific-offset")
   require(startupMode != "timestamp" || timestampMs >= 0,
     s"scan.startup.mode=timestamp requires ${CdcSourceConfig.TimestampKey}")
   // a value past Int.MaxValue would overflow the downstream take() into a
@@ -602,6 +630,19 @@ object CdcPlanner {
   def offsetForTimestamp(cfg: CdcSourceConfig, tsMs: Long): Long =
     cfg.dialect.offsetForTimestamp(cfg.path, cfg.matchedTables, tsMs)
 
+  /** Effective start for specific-offset mode: the configured position
+    * advanced past `skip-events` distinct change events — the linear-space
+    * analogue of BinlogOffsetUtils.initializeEffectiveOffset applying
+    * BinlogOffset.eventsToSkip during the reader's re-seek. Skipping past
+    * the log head starts at the head (nothing left to skip into). */
+  def resolveSpecificOffset(cfg: CdcSourceConfig, maxOff: Long): Long =
+    if (cfg.skipEvents <= 0L) cfg.specificOffset
+    else {
+      val hops = offsetsBetween(cfg, cfg.specificOffset, maxOff,
+        cfg.skipEvents.toInt)
+      if (hops.size < cfg.skipEvents) maxOff else hops.last
+    }
+
   def toLongKey(v: Any): Long = v match {
     case l: Long => l
     case i: Int => i.toLong
@@ -635,7 +676,8 @@ object CdcPlanner {
     * chunks at a uniform high watermark and/or one ordered log range. */
   def plan(cfg: CdcSourceConfig, withSnapshot: Boolean, snapshotHigh: Long,
       logFrom: Long, logTo: Long, schemaDdl: String,
-      bounds: CdcKeyBounds = CdcKeyBounds(None, None)): Array[InputPartition] =
+      bounds: CdcKeyBounds = CdcKeyBounds(None, None),
+      skipRows: Int = 0): Array[InputPartition] =
     cfg.matchedTables.flatMap { table =>
       val snap: Seq[InputPartition] =
         if (withSnapshot)
@@ -650,7 +692,10 @@ object CdcPlanner {
             LogRangePartition(cfg.dialectName, cfg.path, table,
               lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy,
               cfg.serverTimeZone, cfg.columnMaskSpec,
-              cfg.skippedOperations.toSeq.sorted.mkString(","))
+              cfg.skippedOperations.toSeq.sorted.mkString(","),
+              // rows-to-skip target the FIRST event past the seek
+              // position, which lives in the range starting at logFrom
+              skipRows = if (lo == logFrom) skipRows else 0)
           }
         else Seq.empty
       snap ++ log
@@ -686,10 +731,13 @@ class CdcBatch(cfg: CdcSourceConfig, schemaDdl: String,
       case "earliest" => CdcPlanner.plan(cfg, withSnapshot = false,
         snapshotHigh = 0L, logFrom = 0L, logTo = maxOff, schemaDdl)
       case "latest" => Array.empty
-      // replay from a known position / timestamp (T3/T4)
+      // replay from a known position / timestamp (T3/T4); skip-events is
+      // resolved into the start offset, skip-rows rides to the reader of
+      // the first range (mid-transaction resume, BinlogOffset semantics)
       case "specific-offset" => CdcPlanner.plan(cfg, withSnapshot = false,
-        snapshotHigh = 0L, logFrom = cfg.specificOffset, logTo = maxOff,
-        schemaDdl)
+        snapshotHigh = 0L,
+        logFrom = CdcPlanner.resolveSpecificOffset(cfg, maxOff),
+        logTo = maxOff, schemaDdl, skipRows = cfg.skipRows)
       case "timestamp" => CdcPlanner.plan(cfg, withSnapshot = false,
         snapshotHigh = 0L,
         logFrom = CdcPlanner.offsetForTimestamp(cfg, cfg.timestampMs),
@@ -765,13 +813,18 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
     else all.filter(_.matches(cfg.table))
   }
 
+  /** Specific-offset start with skip-events applied; resolved once — the
+    * skip target is fixed by configuration, not by when planning runs. */
+  private lazy val specificStart: Long =
+    CdcPlanner.resolveSpecificOffset(cfg, cfg.maxOffsetAll)
+
   override def initialOffset(): Offset = cfg.startupMode match {
     // initial: nothing snapshotted yet — first batch snapshots everything
     case "initial" => CdcStreamOffset(-1L, Seq.empty)
     // the rest skip the snapshot phase: mark current tables as done
     case "earliest" => CdcStreamOffset(0L, discovered())
     case "latest" => CdcStreamOffset(cfg.maxOffsetAll, discovered())
-    case "specific-offset" => CdcStreamOffset(cfg.specificOffset, discovered())
+    case "specific-offset" => CdcStreamOffset(specificStart, discovered())
     case "timestamp" => CdcStreamOffset(
       CdcPlanner.offsetForTimestamp(cfg, cfg.timestampMs), discovered())
   }
@@ -830,15 +883,24 @@ class CdcMicroBatchStream(cfg: CdcSourceConfig, schemaDdl: String,
       if (!s.snapshotted.contains(table))
         CdcPlanner.snapshotPartitions(cfg, table, e.logOffset, schemaDdl,
           bounds)
-      else if (e.logOffset > s.logOffset)
+      else if (e.logOffset > s.logOffset) {
+        // skip-rows apply exactly when this batch starts AT the resolved
+        // specific offset — i.e. the stream's first log batch (a WAL
+        // replay of that batch re-plans identically, keeping the restart
+        // exactly-once)
+        val skipRows =
+          if (cfg.startupMode == "specific-offset" && cfg.skipRows > 0 &&
+              s.logOffset == specificStart) cfg.skipRows
+          else 0
         CdcPlanner.logRanges(s.logOffset, e.logOffset, cfg.logPartitions)
           .map { case (lo, hi) =>
             LogRangePartition(cfg.dialectName, cfg.path, table,
               lo, hi, cfg.changelogMode, schemaDdl, cfg.parseErrorPolicy,
               cfg.serverTimeZone, cfg.columnMaskSpec,
-              cfg.skippedOperations.toSeq.sorted.mkString(","))
+              cfg.skippedOperations.toSeq.sorted.mkString(","),
+              skipRows = if (lo == s.logOffset) skipRows else 0)
           }
-      else Seq.empty
+      } else Seq.empty
     }.toArray
   }
 

@@ -139,6 +139,36 @@ object CdcSurfaceQueries {
              |  UNION ALL SELECT '-D', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 3)
              |) ORDER BY __op""".stripMargin)),
 
+    // Mid-transaction resume (BinlogOffset.eventsToSkip/rowsToSkip,
+    // re-expressed on the linear offset space): seek to the start of the
+    // update band, skip the 5 already-processed update EVENTS, and drop
+    // the first emitted ROW of the 6th (its -U was already delivered
+    // before the restart) — the 6th update contributes only its +U, every
+    // later event is untouched, and the insert/delete bands replay
+    // whole.
+    "cdc_startup_skip_events" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepare(s, dir0)
+        opCounts(readBatch(s, dir, "orders", Map(
+          "scan.startup.mode" -> "specific-offset",
+          "scan.startup.specific-offset" -> ordersSpec.updBand.toString,
+          "scan.startup.specific-offset.skip-events" -> "5",
+          "scan.startup.specific-offset.skip-rows" -> "1")))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+             |  FROM orders WHERE o_orderkey % 10 = 7)
+             |SELECT __op, n FROM (
+             |  SELECT '+I' AS __op, (SELECT CAST(COUNT(*) AS BIGINT)
+             |    FROM orders WHERE o_orderkey % 100 = 1) AS n
+             |  UNION ALL SELECT '+U', (SELECT CAST(COUNT(*) AS BIGINT)
+             |    FROM ranked WHERE rn > 5)
+             |  UNION ALL SELECT '-U', (SELECT CAST(COUNT(*) AS BIGINT)
+             |    FROM ranked WHERE rn > 6)
+             |  UNION ALL SELECT '-D', (SELECT CAST(COUNT(*) AS BIGINT)
+             |    FROM orders WHERE o_orderkey % 13 = 3)
+             |) ORDER BY __op""".stripMargin)),
+
     // Startup from a source timestamp (ts == offset in the generated log):
     // from ts 4e9 only the deletes remain.
     "cdc_startup_timestamp" -> QueryDef(

@@ -883,6 +883,74 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(read(owned, "initial").select("id", "v").count() > 0)
   }
 
+  test("specific-offset skip-events/skip-rows: mid-transaction resume " +
+    "(BinlogOffset eventsToSkip/rowsToSkip semantics)") {
+    val dir = tmpDir("cdc-skip")
+    writeDb(dir, 6L)
+    def rows(opts: (String, String)*): Seq[(String, Long)] = {
+      val r = spark.read.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("scan.startup.mode", "specific-offset")
+        .option("scan.incremental.snapshot.chunk.size", "5")
+      opts.foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2)).load()
+        .select(OpCol, OffsetCol).collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSeq.sortBy(_._2)
+    }
+    // baseline: from offset 2 -> events 3,4,5,6 (update 4 emits -U,+U)
+    val base = rows("scan.startup.specific-offset" -> "2")
+    assert(base === Seq(("+I", 3L), ("-U", 4L), ("+U", 4L), ("-D", 5L),
+      ("+I", 6L)))
+    // skip-events=2 from offset 2: events 3 and 4 skipped entirely
+    assert(rows("scan.startup.specific-offset" -> "2",
+      "scan.startup.specific-offset.skip-events" -> "2") ===
+      Seq(("-D", 5L), ("+I", 6L)))
+    // skip-rows=1 from offset 3: the first event (update at 4) loses its
+    // already-delivered -U; later events untouched
+    assert(rows("scan.startup.specific-offset" -> "3",
+      "scan.startup.specific-offset.skip-rows" -> "1") ===
+      Seq(("+U", 4L), ("-D", 5L), ("+I", 6L)))
+    // composed: skip 1 event past offset 2 (drops 3), then 1 row of the
+    // next (update 4 keeps only +U)
+    assert(rows("scan.startup.specific-offset" -> "2",
+      "scan.startup.specific-offset.skip-events" -> "1",
+      "scan.startup.specific-offset.skip-rows" -> "1") ===
+      Seq(("+U", 4L), ("-D", 5L), ("+I", 6L)))
+    // skipping past the log head yields an empty replay, not an error
+    assert(rows("scan.startup.specific-offset" -> "2",
+      "scan.startup.specific-offset.skip-events" -> "99") === Seq.empty)
+    // skips without specific-offset mode fail at analysis
+    val e = intercept[Exception] {
+      spark.read.format("graft-cdc")
+        .option("path", dir).option("table", "t")
+        .option("scan.startup.mode", "earliest")
+        .option("scan.startup.specific-offset.skip-events", "1")
+        .load().count()
+    }
+    assert(e.getMessage.contains("specific-offset"), e.getMessage)
+  }
+
+  test("specific-offset skip semantics hold through the STREAM path " +
+    "(first micro-batch only, restart-safe)") {
+    val dir = tmpDir("cdc-skip-stream")
+    writeDb(dir, 6L)
+    val name = s"skipstream_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "specific-offset")
+      .option("scan.startup.specific-offset", "2")
+      .option("scan.startup.specific-offset.skip-events", "1")
+      .option("scan.startup.specific-offset.skip-rows", "1")
+      // force multiple micro-batches so later batches prove unaffected
+      .option("scan.stream.max-events-per-trigger", "1")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).select(OpCol, OffsetCol).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq.sortBy(_._2)
+    assert(got === Seq(("+U", 4L), ("-D", 5L), ("+I", 6L)))
+  }
+
   test("mask spec encode/decode round-trips every rule shape") {
     import graft.cdc.source.ColumnMasks
     val rules: Map[String, ColumnMasks.Rule] = Map(

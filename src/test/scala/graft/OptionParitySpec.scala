@@ -100,12 +100,10 @@ class OptionParitySpec extends AnyFunSuite {
       CdcSourceConfig.SpecificOffsetKey, "see specific-offset.file"),
     "scan.startup.specific-offset.gtid-set" -> Analogue(
       CdcSourceConfig.SpecificOffsetKey, "see specific-offset.file"),
-    "scan.startup.specific-offset.skip-events" -> NA(
-      "binlog positions may land mid-transaction, so the reference skips " +
-        "N events past the seek point; offsets here are per-event and " +
-        "totally ordered — callers advance the offset itself"),
-    "scan.startup.specific-offset.skip-rows" -> NA(
-      "see specific-offset.skip-events"),
+    "scan.startup.specific-offset.skip-events" -> Mapped(
+      CdcSourceConfig.SkipEventsKey, Some(_.skipEvents == 0L)),
+    "scan.startup.specific-offset.skip-rows" -> Mapped(
+      CdcSourceConfig.SkipRowsKey, Some(_.skipRows == 0)),
     "scan.startup.timestamp-millis" ->
       Mapped(CdcSourceConfig.TimestampKey, None),
 
