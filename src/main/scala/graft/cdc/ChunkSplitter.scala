@@ -22,6 +22,17 @@ object ChunkSplitter {
   /** Default rows per chunk (MySqlSourceOptions.java:104-109). */
   val DefaultChunkSize = 8096
 
+  /** Row budget for a BYTE-sized chunk target: `targetBytes / avgRowBytes`,
+    * floored at 1 row and capped at Int.MaxValue (Mongo derives its
+    * chunk.size.mb row budget from collStats avgObjSize the same way,
+    * MongoDBSourceOptions.java:130-137). */
+  def rowBudgetForBytes(targetBytes: Long, avgRowBytes: Long): Int = {
+    require(targetBytes > 0, s"chunk byte target must be > 0: $targetBytes")
+    require(avgRowBytes > 0, s"avg row size must be > 0: $avgRowBytes")
+    math.min(math.max(1L, targetBytes / avgRowBytes), Int.MaxValue.toLong)
+      .toInt
+  }
+
   /** (max-min+1)/rowCount — MySqlChunkSplitter.calculateDistributionFactor
     * (MySqlChunkSplitter.java:397-420). */
   def distributionFactor(min: Long, max: Long, rowCount: Long): Double =

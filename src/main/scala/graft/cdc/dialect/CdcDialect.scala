@@ -102,6 +102,15 @@ trait CdcDialect extends Serializable {
     if (best == Long.MinValue) None else Some(best)
   }
 
+  /** Mean stored row size (bytes) of one table's snapshot, when the store
+    * can answer from metadata (file sizes, table statistics) without
+    * scanning data. Drives byte-based chunk sizing
+    * (`scan.incremental.snapshot.chunk.size.mb`,
+    * MongoDBSourceOptions.java:130-137 — Mongo sizes chunks in MB via
+    * collStats avgObjSize the same way). None = the dialect cannot
+    * estimate, and a byte-sized scan over it fails at analysis. */
+  def avgRowSizeBytes(path: String, table: String): Option[Long] = None
+
   /** Physical range boundaries the STORE already maintains for this table
     * — TiKV region start keys, a sharded cluster's chunk bounds
     * (TableKeyRangeUtils / ShardedSplitStrategy). When present, the
@@ -170,6 +179,19 @@ object FileCdcDialect extends CdcDialect {
 
   override def tableMeta(path: String, table: String): TableMeta =
     FileCdcDatabase.readMeta(path, table)
+
+  /** Snapshot bytes / row count, from file metadata only (the JSONL
+    * wire size stands in for the store's stored-row size, as Mongo's
+    * collStats.avgObjSize does for BSON). */
+  override def avgRowSizeBytes(path: String, table: String): Option[Long] = {
+    val rows = tableMeta(path, table).rowCount
+    if (rows <= 0) None
+    else {
+      val bytes = FileCdcDatabase.dataFiles(path, table, "snapshot")
+        .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+      if (bytes <= 0) None else Some(math.max(1L, bytes / rows))
+    }
+  }
 
   /** Store-native ranges from the table metadata (the TiKV-region / shard-
     * chunk analogue a physical store would report). */

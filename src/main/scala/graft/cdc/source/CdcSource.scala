@@ -61,6 +61,14 @@ object CdcSourceConfig {
     * (`scan.startup.timestamp-millis`, MySqlSourceOptions.java:180-186). */
   val TimestampLegacyKey = "scan.startup.timestamp-ms"
   val ChunkSizeKey = "scan.incremental.snapshot.chunk.size"
+  /** Byte-based chunk sizing (MongoDB sizes chunks in MB —
+    * `scan.incremental.snapshot.chunk.size.mb`,
+    * MongoDBSourceOptions.java:130-137): when set (> 0), the row-count
+    * chunk size is DERIVED as `mb·2^20 / avgRowSizeBytes` from the
+    * dialect's metadata-only row-size estimate, so a wide table gets
+    * proportionally fewer rows per chunk and chunk memory stays bounded
+    * in BYTES. Overrides [[ChunkSizeKey]] when both are set. */
+  val ChunkSizeMbKey = "scan.incremental.snapshot.chunk.size.mb"
   val ChangelogModeKey = "changelog.mode" // all | upsert
   /** Caps how far the log offset advances per micro-batch (the "keep stream
     * batches small" knob — SURVEY §7.3; reference bounds fetch batches via
@@ -179,6 +187,7 @@ object CdcSourceConfig {
     startupMode = o.getOrDefault(StartupModeKey, "initial"),
     chunkSize = o.getOrDefault(ChunkSizeKey,
       ChunkSplitter.DefaultChunkSize.toString).toInt,
+    chunkSizeMb = o.getOrDefault(ChunkSizeMbKey, "0").toInt,
     changelogMode = o.getOrDefault(ChangelogModeKey, "all"),
     specificOffset = o.getOrDefault(SpecificOffsetKey, "-1").toLong,
     skipEvents = o.getOrDefault(SkipEventsKey, "0").toLong,
@@ -229,6 +238,7 @@ case class CdcSourceConfig(
     table: String,
     startupMode: String,
     chunkSize: Int,
+    chunkSizeMb: Int = 0,
     changelogMode: String,
     specificOffset: Long = -1L,
     skipEvents: Long = 0L,
@@ -296,6 +306,8 @@ case class CdcSourceConfig(
       s"$maxEventsPerTrigger")
   require(logPartitions >= 1,
     s"${CdcSourceConfig.LogPartitionsKey} must be >= 1: $logPartitions")
+  require(chunkSizeMb >= 0,
+    s"${CdcSourceConfig.ChunkSizeMbKey} must be >= 0: $chunkSizeMb")
   require(boundedOffset >= -1L,
     s"${CdcSourceConfig.BoundedOffsetKey} must be -1 (unbounded) or >= 0: " +
       s"$boundedOffset")
@@ -596,15 +608,31 @@ object CdcPlanner {
     val (mn, mx) =
       if (ck == m.pk) (m.minPk, m.maxPk)
       else cfg.dialect.columnStats(cfg.path, table, ck)
+    // byte-based sizing: the row budget is derived per TABLE from the
+    // dialect's metadata-only row-size estimate, so wide tables get
+    // proportionally fewer rows per chunk (Mongo's chunk.size.mb /
+    // avgObjSize device, MongoDBSourceOptions.java:130-137)
+    val chunkRows: Int =
+      if (cfg.chunkSizeMb <= 0) cfg.chunkSize
+      else {
+        val avg = cfg.dialect.avgRowSizeBytes(cfg.path, table).getOrElse(
+          throw new IllegalArgumentException(
+            s"${CdcSourceConfig.ChunkSizeMbKey}: dialect " +
+              s"'${cfg.dialectName}' cannot estimate the row size of " +
+              s"'$table' from metadata — size chunks in rows " +
+              s"(${CdcSourceConfig.ChunkSizeKey}) instead"))
+        ChunkSplitter.rowBudgetForBytes(
+          cfg.chunkSizeMb.toLong * 1024 * 1024, avg)
+      }
     if (!ChunkSplitter.isEvenlyDistributed(mn, mx, m.rowCount,
         cfg.distributionFactorUpper, cfg.distributionFactorLower)
         && cfg.dialect.supportsChunkMaxQuery(cfg.path))
       // uneven split pushed to the store: O(chunks) point queries
       // (SELECT MAX(pk)… LIMIT chunkSize, StatementUtils.java:99-130)
-      ChunkSplitter.splitUnevenlyByQuery(mn, mx, cfg.chunkSize,
+      ChunkSplitter.splitUnevenlyByQuery(mn, mx, chunkRows,
         lo => cfg.dialect.nextChunkMax(cfg.path, table, ck, lo,
-          cfg.chunkSize))
-    else ChunkSplitter.split(mn, mx, m.rowCount, cfg.chunkSize,
+          chunkRows))
+    else ChunkSplitter.split(mn, mx, m.rowCount, chunkRows,
       // uneven fallback walks the snapshot's sorted chunk-key values
       () => {
         val codec = new JsonRowCodec(m.schema)

@@ -247,6 +247,33 @@ object DedupQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // Byte-based chunk sizing on a WIDE table (Mongo's chunk.size.mb,
+    // MongoDBSourceOptions.java:130-137): the snapshot row budget derives
+    // from the dialect's metadata-only avg-row-size estimate, so the
+    // kilobyte-wide documents rows get proportionally fewer rows per
+    // chunk than a numeric table would — and the chunk/watermark merge
+    // over those byte-sized chunks must reproduce the exact post-change
+    // corpus, text payload included (md5 proves the wide column survived
+    // the merge byte-for-byte).
+    "cdc_chunk_size_mb" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareDocs(s, dir0)
+        s.read.format("graft-cdc")
+          .option("path", dir).option("table", "documents")
+          .option("scan.startup.mode", "initial")
+          .option("scan.incremental.snapshot.chunk.size.mb", "1")
+          .load()
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val state = graft.cdc.ChangelogGen.oracleFinalStateSql(docsSpec,
+          Seq("doc_id", "lang", "n_chars", "text"), "documents")
+        s"""SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+           |FROM ($state) ORDER BY doc_id""".stripMargin
+      }),
+
     // CDC → dedup composition, the pipeline the north star describes end
     // to end: the documents corpus arrives as a CDC changelog (inserts are
     // byte-identical COPIES under new ids, deletes retire docs), the

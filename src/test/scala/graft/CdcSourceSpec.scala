@@ -951,6 +951,32 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(got === Seq(("+U", 4L), ("-D", 5L), ("+I", 6L)))
   }
 
+  test("chunk.size.mb: byte-derived chunking reads the identical state; " +
+    "dialect row-size estimate comes from file metadata") {
+    val dir = tmpDir("cdc-bytesize")
+    writeDb(dir, 6L)
+    val avg = graft.cdc.dialect.CdcDialects.byName("file")
+      .avgRowSizeBytes(dir, "t")
+    assert(avg.exists(a => a > 0 && a < 200), s"avg=$avg")
+    // 1 MB target >> 20 tiny rows -> row budget swallows the table: one
+    // snapshot partition, same merged state as row-count chunking
+    val byBytes = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option("scan.incremental.snapshot.chunk.size.mb", "1")
+      .load()
+    assert(byBytes.rdd.getNumPartitions === 1)
+    val rows = byBytes.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet === finalState)
+    intercept[IllegalArgumentException] {
+      graft.cdc.source.CdcSourceConfig.fromOptions(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir, "table", "t",
+            "scan.incremental.snapshot.chunk.size.mb", "-3")))
+    }
+  }
+
   test("mask spec encode/decode round-trips every rule shape") {
     import graft.cdc.source.ColumnMasks
     val rules: Map[String, ColumnMasks.Rule] = Map(

@@ -159,6 +159,24 @@ class ChunkSplitterSpec extends AnyFunSuite {
       (None, Some(1000L)), (Some(1000L), Some(2000L)), (Some(2000L), None)))
   }
 
+  test("byte-based row budget: target bytes / avg row size, floored and capped") {
+    // 64 MB target over 1 KB rows -> 65536 rows per chunk
+    assert(ChunkSplitter.rowBudgetForBytes(64L << 20, 1024L) === 65536)
+    // wide rows get proportionally fewer rows per chunk
+    assert(ChunkSplitter.rowBudgetForBytes(64L << 20, 1 << 20) === 64)
+    // a row wider than the whole target still yields one row per chunk
+    assert(ChunkSplitter.rowBudgetForBytes(1L << 20, 10L << 20) === 1)
+    // tiny rows cap at Int.MaxValue rather than overflowing
+    assert(ChunkSplitter.rowBudgetForBytes(Long.MaxValue / 2, 1L)
+      === Int.MaxValue)
+    intercept[IllegalArgumentException] {
+      ChunkSplitter.rowBudgetForBytes(0L, 1024L)
+    }
+    intercept[IllegalArgumentException] {
+      ChunkSplitter.rowBudgetForBytes(1024L, 0L)
+    }
+  }
+
   test("mongo strategy selection: sharded > splitVector > sample") {
     val shard = Seq((Option.empty[Long], Some(5L)), (Some(5L), None))
     // sharded wins even when splitVector would be permitted
