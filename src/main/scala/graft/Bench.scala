@@ -46,6 +46,7 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     Seq(s"/root/repo/.scratch/cdcdb/$sfName",
         s"/root/repo/.scratch/cdcdb_tenant/$sfName",
+        s"/root/repo/.scratch/cdcdb_trunc/$sfName",
         s"/root/repo/.scratch/cdcdb_ddl/$sfName",
         s"/root/repo/.scratch/cdcdb_docs/$sfName",
         s"/root/repo/.scratch/cdcdb_docs_replay/$sfName",

@@ -20,6 +20,14 @@ object ChangeRecord {
     val Read   = "r" // snapshot read
     val Update = "u"
     val Delete = "d"
+    /** Table truncation (Debezium emits `t` for MySQL TRUNCATE TABLE).
+      * Carries no row images. The snapshot merge treats it as "every row
+      * whose newest write precedes this offset is dead"; the log phase
+      * emits nothing for it — there is no retract-stream row kind for a
+      * whole-table operation (the reference's deserializer dispatches
+      * c/r/u/d only, RowDataDebeziumDeserializeSchema.java:123-145, and
+      * Debezium's own skipped.operations default drops truncates). */
+    val Truncate = "t"
     /** Schema-change event (reference: surfaced when includeSchemaChanges,
       * MySqlRecordEmitter.java:95-107; tracked in the database history,
       * FlinkDatabaseHistory / EmbeddedFlinkDatabaseHistory). Routed to the

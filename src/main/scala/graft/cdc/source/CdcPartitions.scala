@@ -235,6 +235,13 @@ private[source] class EnvelopeDecoder(dialectName: String, path: String,
 private[source] case class OverlayEntry(ckVal: Long,
     value: Option[(Long, InternalRow)])
 
+/** One log pass's merge state: surviving entries per key plus the newest
+  * TRUNCATE offset seen in the slice (0 = none) — the death frontier the
+  * merge applies to snapshot rows and pre-truncate writes alike. */
+private[source] case class SnapshotOverlay(
+    entries: mutable.LinkedHashMap[Long, OverlayEntry],
+    truncateOffset: Long)
+
 /**
  * Per-executor shared log-overlay builds. Every snapshot partition of one
  * read replays the same log slice (0, high]; on an executor running many
@@ -272,8 +279,8 @@ private[graft] object SnapshotOverlayCache {
     * known oversized — caller builds span-filtered locally. `build(cap)`
     * must return None when the overlay would exceed `cap` entries. */
   def sharedOverlay(p: SnapshotChunkPartition,
-      build: Int => Option[mutable.LinkedHashMap[Long, OverlayEntry]])
-      : Option[collection.Map[Long, OverlayEntry]] = {
+      build: Int => Option[SnapshotOverlay])
+      : Option[SnapshotOverlay] = {
     // content token closes the stale-cache hole: a force=true rewrite at
     // the same path/max-offset changes file sizes/mtimes → new key
     val k = Key(p.dialect, p.path, p.table, p.high, p.schemaDdl,
@@ -295,7 +302,7 @@ private[graft] object SnapshotOverlayCache {
       case Oversized => None
       case ref: java.lang.ref.SoftReference[_] =>
         // a reclaim between compute and here: rebuild locally this once
-        Option(ref.get.asInstanceOf[mutable.LinkedHashMap[Long, OverlayEntry]])
+        Option(ref.get.asInstanceOf[SnapshotOverlay])
     }
   }
 }
@@ -339,8 +346,9 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
     * partition's key span (the bounded-memory local mode); unfiltered is
     * the shared-cache mode. `cap` aborts an oversized unfiltered build. */
   private def buildOverlay(filterSpan: Boolean, cap: Int)
-      : Option[mutable.LinkedHashMap[Long, OverlayEntry]] = {
+      : Option[SnapshotOverlay] = {
     val m = mutable.LinkedHashMap[Long, OverlayEntry]()
+    var truncOff = 0L
     val it = dec.logLinesInRange(0L, p.high)
     var oversized = false
     while (!oversized && it.hasNext) {
@@ -353,8 +361,13 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
       val quick = FileCdcDatabase.quickNestedLongFieldOpt(line, dec.chunkKey)
       if (!filterSpan || quick.forall(inSpan))
         dec.decodeEnvelopeSafe(line).foreach { env =>
-          // schema-change records go to the history, not the data merge (T2)
-          if (env.op != ExternalOp.SchemaChange
+          // schema-change records go to the history, not the data merge
+          // (T2); truncate has no images — it only advances the death
+          // frontier (EVERY key span sees it, so it must be tracked even
+          // in span-filtered builds)
+          if (env.op == ExternalOp.Truncate)
+            truncOff = math.max(truncOff, env.offset)
+          else if (env.op != ExternalOp.SchemaChange
             && (!filterSpan || inSpan(env.chunkKeyVal))) {
             env.op match {
               case ExternalOp.Delete =>
@@ -372,34 +385,40 @@ class SnapshotChunkReader(p: SnapshotChunkPartition)
     if (oversized) {
       it match { case c: AutoCloseable => c.close(); case _ => () }
       None
-    } else Some(m)
+    } else Some(SnapshotOverlay(m, truncOff))
   }
 
   // Shared unfiltered overlay when change volume permits (one log scan per
   // executor); span-filtered local build otherwise. mergeRange filters by
   // ckVal either way, so the two modes merge identically.
-  private lazy val overlay: collection.Map[Long, OverlayEntry] =
+  private lazy val overlay: SnapshotOverlay =
     SnapshotOverlayCache.sharedOverlay(p,
       cap => buildOverlay(filterSpan = false, cap))
       .getOrElse(buildOverlay(filterSpan = true, Int.MaxValue).get)
 
   // W2 per chunk range: chunk rows keyed by pk, then the partition's log
-  // overlay applied — CREATE/UPDATE replace, DELETE removes. Snapshot input
+  // overlay applied — CREATE/UPDATE replace, DELETE removes, and a
+  // TRUNCATE in (0, high] kills every row whose newest write precedes it
+  // (the snapshot is state at offset 0, so a truncate skips its scan
+  // entirely — only post-truncate log writes can be live). Snapshot input
   // is range-pushed to the dialect. Ranges evaluate lazily one at a time
   // (flatMap), so a grouped partition holds O(chunk + span changes) rows.
   private def mergeRange(lo: Option[Long], hi: Option[Long]): Iterator[InternalRow] = {
     def inRange(k: Long): Boolean = lo.forall(k >= _) && hi.forall(k < _)
     val byKey = mutable.LinkedHashMap[Long, (Long, InternalRow)]()
-    dec.snapshotLines(lo, hi).foreach { line =>
-      val row = dec.codec.decode(line)
-      val ck = CdcPlanner.toLongKey(row.get(dec.ckIdx, dec.ckType))
-      if (inRange(ck))
-        byKey(CdcPlanner.toLongKey(row.get(dec.pkIdx, dec.pkType))) = (0L, row)
-    }
-    overlay.foreach { case (k, e) =>
+    if (overlay.truncateOffset == 0L)
+      dec.snapshotLines(lo, hi).foreach { line =>
+        val row = dec.codec.decode(line)
+        val ck = CdcPlanner.toLongKey(row.get(dec.ckIdx, dec.ckType))
+        if (inRange(ck))
+          byKey(CdcPlanner.toLongKey(row.get(dec.pkIdx, dec.pkType))) = (0L, row)
+      }
+    overlay.entries.foreach { case (k, e) =>
       if (inRange(e.ckVal)) e.value match {
         case None => byKey.remove(k)
-        case Some(offImg) => byKey(k) = offImg
+        case Some(offImg) =>
+          if (offImg._1 > overlay.truncateOffset) byKey(k) = offImg
+          else byKey.remove(k) // newest write precedes the truncate
       }
     }
     byKey.valuesIterator.map { case (off, img) =>
@@ -459,8 +478,12 @@ class LogRangeReader(p: LogRangePartition)
       .flatMap { env =>
         val emitted: Seq[InternalRow] = env.op match {
           // schema changes route to SchemaHistory, not the row stream (the
-          // reference emits them only under includeSchemaChanges)
-          case ExternalOp.SchemaChange => Seq.empty
+          // reference emits them only under includeSchemaChanges);
+          // truncates carry no images and Flink's retract stream has no
+          // whole-table row kind — the reference's deserializer dispatches
+          // c/r/u/d only, so a truncate contributes no log-phase rows
+          // (its state effect lives in the snapshot merge's death frontier)
+          case ExternalOp.SchemaChange | ExternalOp.Truncate => Seq.empty
           case ExternalOp.Create | ExternalOp.Read =>
             Seq(dec.emit(env.after, RowKind.Insert, env.offset, env.ts))
           case ExternalOp.Delete =>

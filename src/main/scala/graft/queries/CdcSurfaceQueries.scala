@@ -111,6 +111,30 @@ object CdcSurfaceQueries {
     dir
   }
 
+  /** Fixture with a TRUNCATE event between the update band (~1e6) and the
+    * insert band (~2e9): post-truncate state = only the inserted copies
+    * (Debezium emits `t` for MySQL TRUNCATE TABLE; the merge treats it as
+    * the death frontier for every earlier write). */
+  private[queries] def prepareTrunc(spark: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"/root/repo/.scratch/cdcdb_trunc/$sf"
+    val base = Tables.load(spark, sfDir, "orders")
+    val truncOff = 1500000000L
+    val truncRow = base.limit(1).select(
+      lit(truncOff).as(OffsetCol),
+      lit(ExternalOp.Truncate).as(OpCol),
+      lit(truncOff).as(TsCol),
+      lit("graft").as(DbCol), lit("orders").as(TableCol),
+      lit(null).cast(base.schema).as(BeforeCol),
+      lit(null).cast(base.schema).as(AfterCol))
+    FileCdcDatabase.write(spark, dir, "orders", "graft", ordersSpec.pk,
+      snapshot = base,
+      changes = ChangelogGen.changes(base, ordersSpec)
+        .unionByName(truncRow),
+      snapshotPartitions = 8)
+    dir
+  }
+
   private def readBatch(spark: SparkSession, dir: String, table: String,
       opts: Map[String, String]): DataFrame = {
     val r = spark.read.format("graft-cdc")
@@ -168,6 +192,32 @@ object CdcSurfaceQueries {
              |  UNION ALL SELECT '-D', (SELECT CAST(COUNT(*) AS BIGINT)
              |    FROM orders WHERE o_orderkey % 13 = 3)
              |) ORDER BY __op""".stripMargin)),
+
+    // TRUNCATE event in the changelog (Debezium emits `t` for MySQL
+    // TRUNCATE TABLE): the snapshot merge applies it as a death frontier
+    // — every row whose newest write precedes the truncate offset is
+    // dead, including the whole snapshot, and only the post-truncate
+    // inserted copies survive. The pre-truncate updates and the
+    // post-truncate deletes (which target already-dead original keys)
+    // must both leave no trace. Log replay (earliest) emits no row for
+    // the truncate itself — there is no whole-table retract row kind.
+    "cdc_truncate_log" -> QueryDef(
+      (s, dir0) => {
+        val dir = prepareTrunc(s, dir0)
+        readBatch(s, dir, "orders", Map("scan.startup.mode" -> "initial"))
+          .select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some {
+        val cols = orderCols.map {
+          case c if c == ordersSpec.pk =>
+            s"${ordersSpec.pk} + ${ordersSpec.insertKeyOffset} AS ${ordersSpec.pk}"
+          case c => c
+        }.mkString(", ")
+        s"""SELECT $cols FROM orders
+           |WHERE ${ordersSpec.pk} % ${ordersSpec.insEvery} = ${ordersSpec.insSel}
+           |ORDER BY ${ordersSpec.pk}""".stripMargin
+      }),
 
     // Startup from a source timestamp (ts == offset in the generated log):
     // from ts 4e9 only the deletes remain.

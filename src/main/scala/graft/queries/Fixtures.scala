@@ -16,6 +16,7 @@ object Fixtures {
     CdcSourceQueries.prepareJdbc(spark, sfDir)
     CdcSourceQueries.prepareCustomer(spark, sfDir)
     CdcSourceQueries.prepareTenant(spark, sfDir)
+    CdcSurfaceQueries.prepareTrunc(spark, sfDir)
     CdcSourceQueries.prepareTyped(spark, sfDir)
     CdcSourceQueries.prepareTz(spark, sfDir)
     CdcSourceQueries.prepareMongo(spark, sfDir)

@@ -977,6 +977,41 @@ class CdcSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("truncate event: death frontier in the merge, silent in log replay") {
+    val dir = tmpDir("cdc-trunc")
+    // snapshot 1..20; update id1, insert 21, TRUNCATE, insert 22 and 23,
+    // delete 22 — survivors are exactly the post-truncate inserts minus
+    // the post-truncate delete
+    val events = Seq(
+      (1L, "u", Some((1L, "v1")), Some((1L, "v1b"))),
+      (2L, "c", None, Some((21L, "v21"))),
+      (3L, "t", None, None),
+      (4L, "c", None, Some((22L, "v22"))),
+      (5L, "c", None, Some((23L, "v23"))),
+      (6L, "d", Some((22L, "v22")), None))
+    FileCdcDatabase.write(spark, dir, "t", "graft", "id",
+      snapshot = snapshotDf, changes = changesDf(events),
+      snapshotPartitions = 2, force = true)
+    val rows = read(dir, "initial").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet === Set((23L, "v23")))
+    // log replay: the truncate contributes no row; everything else does
+    val ops = read(dir, "earliest").groupBy(OpCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops === Map("+I" -> 3L, "-U" -> 1L, "+U" -> 1L, "-D" -> 1L))
+    // bounded read BEFORE the truncate still sees the pre-truncate state
+    val before = spark.read.format("graft-cdc")
+      .option("path", dir).option("table", "t")
+      .option("scan.startup.mode", "initial")
+      .option("scan.bounded.offset", "2")
+      .option("scan.incremental.snapshot.chunk.size", "5")
+      .load().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(before === ((1L to 20L).map {
+      case 1L => (1L, "v1b"); case i => (i, s"v$i")
+    }.toSet + ((21L, "v21"))))
+  }
+
   test("mask spec encode/decode round-trips every rule shape") {
     import graft.cdc.source.ColumnMasks
     val rules: Map[String, ColumnMasks.Rule] = Map(
