@@ -87,6 +87,79 @@ object CurationQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // TOKEN-BUDGET WATERFILLING ACROSS SOURCES — the data-mixing
+    // allocation step when a training run's token budget is smaller than
+    // the corpus: raise one water level L and give every source
+    // min(tokens_s, L), so small sources keep everything and large
+    // sources are capped equally (the max-min fair allocation; what a
+    // mixture designer starts from before hand-tuned weights). All
+    // integer: budget = 60% of total tokens, the level solves
+    // Σ min(t_s, L) ≤ B exactly by segment search over the sorted source
+    // sizes. Scale shape: the corpus pays ONE map-side-combined rollup to
+    // |sources| rows; the window + segment search run on that tiny frame
+    // (a deliberate sources-sized global window, not a corpus one).
+    "sample_source_budget" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.load(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(words(col("text"))).cast(LongType)).as("t"))
+        val w = Window.orderBy(col("t"), col("source"))
+        val staged = toks
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("prefix", coalesce(
+            sum(col("t")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        val stats = staged.agg(count(lit(1)).as("n"),
+          sum(col("t")).as("total"))
+        val staged2 = staged.crossJoin(broadcast(stats))
+          .withColumn("budget", expr("(total * 6) div 10"))
+          .withColumn("slots", col("n") - col("rn") + 1)
+          .withColumn("f", col("prefix") + col("slots") * col("t"))
+        // first segment whose fully-raised cost exceeds the budget holds
+        // the level; if none, every source fits and L = max size
+        val lvlRow = staged2.filter(col("f") > col("budget"))
+          .agg(min_by(expr("(budget - prefix) div slots"), col("rn"))
+            .as("lv0"))
+        val maxT = staged2.agg(max(col("t")).as("mt"))
+        staged2
+          .crossJoin(broadcast(lvlRow)).crossJoin(broadcast(maxT))
+          .withColumn("water_level", coalesce(col("lv0"), col("mt")))
+          .select(col("source"), col("t").as("n_tokens"),
+            least(col("t"), col("water_level")).as("alloc_tokens"),
+            col("water_level"), col("budget"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val nw = s"CAST(len(${sqlWords("text")}) AS BIGINT)"
+        s"""WITH toks AS (
+           |  SELECT source, CAST(SUM($nw) AS BIGINT) AS t
+           |  FROM documents GROUP BY source),
+           |staged AS (
+           |  SELECT source, t,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY t, source) AS BIGINT) AS rn,
+           |    CAST(COALESCE(SUM(t) OVER (ORDER BY t, source
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS prefix,
+           |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           |    CAST(SUM(t) OVER () AS BIGINT) AS total
+           |  FROM toks),
+           |staged2 AS (
+           |  SELECT *, CAST((total * 6) // 10 AS BIGINT) AS budget,
+           |    n - rn + 1 AS slots,
+           |    prefix + (n - rn + 1) * t AS f
+           |  FROM staged),
+           |lvl AS (
+           |  SELECT CAST(COALESCE(
+           |    (SELECT (budget - prefix) // slots FROM staged2
+           |     WHERE f > budget ORDER BY rn LIMIT 1),
+           |    (SELECT MAX(t) FROM staged2)) AS BIGINT) AS water_level)
+           |SELECT source, t AS n_tokens,
+           |  CAST(LEAST(t, water_level) AS BIGINT) AS alloc_tokens,
+           |  water_level, budget
+           |FROM staged2, lvl ORDER BY source""".stripMargin
+      }),
+
     // Benchmark decontamination: a training document is contaminated if it
     // shares any word-5-gram with the eval set (doc_id % 97 = 0 stands in
     // for the benchmark suite). The eval index — DISTINCT 5-gram hashes over

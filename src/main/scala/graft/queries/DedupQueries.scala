@@ -274,6 +274,76 @@ object DedupQueries {
            |FROM ($state) ORDER BY doc_id""".stripMargin
       }),
 
+    // LEAKAGE-FREE SPLIT ASSIGNMENT — train/val/test splitting that moves
+    // each near-dup CLUSTER as a unit: hashing doc_ids independently
+    // leaks near-duplicate content across splits (the classic eval
+    // contamination bug — a val document whose twin sits in train), so
+    // the split key is the CLUSTER id (singletons = their own id). Split
+    // by the suite's reproducible md5-threshold device: h(cluster) % 10
+    // → 0-7 train, 8 val, 9 test. The report carries per-split doc /
+    // cluster / char counts plus the VERIFIED invariant: the number of
+    // clusters straddling more than one split (must be 0 — the oracle
+    // recomputes it from its own recursive closure, so a clustering or
+    // hashing divergence surfaces as a nonzero count or a count
+    // mismatch). Scale shape: reuses the stored cluster artifact; one
+    // broadcast-sized join + a ≤3-row rollup on top of a pure-map hash.
+    "sample_leakage_split" -> QueryDef(
+      (s, dir) => {
+        val clusters = docClusters(s, dir)
+          .select(col("id").as("doc_id"), col("component").as("cid"))
+        val withC = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .join(broadcast(clusters), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+        val h = md5Long(concat(lit("lsp:"), col("cluster_id"))) % 10L
+        val split = when(h <= 7, "train").when(h === 8, "val")
+          .otherwise("test")
+        val tagged = withC.withColumn("split", split)
+        val leaky = tagged.groupBy(col("cluster_id"))
+          .agg(countDistinct(col("split")).as("nsp"))
+          .filter(col("nsp") > 1).agg(count(lit(1)).as("leaky"))
+        tagged.groupBy(col("split")).agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"),
+            sum(col("n_chars")).as("n_chars_total"))
+          .crossJoin(broadcast(leaky))
+          .select(col("split"), col("n_docs"), col("n_clusters"),
+            col("n_chars_total"), col("leaky").as("leaky_clusters"))
+          .orderBy(col("split"))
+      },
+      Some {
+        val h = s"(${sqlMd5Long("concat('lsp:', cluster_id)")} % 10)"
+        s"""WITH RECURSIVE $minhashPairsCte,
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM pairs
+           |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT u AS id, u AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+           |clusters AS (
+           |  SELECT id AS doc_id, MIN(r) AS cid FROM reach GROUP BY id),
+           |withc AS (
+           |  SELECT d.doc_id, d.n_chars,
+           |    coalesce(c.cid, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+           |tagged AS (
+           |  SELECT doc_id, n_chars, cluster_id,
+           |    CASE WHEN $h <= 7 THEN 'train'
+           |         WHEN $h = 8 THEN 'val' ELSE 'test' END AS split
+           |  FROM withc),
+           |leaky AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS leaky_clusters FROM (
+           |    SELECT cluster_id FROM tagged
+           |    GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1))
+           |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           |  (SELECT leaky_clusters FROM leaky) AS leaky_clusters
+           |FROM tagged GROUP BY split ORDER BY split""".stripMargin
+      }),
+
     // CDC → dedup composition, the pipeline the north star describes end
     // to end: the documents corpus arrives as a CDC changelog (inserts are
     // byte-identical COPIES under new ids, deletes retire docs), the

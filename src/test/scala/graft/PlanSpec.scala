@@ -673,4 +673,20 @@ class PlanSpec extends SparkSpecBase {
         s"query $qid pick 1 is not max relevance")
     }
   }
+  test("sample_leakage_split: cluster table broadcasts; corpus never " +
+    "cartesians (1-row leak count joins are nested-loop by design)") {
+    val plan = formatted(q("sample_leakage_split"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan.take(3000))
+  }
+
+  test("sample_source_budget: the only corpus-sized stage is one " +
+    "map-side-combined rollup; windows run on the sources-sized frame") {
+    // string-match the final plan: AQE hides stage subtrees from collect()
+    val plan = formatted(q("sample_source_budget"))
+    // the corpus aggregate must have a partial stage (map-side combine)
+    assert(plan.contains("partial_sum"),
+      s"corpus rollup lost its map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
