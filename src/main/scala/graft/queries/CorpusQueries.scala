@@ -613,6 +613,44 @@ object CorpusQueries {
     // one map-side-combined count over the exploded bigram stream; the
     // continuation table derives from the (vocab²-bounded) distinct-bigram
     // table, not the corpus; top-k via TakeOrdered, never a global sort.
+    // CORPUS-DUPLICATED N-GRAM AUDIT — the memorization / boilerplate
+    // surface at corpus level: 8-gram (word) fingerprints appearing in
+    // ≥3 DISTINCT documents, ranked by spread. This is the report that
+    // finds license headers, navigation chrome and copy-pasta that
+    // per-document repetition metrics cannot see (each copy is clean in
+    // isolation), and the memorization-risk audit before training
+    // (n-grams shared by many documents are the ones a model parrots).
+    // Scale shape: the per-doc DISTINCT fingerprints make n_docs a plain
+    // COUNT — ONE map-side-combined aggregate over (hash, doc) digest
+    // pairs; the corpus text never shuffles, and the output is top-20
+    // regardless of corpus size.
+    "corpus_duplicate_ngrams" -> QueryDef(
+      (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(shingleHashes(col("text"), 8)).as("h"))
+        sh.groupBy(col("h")).agg(
+            count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") >= 3)
+          .orderBy(col("n_docs").desc, col("h"))
+          .limit(20)
+          .select(col("h").as("ngram_hash"), col("n_docs"),
+            col("first_doc"))
+          .orderBy(col("n_docs").desc, col("ngram_hash"))
+      },
+      Some {
+        val hs = sqlShingleHashes("text", 8)
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(hs) AS h
+           |  FROM (SELECT doc_id, $hs AS hs FROM documents)),
+           |spread AS (
+           |  SELECT h AS ngram_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(MIN(doc_id) AS BIGINT) AS first_doc
+           |  FROM sh GROUP BY h HAVING COUNT(*) >= 3)
+           |SELECT ngram_hash, n_docs, first_doc FROM spread
+           |ORDER BY n_docs DESC, ngram_hash LIMIT 20""".stripMargin
+      }),
+
     "corpus_bigram_kn" -> QueryDef(
       (s, dir) => {
         // The corpus arrives as ONE input split locally, and tokenization

@@ -87,6 +87,54 @@ object CurationQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // HASHED-N-GRAM IMPORTANCE SCORING (DSIR-style) — rank documents by
+    // how target-like their n-gram distribution is: the target domain
+    // (lang = 'en' stands in for "high-quality reference corpus") and
+    // the background (everything) each yield bigram-hash document
+    // frequencies, and a document scores the sum over its DISTINCT
+    // bigrams of the scaled frequency ratio (cnt_target·10^6) div
+    // cnt_background — the exact-integer analogue of the importance
+    // log-ratio, monotone in the same direction and engine-identical.
+    // Top-50 by (score, doc_id) = the importance-resampled candidates.
+    // Scale shape: all joins are digest-keyed equi-joins (hash → count);
+    // the corpus text is read once into the cached (doc, hash) pairs
+    // that the target/background/score passes share; output is top-k.
+    "sample_importance_ratio" -> QueryDef(
+      (s, dir) => {
+        val db = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(shingleHashes(col("text"), 2)).as("h"))
+          .cache()
+        val cntT = db.filter(col("lang") === "en")
+          .groupBy(col("h")).agg(count(lit(1)).as("ct"))
+        val cntB = db.groupBy(col("h")).agg(count(lit(1)).as("cb"))
+        db.join(cntT, Seq("h"), "left").join(cntB, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("lang")).as("lang"),
+            sum(coalesce(expr("(ct * 1000000) div cb"), lit(0L)))
+              .as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(50)
+          .select(col("doc_id"), col("lang"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some {
+        val hs = sqlShingleHashes("text", 2)
+        s"""WITH db AS (
+           |  SELECT doc_id, lang, unnest(hs) AS h
+           |  FROM (SELECT doc_id, lang, $hs AS hs FROM documents)),
+           |cnt_t AS (
+           |  SELECT h, CAST(COUNT(*) AS BIGINT) AS ct FROM db
+           |  WHERE lang = 'en' GROUP BY h),
+           |cnt_b AS (
+           |  SELECT h, CAST(COUNT(*) AS BIGINT) AS cb FROM db GROUP BY h)
+           |SELECT doc_id, MAX(lang) AS lang,
+           |  CAST(SUM(COALESCE((t.ct * 1000000) // b.cb, 0)) AS BIGINT)
+           |    AS score
+           |FROM db LEFT JOIN cnt_t t USING (h) JOIN cnt_b b USING (h)
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+      }),
+
     // TOKEN-BUDGET WATERFILLING ACROSS SOURCES — the data-mixing
     // allocation step when a training run's token budget is smaller than
     // the corpus: raise one water level L and give every source
