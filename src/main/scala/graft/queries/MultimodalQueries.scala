@@ -154,6 +154,60 @@ object FakeCodec {
  */
 object MultimodalQueries {
 
+  /** Verified pHash near-dup pairs (id_a < id_b, hamming ≤ 3) over the
+    * media column: batched stub-codec signatures, 4×8-bit band-bucket
+    * candidates (pigeonhole-lossless for the radius), hamming check on
+    * candidates only. Shared by the pair query and the cluster stage. */
+  private def phashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val blobs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), lit("fake/v1").as("fmt"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaBlob]
+    val sigs = blobs
+      .mapPartitions(_.grouped(FakeCodec.BatchSize)
+        .flatMap(b => FakeCodec.phashBatch(b.toSeq)))
+      .toDF("doc_id", "sig")
+      .cache()
+    val bandVals = array((0 until 4).map { i =>
+      shiftright(col("sig"), i * 8).bitwiseAND(lit(255L))
+    }: _*)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandVals).as(Seq("band", "bv")))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band")
+        && col("a.bv") === col("b.bv")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+      .withColumn("ham", hamming(col("sa"), col("sb")))
+      .filter(col("ham") <= 3)
+  }
+
+  /** The recursive-closure oracle prefix over the brute-forced pHash pair
+    * set (`sig` CTE shared with the pair oracle). */
+  private val sqlPhashSigCtes =
+    """base AS (
+      |  SELECT doc_id, text,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0,32), k -> coalesce(list_sum(
+      |      list_transform(range(CAST(k+1 AS INTEGER), CAST(n+1 AS INTEGER), 32),
+      |        i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0)) AS stripes,
+      |    coalesce(list_sum(list_transform(range(1, CAST(n+1 AS INTEGER)),
+      |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS total
+      |  FROM base),
+      |sig AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32),
+      |    k -> CASE WHEN stripes[CAST(k+1 AS INTEGER)] * 32 > total
+      |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END))
+      |    AS BIGINT) AS sig
+      |  FROM st)""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // Decode/feature-extract over binary media columns via mapPartitions.
@@ -286,58 +340,56 @@ object MultimodalQueries {
     // corpus grows — collision rate per band is corpus²/2^bandbits). The
     // oracle brute-forces the same pair set.
     "mm_phash_neardup" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val blobs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), lit("fake/v1").as("fmt"),
-            encode(col("text"), "UTF-8").as("content"))
-          .as[MediaBlob]
-        val sigs = blobs
-          .mapPartitions(_.grouped(FakeCodec.BatchSize)
-            .flatMap(b => FakeCodec.phashBatch(b.toSeq)))
-          .toDF("doc_id", "sig")
-          .cache()
-        val bandVals = array((0 until 4).map { i =>
-          shiftright(col("sig"), i * 8).bitwiseAND(lit(255L))
-        }: _*)
-        val banded = sigs.select(col("doc_id"), col("sig"),
-          posexplode(bandVals).as(Seq("band", "bv")))
-        banded.as("a")
-          .join(banded.as("b"), col("a.band") === col("b.band")
-            && col("a.bv") === col("b.bv")
-            && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.sig").as("sa"), col("b.sig").as("sb"))
-          .distinct()
-          .withColumn("ham", hamming(col("sa"), col("sb")))
-          .filter(col("ham") <= 3)
-          .select(col("id_a"), col("id_b"),
-            col("ham").cast(LongType).as("ham"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
-      Some("""WITH base AS (
-             |  SELECT doc_id, text,
-             |    CAST(octet_length(encode(text)) AS BIGINT) AS n
-             |  FROM documents),
-             |st AS (
-             |  SELECT doc_id,
-             |    list_transform(range(0,32), k -> coalesce(list_sum(
-             |      list_transform(range(CAST(k+1 AS INTEGER), CAST(n+1 AS INTEGER), 32),
-             |        i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0)) AS stripes,
-             |    coalesce(list_sum(list_transform(range(1, CAST(n+1 AS INTEGER)),
-             |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS total
-             |  FROM base),
-             |sig AS (
-             |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32),
-             |    k -> CASE WHEN stripes[CAST(k+1 AS INTEGER)] * 32 > total
-             |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END))
-             |    AS BIGINT) AS sig
-             |  FROM st)
+      (s, dir) => phashPairs(s, dir)
+        .select(col("id_a"), col("id_b"),
+          col("ham").cast(LongType).as("ham"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $sqlPhashSigCtes
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.sig, b.sig)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // PERCEPTUAL-HASH DEDUP CLUSTERS — the closure + canonical-election
+    // stage on top of the pair device: near-duplication by perceptual
+    // hash is no more transitive than by text (A≈B, B≈C, A̸≈C), so the
+    // keep-one-copy decision needs connected components before electing
+    // the representative (min doc_id). This completes the image-dedup
+    // pipeline end-to-end: signature map → banded candidates → verified
+    // pairs → star-contraction closure → per-cluster election. Output:
+    // one row per non-singleton cluster (id = canonical member, size,
+    // member checksum) — any mis-clustering or mis-election breaks it.
+    // Scale shape: same as the text-side CC (O(log² n) rounds, two
+    // exchanges per round over pair-table-sized state); payloads and
+    // signatures never enter the closure.
+    "mm_phash_clusters" -> QueryDef(
+      (s, dir) => {
+        val pairs = phashPairs(s, dir).select(col("id_a"), col("id_b"))
+        graft.operators.ConnectedComponents
+          .components(pairs, "id_a", "id_b")
+          .groupBy(col("component").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("id")).as("member_checksum"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE $sqlPhashSigCtes,
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+             |edges AS (
+             |  SELECT id_a AS u, id_b AS v FROM pairs
+             |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT u AS id, u AS r FROM edges
+             |  UNION
+             |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+             |clusters AS (
+             |  SELECT id, MIN(r) AS cid FROM reach GROUP BY id)
+             |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             |  CAST(SUM(id) AS BIGINT) AS member_checksum
+             |FROM clusters GROUP BY cid ORDER BY cluster_id""".stripMargin)),
 
     // VIDEO SCENE-CUT DETECTION: the frame-delta stage of a video
     // pipeline — the batched codec emits one exact-integer energy scalar
