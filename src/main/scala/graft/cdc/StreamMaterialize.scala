@@ -440,6 +440,65 @@ object UpsertSink {
   def readState(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(BucketCol)
 
+  /** Re-bucket the stored state to `newBuckets` — the maintenance pass for
+    * a table whose key cardinality outgrew its pinned bucket count (too
+    * few buckets = every merge rewrites megarows; a fresh pin can't fix a
+    * LIVE table because stored rows would sit in buckets incoming keys
+    * never hash to). Builds the complete new layout (buckets + pin +
+    * readiness marker) in a sibling staging dir, then swaps whole
+    * directories: root → aside, staged → root, drop aside. A crash at any
+    * point is repaired by [[recover]], which every merge runs first:
+    * missing root + READY staging → finish the swap; root present →
+    * discard leftovers. Readers never see a half-bucketed root. */
+  def rebucket(spark: SparkSession, path: String, keyCols: Seq[String],
+      newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"no upsert-sink state at $path")
+    recover(root)
+    val staging = new java.io.File(path + RebucketStagingSuffix)
+    val aside = new java.io.File(path + RebucketAsideSuffix)
+    deleteRecursively(staging); deleteRecursively(aside)
+    val bucketOf = pmod(hash(keyCols.map(col): _*), lit(newBuckets))
+    readState(spark, path)
+      .withColumn(BucketCol, bucketOf)
+      .repartition(newBuckets, col(BucketCol))
+      .write.partitionBy(BucketCol).parquet(staging.getPath)
+    java.nio.file.Files.write(
+      new java.io.File(staging, "_graft_buckets").toPath,
+      newBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // readiness marker LAST: recovery only ever installs a complete stage
+    java.nio.file.Files.write(
+      new java.io.File(staging, RebucketReady).toPath, Array.empty[Byte])
+    java.nio.file.Files.move(root.toPath, aside.toPath)
+    java.nio.file.Files.move(staging.toPath, root.toPath)
+    deleteRecursively(aside)
+    new java.io.File(root, RebucketReady).delete()
+  }
+
+  private val RebucketStagingSuffix = ".rebucket-staging"
+  private val RebucketAsideSuffix = ".rebucket-aside"
+  private val RebucketReady = "_REBUCKET_READY"
+
+  /** Crash repair for an interrupted [[rebucket]]: the swap is two renames,
+    * so either the old root or a READY staging dir exists at every instant.
+    * Root present → any leftovers are pre-swap (discard both). Root absent
+    * with a READY staging → the crash hit between the renames: finish the
+    * swap. (An aside dir with no root and no READY staging cannot occur —
+    * the staging is completed, marker included, before the first rename.) */
+  private def recoverRebucket(root: java.io.File): Unit = {
+    val staging = new java.io.File(root.getPath + RebucketStagingSuffix)
+    val aside = new java.io.File(root.getPath + RebucketAsideSuffix)
+    if (root.isDirectory && listBuckets(root).nonEmpty) {
+      deleteRecursively(staging); deleteRecursively(aside)
+    } else if (new java.io.File(staging, RebucketReady).isFile) {
+      deleteRecursively(root)
+      java.nio.file.Files.move(staging.toPath, root.toPath)
+      deleteRecursively(aside)
+      new java.io.File(root, RebucketReady).delete()
+    }
+  }
+
   private def bucketDir(root: java.io.File, b: Int) =
     new java.io.File(root, s"$BucketCol=$b")
 
@@ -477,6 +536,7 @@ object UpsertSink {
     * after the second move — drop it. Stale staging is always discarded
     * (the replayed batch rewrites it). */
   private def recover(root: java.io.File): Unit = {
+    recoverRebucket(root)
     val fs = root.listFiles()
     if (fs == null) return
     fs.filter(f => f.isDirectory && f.getName.startsWith(asidePrefix))

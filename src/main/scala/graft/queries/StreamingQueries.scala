@@ -724,6 +724,56 @@ object StreamingQueries {
       },
       Some(changedKeysOracle)),
 
+    // Sink state RE-BUCKETING — the maintenance pass for a merge sink
+    // whose key cardinality outgrew its pinned bucket count (too few
+    // buckets = every merge rewrites megarows; a fresh pin alone cannot
+    // fix a LIVE table, stored rows would sit in buckets incoming keys
+    // never hash to). The changelog drains into a 4-bucket state, the
+    // state re-buckets to 16 via the whole-directory staged swap, and a
+    // FINAL merge batch lands under the new hashing — updating and
+    // deleting keys stored before the rebucket, which is exactly what
+    // breaks if the re-hash strands any row. Result must equal the plain
+    // materialized state.
+    "cdc_sink_rebucket" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        val dir = prepare(s, dir0)
+        val out = s"/root/repo/.scratch/upsert_sink/${System.nanoTime()}_rb"
+        val bound = ordersSpec.insBand + 1000000L
+        // phase 1: drain updates+some inserts into the 4-bucket layout
+        val q1 = s.readStream.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("scan.startup.mode", "earliest")
+          .option("scan.bounded.offset", bound.toString)
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            UpsertSink.mergeInto(s, batch, Seq(ordersSpec.pk), out,
+              numBuckets = 4)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q1.awaitTermination()
+        UpsertSink.rebucket(s, out, Seq(ordersSpec.pk), 16)
+        // phase 2: the REST of the log (late inserts + all deletes) merges
+        // into the re-bucketed state
+        val q2 = s.readStream.format("graft-cdc")
+          .option("path", dir).option("table", "orders")
+          .option("scan.startup.mode", "specific-offset")
+          .option("scan.startup.specific-offset", bound.toString)
+          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            UpsertSink.mergeInto(s, batch, Seq(ordersSpec.pk), out)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q2.awaitTermination()
+        UpsertSink.readState(s, out)
+          .select(orderCols.map(col): _*)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(changedKeysOracle)),
+
     // Two-changelog streaming JOIN, snapshot + log (the canonical cdc-sql
     // case: orders ⋈ customer where BOTH sides are CDC streams). One keyed
     // state operator holds both sides' current rows per join key and emits

@@ -334,6 +334,73 @@ class StreamMaterializeSpec extends SparkSpecBase {
     assert(!root.listFiles().exists(_.getName.startsWith(".old-bkt-")))
   }
 
+  test("rebucket: state survives a bucket-count change, new pin holds, " +
+    "later merges land in the new layout") {
+    val out = tmpDir("sink-rebucket") + "/state"
+    val b1 = emitted((1L to 40L).map(i => (i, s"v$i", i, "+I")))
+    UpsertSink.mergeInto(spark, b1, Seq("id"), out, numBuckets = 4)
+    def state() = UpsertSink.readState(spark, out).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val before = state()
+    UpsertSink.rebucket(spark, out, Seq("id"), 16)
+    assert(state() === before)
+    val root = new java.io.File(out)
+    val dirs = root.listFiles().filter(_.getName.startsWith("bkt=")).length
+    assert(dirs > 4, s"expected >4 bucket dirs after rebucket, got $dirs")
+    // the pin now reads 16: a later merge must find (and replace) stored
+    // rows under the NEW hashing
+    val b2 = emitted(Seq((7L, "v7b", 100L, "+U"), (8L, null, 101L, "-D")))
+    UpsertSink.mergeInto(spark, b2, Seq("id"), out, numBuckets = 4)
+    val after = state()
+    assert(after(7L) === "v7b")
+    assert(!after.contains(8L))
+    assert(after.size === 39)
+  }
+
+  test("rebucket crash windows: pre-swap leftovers discarded, mid-swap " +
+    "READY staging installed by the next merge") {
+    val out = tmpDir("sink-rebucket-crash") + "/state"
+    val b1 = emitted(Seq((1L, "v1", 1L, "+I"), (2L, "v2", 2L, "+I")))
+    UpsertSink.mergeInto(spark, b1, Seq("id"), out, numBuckets = 2)
+    val root = new java.io.File(out)
+    val staging = new java.io.File(out + ".rebucket-staging")
+    def state() = UpsertSink.readState(spark, out).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // crash BEFORE the swap: a READY staging beside a live root — the
+    // next merge discards it and the live state wins
+    staging.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(staging, "_REBUCKET_READY").toPath,
+      Array.empty[Byte])
+    UpsertSink.mergeInto(spark,
+      emitted(Seq((3L, "v3", 3L, "+I"))), Seq("id"), out)
+    assert(!staging.exists())
+    assert(state() === Set((1L, "v1"), (2L, "v2"), (3L, "v3")))
+    // crash MID-swap: root moved aside, READY staging not yet installed —
+    // simulate by staging a complete new layout and removing the root
+    UpsertSink.rebucket(spark, out, Seq("id"), 8) // produces a clean root
+    val aside = new java.io.File(out + ".rebucket-aside")
+    java.nio.file.Files.move(root.toPath, aside.toPath)
+    // build a READY staging from the aside copy (same complete layout)
+    copyRecursively(aside, staging)
+    java.nio.file.Files.write(
+      new java.io.File(staging, "_REBUCKET_READY").toPath,
+      Array.empty[Byte])
+    UpsertSink.mergeInto(spark,
+      emitted(Seq((4L, "v4", 4L, "+I"))), Seq("id"), out)
+    assert(state() === Set((1L, "v1"), (2L, "v2"), (3L, "v3"), (4L, "v4")))
+    assert(!staging.exists() && !aside.exists())
+  }
+
+  private def copyRecursively(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      val fs = src.listFiles()
+      if (fs != null) fs.foreach(f =>
+        copyRecursively(f, new java.io.File(dst, f.getName)))
+    } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+  }
+
   test("scd2ClosedStream: versions close append-only, open state crosses " +
       "micro-batches, delete-without-open is a no-op") {
     import graft.queries.StreamingQueries
