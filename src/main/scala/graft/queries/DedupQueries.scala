@@ -566,6 +566,76 @@ object DedupQueries {
            |ORDER BY c.id_a, c.id_b""".stripMargin
       }),
 
+    // B-BIT MINWISE HASHING (Li & König) — the storage-compression step
+    // after MinHash: keep only the lowest b=4 bits of each of the 16
+    // signature slots (4x smaller sketches; at 100 TB the sketch table is
+    // the thing you store and ship, so bits-per-slot is real money). The
+    // collision floor is corrected exactly: a non-matching slot agrees by
+    // chance 2^-b of the time, so E[m/k] = J + (1−J)/2^b and
+    // Ĵ = (m/k − 2^-b)/(1 − 2^-b) = (m−1)/15 at b=4, k=16 — clamped at 0,
+    // reported beside the full-width estimate and the exact Jaccard so
+    // the compression's calibration cost is measured, not assumed. Same
+    // scale shape as the estimator-calibration query (cached signature
+    // table, banded candidates, per-pair work bounded by the sketch).
+    "dedup_bbit_minwise" -> QueryDef(
+      (s, dir) => {
+        val ix = minhashCandidatesOf(Tables.load(s, dir, "documents"),
+          keepSig = true)
+        val side = ix.sigs.select(col("doc_id"), col("sh"), col("sig"))
+        val matchesOf = (mask: Long) => aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x.bitwiseAND(lit(mask)) ===
+              y.bitwiseAND(lit(mask)), 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x)
+        ix.cands
+          .join(side.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+            col("sig").as("sig_a")), "id_a")
+          .join(side.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+            col("sig").as("sig_b")), "id_b")
+          .withColumn("m_full", matchesOf(-1L))
+          .withColumn("m_b4", matchesOf(15L))
+          .withColumn("est_full",
+            round(col("m_full").cast(DoubleType) / 16.0d, 6))
+          .withColumn("est_b4", round(
+            greatest(col("m_b4") - 1L, lit(0L)).cast(DoubleType) / 15.0d, 6))
+          .withColumn("true_jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
+          .select(col("id_a"), col("id_b"), col("m_full"), col("m_b4"),
+            col("est_full"), col("est_b4"), col("true_jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 3)
+        val sig = sqlMinHashSignature("sh", 16)
+        val bands = sqlBandKeys("sig", 4, 4)
+        val bandRows = (1 to 4)
+          .map(i => s"SELECT doc_id, $i AS band, bands[$i] AS key FROM sigs")
+          .mkString("\n    UNION ALL ")
+        def matches(mask: String) = "list_sum(list_transform(range(1, 17), " +
+          s"i -> CASE WHEN (sa.sig[i] & $mask) = (sb.sig[i] & $mask) " +
+          "THEN 1 ELSE 0 END))"
+        s"""WITH docs AS (SELECT doc_id, $sh AS sh FROM documents),
+           |sigs AS (SELECT doc_id, sh, sig, $bands AS bands
+           |         FROM (SELECT doc_id, sh, $sig AS sig FROM docs)),
+           |brows AS ($bandRows),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM brows a JOIN brows b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, m_full, m_b4,
+           |  round(CAST(m_full AS DOUBLE) / 16.0, 6) AS est_full,
+           |  round(CAST(greatest(m_b4 - 1, 0) AS DOUBLE) / 15.0, 6) AS est_b4,
+           |  true_jac
+           |FROM (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST(${matches("-1")} AS BIGINT) AS m_full,
+           |    CAST(${matches("15")} AS BIGINT) AS m_b4,
+           |    round(${sqlJaccard("sa.sh", "sb.sh")}, 6) AS true_jac
+           |  FROM cands c
+           |  JOIN sigs sa ON sa.doc_id = c.id_a
+           |  JOIN sigs sb ON sb.doc_id = c.id_b)
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // CROSS-SOURCE NEAR-DUP MATRIX: the contamination map between corpus
     // sources — which (source, source) pairs share near-duplicate
     // documents, and how strongly. Drives source-level curation decisions
