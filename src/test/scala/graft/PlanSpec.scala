@@ -689,4 +689,33 @@ class PlanSpec extends SparkSpecBase {
       s"corpus rollup lost its map-side combine:\n${plan.take(3000)}")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+  test("corpus_duplicate_ngrams: one map-side-combined digest aggregate, " +
+    "top-k take — no corpus-sized sort or join") {
+    val plan = formatted(q("corpus_duplicate_ngrams"))
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"spread count lost its map-side combine:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a TakeOrdered, not a global sort:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("sample_importance_ratio: digest-keyed equi-joins only, top-k take") {
+    val plan = formatted(q("sample_importance_ratio"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("dedup_bbit_minwise: banded equi-join candidates, never a " +
+    "signature cross product") {
+    val plan = formatted(q("dedup_bbit_minwise"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("text_bpe_compression: artifact read + one partial-agg rollup") {
+    val plan = formatted(q("text_bpe_compression"))
+    assert(plan.contains("partial_"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
