@@ -329,6 +329,50 @@ object MultimodalQueries {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ASPECT-RATIO BUCKETING — the batch-formation statistic of a vision
+    // training pipeline: images group into batches by aspect-ratio bucket
+    // (padding inside a bucket is bounded by the bucket's spread, so the
+    // histogram below IS the padding/throughput plan). Ratio compared in
+    // exact integer cross-multiplication (w·4 vs h·{3,4,5,...} — no float
+    // division at bucket boundaries): portrait (4w < 3h), square-ish
+    // (3h ≤ 4w ≤ 5h), landscape (4w > 5h), each with count, total output
+    // pixels, and max pixels (the bucket's padded cost ceiling). Pure map
+    // over the codec output into a 3-row map-side-combined rollup.
+    "mm_ar_buckets" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit("fake/v1").as("fmt"),
+            encode(col("text"), "UTF-8").as("content"))
+          .as[MediaBlob]
+        val dims = blobs
+          .mapPartitions(_.grouped(FakeCodec.BatchSize)
+            .flatMap(b => FakeCodec.resizeBatch(b.toSeq)))
+          .toDF()
+        val bucket = when(col("out_w") * 4 < col("out_h") * 3, "portrait")
+          .when(col("out_w") * 4 > col("out_h") * 5, "landscape")
+          .otherwise("squareish")
+        dims.select(bucket.as("bucket"),
+            (col("out_w") * col("out_h")).as("px"))
+          .groupBy(col("bucket")).agg(
+            count(lit(1)).as("n_images"),
+            sum(col("px")).as("total_px"),
+            max(col("px")).as("max_px"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH dims AS (
+             |  SELECT
+             |    CAST(greatest((octet_length(encode(text)) % 64 + 16) // 2, 1) AS BIGINT) AS out_w,
+             |    CAST(greatest(((octet_length(encode(text)) * 31) % 48 + 16) // 2, 1) AS BIGINT) AS out_h
+             |  FROM documents)
+             |SELECT CASE WHEN out_w * 4 < out_h * 3 THEN 'portrait'
+             |            WHEN out_w * 4 > out_h * 5 THEN 'landscape'
+             |            ELSE 'squareish' END AS bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n_images,
+             |  CAST(SUM(out_w * out_h) AS BIGINT) AS total_px,
+             |  CAST(MAX(out_w * out_h) AS BIGINT) AS max_px
+             |FROM dims GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // PERCEPTUAL-HASH NEAR-DUP over the binary media column — image dedup
     // without ever joining on pixels: the batched codec emits a 32-bit
     // stripe-threshold signature per asset (STUB for a DCT pHash), then
