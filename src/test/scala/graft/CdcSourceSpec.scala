@@ -918,6 +918,14 @@ class CdcSourceSpec extends SparkSpecBase {
     // skipping past the log head yields an empty replay, not an error
     assert(rows("scan.startup.specific-offset" -> "2",
       "scan.startup.specific-offset.skip-events" -> "99") === Seq.empty)
+    // upsert changelog mode: the update at offset 4 emits ONLY +U, so
+    // skip-rows=1 consumes the whole first event and later events are
+    // untouched — rows-to-skip count EMITTED rows of the wire mode in
+    // effect, exactly as a resume checkpoint would have recorded them
+    assert(rows("scan.startup.specific-offset" -> "3",
+      "scan.startup.specific-offset.skip-rows" -> "1",
+      "changelog.mode" -> "upsert") ===
+      Seq(("-D", 5L), ("+I", 6L)))
     // skips without specific-offset mode fail at analysis
     val e = intercept[Exception] {
       spark.read.format("graft-cdc")
