@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.CurationQueries.defs ++
-      graft.queries.CorpusQueries.defs
+      graft.queries.CorpusQueries.defs ++
+      graft.queries.GovernanceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -997,6 +997,166 @@ object AdvancedQueries {
              |  CAST(count(*) AS BIGINT) AS n_nodes,
              |  CAST(sum(deg) AS BIGINT) AS n_edges,
              |  CAST(min(node) AS BIGINT) AS min_node
-             |FROM deg GROUP BY 1, 2 ORDER BY side, bucket""".stripMargin))
+             |FROM deg GROUP BY 1, 2 ORDER BY side, bucket""".stripMargin)),
+
+    // ROBUST OUTLIER DETECTION (median / MAD) — the heavy-tail-safe twin
+    // of q_event_zscore_anomaly: per event type, values more than 3 MADs
+    // from the median are flagged. Everything is exact integer selection
+    // on cents (the DECIMAL(18,2) money contract), carried DOUBLED so
+    // even-count medians stay integral: med2 = v_lo + v_hi (= 2*median),
+    // per-value deviation D = |2v - med2| (= 2*dev), mad2x = D_lo + D_hi
+    // (= 4*MAD), and the flag dev > 3*MAD becomes 2*D > 3*mad2x — no
+    // division, no float boundary anywhere.
+    // 100 TB shape: the firehose collapses ONCE into a (type, cents)
+    // histogram (map-side combined; the cents domain is bounded — ~49k
+    // cells/type at any corpus size). Median and MAD are CUMSUM
+    // SELECTIONS over that histogram (windows partition by type over
+    // histogram rows, never a per-type sort of the events), the deviation
+    // histogram derives from the value histogram by pure map + regroup,
+    // and the outlier count is a filtered rollup of histogram cells. The
+    // oracle states the same truth the naive way (per-type row_number
+    // middles) — semantics identical, plan deliberately not.
+    "q_event_mad_outliers" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val cents = (graft.MoneyMath.dec(col("value")) * 100).cast(LongType)
+        val hist = e.select(col("event_type"), cents.as("v"))
+          .groupBy(col("event_type"), col("v"))
+          .agg(count(lit(1)).as("c")).cache()
+        val nDf = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+        // med2-style selection over a (type, value, count) histogram:
+        // rank-lo and rank-hi picked from the running cumsum, added
+        // separately so odd counts double the single middle (= 2*median)
+        def med2(h: DataFrame, valCol: String): DataFrame = {
+          val wc = Window.partitionBy(col("event_type"))
+            .orderBy(col(valCol))
+            .rowsBetween(Window.unboundedPreceding, 0)
+          h.withColumn("cum", sum(col("c")).over(wc))
+            .withColumn("prev", col("cum") - col("c"))
+            .join(nDf, "event_type")
+            .selectExpr("event_type", valCol, "c", "cum", "prev",
+              "(n+1) div 2 AS lo", "(n+2) div 2 AS hi")
+            .groupBy(col("event_type"))
+            .agg((sum(when(col("prev") < col("lo") && col("lo") <= col("cum"),
+                col(valCol)).otherwise(0L)) +
+              sum(when(col("prev") < col("hi") && col("hi") <= col("cum"),
+                col(valCol)).otherwise(0L))).as("m2"))
+        }
+        val medians = med2(hist, "v").withColumnRenamed("m2", "med2")
+        val dhist = hist.join(broadcast(medians), "event_type")
+          .selectExpr("event_type", "abs(2*v - med2) AS d", "c")
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("c")).as("c"))
+        val mads = med2(dhist, "d").withColumnRenamed("m2", "mad2x")
+        val outl = dhist.join(broadcast(mads), "event_type")
+          .filter(col("d") * 2 > col("mad2x") * 3)
+          .groupBy(col("event_type")).agg(sum(col("c")).as("n_outliers"))
+        nDf.join(medians, "event_type").join(mads, "event_type")
+          .join(outl, Seq("event_type"), "left")
+          .selectExpr("event_type", "n", "med2", "mad2x",
+            "coalesce(n_outliers, 0) AS n_outliers")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v AS (
+             |  SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, v,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM v),
+             |m AS (
+             |  SELECT event_type, max(n) AS n,
+             |    CAST(SUM(CASE WHEN rk = (n+1)//2 THEN v ELSE 0 END)
+             |      + SUM(CASE WHEN rk = (n+2)//2 THEN v ELSE 0 END)
+             |      AS BIGINT) AS med2
+             |  FROM r GROUP BY event_type),
+             |d AS (
+             |  SELECT v.event_type, abs(2*v.v - m.med2) AS d
+             |  FROM v JOIN m USING (event_type)),
+             |rd AS (
+             |  SELECT event_type, d,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rk,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM d),
+             |md AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN rk = (n+1)//2 THEN d ELSE 0 END)
+             |      + SUM(CASE WHEN rk = (n+2)//2 THEN d ELSE 0 END)
+             |      AS BIGINT) AS mad2x
+             |  FROM rd GROUP BY event_type),
+             |o AS (
+             |  SELECT d.event_type, count(*) AS n_outliers
+             |  FROM d JOIN md USING (event_type)
+             |  WHERE d.d * 2 > md.mad2x * 3
+             |  GROUP BY d.event_type)
+             |SELECT m.event_type, m.n, m.med2, md.mad2x,
+             |  CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+             |FROM m JOIN md USING (event_type)
+             |LEFT JOIN o USING (event_type)
+             |ORDER BY event_type""".stripMargin)),
+
+    // MARKETING ATTRIBUTION — first-touch vs last-touch: every purchase
+    // credits (a) the user's FIRST preceding click and (b) the NEAREST
+    // preceding click; the click's channel derives deterministically from
+    // its props payload (k mod 3 -> organic/paid/social). The two models'
+    // revenue splits side by side are the classic attribution report.
+    // Mechanism: ONE user-partitioned window (ts, event_id total order)
+    // carrying first_value/last_value IGNORE NULLS over the click-only
+    // channel column — no self-join of the firehose against itself, no
+    // per-purchase click scan. 100 TB shape: the window parallelizes by
+    // user (bounded per-user history), then a map-side-combined
+    // |models x channels|-row rollup; revenue stays exact integer cents.
+    "q_event_attribution" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val ch = when(col("event_type") === "click",
+          expr("""CASE CAST(get_json_object(props, '$.k') AS BIGINT) % 3
+                 |  WHEN 0 THEN 'organic' WHEN 1 THEN 'paid'
+                 |  ELSE 'social' END""".stripMargin))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cents = (graft.MoneyMath.dec(col("value")) * 100).cast(LongType)
+        val attr = e.withColumn("ch", ch)
+          .withColumn("cents", cents)
+          .withColumn("first_ch", first(col("ch"), ignoreNulls = true).over(w))
+          .withColumn("last_ch", last(col("ch"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .cache()
+        def roll(model: String, c: String) = attr
+          .groupBy(coalesce(col(c), lit("(none)")).as("channel"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("revenue_cents"))
+          .select(lit(model).as("model"), col("channel"), col("n"),
+            col("revenue_cents"))
+        roll("first_touch", "first_ch").union(roll("last_touch", "last_ch"))
+          .orderBy(col("model"), col("channel"))
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |    CASE WHEN event_type = 'click' THEN
+             |      CASE CAST(json_extract(props, '$.k') AS BIGINT) % 3
+             |        WHEN 0 THEN 'organic' WHEN 1 THEN 'paid'
+             |        ELSE 'social' END END AS ch
+             |  FROM events),
+             |attr AS (
+             |  SELECT event_type, cents,
+             |    first_value(ch IGNORE NULLS) OVER w AS first_ch,
+             |    last_value(ch IGNORE NULLS) OVER w AS last_ch
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT 'first_touch' AS model,
+             |  coalesce(first_ch, '(none)') AS channel,
+             |  count(*) AS n, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+             |FROM attr WHERE event_type = 'purchase' GROUP BY 2
+             |UNION ALL
+             |SELECT 'last_touch' AS model,
+             |  coalesce(last_ch, '(none)') AS channel,
+             |  count(*) AS n, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+             |FROM attr WHERE event_type = 'purchase' GROUP BY 2
+             |ORDER BY model, channel""".stripMargin))
   )
 }

@@ -1,0 +1,308 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Data-governance operators — the audit/stewardship pass a training-data
+ * pipeline runs before (and between) corpus releases: entity resolution
+ * over dirty records, privacy risk audits, and dataset-version diffing.
+ *
+ * Scale discipline shared by all three: the corpus-sized side of every
+ * query contributes exactly one hash-partitioned equi-join or one
+ * map-side-combined aggregate; candidate generation is always BLOCKED
+ * (bounded cells), never an all-pairs product, and per-entity resolution
+ * windows partition by the entity key over block-bounded candidate sets.
+ */
+object GovernanceQueries {
+
+  import graft.functions.TextFunctions.md5Long
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ENTITY RESOLUTION (record linkage): block -> candidate -> score ->
+    // resolve. A deterministic "dirty" copy of every customer name (one
+    // md5-chosen character substituted with 'x') is linked back against
+    // the clean registry: blocking on the name's last-4 suffix bounds
+    // candidates to one cell, Levenshtein <= 1 scores the survivors, and
+    // per-dirty-record resolution takes the (distance, key)-min candidate.
+    // The report is the linkage quality sheet: match rate, precision of
+    // the resolved assignment, and the blocking-recall loss (corruptions
+    // that hit the blocking suffix never meet their true record — the
+    // classic blocked-ER recall tradeoff, quantified not hidden).
+    // 100 TB shape: ONE equi-join on the block key (both sides hash
+    // partition); cells are suffix-cardinality-bounded so no block
+    // explodes; the resolve window partitions by dirty key over <=cell
+    // candidates. An unblocked name x name product never exists.
+    "er_blocked_match" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val p0 = (md5Long(concat(lit("er:"), col("c_custkey").cast(StringType)))
+          % length(col("c_name"))).cast(IntegerType)
+        val dirty = c.withColumn("p0", p0)
+          .selectExpr("c_custkey AS d_key",
+            "concat(substring(c_name, 1, p0), 'x', substring(c_name, p0+2)) AS name_d")
+          .withColumn("blk", expr("right(name_d, 4)"))
+        val clean = c.selectExpr("c_custkey", "c_name")
+          .withColumn("blk", expr("right(c_name, 4)"))
+        val cand = dirty.join(clean, "blk")
+          .withColumn("lev", levenshtein(col("name_d"), col("c_name")))
+          .filter(col("lev") <= 1)
+        val rk = Window.partitionBy(col("d_key"))
+          .orderBy(col("lev"), col("c_custkey"))
+        val resolved = cand.withColumn("rk", row_number().over(rk))
+          .filter(col("rk") === 1)
+          .select(col("d_key"), col("c_custkey"), col("lev"))
+        dirty.join(resolved, Seq("d_key"), "left")
+          .agg(
+            count(lit(1)).as("n_dirty"),
+            sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L))
+              .as("n_matched"),
+            sum(when(col("c_custkey") === col("d_key"), 1L).otherwise(0L))
+              .as("n_correct"),
+            sum(when(col("c_custkey").isNotNull &&
+              col("c_custkey") =!= col("d_key"), 1L).otherwise(0L))
+              .as("n_wrong"))
+          .selectExpr("n_dirty", "n_matched", "n_correct", "n_wrong",
+            "(n_correct * 1000000) div n_dirty AS recall_ppm",
+            "(n_correct * 1000000) div n_matched AS precision_ppm")
+      },
+      Some {
+        val md5l = "CAST(concat('0x', substr(md5(concat('er:', " +
+          "CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT)"
+        s"""WITH dirty AS (
+           |  SELECT c_custkey AS d_key,
+           |    concat(substr(c_name, 1, p0), 'x', substr(c_name, p0+2))
+           |      AS name_d
+           |  FROM (SELECT c_custkey, c_name,
+           |          CAST($md5l % length(c_name) AS INT) AS p0
+           |        FROM customer)),
+           |cand AS (
+           |  SELECT d.d_key, c.c_custkey,
+           |    levenshtein(d.name_d, c.c_name) AS lev
+           |  FROM dirty d JOIN customer c
+           |    ON right(d.name_d, 4) = right(c.c_name, 4)
+           |  WHERE levenshtein(d.name_d, c.c_name) <= 1),
+           |resolved AS (
+           |  SELECT d_key, c_custkey, lev FROM (
+           |    SELECT d_key, c_custkey, lev,
+           |      ROW_NUMBER() OVER (PARTITION BY d_key
+           |        ORDER BY lev, c_custkey) AS rk
+           |    FROM cand) WHERE rk = 1),
+           |j AS (SELECT d.d_key, r.c_custkey FROM dirty d
+           |      LEFT JOIN resolved r USING (d_key))
+           |SELECT n_dirty, n_matched, n_correct, n_wrong,
+           |  (n_correct * 1000000) // n_dirty AS recall_ppm,
+           |  (n_correct * 1000000) // n_matched AS precision_ppm
+           |FROM (
+           |  SELECT count(*) AS n_dirty,
+           |    CAST(SUM(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_matched,
+           |    CAST(SUM(CASE WHEN c_custkey = d_key THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_correct,
+           |    CAST(SUM(CASE WHEN c_custkey IS NOT NULL AND c_custkey <> d_key
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong
+           |  FROM j)""".stripMargin
+      }),
+
+    // K-ANONYMITY AUDIT — the privacy gate on a release: every
+    // quasi-identifier cell (nation, market segment, $1000 account-balance
+    // band) holding fewer than k=5 records is a re-identification risk and
+    // is listed with its exposure. Banding is exact integer arithmetic on
+    // cents (no float boundary: the same DECIMAL(18,2) money contract as
+    // the TPC-H suite). 100 TB shape: ONE map-side-combined aggregate over
+    // the scan into a cells-bounded table (|nations| x |segments| x
+    // |bands| rows); the violation filter runs on the cell table. The
+    // record side is never sorted or joined.
+    "privacy_k_anonymity" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val cents = (graft.MoneyMath.dec(col("c_acctbal")) * 100)
+          .cast(LongType)
+        c.withColumn("bal_band", cents)
+          .selectExpr("c_nationkey", "c_mktsegment",
+            // floorDiv semantics for negative balances: SQL `div` truncates
+            // toward zero, so shift cents up by 10^6 (far above the $-999
+            // floor) before dividing — band edges stay at exact $1000s
+            "((bal_band + 100000000) div 100000) - 1000 AS bal_band")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") < 5)
+          .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    ((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      + 100000000) // 100000) - 1000 AS bal_band,
+             |    count(*) AS cnt
+             |  FROM customer
+             |  GROUP BY 1, 2, 3)
+             |SELECT c_nationkey, c_mktsegment, bal_band, cnt
+             |FROM cells WHERE cnt < 5
+             |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin)),
+
+    // DATASET-VERSION DIFF — the release-to-release changelog of a corpus:
+    // v2 is derived deterministically from v1 (every 7th doc removed,
+    // every remaining 5th revised, every 11th re-added under a new id),
+    // and the diff classifies every id as added / removed / changed /
+    // unchanged by DIGEST comparison, rolled up per source with the net
+    // character delta. This is the audit a data team publishes with a
+    // corpus release ("what moved since v1?"). 100 TB shape: both
+    // versions meet in ONE full-outer hash join on the id; content
+    // comparison is digest-vs-digest (16 bytes rides the shuffle, never
+    // the text); the report is a map-side-combined |sources x 4|-row
+    // rollup.
+    "corpus_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val v1 = d.selectExpr("doc_id", "source", "md5(text) AS dig",
+          "length(text) AS len")
+        val surviving = d.filter(col("doc_id") % 7 =!= 0)
+        val revised = surviving.selectExpr("doc_id", "source",
+          "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' [rev2]') ELSE text END AS text")
+        val added = d.filter(col("doc_id") % 11 === 0)
+          .selectExpr("doc_id + 1000000000 AS doc_id", "source",
+            "concat(text, ' [new]') AS text")
+        val v2 = revised.union(added)
+          .selectExpr("doc_id", "source", "md5(text) AS dig",
+            "length(text) AS len")
+        v1.select(col("doc_id"), col("source").as("src1"),
+            col("dig").as("dig1"), col("len").as("len1"))
+          .join(v2.select(col("doc_id"), col("source").as("src2"),
+            col("dig").as("dig2"), col("len").as("len2")),
+            Seq("doc_id"), "full_outer")
+          .selectExpr("coalesce(src2, src1) AS source",
+            """CASE WHEN dig1 IS NULL THEN 'added'
+              |     WHEN dig2 IS NULL THEN 'removed'
+              |     WHEN dig1 <> dig2 THEN 'changed'
+              |     ELSE 'unchanged' END AS status""".stripMargin,
+            "coalesce(len2, 0) - coalesce(len1, 0) AS delta")
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("delta")).cast(LongType).as("chars_delta"))
+          .orderBy(col("source"), col("status"))
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, source, md5(text) AS dig,
+             |    CAST(length(text) AS BIGINT) AS len
+             |  FROM documents),
+             |v2 AS (
+             |  SELECT doc_id, source, md5(
+             |      CASE WHEN doc_id % 5 = 0 THEN concat(text, ' [rev2]')
+             |           ELSE text END) AS dig,
+             |    CAST(length(CASE WHEN doc_id % 5 = 0
+             |      THEN concat(text, ' [rev2]') ELSE text END) AS BIGINT)
+             |      AS len
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000 AS doc_id, source,
+             |    md5(concat(text, ' [new]')) AS dig,
+             |    CAST(length(concat(text, ' [new]')) AS BIGINT) AS len
+             |  FROM documents WHERE doc_id % 11 = 0),
+             |diff AS (
+             |  SELECT coalesce(v2.source, v1.source) AS source,
+             |    CASE WHEN v1.dig IS NULL THEN 'added'
+             |         WHEN v2.dig IS NULL THEN 'removed'
+             |         WHEN v1.dig <> v2.dig THEN 'changed'
+             |         ELSE 'unchanged' END AS status,
+             |    coalesce(v2.len, 0) - coalesce(v1.len, 0) AS delta
+             |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+             |SELECT source, status, count(*) AS n,
+             |  CAST(SUM(delta) AS BIGINT) AS chars_delta
+             |FROM diff GROUP BY source, status
+             |ORDER BY source, status""".stripMargin)),
+
+    // L-DIVERSITY AUDIT — k-anonymity's stronger sibling: a
+    // quasi-identifier cell (nation, market segment) can hold plenty of
+    // records and STILL leak if they all share one sensitive value.
+    // Sensitive attribute = the $1000 balance band; the full cell sheet
+    // is emitted (size, distinct-band diversity, violation flag at l=3)
+    // so the auditor sees the margin, not just the breaches. Same 100 TB
+    // shape as the k-audit: one map-side-combined aggregate (the
+    // distinct-count shuffles (cell, band) keys, never records) into a
+    // cells-bounded table.
+    "privacy_l_diversity" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val cents = (graft.MoneyMath.dec(col("c_acctbal")) * 100)
+          .cast(LongType)
+        c.withColumn("bal_band", cents)
+          .selectExpr("c_nationkey", "c_mktsegment",
+            "((bal_band + 100000000) div 100000) - 1000 AS bal_band")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("bal_band")).as("l_div"))
+          .withColumn("violates_l3", col("l_div") < 3)
+          .orderBy(col("c_nationkey"), col("c_mktsegment"))
+      },
+      Some("""SELECT c_nationkey, c_mktsegment, count(*) AS cnt,
+             |  CAST(count(DISTINCT
+             |    ((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      + 100000000) // 100000) - 1000) AS BIGINT) AS l_div,
+             |  CAST(count(DISTINCT
+             |    ((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      + 100000000) // 100000) - 1000) AS BIGINT) < 3
+             |    AS violates_l3
+             |FROM customer
+             |GROUP BY c_nationkey, c_mktsegment
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // IDF DRIFT — the vocabulary-shift audit between two corpus releases
+    // (the same v1 -> v2 derivation as corpus_snapshot_diff): per word,
+    // document frequency in each version, ranked by absolute drift. The
+    // signal a retrieval/embedding team checks before deciding whether
+    // cached IDF tables and tokenizers survive a release. 100 TB shape:
+    // each version contributes ONE map-side-combined per-word df count
+    // over in-row DISTINCT word sets (never word occurrences); the two
+    // |vocab|-sized tables meet in a full-outer hash join and the top-50
+    // is a TakeOrdered, never a global sort.
+    "corpus_idf_drift" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.words
+        val d = Tables.load(s, dir, "documents")
+        def dfCount(docs: org.apache.spark.sql.DataFrame) = docs
+          .select(explode(array_distinct(words(col("text")))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val df1 = dfCount(d)
+        val v2 = d.filter(col("doc_id") % 7 =!= 0)
+          .selectExpr(
+            "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' [rev2]') ELSE text END AS text")
+          .union(d.filter(col("doc_id") % 11 === 0)
+            .selectExpr("concat(text, ' [new]') AS text"))
+        val df2 = dfCount(v2)
+        df1.select(col("w"), col("df").as("df1"))
+          .join(df2.select(col("w"), col("df").as("df2")), Seq("w"),
+            "full_outer")
+          .selectExpr("w", "coalesce(df1, 0) AS df1",
+            "coalesce(df2, 0) AS df2",
+            "coalesce(df2, 0) - coalesce(df1, 0) AS drift")
+          .orderBy(abs(col("drift")).desc, col("w"))
+          .limit(50)
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlWords
+        val words1 = s"list_distinct(${sqlWords("text")})"
+        s"""WITH v2docs AS (
+           |  SELECT CASE WHEN doc_id % 5 = 0 THEN concat(text, ' [rev2]')
+           |              ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT concat(text, ' [new]') AS text
+           |  FROM documents WHERE doc_id % 11 = 0),
+           |df1 AS (
+           |  SELECT w, count(*) AS df1 FROM (
+           |    SELECT unnest($words1) AS w FROM documents) GROUP BY w),
+           |df2 AS (
+           |  SELECT w, count(*) AS df2 FROM (
+           |    SELECT unnest($words1) AS w FROM v2docs) GROUP BY w)
+           |SELECT w, CAST(coalesce(df1, 0) AS BIGINT) AS df1,
+           |  CAST(coalesce(df2, 0) AS BIGINT) AS df2,
+           |  CAST(coalesce(df2, 0) - coalesce(df1, 0) AS BIGINT) AS drift
+           |FROM df1 FULL OUTER JOIN df2 USING (w)
+           |ORDER BY abs(coalesce(df2, 0) - coalesce(df1, 0)) DESC, w
+           |LIMIT 50""".stripMargin
+      })
+  )
+}

@@ -687,6 +687,44 @@ object SimilarityQueries {
               |LEFT JOIN hits h ON q.query_id = h.query_id
               |ORDER BY q.query_id""".stripMargin)),
 
+    // MRR EVAL — the ranking-quality counterpart of the recall gates:
+    // where recall asks "how much of the exact top-k survives", MRR asks
+    // "how HIGH does the single true nearest neighbor land". Per query,
+    // the exact 1-NN (brute-force rank 1) is looked up in the IVF ranked
+    // list; the reciprocal rank is carried as exact integer ppm
+    // (10^6 div rank, 0 on a miss — no float 1/3). The per-query sheet is
+    // what an index-tuning sweep plots; the MRR summary is the one-number
+    // accept gate. Scale shape: composes two already-verified searches;
+    // the eval join is |queries| x |queries·k| rows — free at any corpus
+    // size, the corpus itself is touched only by the searches.
+    "retrieval_mrr_eval" -> QueryDef(
+      (s, dir) => {
+        val nn1 = bruteforceTopk(s, dir).filter(col("rank") === 1L)
+          .select(col("query_id"), col("neighbor_id").as("true_nn"))
+        val iv = ivfTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        nn1.join(iv,
+            nn1("query_id") === iv("query_id") &&
+              col("true_nn") === col("neighbor_id"), "left")
+          .select(nn1("query_id"), col("true_nn"),
+            coalesce(col("rank"), lit(0L)).as("found_rank"))
+          .selectExpr("query_id", "true_nn", "found_rank",
+            "CASE WHEN found_rank > 0 THEN 1000000 div found_rank " +
+              "ELSE 0 END AS rr_ppm")
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH nn1 AS (
+              |  SELECT query_id, neighbor_id AS true_nn
+              |  FROM ($bruteforceSql) WHERE rank = 1),
+              |iv AS (SELECT query_id, neighbor_id, rank FROM ($ivfSql))
+              |SELECT nn1.query_id, nn1.true_nn,
+              |  coalesce(iv.rank, 0) AS found_rank,
+              |  CASE WHEN coalesce(iv.rank, 0) > 0
+              |    THEN 1000000 // iv.rank ELSE 0 END AS rr_ppm
+              |FROM nn1 LEFT JOIN iv
+              |  ON nn1.query_id = iv.query_id AND nn1.true_nn = iv.neighbor_id
+              |ORDER BY nn1.query_id""".stripMargin)),
+
     // Random-hyperplane LSH bucketing: 12-bit signature per vector; the
     // bucket histogram verifies the signature computation end-to-end
     // without materializing any O(n²) pair set.

@@ -356,6 +356,57 @@ object TextQueries {
            |    AS row_frac
            |FROM cm JOIN tot USING (lang)
            |ORDER BY cm.lang, cm.lang_pred""".stripMargin
+      }),
+
+    // WINNOWING FINGERPRINTS (min-in-window selection) — the other
+    // canonical local fingerprinting scheme next to text_fingerprint's
+    // mod-p sieve: over the POSITIONAL word-4-gram rolling-hash sequence,
+    // each length-8 window contributes its minimum hash, and the distinct
+    // selected set is the document's fingerprint. Unlike mod-p, winnowing
+    // GUARANTEES a fingerprint within every w consecutive k-grams, so any
+    // shared substring of >= w+k-1 words is always detected — the
+    // detection-floor property plagiarism/overlap pipelines rely on.
+    // Per-row pure map (the window slides INSIDE the row over a
+    // length-bounded list); no shuffle but the presentation sort; exact
+    // integers end to end.
+    "text_winnowing" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val hs = transform(shingles(words(col("text")), 4), x => md5Long(x))
+        val n = size(hs)
+        val m = greatest(n - lit(7), lit(1))
+        val sel = array_distinct(transform(sequence(lit(0), m - 1),
+          i => array_min(slice(hs, i + 1, lit(8)))))
+        d.select(
+            col("doc_id"),
+            n.cast(LongType).as("n_kgrams"),
+            when(n >= 1, size(sel)).otherwise(0).cast(LongType).as("n_fp"),
+            when(n >= 1, array_min(sel)).otherwise(-1L).as("min_fp"),
+            when(n >= 1, array_max(sel)).otherwise(-1L).as("max_fp"),
+            m.cast(LongType).as("m"))
+          .selectExpr("doc_id", "n_kgrams", "n_fp", "min_fp", "max_fp",
+            "(n_fp * 1000000) div m AS density_ppm")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val hs = s"list_transform(${sqlShingles(sqlWords("text"), 4)}, " +
+          s"s -> ${sqlMd5Long("s")})"
+        s"""WITH h AS (
+           |  SELECT doc_id, hs, len(hs) AS n, greatest(len(hs)-7, 1) AS m
+           |  FROM (SELECT doc_id, $hs AS hs FROM documents)),
+           |sel AS (
+           |  SELECT doc_id, n, m,
+           |    CASE WHEN n >= 1 THEN list_distinct(list_transform(
+           |      range(0, m), i -> list_min(hs[i+1:i+8]))) END AS fp
+           |  FROM h)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_kgrams,
+           |  CAST(CASE WHEN n >= 1 THEN len(fp) ELSE 0 END AS BIGINT) AS n_fp,
+           |  CASE WHEN n >= 1 THEN list_min(fp) ELSE -1 END AS min_fp,
+           |  CASE WHEN n >= 1 THEN list_max(fp) ELSE -1 END AS max_fp,
+           |  CASE WHEN n >= 1
+           |    THEN (CAST(len(fp) AS BIGINT) * 1000000) // m
+           |    ELSE 0 END AS density_ppm
+           |FROM sel ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -54,7 +54,7 @@ class PlanSpec extends SparkSpecBase {
 
   test("text analysis queries are map-only before the presentation sort") {
     for (name <- Seq("text_token_count", "text_quality_score",
-        "text_lang_id", "text_fingerprint")) {
+        "text_lang_id", "text_fingerprint", "text_winnowing")) {
       val plan = executed(q(name))
       val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
       assert(shuffles.size <= 1, s"$name: ${shuffles.size} shuffles (want <=1)")
@@ -717,5 +717,68 @@ class PlanSpec extends SparkSpecBase {
     val plan = formatted(q("text_bpe_compression"))
     assert(plan.contains("partial_"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("er_blocked_match: candidates come from the block-key equi-join — " +
+    "never an unblocked name x name product") {
+    val plan = formatted(q("er_blocked_match"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("privacy_k_anonymity: one map-side-combined cell aggregate, " +
+    "no join of the record side") {
+    val plan = formatted(q("privacy_k_anonymity"))
+    assert(plan.contains("partial_count"),
+      s"cell count lost its map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("corpus_snapshot_diff: versions meet in one full-outer equi-join " +
+    "on the id; report is a map-side-combined rollup") {
+    val plan = formatted(q("corpus_snapshot_diff"))
+    assert(plan.contains("FullOuter"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("retrieval_mrr_eval: composes the verified searches; the eval " +
+    "join is queries-sized — no corpus product") {
+    val plan = formatted(q("retrieval_mrr_eval"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("privacy_l_diversity: distinct-count shuffles (cell, band) keys, " +
+    "never records; no join of the record side") {
+    val plan = formatted(q("privacy_l_diversity"))
+    assert(plan.contains("partial_"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("corpus_idf_drift: per-version df counts map-side combine; " +
+    "top-50 is a TakeOrdered, never a global sort") {
+    val plan = formatted(q("corpus_idf_drift"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_event_attribution: one user-partitioned window — the firehose " +
+    "never self-joins") {
+    val plan = formatted(q("q_event_attribution"))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("q_event_mad_outliers: the firehose collapses once into the " +
+    "histogram; median/MAD selections run over histogram rows") {
+    val plan = formatted(q("q_event_mad_outliers"))
+    // the (type, cents) histogram build must map-side combine
+    assert(plan.contains("partial_count"),
+      s"histogram lost its map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // medians/mads tables join back by broadcast (<= |types| rows)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 }
