@@ -20,6 +20,49 @@ object GovernanceQueries {
 
   import graft.functions.TextFunctions.md5Long
 
+  /** The blocked ER candidate stage shared by the match report and the
+    * entity clustering: deterministic dirty copies of every customer name
+    * (one md5-chosen character substituted with 'x'), blocked on the
+    * last-4 suffix, scored by Levenshtein <= 1. Returns
+    * (d_key, c_custkey, lev). */
+  private def erCandidates(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val c = Tables.load(s, dir, "customer")
+    val p0 = (md5Long(concat(lit("er:"), col("c_custkey").cast(StringType)))
+      % length(col("c_name"))).cast(IntegerType)
+    val dirty = c.withColumn("p0", p0)
+      .selectExpr("c_custkey AS d_key",
+        "concat(substring(c_name, 1, p0), 'x', substring(c_name, p0+2)) AS name_d")
+      .withColumn("blk", expr("right(name_d, 4)"))
+    val clean = c.selectExpr("c_custkey", "c_name")
+      .withColumn("blk", expr("right(c_name, 4)"))
+    val cand = dirty.join(clean, "blk")
+      .withColumn("lev", levenshtein(col("name_d"), col("c_name")))
+      .filter(col("lev") <= 1)
+      .select(col("d_key"), col("c_custkey"), col("lev"))
+    (dirty, cand)
+  }
+
+  /** Oracle mirror of [[erCandidates]] as CTEs `dirty` and `cand`. */
+  private val erCandidatesSql: String = {
+    val md5l = "CAST(concat('0x', substr(md5(concat('er:', " +
+      "CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT)"
+    s"""dirty AS (
+       |  SELECT c_custkey AS d_key,
+       |    concat(substr(c_name, 1, p0), 'x', substr(c_name, p0+2))
+       |      AS name_d
+       |  FROM (SELECT c_custkey, c_name,
+       |          CAST($md5l % length(c_name) AS INT) AS p0
+       |        FROM customer)),
+       |cand AS (
+       |  SELECT d.d_key, c.c_custkey,
+       |    levenshtein(d.name_d, c.c_name) AS lev
+       |  FROM dirty d JOIN customer c
+       |    ON right(d.name_d, 4) = right(c.c_name, 4)
+       |  WHERE levenshtein(d.name_d, c.c_name) <= 1)""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ENTITY RESOLUTION (record linkage): block -> candidate -> score ->
@@ -38,18 +81,7 @@ object GovernanceQueries {
     // candidates. An unblocked name x name product never exists.
     "er_blocked_match" -> QueryDef(
       (s, dir) => {
-        val c = Tables.load(s, dir, "customer")
-        val p0 = (md5Long(concat(lit("er:"), col("c_custkey").cast(StringType)))
-          % length(col("c_name"))).cast(IntegerType)
-        val dirty = c.withColumn("p0", p0)
-          .selectExpr("c_custkey AS d_key",
-            "concat(substring(c_name, 1, p0), 'x', substring(c_name, p0+2)) AS name_d")
-          .withColumn("blk", expr("right(name_d, 4)"))
-        val clean = c.selectExpr("c_custkey", "c_name")
-          .withColumn("blk", expr("right(c_name, 4)"))
-        val cand = dirty.join(clean, "blk")
-          .withColumn("lev", levenshtein(col("name_d"), col("c_name")))
-          .filter(col("lev") <= 1)
+        val (dirty, cand) = erCandidates(s, dir)
         val rk = Window.partitionBy(col("d_key"))
           .orderBy(col("lev"), col("c_custkey"))
         val resolved = cand.withColumn("rk", row_number().over(rk))
@@ -70,21 +102,7 @@ object GovernanceQueries {
             "(n_correct * 1000000) div n_matched AS precision_ppm")
       },
       Some {
-        val md5l = "CAST(concat('0x', substr(md5(concat('er:', " +
-          "CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT)"
-        s"""WITH dirty AS (
-           |  SELECT c_custkey AS d_key,
-           |    concat(substr(c_name, 1, p0), 'x', substr(c_name, p0+2))
-           |      AS name_d
-           |  FROM (SELECT c_custkey, c_name,
-           |          CAST($md5l % length(c_name) AS INT) AS p0
-           |        FROM customer)),
-           |cand AS (
-           |  SELECT d.d_key, c.c_custkey,
-           |    levenshtein(d.name_d, c.c_name) AS lev
-           |  FROM dirty d JOIN customer c
-           |    ON right(d.name_d, 4) = right(c.c_name, 4)
-           |  WHERE levenshtein(d.name_d, c.c_name) <= 1),
+        s"""WITH $erCandidatesSql,
            |resolved AS (
            |  SELECT d_key, c_custkey, lev FROM (
            |    SELECT d_key, c_custkey, lev,
@@ -303,6 +321,49 @@ object GovernanceQueries {
            |FROM df1 FULL OUTER JOIN df2 USING (w)
            |ORDER BY abs(coalesce(df2, 0) - coalesce(df1, 0)) DESC, w
            |LIMIT 50""".stripMargin
-      })
+      }),
+
+    // ENTITY CLUSTERS — the transitive-closure step of entity resolution:
+    // every candidate match edge (dirty mention <-> clean record, parity-
+    // encoded node ids) is closed into connected components, and the
+    // cluster-size histogram is the ER health sheet (size-2 = the normal
+    // dirty+clean pair; larger = ambiguity chains where one corruption
+    // bridges two real entities — exactly what a stewardship team samples
+    // and reviews). 100 TB shape: the same blocked candidate stage (one
+    // equi-join), then the O(log^2 n)-round star-contraction CC the dedup
+    // clusters use — per round one exchange over the edge set, never an
+    // all-pairs closure; the histogram is a <=|distinct sizes|-row rollup.
+    "er_entity_clusters" -> QueryDef(
+      (s, dir) => {
+        val (_, cand) = erCandidates(s, dir)
+        val edges = cand.selectExpr("c_custkey * 2 AS u",
+          "d_key * 2 + 1 AS v")
+        val comp = graft.operators.ConnectedComponents
+          .components(edges, "u", "v")
+        comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            min(col("component")).as("min_component"))
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE $erCandidatesSql,
+              |edges AS (
+              |  SELECT c_custkey * 2 AS u, d_key * 2 + 1 AS v FROM cand
+              |  UNION
+              |  SELECT d_key * 2 + 1 AS u, c_custkey * 2 AS v FROM cand),
+              |reach(id, r) AS (
+              |  SELECT u AS id, u AS r FROM edges
+              |  UNION
+              |  SELECT reach.id, e.v FROM reach JOIN edges e
+              |    ON e.u = reach.r),
+              |comp AS (
+              |  SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+              |sizes AS (
+              |  SELECT component, count(*) AS sz FROM comp
+              |  GROUP BY component)
+              |SELECT sz AS cluster_size, count(*) AS n_clusters,
+              |  CAST(MIN(component) AS BIGINT) AS min_component
+              |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin))
   )
 }

@@ -507,6 +507,85 @@ object MultimodalQueries {
              |    AS BIGINT) AS n_cuts,
              |  CAST(MAX(abs(de)) AS BIGINT) AS max_delta,
              |  CAST(MAX(total) AS BIGINT) AS total_energy
-             |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // VOICE-ACTIVITY SEGMENTATION (VAD): the silence-trimming stage of a
+    // speech pipeline — the codec's 256/128 analysis windows (the same
+    // DSP stage mm_audio_windows verifies) are flagged voiced where mean
+    // sample value clears 96 (energy > 96·n_samples, integer
+    // cross-multiplied), then maximal voiced runs become segments via the
+    // gaps-and-islands device (window_id minus voiced row_number — both
+    // ride the SAME doc-partitioned sort). Per doc: windows, voiced
+    // count, segment count, longest segment — what decides which spans a
+    // speech encoder transcribes and which are dropped as silence.
+    // Scale shape: codec map + one doc-partitioned window (bounded
+    // windows-per-doc, parallelizes doc-ways) + map-side-combined
+    // rollups; payloads never shuffle.
+    "mm_audio_vad" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit("fake/v1").as("fmt"),
+            encode(col("text"), "UTF-8").as("content"))
+          .as[MediaBlob]
+        val wins = blobs
+          .mapPartitions(_.grouped(FakeCodec.BatchSize)
+            .flatMap(b => FakeCodec.audioWindowBatch(b.toSeq)))
+          .toDF()
+          .withColumn("voiced", col("energy") > col("n_samples") * 96L)
+        val byDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("window_id"))
+        val islands = wins.filter(col("voiced"))
+          .withColumn("isl", col("window_id") -
+            row_number().over(byDoc).cast(LongType))
+          .groupBy(col("doc_id"), col("isl"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_segments"), max(col("run")).as("longest"),
+            sum(col("run")).as("n_voiced"))
+        wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+          .join(islands, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "n_windows",
+            "coalesce(n_voiced, CAST(0 AS BIGINT)) AS n_voiced",
+            "coalesce(n_segments, CAST(0 AS BIGINT)) AS n_segments",
+            "coalesce(longest, CAST(0 AS BIGINT)) AS longest_segment")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, unnest(range(0, n, 128)) AS start, n, text
+             |  FROM base),
+             |samp AS (
+             |  SELECT doc_id, start // 128 AS wid,
+             |    least(256, n - start) AS n_samples,
+             |    CAST(list_sum(list_transform(
+             |      range(CAST(start + 1 AS INTEGER),
+             |            CAST(start + least(256, n - start) + 1 AS INTEGER)),
+             |      i -> ascii(substr(text, i, 1)))) AS BIGINT) AS energy
+             |  FROM w),
+             |voiced AS (
+             |  SELECT doc_id, wid,
+             |    wid - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wid)
+             |      AS isl
+             |  FROM samp WHERE energy > n_samples * 96),
+             |runs AS (
+             |  SELECT doc_id, isl, count(*) AS run
+             |  FROM voiced GROUP BY doc_id, isl),
+             |segs AS (
+             |  SELECT doc_id, count(*) AS n_segments,
+             |    CAST(MAX(run) AS BIGINT) AS longest,
+             |    CAST(SUM(run) AS BIGINT) AS n_voiced
+             |  FROM runs GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_windows FROM samp
+             |        GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_windows,
+             |  coalesce(s.n_voiced, 0) AS n_voiced,
+             |  coalesce(s.n_segments, 0) AS n_segments,
+             |  coalesce(s.longest, 0) AS longest_segment
+             |FROM tot t LEFT JOIN segs s ON t.doc_id = s.doc_id
+             |ORDER BY t.doc_id""".stripMargin))
   )
 }

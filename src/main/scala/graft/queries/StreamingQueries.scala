@@ -740,11 +740,16 @@ object StreamingQueries {
         val out = s"/root/repo/.scratch/upsert_sink/${System.nanoTime()}_rb"
         val bound = ordersSpec.insBand + 1000000L
         // phase 1: drain updates+some inserts into the 4-bucket layout
+        // chunk.size 4000 (not the 1000 the merge-granularity query
+        // cdc_upsert_sink_merge pins): THIS query tests the re-hash swap,
+        // not per-chunk merge granularity, and every drained micro-batch
+        // pays a full touched-bucket rewrite — coarser chunks = fewer
+        // state rewrites for the same final state
         val q1 = s.readStream.format("graft-cdc")
           .option("path", dir).option("table", "orders")
           .option("scan.startup.mode", "earliest")
           .option("scan.bounded.offset", bound.toString)
-          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .option("scan.incremental.snapshot.chunk.size", "4000")
           .load()
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -760,7 +765,7 @@ object StreamingQueries {
           .option("path", dir).option("table", "orders")
           .option("scan.startup.mode", "specific-offset")
           .option("scan.startup.specific-offset", bound.toString)
-          .option("scan.incremental.snapshot.chunk.size", "1000")
+          .option("scan.incremental.snapshot.chunk.size", "4000")
           .load()
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>

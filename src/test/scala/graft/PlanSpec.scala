@@ -771,6 +771,20 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("er_entity_clusters: closure rides the star-contraction CC — " +
+    "blocked candidates in, no all-pairs closure") {
+    val plan = formatted(q("er_entity_clusters"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("mm_audio_vad: codec map + doc-partitioned islands — " +
+    "payloads never cartesian, rollups map-side combine") {
+    val plan = formatted(q("mm_audio_vad"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q_event_mad_outliers: the firehose collapses once into the " +
     "histogram; median/MAD selections run over histogram rows") {
     val plan = formatted(q("q_event_mad_outliers"))
