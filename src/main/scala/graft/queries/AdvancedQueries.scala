@@ -1120,6 +1120,64 @@ object AdvancedQueries {
              |LEFT JOIN o USING (event_type)
              |ORDER BY event_type""".stripMargin)),
 
+    // TIME-SERIES GAP FILL — the resampling pass every monitoring/
+    // forecasting consumer needs before a recurrence runs: the hourly
+    // count series per event type is DENSIFIED onto the full hour grid
+    // (missing hours appear as explicit zero rows, flagged), and the last
+    // observed count carries forward (LOCF) — all integer epoch-second
+    // arithmetic, no interval types to disagree across engines.
+    // 100 TB shape: the firehose contributes ONE map-side-combined
+    // (type, hour) count; the grid is |types| x |hours| rows generated
+    // from a 1-row bound aggregate (bounded by the time span, NOT the
+    // corpus); the LOCF window partitions by type over series rows (the
+    // same day-segmentation note as the EWMA/CUSUM recurrences applies
+    // for unbounded retention).
+    "q_timeseries_gapfill" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("(CAST(ts AS LONG) div 3600) * 3600").as("h"))
+        val counts = e.groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("cnt")).cache()
+        val bounds = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val grid = counts.select(col("event_type")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(expr("sequence(h0, h1, 3600)")).as("h"))
+        val locf = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(counts, Seq("event_type", "h"), "left")
+          .withColumn("is_gap", col("cnt").isNull)
+          .withColumn("filled", coalesce(col("cnt"), lit(0L)))
+          .withColumn("locf",
+            coalesce(last(col("cnt"), ignoreNulls = true).over(locf),
+              lit(-1L)))
+          .select(col("event_type"), col("h").as("hour_epoch"),
+            col("filled").as("cnt"), col("is_gap"), col("locf"))
+          .orderBy(col("event_type"), col("hour_epoch"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+             |grid AS (
+             |  SELECT t.event_type, CAST(g.h AS BIGINT) AS h
+             |  FROM (SELECT DISTINCT event_type FROM c) t,
+             |    (SELECT unnest(range(h0, h1 + 1, 3600)) AS h FROM b) g),
+             |j AS (
+             |  SELECT g.event_type, g.h, c.cnt FROM grid g
+             |  LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h)
+             |SELECT event_type, h AS hour_epoch,
+             |  CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+             |  cnt IS NULL AS is_gap,
+             |  CAST(coalesce(last_value(cnt IGNORE NULLS) OVER (
+             |    PARTITION BY event_type ORDER BY h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+             |    AS BIGINT) AS locf
+             |FROM j ORDER BY event_type, hour_epoch""".stripMargin)),
+
     // MARKETING ATTRIBUTION — first-touch vs last-touch: every purchase
     // credits (a) the user's FIRST preceding click and (b) the NEAREST
     // preceding click; the click's channel derives deterministically from

@@ -514,6 +514,102 @@ object CurationQueries {
              |    6) AS cum_frac
              |FROM hist ORDER BY source, bucket""".stripMargin)),
 
+    // QUANTILE NORMALIZATION of quality scores across sources — the
+    // distribution-alignment pass before mixing scored corpora: a raw
+    // score is only comparable within its source (different crawls have
+    // different score distributions), so each document's score maps to
+    // its SOURCE percentile (strictly-below fraction, exact integer ppm)
+    // and then through the corpus-wide inverse CDF to the equalized
+    // score: eq = min global score whose cumulative fraction exceeds the
+    // percentile. After this, "top 10% of source A" and "top 10% of
+    // source B" mean the same equalized value — the property threshold
+    // mixing silently assumes. 100 TB shape: the corpus contributes ONE
+    // map-side-combined (source, score) histogram; percentiles and the
+    // inverse-CDF interval table are cumsum windows over HISTOGRAM rows
+    // (score domain is ppm-bounded, independent of corpus size); the
+    // interval match is a histogram x histogram range join; and the
+    // per-doc mapping rides a broadcast equi-join back onto the scan —
+    // the corpus is never sorted.
+    "curation_score_equalize" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val ws = words(col("text"))
+        val nStop = size(filter(ws, w => w.isInCollection(qualityStopwords)))
+          .cast(LongType)
+        val sc = d.select(col("doc_id"), col("source"),
+            (nStop * 1000000L).as("num"), size(ws).cast(LongType).as("den"))
+          .selectExpr("doc_id", "source", "num div den AS score")
+        val srcHist = sc.groupBy(col("source"), col("score"))
+          .agg(count(lit(1)).as("c")).cache()
+        val wSrc = Window.partitionBy(col("source")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wSrcTot = Window.partitionBy(col("source"))
+        val srcPct = srcHist
+          .withColumn("below", coalesce(sum(col("c")).over(wSrc), lit(0L)))
+          .withColumn("n_src", sum(col("c")).over(wSrcTot))
+          .selectExpr("source", "score",
+            "(below * 1000000) div n_src AS src_pct_ppm")
+        val gHist = sc.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        val wG = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gIv = gHist
+          .withColumn("cum", sum(col("c")).over(wG))
+          .crossJoin(broadcast(gHist.agg(sum(col("c")).as("n_all"))))
+          .selectExpr("score AS g_score",
+            "((cum - c) * 1000000) div n_all AS lo_ppm",
+            "(cum * 1000000) div n_all AS hi_ppm")
+          .filter(col("lo_ppm") < col("hi_ppm"))
+        val cellMap = srcPct.join(broadcast(gIv),
+          col("lo_ppm") <= col("src_pct_ppm") &&
+            col("src_pct_ppm") < col("hi_ppm"))
+          .select(col("source"), col("score"), col("src_pct_ppm"),
+            col("g_score").as("eq_score"))
+        sc.join(broadcast(cellMap), Seq("source", "score"))
+          .select(col("doc_id"), col("source"), col("score"),
+            col("src_pct_ppm"), col("eq_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        val nStop = s"CAST(len(list_filter($ws, w -> w IN " +
+          qualityStopwords.mkString("('", "','", "')") + ")) AS BIGINT)"
+        s"""WITH sc AS (
+           |  SELECT doc_id, source,
+           |    ($nStop * 1000000) // CAST(len($ws) AS BIGINT) AS score
+           |  FROM documents),
+           |sh AS (SELECT source, score, count(*) AS c FROM sc
+           |       GROUP BY source, score),
+           |sp AS (
+           |  SELECT source, score,
+           |    (CAST(coalesce(SUM(c) OVER (PARTITION BY source
+           |       ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |       1 PRECEDING), 0) AS BIGINT) * 1000000)
+           |      // CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT)
+           |      AS src_pct_ppm
+           |  FROM sh),
+           |gh AS (SELECT score, count(*) AS c FROM sc GROUP BY score),
+           |gi AS (
+           |  SELECT score AS g_score,
+           |    (CAST(SUM(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+           |       PRECEDING AND CURRENT ROW) - c AS BIGINT) * 1000000)
+           |      // (SELECT CAST(SUM(c) AS BIGINT) FROM gh) AS lo_ppm,
+           |    (CAST(SUM(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+           |       PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000)
+           |      // (SELECT CAST(SUM(c) AS BIGINT) FROM gh) AS hi_ppm
+           |  FROM gh),
+           |cm AS (
+           |  SELECT sp.source, sp.score, sp.src_pct_ppm,
+           |    gi.g_score AS eq_score
+           |  FROM sp JOIN gi ON gi.lo_ppm <= sp.src_pct_ppm
+           |    AND sp.src_pct_ppm < gi.hi_ppm
+           |  WHERE gi.lo_ppm < gi.hi_ppm)
+           |SELECT sc.doc_id, sc.source, sc.score, cm.src_pct_ppm,
+           |  cm.eq_score
+           |FROM sc JOIN cm ON sc.source = cm.source AND sc.score = cm.score
+           |ORDER BY sc.doc_id""".stripMargin
+      }),
+
     // TOKEN-BUDGET ALLOCATION — the mixture PLAN a pretraining run is
     // actually built from: given a total token budget (half the corpus
     // here), each source gets budget·w_s/Σw by temperature weight

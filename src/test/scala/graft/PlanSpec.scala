@@ -785,6 +785,21 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q_timeseries_gapfill: one map-side-combined count; the grid " +
+    "derives from a broadcast 1-row bound, never the corpus") {
+    val plan = formatted(q("q_timeseries_gapfill"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("curation_score_equalize: histogram-level percentile/inverse-CDF; " +
+    "the per-doc mapping is a broadcast equi-join — corpus never sorted") {
+    val plan = formatted(q("curation_score_equalize"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q_event_mad_outliers: the firehose collapses once into the " +
     "histogram; median/MAD selections run over histogram rows") {
     val plan = formatted(q("q_event_mad_outliers"))
