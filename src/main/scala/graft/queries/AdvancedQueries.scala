@@ -1120,6 +1120,64 @@ object AdvancedQueries {
              |LEFT JOIN o USING (event_type)
              |ORDER BY event_type""".stripMargin)),
 
+    // PEAK CONCURRENCY (sweep line) — per event type, the maximum number
+    // of simultaneously-active 5-minute activity spans and the first
+    // second it is reached: each event opens a [t, t+300) span, the sweep
+    // explodes it to (+1 at t, -1 at t+300) deltas, and a running sum in
+    // (time, starts-before-ends) order IS the concurrency curve. The
+    // capacity-planning primitive behind connection pools and session
+    // stores. All exact integers. Scale note: the running sum is a
+    // per-type ordered prefix — at test scale one window; at 100 TB the
+    // sweep segments by day and carries each segment's delta total across
+    // via the distributed prefix-sum device (SequencePacking), since
+    // concurrency at a boundary = carried sum + in-segment prefix.
+    "q_concurrent_sessions" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("ts").cast(LongType).as("t0"))
+        val deltas = e.select(col("event_type"), col("t0").as("t"),
+            lit(1L).as("delta"))
+          .union(e.select(col("event_type"), (col("t0") + 300L).as("t"),
+            lit(-1L).as("delta")))
+        val sweep = Window.partitionBy(col("event_type"))
+          .orderBy(col("t"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val curve = deltas
+          .withColumn("conc", sum(col("delta")).over(sweep))
+        val peak = curve.groupBy(col("event_type"))
+          .agg(max(col("conc")).as("peak_concurrency"))
+        curve.join(broadcast(peak), "event_type")
+          .filter(col("conc") === col("peak_concurrency"))
+          .groupBy(col("event_type"), col("peak_concurrency"))
+          .agg(min(col("t")).as("first_peak_epoch"))
+          .select(col("event_type"), col("peak_concurrency"),
+            col("first_peak_epoch"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t0
+             |  FROM events),
+             |d AS (
+             |  SELECT event_type, t0 AS t, CAST(1 AS BIGINT) AS delta FROM e
+             |  UNION ALL
+             |  SELECT event_type, t0 + 300 AS t, CAST(-1 AS BIGINT) FROM e),
+             |curve AS (
+             |  SELECT event_type, t,
+             |    CAST(SUM(delta) OVER (PARTITION BY event_type
+             |      ORDER BY t, delta DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS conc
+             |  FROM d),
+             |peak AS (
+             |  SELECT event_type, max(conc) AS peak_concurrency FROM curve
+             |  GROUP BY event_type)
+             |SELECT c.event_type, p.peak_concurrency,
+             |  CAST(min(c.t) AS BIGINT) AS first_peak_epoch
+             |FROM curve c JOIN peak p
+             |  ON c.event_type = p.event_type AND c.conc = p.peak_concurrency
+             |GROUP BY c.event_type, p.peak_concurrency
+             |ORDER BY c.event_type""".stripMargin)),
+
     // TIME-SERIES GAP FILL — the resampling pass every monitoring/
     // forecasting consumer needs before a recurrence runs: the hourly
     // count series per event type is DENSIFIED onto the full hour grid

@@ -358,6 +358,72 @@ object TextQueries {
            |ORDER BY cm.lang, cm.lang_pred""".stripMargin
       }),
 
+    // VITERBI SEGMENTATION SCORING (unigram-LM tokenizer, SentencePiece
+    // style) — the OTHER tokenizer family next to BPE: pieces are scored
+    // by a deterministic table (md5-derived, standing in for learned log
+    // probabilities), every word is segmented by the max-score
+    // decomposition into pieces of length <= 4 under a per-piece penalty
+    // of 600 (longer pieces amortize it — the unigram-LM tradeoff), and
+    // the DP value is computed by an IN-ROW forward pass: dp[i] = max
+    // over l of dp[i-l] + score(piece) - 600, the array built position
+    // by position inside one aggregate fold. Reported for the 100 most
+    // frequent words. 100 TB shape: the corpus contributes ONE
+    // map-side-combined word count; the DP runs over the VOCAB table
+    // (bounded by distinct words, not occurrences) — exactly how a real
+    // unigram tokenizer scores its candidate vocabulary. The oracle
+    // states the same recurrence as a recursive CTE over positions.
+    "text_viterbi_segment" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val vocab = d.select(explode(words(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word")).limit(100)
+        // dp array built left to right: acc has dp[0..i-1] (1-indexed
+        // element_at), candidate for length l guarded by a -10^15
+        // sentinel where i < l (greatest() must not see NULLs — the
+        // engines disagree on NULL handling)
+        val neg = -1000000000000000L
+        val cand = (1 to 4).map { l =>
+          s"""CASE WHEN i >= $l THEN element_at(acc, i - $l + 1)
+             |  + CAST(conv(substring(md5(concat('ulm:',
+             |      substring(word, i - $l + 1, $l))), 1, 15), 16, 10)
+             |    AS BIGINT) % 1000 - 600
+             |ELSE CAST($neg AS BIGINT) END""".stripMargin
+        }.mkString("greatest(", ",\n", ")")
+        vocab.selectExpr("word", "n", "length(word) AS len",
+            s"""element_at(
+               |  aggregate(sequence(1, length(word)),
+               |    array(CAST(0 AS BIGINT)),
+               |    (acc, i) -> concat(acc, array($cand))),
+               |  length(word) + 1) AS best_score""".stripMargin)
+          .orderBy(col("n").desc, col("word"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        def sc(piece: String) =
+          s"CAST(concat('0x', substr(md5(concat('ulm:', $piece)), 1, 15)) " +
+            s"AS BIGINT) % 1000"
+        val cand = (1 to 4).map { l =>
+          s"""CASE WHEN dp.i + 1 >= $l THEN dp.arr[dp.i + 1 - $l + 1]
+             |  + ${sc(s"substr(dp.word, dp.i + 1 - $l + 1, $l)")} - 600
+             |ELSE -1000000000000000 END""".stripMargin
+        }.mkString("greatest(", ",\n", ")")
+        s"""WITH RECURSIVE vocab AS (
+           |  SELECT word, count(*) AS n FROM (
+           |    SELECT unnest($ws) AS word FROM documents)
+           |  GROUP BY word ORDER BY n DESC, word LIMIT 100),
+           |dp(word, n, i, arr) AS (
+           |  SELECT word, n, 0, [CAST(0 AS BIGINT)] FROM vocab
+           |  UNION ALL
+           |  SELECT dp.word, dp.n, dp.i + 1,
+           |    list_append(dp.arr, CAST($cand AS BIGINT))
+           |  FROM dp WHERE dp.i < length(dp.word))
+           |SELECT word, n, CAST(length(word) AS BIGINT) AS len,
+           |  arr[length(word) + 1] AS best_score
+           |FROM dp WHERE i = length(word)
+           |ORDER BY n DESC, word""".stripMargin
+      }),
+
     // WINNOWING FINGERPRINTS (min-in-window selection) — the other
     // canonical local fingerprinting scheme next to text_fingerprint's
     // mod-p sieve: over the POSITIONAL word-4-gram rolling-hash sequence,

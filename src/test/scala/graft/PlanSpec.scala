@@ -800,6 +800,21 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("text_viterbi_segment: the DP runs over the vocab (TakeOrdered " +
+    "top-k); the corpus contributes one map-side-combined count") {
+    val plan = formatted(q("text_viterbi_segment"))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_concurrent_sessions: per-type sweep window; peak joins back " +
+    "by broadcast — no firehose self-join") {
+    val plan = formatted(q("q_concurrent_sessions"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q_event_mad_outliers: the firehose collapses once into the " +
     "histogram; median/MAD selections run over histogram rows") {
     val plan = formatted(q("q_event_mad_outliers"))
