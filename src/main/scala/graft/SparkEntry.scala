@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.defs ++
       graft.queries.CurationQueries.defs ++
       graft.queries.CorpusQueries.defs ++
-      graft.queries.GovernanceQueries.defs
+      graft.queries.GovernanceQueries.defs ++
+      graft.queries.DataQualityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

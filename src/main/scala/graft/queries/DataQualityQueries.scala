@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Data-quality operators — the invariant checks a pipeline runs on every
+ * ingest before anything downstream trusts the tables: money
+ * reconciliation (do the line items add up to the order header?) and
+ * referential integrity / key uniqueness (the "dbt tests" layer).
+ *
+ * Everything is exact integer arithmetic (the DECIMAL(18,2) money
+ * contract widened to integer basis points, so discount x tax products
+ * stay exact); every check is one equi-join or one map-side-combined
+ * aggregate — a quality sweep must be cheaper than the pipeline it
+ * guards.
+ */
+object DataQualityQueries {
+
+  import graft.MoneyMath.dec
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // RECONCILIATION AUDIT — double-entry check of the order header
+    // against its lines: computed total = sum of
+    // extendedprice x (1-discount) x (1+tax), carried as EXACT integers
+    // (cents x basis-point factors, scale 10^4), compared to the header
+    // total at the same scale. The mismatch sheet buckets by decimal
+    // magnitude of the difference — the shape of the discrepancy (rounding
+    // dust vs missing lines) matters more than its existence. Headers
+    // with no lines report digits = -1. 100 TB shape: one map-side-
+    // combined per-order sum, one hash equi-join header<->lines, then a
+    // <=20-row rollup.
+    "q_reconciliation_audit" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (dec(col("o_totalprice")) * 100).cast(LongType).as("tot_c"))
+        val l = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            ((dec(col("l_extendedprice")) * 100).cast(LongType) *
+              (lit(100L) - (dec(col("l_discount")) * 100).cast(LongType)) *
+              (lit(100L) + (dec(col("l_tax")) * 100).cast(LongType)))
+              .as("line_s4"))
+        val comp = l.groupBy(col("l_orderkey"))
+          .agg(sum(col("line_s4")).as("comp_s4"))
+        o.join(comp, col("o_orderkey") === col("l_orderkey"), "left")
+          .selectExpr("tot_c * 10000 AS tot_s4", "comp_s4")
+          .selectExpr(
+            """CASE WHEN comp_s4 IS NULL THEN -1
+              |     WHEN tot_s4 = comp_s4 THEN 0
+              |     ELSE length(CAST(abs(tot_s4 - comp_s4) AS STRING))
+              |END AS digits""".stripMargin,
+            "coalesce(tot_s4 - comp_s4, CAST(0 AS BIGINT)) AS diff")
+          .groupBy(col("digits"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("diff")).as("min_diff_s4"),
+            max(col("diff")).as("max_diff_s4"))
+          .orderBy(col("digits"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS tot_c
+             |  FROM orders),
+             |l AS (
+             |  SELECT l_orderkey,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+             |          AS BIGINT))
+             |      * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100
+             |          AS BIGINT)) AS line_s4
+             |  FROM lineitem),
+             |comp AS (
+             |  SELECT l_orderkey, CAST(SUM(line_s4) AS BIGINT) AS comp_s4
+             |  FROM l GROUP BY l_orderkey),
+             |j AS (
+             |  SELECT o.tot_c * 10000 AS tot_s4, comp.comp_s4
+             |  FROM o LEFT JOIN comp ON o.o_orderkey = comp.l_orderkey)
+             |SELECT CASE WHEN comp_s4 IS NULL THEN -1
+             |            WHEN tot_s4 = comp_s4 THEN 0
+             |            ELSE length(CAST(abs(tot_s4 - comp_s4) AS VARCHAR))
+             |       END AS digits,
+             |  count(*) AS n_orders,
+             |  CAST(MIN(coalesce(tot_s4 - comp_s4, 0)) AS BIGINT)
+             |    AS min_diff_s4,
+             |  CAST(MAX(coalesce(tot_s4 - comp_s4, 0)) AS BIGINT)
+             |    AS max_diff_s4
+             |FROM j GROUP BY 1 ORDER BY digits""".stripMargin)),
+
+    // REFERENTIAL INTEGRITY + KEY UNIQUENESS — the four invariants the
+    // TPC-H-shaped schema promises: lineitem.l_orderkey resolves in
+    // orders, orders.o_custkey resolves in customer, and both orders and
+    // customer primary keys are unique. Each check is ONE left-anti
+    // equi-join (orphans) or ONE map-side-combined count (duplicate
+    // keys); the sheet is a 4-row union. At 100 TB this is the per-ingest
+    // gate — any non-zero row quarantines the batch.
+    "q_referential_integrity" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val l = Tables.load(s, dir, "lineitem")
+        val c = Tables.load(s, dir, "customer")
+        def check(name: String, viol: org.apache.spark.sql.DataFrame,
+            total: org.apache.spark.sql.DataFrame) =
+          viol.agg(count(lit(1)).as("n_violations"))
+            .crossJoin(total.agg(count(lit(1)).as("n_checked")))
+            .select(lit(name).as("check_name"), col("n_violations"),
+              col("n_checked"))
+        val orphanLines = l.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+        val orphanOrders = o.select(col("o_custkey"))
+          .join(c.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+        val dupOrderPk = o.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        val dupCustPk = c.groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        check("customer_pk_unique", dupCustPk, c)
+          .union(check("lineitem_order_fk", orphanLines, l))
+          .union(check("orders_custkey_fk", orphanOrders, o))
+          .union(check("orders_pk_unique", dupOrderPk, o))
+          .orderBy(col("check_name"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'customer_pk_unique' AS check_name,
+             |    (SELECT count(*) FROM (SELECT c_custkey FROM customer
+             |      GROUP BY c_custkey HAVING count(*) > 1)) AS n_violations,
+             |    (SELECT count(*) FROM customer) AS n_checked
+             |  UNION ALL
+             |  SELECT 'lineitem_order_fk',
+             |    (SELECT count(*) FROM lineitem
+             |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+             |    (SELECT count(*) FROM lineitem)
+             |  UNION ALL
+             |  SELECT 'orders_custkey_fk',
+             |    (SELECT count(*) FROM orders
+             |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+             |    (SELECT count(*) FROM orders)
+             |  UNION ALL
+             |  SELECT 'orders_pk_unique',
+             |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+             |      GROUP BY o_orderkey HAVING count(*) > 1)),
+             |    (SELECT count(*) FROM orders))
+             |ORDER BY check_name""".stripMargin))
+  )
+}

@@ -815,6 +815,21 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q_reconciliation_audit: one map-side-combined per-order sum, " +
+    "one header-lines equi-join, tiny rollup") {
+    val plan = formatted(q("q_reconciliation_audit"))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q_referential_integrity: orphan checks are anti equi-joins " +
+    "(1-row count combines are nested-loop by design)") {
+    val plan = formatted(q("q_referential_integrity"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+  }
+
   test("q_event_mad_outliers: the firehose collapses once into the " +
     "histogram; median/MAD selections run over histogram rows") {
     val plan = formatted(q("q_event_mad_outliers"))
