@@ -124,6 +124,58 @@ object CorpusQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // LEXICAL CONCENTRATION per source — Simpson's index over the word
+    // distribution (the probability two random token draws are the same
+    // type) plus the type-token ratio: the one-number "is this source
+    // repetitive boilerplate or diverse prose" screen, read next to the
+    // Zipf histogram before setting mixture weights. Exact counts; the
+    // n(n-1) products ride DECIMAL(38,0) (a 100 TB source's top word can
+    // clear int64 when squared); the two reported indices are single
+    // double divisions of exact integers. Scale shape: ONE map-side-
+    // combined (source, word) count, then a second combine to
+    // |sources| rows — the corpus is scanned once, nothing is sorted.
+    "corpus_simpson_diversity" -> QueryDef(
+      (s, dir) => {
+        val dec38 = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val d = Tables.load(s, dir, "documents")
+        val counts = d
+          .select(col("source"), explode(words(col("text"))).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("n"))
+        counts.groupBy(col("source"))
+          .agg(sum(col("n")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(dec38(col("n")) * (dec38(col("n")) - 1)).as("num"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            round(col("num").cast(DoubleType) /
+              (col("n_tokens").cast(DoubleType) *
+                (col("n_tokens") - 1).cast(DoubleType)), 9)
+              .as("simpson_idx"),
+            round(col("n_types").cast(DoubleType) /
+              col("n_tokens").cast(DoubleType), 6).as("ttr"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        s"""WITH c AS (
+           |  SELECT source, w, count(*) AS n FROM (
+           |    SELECT source, unnest($ws) AS w FROM documents)
+           |  GROUP BY source, w),
+           |agg AS (
+           |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           |    count(*) AS n_types,
+           |    SUM(CAST(n AS DECIMAL(38,0))
+           |      * (CAST(n AS DECIMAL(38,0)) - 1)) AS num
+           |  FROM c GROUP BY source)
+           |SELECT source, n_tokens, n_types,
+           |  round(CAST(num AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
+           |    * CAST(n_tokens - 1 AS DOUBLE)), 9) AS simpson_idx,
+           |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           |    AS ttr
+           |FROM agg ORDER BY source""".stripMargin
+      }),
+
     // PII redaction: the corpus text carries deterministic contact blocks
     // (derived from doc_id on both engines — the synthetic documents table
     // contains no organic PII to scrub), and the operator counts + redacts

@@ -830,6 +830,13 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("LeftAnti"), plan.take(3000))
   }
 
+  test("corpus_simpson_diversity: two chained map-side combines to " +
+    "|sources| rows — corpus scanned once, nothing sorted") {
+    val plan = formatted(q("corpus_simpson_diversity"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("q_event_mad_outliers: the firehose collapses once into the " +
     "histogram; median/MAD selections run over histogram rows") {
     val plan = formatted(q("q_event_mad_outliers"))
