@@ -1167,6 +1167,108 @@ object SimilarityQueries {
            |SELECT i, CAST(v AS BIGINT) AS v FROM v3 ORDER BY i""".stripMargin
       }),
 
+    // SECOND PRINCIPAL DIRECTION via DEFLATED power iteration — the
+    // multi-component extension of embed_power_iteration (a whitening /
+    // spectral pass needs more than the dominant axis): the dominant
+    // vector v1 is computed by the same 3-round driver-held iterate, then
+    // a second iterate runs the identical EᵀE recurrence with v1's
+    // component REMOVED each round — d = u − v1·((v1ᵀu) div (v1ᵀv1)),
+    // exact integer floor division (truncation toward zero, identical in
+    // Java `/`, Spark `div`, DuckDB `//`) — and renormalizes to ±127.
+    // Start w0 alternates ±1 so it is never parallel to v1. Everything
+    // stays integer-exact end to end; the deflation dot shrinks the int64
+    // headroom by ~Dim·127 (rescale s_r first at ~10⁶× today's N — the
+    // same escape hatch the dominant iterate documents). Per round the
+    // N-sized side is touched exactly once (one scan + one 64-row
+    // shuffle); all deflation algebra runs on 64-row tables. The final
+    // round stays lazy for the plan contract.
+    "embed_pca_top2" -> QueryDef(
+      (s, dir) => {
+        val qv = quantizedVecs(s, dir)
+        def uOf(v: Array[Long]): DataFrame = {
+          val vlit = array(v.map(x => lit(x)): _*)
+          qv.withColumn("sr", aggregate(
+              zip_with(col("qv"), vlit, (a, b) => a * b), lit(0L), _ + _))
+            .select(posexplode(col("qv")).as(Seq("i", "q")), col("sr"))
+            .groupBy(col("i")).agg(sum(col("q") * col("sr")).as("u"))
+        }
+        def collectU(df: DataFrame): Array[Long] = {
+          val u = Array.ofDim[Long](Dim)
+          df.collect().foreach(r => u(r.getInt(0)) = r.getLong(1))
+          u
+        }
+        def renorm(u: Array[Long]): Array[Long] = {
+          val m = u.map(math.abs).max
+          u.map(x => (x * 127) / m)
+        }
+        // dominant direction: 3 full rounds, driver-held
+        var v1 = Array.fill(Dim)(1L)
+        for (_ <- 0 until 3) v1 = renorm(collectU(uOf(v1)))
+        val n1sq = v1.map(x => x * x).sum
+        def deflate(u: Array[Long]): Array[Long] = {
+          val d = u.zip(v1).map { case (x, y) => x * y }.sum / n1sq
+          u.zip(v1).map { case (x, y) => x - y * d }
+        }
+        var w = Array.tabulate(Dim)(i => if (i % 2 == 0) 1L else -1L)
+        for (_ <- 0 until 2) w = renorm(deflate(collectU(uOf(w))))
+        // final round lazy: deflation + renorm on 64-row tables in-plan
+        val v1df = s.createDataFrame(
+          v1.toSeq.zipWithIndex.map { case (x, i) => (i, x) })
+          .toDF("i", "v1")
+        val u3 = uOf(w).join(broadcast(v1df), "i")
+        val dot = u3.agg(sum(col("u") * col("v1")).as("d"))
+        val d3 = u3.crossJoin(broadcast(dot))
+          .selectExpr("i", "v1", s"u - v1 * (d div ${n1sq}L) AS du")
+        val m3 = d3.agg(max(abs(col("du"))).as("m"))
+        d3.crossJoin(broadcast(m3))
+          .selectExpr("CAST(i AS BIGINT) AS i", "(du * 127) div m AS w",
+            "v1")
+          .orderBy(col("i"))
+      },
+      Some {
+        def round(k: Int): String =
+          s"""s$k AS (
+             |  SELECT e.vec_id, SUM(e.q * v.v) AS sr
+             |  FROM ex e JOIN v${k - 1} v USING (i) GROUP BY e.vec_id),
+             |u$k AS (
+             |  SELECT e.i, SUM(e.q * s.sr) AS u
+             |  FROM ex e JOIN s$k s USING (vec_id) GROUP BY e.i),
+             |m$k AS (SELECT MAX(ABS(u)) AS m FROM u$k),
+             |v$k AS (SELECT i, (u * 127) // m AS v FROM u$k, m$k)""".stripMargin
+        def wround(k: Int): String =
+          s"""ws$k AS (
+             |  SELECT e.vec_id, SUM(e.q * w.v) AS sr
+             |  FROM ex e JOIN w${k - 1} w USING (i) GROUP BY e.vec_id),
+             |wu$k AS (
+             |  SELECT e.i, SUM(e.q * s.sr) AS u
+             |  FROM ex e JOIN ws$k s USING (vec_id) GROUP BY e.i),
+             |wdot$k AS (
+             |  SELECT CAST(SUM(u.u * v.v) AS BIGINT) AS d,
+             |    (SELECT CAST(SUM(v * v) AS BIGINT) FROM v3) AS n2
+             |  FROM wu$k u JOIN v3 v USING (i)),
+             |wd$k AS (
+             |  SELECT u.i, CAST(u.u - v.v * (t.d // t.n2) AS BIGINT) AS u
+             |  FROM wu$k u JOIN v3 v USING (i), wdot$k t),
+             |wm$k AS (SELECT MAX(ABS(u)) AS m FROM wd$k),
+             |w$k AS (SELECT i, CAST((u * 127) // m AS BIGINT) AS v
+             |        FROM wd$k, wm$k)""".stripMargin
+        s"""WITH $sqlQuantPrefix,
+           |ex AS (
+           |  SELECT vec_id, i, qv[i + 1] AS q
+           |  FROM qvecs, (SELECT unnest(range(0, $Dim)) AS i) r
+           |  WHERE i < len(qv)),
+           |v0 AS (SELECT unnest(range(0, $Dim)) AS i,
+           |       CAST(1 AS BIGINT) AS v),
+           |${(1 to 3).map(round).mkString(",\n")},
+           |w0 AS (SELECT i, CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END
+           |         AS BIGINT) AS v
+           |       FROM (SELECT unnest(range(0, $Dim)) AS i)),
+           |${(1 to 3).map(wround).mkString(",\n")}
+           |SELECT CAST(w3.i AS BIGINT) AS i, w3.v AS w,
+           |  CAST(v3.v AS BIGINT) AS v1
+           |FROM w3 JOIN v3 USING (i) ORDER BY i""".stripMargin
+      }),
+
     // PER-CLASS CENTROIDS over the labeled embeddings — the statistic a
     // classifier-based curation pass (quality classes, domain classes)
     // reads off the corpus, and the seed step of supervised re-clustering.

@@ -830,6 +830,17 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("LeftAnti"), plan.take(3000))
   }
 
+  test("embed_pca_top2: final deflated round touches the corpus once — " +
+    "one scan + one 64-row shuffle; deflation algebra on 64-row tables") {
+    val df = q("embed_pca_top2")
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // deflation/renorm joins are broadcasts of 1-to-64-row tables
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(df.count() === 64)
+  }
+
   test("corpus_simpson_diversity: two chained map-side combines to " +
     "|sources| rows — corpus scanned once, nothing sorted") {
     val plan = formatted(q("corpus_simpson_diversity"))
