@@ -338,8 +338,13 @@ object GovernanceQueries {
         val (_, cand) = erCandidates(s, dir)
         val edges = cand.selectExpr("c_custkey * 2 AS u",
           "d_key * 2 + 1 AS v")
-        val comp = graft.operators.ConnectedComponents
-          .components(edges, "u", "v")
+        // the closure rounds are EAGER (per-round localCheckpoint), so the
+        // partition pin is honored; the match-edge set is customers-sized,
+        // and 32-task exchanges over it are pure scheduling fixed cost.
+        // At cluster scale the caller sizes partitions to edge volume.
+        val comp = graft.QueryUtil.withShufflePartitions(s, 4) {
+          graft.operators.ConnectedComponents.components(edges, "u", "v")
+        }
         comp.groupBy(col("component"))
           .agg(count(lit(1)).as("sz"))
           .groupBy(col("sz").as("cluster_size"))
