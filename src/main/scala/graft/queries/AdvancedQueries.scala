@@ -1120,6 +1120,74 @@ object AdvancedQueries {
              |LEFT JOIN o USING (event_type)
              |ORDER BY event_type""".stripMargin)),
 
+    // EQUI-DEPTH HISTOGRAM — the optimizer-statistics / load-balancing
+    // primitive: per event type, quartile boundary VALUES (the exact
+    // 25/50/75th-percentile cents, cut_k = min value whose cumulative
+    // count reaches ceil(k·n/4)) and the resulting four buckets' count
+    // and value range. Ties share a bucket (value-based split — the
+    // boundary semantics an optimizer histogram wants, stated
+    // identically in both engines). Selection is the same cumsum-over-
+    // bounded-histogram device as the MAD detector: the corpus collapses
+    // ONCE into the (type, cents) histogram, cuts come off histogram
+    // cumsums, buckets are a CASE against the broadcast cut table — a
+    // per-type sort of the events never happens (what naive ntile would
+    // do).
+    "q_equidepth_histogram" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val cents = (graft.MoneyMath.dec(col("value")) * 100).cast(LongType)
+        val hist = e.select(col("event_type"), cents.as("v"))
+          .groupBy(col("event_type"), col("v"))
+          .agg(count(lit(1)).as("c")).cache()
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ann = hist.withColumn("cum", sum(col("c")).over(wc))
+          .join(hist.groupBy(col("event_type")).agg(sum(col("c")).as("n")),
+            "event_type")
+        // cut_k = min v with cum >= ceil(k*n/4)
+        val cuts = ann
+          .selectExpr("event_type", "v", "cum", "n",
+            "(1*n + 3) div 4 AS r1", "(2*n + 3) div 4 AS r2",
+            "(3*n + 3) div 4 AS r3")
+          .groupBy(col("event_type"))
+          .agg(min(when(col("cum") >= col("r1"), col("v"))).as("c1"),
+            min(when(col("cum") >= col("r2"), col("v"))).as("c2"),
+            min(when(col("cum") >= col("r3"), col("v"))).as("c3"))
+        hist.join(broadcast(cuts), "event_type")
+          .selectExpr("event_type", "v", "c",
+            "1 + CAST(v > c1 AS INT) + CAST(v > c2 AS INT) " +
+              "+ CAST(v > c3 AS INT) AS bucket")
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(sum(col("c")).as("n"), min(col("v")).as("lo"),
+            max(col("v")).as("hi"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |ann AS (
+             |  SELECT event_type, v, c,
+             |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum,
+             |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM h),
+             |cuts AS (
+             |  SELECT event_type,
+             |    MIN(CASE WHEN cum >= (1*n + 3) // 4 THEN v END) AS c1,
+             |    MIN(CASE WHEN cum >= (2*n + 3) // 4 THEN v END) AS c2,
+             |    MIN(CASE WHEN cum >= (3*n + 3) // 4 THEN v END) AS c3
+             |  FROM ann GROUP BY event_type)
+             |SELECT h.event_type,
+             |  1 + CAST(h.v > c.c1 AS INT) + CAST(h.v > c.c2 AS INT)
+             |    + CAST(h.v > c.c3 AS INT) AS bucket,
+             |  CAST(SUM(h.c) AS BIGINT) AS n,
+             |  CAST(MIN(h.v) AS BIGINT) AS lo, CAST(MAX(h.v) AS BIGINT) AS hi
+             |FROM h JOIN cuts c USING (event_type)
+             |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin)),
+
     // PEAK CONCURRENCY (sweep line) — per event type, the maximum number
     // of simultaneously-active 5-minute activity spans and the first
     // second it is reached: each event opens a [t, t+300) span, the sweep

@@ -176,6 +176,50 @@ object CorpusQueries {
            |FROM agg ORDER BY source""".stripMargin
       }),
 
+    // WORD BURSTINESS (Church–Gale adaptation) — for the corpus's top-20
+    // words: once a word appears in a document, how likely is it to
+    // repeat? repeat_ppm = (total − df)/total (fraction of occurrences
+    // that are within-doc repeats) and adapt_ppm = df₂/df (fraction of
+    // containing docs where it appears ≥ 2×) — the signal separating
+    // topical content words (bursty) from function words (evenly
+    // spread), read before trusting df-based weighting. Exact integers.
+    // Scale shape: ONE map-side-combined (doc, word) count, a second
+    // combine to the vocab table, top-20 by TakeOrdered — the corpus is
+    // scanned once, nothing sorted.
+    "corpus_burstiness" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val dw = d
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        dw.groupBy(col("w"))
+          .agg(sum(col("c")).as("total"), count(lit(1)).as("df"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).as("df2"))
+          .selectExpr("w", "total", "df", "df2",
+            "((total - df) * 1000000) div total AS repeat_ppm",
+            "(df2 * 1000000) div df AS adapt_ppm")
+          .orderBy(col("total").desc, col("w"))
+          .limit(20)
+      },
+      Some {
+        val ws = sqlWords("text")
+        s"""WITH dw AS (
+           |  SELECT doc_id, w, count(*) AS c FROM (
+           |    SELECT doc_id, unnest($ws) AS w FROM documents)
+           |  GROUP BY doc_id, w),
+           |v AS (
+           |  SELECT w, CAST(SUM(c) AS BIGINT) AS total,
+           |    count(*) AS df,
+           |    CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS df2
+           |  FROM dw GROUP BY w)
+           |SELECT w, total, df, df2,
+           |  ((total - df) * 1000000) // total AS repeat_ppm,
+           |  (df2 * 1000000) // df AS adapt_ppm
+           |FROM v ORDER BY total DESC, w LIMIT 20""".stripMargin
+      }),
+
     // PII redaction: the corpus text carries deterministic contact blocks
     // (derived from doc_id on both engines — the synthetic documents table
     // contains no organic PII to scrub), and the operator counts + redacts

@@ -841,6 +841,23 @@ class PlanSpec extends SparkSpecBase {
     assert(df.count() === 64)
   }
 
+  test("q_equidepth_histogram: quartile cuts come off the bounded " +
+    "histogram cumsum; buckets CASE against broadcast cuts — " +
+    "never a per-type sort of the events") {
+    val plan = formatted(q("q_equidepth_histogram"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("corpus_burstiness: two chained map-side combines, top-20 " +
+    "TakeOrdered — corpus scanned once, nothing sorted") {
+    val plan = formatted(q("corpus_burstiness"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("corpus_simpson_diversity: two chained map-side combines to " +
     "|sources| rows — corpus scanned once, nothing sorted") {
     val plan = formatted(q("corpus_simpson_diversity"))
