@@ -176,6 +176,107 @@ object CorpusQueries {
            |FROM agg ORDER BY source""".stripMargin
       }),
 
+    // TEXTRANK KEYWORD EXTRACTION — the graph machinery composed with the
+    // text stack: nodes are the corpus top-200 words (md5 node ids,
+    // identical in SQL), edges are adjacent-word co-occurrences
+    // canonicalized undirected, and 5 rounds of the SAME exact-integer
+    // PageRank operator the trade graph uses score centrality; top-20
+    // keywords out. This is the classic unsupervised keyword extractor —
+    // and a demonstration that the engine's graph operators take ANY
+    // edge relation, not just the relational fixtures. Scale shape: one
+    // map-side word count bounds the vocab, edges filter through the
+    // broadcast vocab, the walk pays one exchange per round over a
+    // vocab²-bounded edge set; the corpus is scanned twice (count +
+    // pairs), never joined to itself.
+    "text_textrank_keywords" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.{md5Long, shingles, words => tw}
+        val d = Tables.load(s, dir, "documents")
+        val vocab = d.select(explode(tw(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word")).limit(200)
+          .select(col("word")).cache()
+        val pairs = d
+          .select(explode(shingles(tw(col("text")), 2)).as("bg"))
+          .select(split(col("bg"), " ").getItem(0).as("a"),
+            split(col("bg"), " ").getItem(1).as("b"))
+          .filter(col("a") =!= col("b"))
+          .join(broadcast(vocab.withColumnRenamed("word", "a")), "a")
+          .join(broadcast(vocab.withColumnRenamed("word", "b")), "b")
+          .select(least(col("a"), col("b")).as("x"),
+            greatest(col("a"), col("b")).as("y"))
+          .distinct()
+        val edges = pairs.select(col("x").as("s"), col("y").as("t"))
+          .union(pairs.select(col("y").as("s"), col("x").as("t")))
+          .select(md5Long(col("s")).as("src"), md5Long(col("t")).as("dst"),
+            col("s"))
+        val adj = edges.groupBy(col("src"), col("s"))
+          .agg(collect_list(col("dst")).as("dsts"))
+          .withColumn("outdeg", size(col("dsts")).cast(LongType))
+          .cache()
+        val nodes = adj.select(col("src").as("node"))
+        val ranks = graft.QueryUtil.withShufflePartitions(s, 8) {
+          graft.operators.PageRank.runAdjacency(
+            adj.select(col("src"), col("dsts"), col("outdeg")), nodes, 5,
+            barrierEvery = 5, cutFinal = true)
+        }
+        ranks.join(broadcast(adj.select(col("src").as("node"),
+            col("s").as("word"))), "node")
+          .select(col("word"), col("rank"))
+          .orderBy(col("rank").desc, col("word"))
+          .limit(20)
+      },
+      Some {
+        val ws = sqlWords("text")
+        def iter(prev: String, k: Int): String =
+          s"""r$k AS (
+             |  SELECT n.node,
+             |    CAST(150000000 + COALESCE(s.m, 0) AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |      SUM((r.rank * 85) // (100 * deg.d)) AS m
+             |    FROM $prev r
+             |    JOIN e ON r.node = e.src
+             |    JOIN deg ON deg.src = e.src
+             |    GROUP BY e.dst) s USING (node))""".stripMargin
+        s"""WITH vocab AS (
+           |  SELECT word FROM (
+           |    SELECT word, count(*) AS n FROM (
+           |      SELECT unnest($ws) AS word FROM documents)
+           |    GROUP BY word ORDER BY n DESC, word LIMIT 200)),
+           |bg AS (
+           |  SELECT s[1] AS a, s[2] AS b FROM (
+           |    SELECT string_split(unnest(
+           |      ${graft.functions.TextFunctions.sqlShingles(ws, 2)}), ' ')
+           |      AS s
+           |    FROM documents)),
+           |p AS (
+           |  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+           |  FROM bg
+           |  WHERE a <> b AND a IN (SELECT word FROM vocab)
+           |    AND b IN (SELECT word FROM vocab)),
+           |ew AS (
+           |  SELECT x AS s, y AS t FROM p
+           |  UNION ALL SELECT y AS s, x AS t FROM p),
+           |e AS (
+           |  SELECT CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+           |           AS src,
+           |         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+           |           AS dst
+           |  FROM ew),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+           |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank
+           |       FROM nodes),
+           |${(1 to 5).map(k => iter(s"r${k - 1}", k)).mkString(",\n")},
+           |wordmap AS (
+           |  SELECT DISTINCT s AS word,
+           |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS node
+           |  FROM ew)
+           |SELECT w.word, r.rank FROM r5 r JOIN wordmap w USING (node)
+           |ORDER BY r.rank DESC, w.word LIMIT 20""".stripMargin
+      }),
+
     // WORD BURSTINESS (Church–Gale adaptation) — for the corpus's top-20
     // words: once a word appears in a document, how likely is it to
     // repeat? repeat_ppm = (total − df)/total (fraction of occurrences

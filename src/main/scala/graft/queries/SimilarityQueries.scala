@@ -1227,46 +1227,137 @@ object SimilarityQueries {
       },
       Some {
         def round(k: Int): String =
-          s"""s$k AS (
+          s"""s$k AS MATERIALIZED (
              |  SELECT e.vec_id, SUM(e.q * v.v) AS sr
              |  FROM ex e JOIN v${k - 1} v USING (i) GROUP BY e.vec_id),
-             |u$k AS (
+             |u$k AS MATERIALIZED (
              |  SELECT e.i, SUM(e.q * s.sr) AS u
              |  FROM ex e JOIN s$k s USING (vec_id) GROUP BY e.i),
-             |m$k AS (SELECT MAX(ABS(u)) AS m FROM u$k),
-             |v$k AS (SELECT i, (u * 127) // m AS v FROM u$k, m$k)""".stripMargin
+             |m$k AS MATERIALIZED (SELECT MAX(ABS(u)) AS m FROM u$k),
+             |v$k AS MATERIALIZED (SELECT i, (u * 127) // m AS v FROM u$k, m$k)""".stripMargin
         def wround(k: Int): String =
-          s"""ws$k AS (
+          s"""ws$k AS MATERIALIZED (
              |  SELECT e.vec_id, SUM(e.q * w.v) AS sr
              |  FROM ex e JOIN w${k - 1} w USING (i) GROUP BY e.vec_id),
-             |wu$k AS (
+             |wu$k AS MATERIALIZED (
              |  SELECT e.i, SUM(e.q * s.sr) AS u
              |  FROM ex e JOIN ws$k s USING (vec_id) GROUP BY e.i),
-             |wdot$k AS (
+             |wdot$k AS MATERIALIZED (
              |  SELECT CAST(SUM(u.u * v.v) AS BIGINT) AS d,
              |    (SELECT CAST(SUM(v * v) AS BIGINT) FROM v3) AS n2
              |  FROM wu$k u JOIN v3 v USING (i)),
-             |wd$k AS (
+             |wd$k AS MATERIALIZED (
              |  SELECT u.i, CAST(u.u - v.v * (t.d // t.n2) AS BIGINT) AS u
              |  FROM wu$k u JOIN v3 v USING (i), wdot$k t),
-             |wm$k AS (SELECT MAX(ABS(u)) AS m FROM wd$k),
-             |w$k AS (SELECT i, CAST((u * 127) // m AS BIGINT) AS v
+             |wm$k AS MATERIALIZED (SELECT MAX(ABS(u)) AS m FROM wd$k),
+             |w$k AS MATERIALIZED (SELECT i, CAST((u * 127) // m AS BIGINT) AS v
              |        FROM wd$k, wm$k)""".stripMargin
         s"""WITH $sqlQuantPrefix,
-           |ex AS (
+           |ex AS MATERIALIZED (
            |  SELECT vec_id, i, qv[i + 1] AS q
            |  FROM qvecs, (SELECT unnest(range(0, $Dim)) AS i) r
            |  WHERE i < len(qv)),
-           |v0 AS (SELECT unnest(range(0, $Dim)) AS i,
+           |v0 AS MATERIALIZED (SELECT unnest(range(0, $Dim)) AS i,
            |       CAST(1 AS BIGINT) AS v),
            |${(1 to 3).map(round).mkString(",\n")},
-           |w0 AS (SELECT i, CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END
+           |w0 AS MATERIALIZED (SELECT i, CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END
            |         AS BIGINT) AS v
            |       FROM (SELECT unnest(range(0, $Dim)) AS i)),
            |${(1 to 3).map(wround).mkString(",\n")}
            |SELECT CAST(w3.i AS BIGINT) AS i, w3.v AS w,
            |  CAST(v3.v AS BIGINT) AS v1
            |FROM w3 JOIN v3 USING (i) ORDER BY i""".stripMargin
+      }),
+
+    // GREEDY K-CENTER CORESET — embedding-space data pruning (the
+    // farthest-point-sampling selection behind dataset distillation and
+    // diverse-subset picking): seed = min vec_id, then 7 greedy rounds
+    // each pick the point FARTHEST from the chosen set (exact integer
+    // squared L2 on the shared int8 quantization; ties → min id). The
+    // selection loop is driver-held like the power-iteration iterate —
+    // each round is ONE scan computing min-distance to the <=8 broadcast-
+    // literal centers and ONE 1-row argmax aggregate (the k·N lower
+    // bound of greedy k-center, optimally shaped); the report assigns
+    // every point to its nearest center in one final pure-map pass:
+    // per center its pick round, cohort size and coverage radius — the
+    // 2-approximation certificate of the cover. The oracle unrolls the
+    // same 8 rounds as CTEs.
+    "sample_coreset_kcenter" -> QueryDef(
+      (s, dir) => {
+        val qv = quantizedVecs(s, dir)
+        def d2To(center: Array[Long]): org.apache.spark.sql.Column = {
+          val clit = array(center.map(lit(_)): _*)
+          aggregate(zip_with(col("qv"), clit,
+            (a, b) => (a - b) * (a - b)), lit(0L), _ + _)
+        }
+        val seed = qv.orderBy(col("vec_id")).limit(1)
+          .select(col("vec_id"), col("qv")).collect()(0)
+        var centers = Vector[(Long, Array[Long])](
+          (seed.getLong(0), seed.getSeq[Long](1).toArray))
+        for (_ <- 1 until 8) {
+          val dcols = centers.map(c => d2To(c._2))
+          val dmin = if (dcols.size == 1) dcols.head else least(dcols: _*)
+          val pick = qv
+            .filter(!col("vec_id").isInCollection(centers.map(_._1)))
+            .agg(max_by(struct(col("vec_id"), col("qv")),
+              struct(dmin, -col("vec_id"))).as("p"))
+            .select(col("p.vec_id"), col("p.qv")).collect()(0)
+          centers = centers :+
+            ((pick.getLong(0), pick.getSeq[Long](1).toArray))
+        }
+        // coverage report: nearest center per point (ties -> earliest
+        // round), one pure-map pass + 8-row rollup
+        val assign = centers.zipWithIndex.map { case ((cid, cv), r) =>
+          struct(d2To(cv).as("d2"), lit(r).as("round"),
+            lit(cid).as("center_id"))
+        }
+        qv.select(least(assign: _*).as("a"))
+          .groupBy(col("a.round").as("round"),
+            col("a.center_id").as("center_id"))
+          .agg(count(lit(1)).as("n_assigned"),
+            max(col("a.d2")).as("radius_d2"))
+          .selectExpr("CAST(round AS BIGINT) AS round", "center_id",
+            "n_assigned", "radius_d2")
+          .orderBy(col("round"))
+      },
+      Some {
+        val dist = "list_sum(list_transform(range(1, " + (Dim + 1) +
+          "), i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i])))"
+        def pickRound(k: Int): String =
+          s"""pick$k AS MATERIALIZED (
+             |  SELECT vec_id, qv FROM (
+             |    SELECT p.vec_id, p.qv,
+             |      MIN($dist) AS dmin
+             |    FROM qvecs p, chosen${k - 1} c
+             |    WHERE p.vec_id NOT IN (SELECT vec_id FROM chosen${k - 1})
+             |    GROUP BY p.vec_id, p.qv)
+             |  ORDER BY dmin DESC, vec_id LIMIT 1),
+             |chosen$k AS MATERIALIZED (
+             |  SELECT vec_id, qv, round FROM chosen${k - 1}
+             |  UNION ALL SELECT vec_id, qv, $k AS round FROM pick$k)""".stripMargin
+        s"""WITH $sqlQuantPrefix,
+           |chosen0 AS MATERIALIZED (
+           |  SELECT vec_id, qv, 0 AS round FROM qvecs
+           |  ORDER BY vec_id LIMIT 1),
+           |${(1 to 7).map(pickRound).mkString(",\n")},
+           |pa AS MATERIALIZED (
+           |  SELECT p.vec_id,
+           |    MIN([CAST($dist AS HUGEINT), CAST(c.round AS HUGEINT)])
+           |      AS m
+           |  FROM qvecs p, chosen7 c GROUP BY p.vec_id),
+           |cohorts AS (
+           |  SELECT CAST(m[2] AS INT) AS round, count(*) AS n_assigned
+           |  FROM pa GROUP BY 1),
+           |radii AS (
+           |  SELECT CAST(m[2] AS INT) AS round, MAX(m[1]) AS radius_d2
+           |  FROM pa GROUP BY 1)
+           |SELECT CAST(ch.round AS BIGINT) AS round,
+           |  ch.vec_id AS center_id,
+           |  CAST(co.n_assigned AS BIGINT) AS n_assigned,
+           |  CAST(r.radius_d2 AS BIGINT) AS radius_d2
+           |FROM chosen7 ch JOIN cohorts co USING (round)
+           |JOIN radii r ON r.round = ch.round
+           |ORDER BY round""".stripMargin
       }),
 
     // PER-CLASS CENTROIDS over the labeled embeddings — the statistic a

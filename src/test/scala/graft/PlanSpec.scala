@@ -858,6 +858,28 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("text_textrank_keywords: vocab bounds the graph via broadcast " +
+    "membership; the walk never joins the corpus to itself") {
+    val plan = formatted(q("text_textrank_keywords"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("sample_coreset_kcenter: greedy rounds are one scan + one 1-row " +
+    "argmax each; the report is a pure map into an 8-row rollup") {
+    val df = q("sample_coreset_kcenter")
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only join anywhere is the cached quantization's 1-row scale
+    // broadcast; the report itself is join-free
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(3000))
+    val rows = df.collect()
+    assert(rows.length === 8)
+    // greedy invariant: every cohort is non-empty and radii are finite
+    assert(rows.forall(_.getLong(2) >= 1))
+  }
+
   test("corpus_simpson_diversity: two chained map-side combines to " +
     "|sources| rows — corpus scanned once, nothing sorted") {
     val plan = formatted(q("corpus_simpson_diversity"))
