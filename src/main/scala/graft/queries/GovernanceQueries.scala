@@ -323,6 +323,119 @@ object GovernanceQueries {
            |LIMIT 50""".stripMargin
       }),
 
+    // KOLMOGOROV–SMIRNOV DRIFT between releases — the distribution-level
+    // release gate the scalar IDF/snapshot diffs cannot give: per source,
+    // the KS statistic between v1 and v2 quality-score distributions
+    // (same v1 -> v2 derivation as corpus_snapshot_diff), reported as the
+    // max ppm gap between the two CDFs and the score where it opens.
+    // CDFs are ppm-quantized per side (cum·10^6 div n — exact integers at
+    // any corpus size, no n1·n2 product to overflow), so the statistic is
+    // the max |c1p − c2p| over the merged histogram. 100 TB shape: each
+    // version pays ONE map-side-combined (source, score) histogram; the
+    // merge is a vocabulary-of-scores-sized full-outer join; cumsums and
+    // the argmax run per source over ppm-BOUNDED histogram rows.
+    "corpus_ks_drift" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.{qualityStopwords, words}
+        def scores(docs: org.apache.spark.sql.DataFrame) = {
+          val ws = words(col("text"))
+          val nStop = size(filter(ws,
+            w => w.isInCollection(qualityStopwords))).cast(LongType)
+          docs.select(col("source"),
+              (nStop * 1000000L).as("num"),
+              size(ws).cast(LongType).as("den"))
+            .selectExpr("source", "num div den AS score")
+            .groupBy(col("source"), col("score"))
+            .agg(count(lit(1)).as("c"))
+        }
+        val d = Tables.load(s, dir, "documents")
+        val h1 = scores(d)
+        val v2 = d.filter(col("doc_id") % 7 =!= 0)
+          .selectExpr("source",
+            "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' [rev2]') ELSE text END AS text")
+          .union(d.filter(col("doc_id") % 11 === 0)
+            .selectExpr("source", "concat(text, ' [new]') AS text"))
+        val h2 = scores(v2)
+        val merged = h1.select(col("source"), col("score"),
+            col("c").as("c1"))
+          .join(h2.select(col("source"), col("score"), col("c").as("c2")),
+            Seq("source", "score"), "full_outer")
+          .na.fill(0L, Seq("c1", "c2"))
+        val wCum = Window.partitionBy(col("source")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy(col("source"))
+        val ann = merged
+          .withColumn("cum1", sum(col("c1")).over(wCum))
+          .withColumn("cum2", sum(col("c2")).over(wCum))
+          .withColumn("n1", sum(col("c1")).over(wTot))
+          .withColumn("n2", sum(col("c2")).over(wTot))
+          .selectExpr("source", "score", "n1", "n2",
+            "abs((cum1 * 1000000) div n1 - (cum2 * 1000000) div n2) AS gap")
+          .cache()
+        val ks = ann.groupBy(col("source"))
+          .agg(max(col("gap")).as("ks_ppm"),
+            max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+        ann.join(ks.select(col("source"), col("ks_ppm")),
+            Seq("source"))
+          .filter(col("gap") === col("ks_ppm"))
+          .groupBy(col("source"))
+          .agg(min(col("score")).as("at_score"))
+          .join(ks, "source")
+          .select(col("source"), col("n1"), col("n2"), col("ks_ppm"),
+            col("at_score"))
+          .orderBy(col("source"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlWords
+        val ws = sqlWords("text")
+        val nStop = s"CAST(len(list_filter($ws, w -> w IN " +
+          graft.functions.TextFunctions.qualityStopwords
+            .mkString("('", "','", "')") + ")) AS BIGINT)"
+        s"""WITH v2docs AS (
+           |  SELECT source,
+           |    CASE WHEN doc_id % 5 = 0 THEN concat(text, ' [rev2]')
+           |         ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT source, concat(text, ' [new]') AS text
+           |  FROM documents WHERE doc_id % 11 = 0),
+           |h1 AS (
+           |  SELECT source, ($nStop * 1000000) // CAST(len($ws) AS BIGINT)
+           |      AS score, count(*) AS c
+           |  FROM documents GROUP BY 1, 2),
+           |h2 AS (
+           |  SELECT source, ($nStop * 1000000) // CAST(len($ws) AS BIGINT)
+           |      AS score, count(*) AS c
+           |  FROM v2docs GROUP BY 1, 2),
+           |m AS (
+           |  SELECT source, score,
+           |    coalesce(h1.c, 0) AS c1, coalesce(h2.c, 0) AS c2
+           |  FROM h1 FULL OUTER JOIN h2 USING (source, score)),
+           |ann AS (
+           |  SELECT source, score,
+           |    CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+           |    CAST(SUM(c2) OVER w AS BIGINT) AS cum2,
+           |    CAST(SUM(c1) OVER t AS BIGINT) AS n1,
+           |    CAST(SUM(c2) OVER t AS BIGINT) AS n2
+           |  FROM m
+           |  WINDOW w AS (PARTITION BY source ORDER BY score
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  t AS (PARTITION BY source)),
+           |g AS (
+           |  SELECT source, score, n1, n2,
+           |    abs((cum1 * 1000000) // n1 - (cum2 * 1000000) // n2) AS gap
+           |  FROM ann),
+           |ks AS (
+           |  SELECT source, CAST(MAX(gap) AS BIGINT) AS ks_ppm,
+           |    MAX(n1) AS n1, MAX(n2) AS n2
+           |  FROM g GROUP BY source)
+           |SELECT g.source, ks.n1, ks.n2, ks.ks_ppm,
+           |  CAST(MIN(g.score) AS BIGINT) AS at_score
+           |FROM g JOIN ks ON g.source = ks.source AND g.gap = ks.ks_ppm
+           |GROUP BY g.source, ks.n1, ks.n2, ks.ks_ppm
+           |ORDER BY g.source""".stripMargin
+      }),
+
     // ENTITY CLUSTERS — the transitive-closure step of entity resolution:
     // every candidate match edge (dirty mention <-> clean record, parity-
     // encoded node ids) is closed into connected components, and the

@@ -880,6 +880,13 @@ class PlanSpec extends SparkSpecBase {
     assert(rows.forall(_.getLong(2) >= 1))
   }
 
+  test("corpus_ks_drift: per-version histograms map-side combine; " +
+    "CDFs and the argmax run over ppm-bounded histogram rows") {
+    val plan = formatted(q("corpus_ks_drift"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("corpus_simpson_diversity: two chained map-side combines to " +
     "|sources| rows — corpus scanned once, nothing sorted") {
     val plan = formatted(q("corpus_simpson_diversity"))
