@@ -36,9 +36,28 @@ object SequencePacking {
   def packBins(df: DataFrame, orderCol: String, weightCol: String,
       budget: Long, numPartitions: Option[Int] = None): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    val reservedCols = Seq("bin", "__pid", "__cum")
+    require(!df.columns.contains("bin"),
+      "packBins reserves column name 'bin'; rename it in the input")
+    runningSum(df, orderCol, weightCol, "__cum", numPartitions)
+      // exact integer floor-division (weights are non-negative by
+      // contract): double division would drop low bits past 2^53 total
+      // weight and land documents one bin off
+      .withColumn("bin",
+        expr(s"(__cum - $weightCol) div ${budget}L").cast("long"))
+      .drop("__cum")
+  }
+
+  /** `df` plus `outCol` (LongType) = the INCLUSIVE running sum of
+    * `weightCol` in total `orderCol` order — the distributed prefix-sum
+    * device [[packBins]] is built on, exposed for any consumer needing a
+    * total-order cumulative (rank statistics, CDF walks). Same contract:
+    * unique `orderCol`, explicit partition count, range-disjointness
+    * checked loudly. */
+  def runningSum(df: DataFrame, orderCol: String, weightCol: String,
+      outCol: String, numPartitions: Option[Int] = None): DataFrame = {
+    val reservedCols = Seq(outCol, "__pid")
     reservedCols.foreach(c => require(!df.columns.contains(c),
-      s"packBins reserves column name '$c'; rename it in the input"))
+      s"runningSum reserves column name '$c'; rename it in the input"))
     val nParts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val parted = df
@@ -58,7 +77,7 @@ object SequencePacking {
     // contract); checked best-effort where driver-side ordering is safe
     for (i <- 1 until stats.length) {
       safeCompare(stats(i - 1).get(2), stats(i).get(1)).foreach { c =>
-        require(c < 0, "packBins: range partitions overlap — " +
+        require(c < 0, "runningSum: range partitions overlap — " +
           s"partition ${stats(i - 1).getInt(0)} max=${stats(i - 1).get(2)} " +
           s">= partition ${stats(i).getInt(0)} min=${stats(i).get(1)}")
       }
@@ -76,13 +95,8 @@ object SequencePacking {
     val localCum = sum(col(weightCol))
       .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
     parted
-      .withColumn("__cum", (localCum + prefixCol).cast("long"))
-      // exact integer floor-division (weights are non-negative by
-      // contract): double division would drop low bits past 2^53 total
-      // weight and land documents one bin off
-      .withColumn("bin",
-        expr(s"(__cum - $weightCol) div ${budget}L").cast("long"))
-      .drop("__pid", "__cum")
+      .withColumn(outCol, (localCum + prefixCol).cast("long"))
+      .drop("__pid")
   }
 
   /** Driver-side ordering check that must never disagree with Spark's

@@ -37,6 +37,25 @@ object CorpusQueries {
     * same rule discriminates at every SF. */
   private val CommonDfPct = 10
 
+  /** Bootstrap replicate count for `corpus_bootstrap_stats`. */
+  private val BootstrapB = 16
+  /** Poisson(1) CDF ppm thresholds floor(P(X ≤ k)·10⁶), k = 0..7 — the
+    * inverse-CDF table turning a uniform md5-ppm draw into a Poisson(1)
+    * bootstrap weight (count of thresholds ≤ u; P(X > 7) < 10⁻⁵ truncates
+    * at weight 8). Computed once DRIVER-side and interpolated into both
+    * engines as the same literals — the single source of truth device
+    * [[SimilarityQueries]] uses for its nDCG log-weights. */
+  private val PoissonCdfPpm: Seq[Long] = {
+    var term = math.exp(-1.0)
+    var cdf = term
+    (0 until 8).map { k =>
+      val t = math.floor(cdf * 1e6).toLong
+      term = term / (k + 1)
+      cdf += term
+      t
+    }
+  }
+
   /** One BPE training round as oracle CTEs: pair count over `d{k-1}`,
     * greedy argmax (count desc, lexico-min pair), literal-replace
     * application into `d{k}`. Shared by the training query (which reads
@@ -176,55 +195,61 @@ object CorpusQueries {
            |FROM agg ORDER BY source""".stripMargin
       }),
 
-    // TEXTRANK KEYWORD EXTRACTION — the graph machinery composed with the
-    // text stack: nodes are the corpus top-200 words (md5 node ids,
-    // identical in SQL), edges are adjacent-word co-occurrences
-    // canonicalized undirected, and 5 rounds of the SAME exact-integer
-    // PageRank operator the trade graph uses score centrality; top-20
-    // keywords out. This is the classic unsupervised keyword extractor —
-    // and a demonstration that the engine's graph operators take ANY
-    // edge relation, not just the relational fixtures. Scale shape: one
-    // map-side word count bounds the vocab, edges filter through the
-    // broadcast vocab, the walk pays one exchange per round over a
-    // vocab²-bounded edge set; the corpus is scanned twice (count +
-    // pairs), never joined to itself.
+    // TEXTRANK KEYWORD EXTRACTION — nodes are the corpus top-200 words,
+    // edges are adjacent-word co-occurrences canonicalized undirected,
+    // and 5 rounds of exact-integer PageRank (identical arithmetic to
+    // operators.PageRank: floor(rank·85/(100·outdeg)) messages,
+    // Scale·15/100 base) score centrality; top-20 keywords out. Scale
+    // shape: the corpus-sized work is distributed (one map-side word
+    // count bounds the vocab; bigrams filter through a codegen'd InSet —
+    // no join — and dedup vocab²-bounded), after which the graph is AT
+    // MOST 200 nodes / 19,900 undirected pairs BY CONSTRUCTION at any
+    // corpus size, so the walk itself is driver-held dense state — the
+    // same bounded-state license as the 64-dim power-iteration vector.
+    // Graphs without a construction bound use operators.PageRank
+    // (one exchange per round) instead — see graph_pagerank.
     "text_textrank_keywords" -> QueryDef(
       (s, dir) => {
-        import graft.functions.TextFunctions.{md5Long, shingles, words => tw}
+        import graft.functions.TextFunctions.{shingles, words => tw}
         val d = Tables.load(s, dir, "documents")
         val vocab = d.select(explode(tw(col("text"))).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("word")).limit(200)
-          .select(col("word")).cache()
+          .select(col("word")).collect().map(_.getString(0))
         val pairs = d
           .select(explode(shingles(tw(col("text")), 2)).as("bg"))
           .select(split(col("bg"), " ").getItem(0).as("a"),
             split(col("bg"), " ").getItem(1).as("b"))
-          .filter(col("a") =!= col("b"))
-          .join(broadcast(vocab.withColumnRenamed("word", "a")), "a")
-          .join(broadcast(vocab.withColumnRenamed("word", "b")), "b")
+          .filter(col("a") =!= col("b") &&
+            col("a").isin(vocab.toSeq: _*) &&
+            col("b").isin(vocab.toSeq: _*))
           .select(least(col("a"), col("b")).as("x"),
             greatest(col("a"), col("b")).as("y"))
           .distinct()
-        val edges = pairs.select(col("x").as("s"), col("y").as("t"))
-          .union(pairs.select(col("y").as("s"), col("x").as("t")))
-          .select(md5Long(col("s")).as("src"), md5Long(col("t")).as("dst"),
-            col("s"))
-        val adj = edges.groupBy(col("src"), col("s"))
-          .agg(collect_list(col("dst")).as("dsts"))
-          .withColumn("outdeg", size(col("dsts")).cast(LongType))
-          .cache()
-        val nodes = adj.select(col("src").as("node"))
-        val ranks = graft.QueryUtil.withShufflePartitions(s, 8) {
-          graft.operators.PageRank.runAdjacency(
-            adj.select(col("src"), col("dsts"), col("outdeg")), nodes, 5,
-            barrierEvery = 5, cutFinal = true)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        // driver-held walk: adjacency over ≤200 words, both directions
+        val adj = scala.collection.mutable.Map.empty[String,
+          scala.collection.mutable.ArrayBuffer[String]]
+        pairs.foreach { case (x, y) =>
+          adj.getOrElseUpdate(x,
+            scala.collection.mutable.ArrayBuffer.empty) += y
+          adj.getOrElseUpdate(y,
+            scala.collection.mutable.ArrayBuffer.empty) += x
         }
-        ranks.join(broadcast(adj.select(col("src").as("node"),
-            col("s").as("word"))), "node")
-          .select(col("word"), col("rank"))
-          .orderBy(col("rank").desc, col("word"))
-          .limit(20)
+        val scale = graft.operators.PageRank.Scale
+        val base = scale * 15 / 100
+        var rank: Map[String, Long] = adj.keysIterator.map(_ -> scale).toMap
+        for (_ <- 1 to 5) {
+          val msgs = scala.collection.mutable.Map.empty[String, Long]
+          adj.foreach { case (src, dsts) =>
+            val c = rank(src) * 85 / (100 * dsts.size)
+            dsts.foreach(t => msgs.update(t, msgs.getOrElse(t, 0L) + c))
+          }
+          rank = adj.keysIterator
+            .map(n => n -> (base + msgs.getOrElse(n, 0L))).toMap
+        }
+        val top20 = rank.toSeq.sortBy { case (w, r) => (-r, w) }.take(20)
+        s.createDataFrame(top20).toDF("word", "rank")
       },
       Some {
         val ws = sqlWords("text")
@@ -319,6 +344,57 @@ object CorpusQueries {
            |  ((total - df) * 1000000) // total AS repeat_ppm,
            |  (df2 * 1000000) // df AS adapt_ppm
            |FROM v ORDER BY total DESC, w LIMIT 20""".stripMargin
+      }),
+
+    // POISSON BOOTSTRAP over a corpus statistic — the uncertainty read
+    // behind "is this release's mean doc length actually different, or is
+    // it sampling noise?": 16 bootstrap replicates of the mean n_chars,
+    // each document carrying a deterministic Poisson(1) weight per
+    // replicate (the online-bootstrap standard — one pass, no resampled
+    // copies of the corpus). Weights come from the suite's reproducible
+    // md5-ppm device pushed through the Poisson(1) inverse CDF, whose ppm
+    // thresholds are computed ONCE driver-side ([[PoissonCdfPpm]]) and
+    // interpolated into both engines as identical literals — no exp() or
+    // factorial evaluates in either plan. Scale shape: a ×16 generator
+    // explode on a pure map (NO shuffle of the corpus — the only exchange
+    // is the 16-row combined aggregate); the replicate spread across the
+    // 16 output rows IS the confidence interval.
+    "corpus_bootstrap_stats" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val u = md5Long(concat(lit("boot:"), col("doc_id"), lit(":"),
+          col("b"))) % 1000000L
+        val w = PoissonCdfPpm.map(t => when(u >= t, 1L).otherwise(0L))
+          .reduce(_ + _)
+        d.select(col("doc_id"), col("n_chars"),
+            explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+          .select(col("b"), w.as("w"), col("n_chars"))
+          .groupBy(col("b"))
+          .agg(sum(col("w")).as("n_eff"),
+            sum(col("w") * col("n_chars")).as("sum_wchars"))
+          .select(col("b").cast(LongType).as("b"), col("n_eff"),
+            col("sum_wchars"),
+            expr("sum_wchars div n_eff").as("mean_chars"))
+          .orderBy(col("b"))
+      },
+      Some {
+        val u = sqlMd5Long("concat('boot:', doc_id, ':', b)") + " % 1000000"
+        val w = PoissonCdfPpm
+          .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH rep AS (
+           |  SELECT doc_id, n_chars, b
+           |  FROM documents,
+           |    (SELECT unnest(range(0, $BootstrapB)) AS b) r),
+           |uw AS (
+           |  SELECT b, n_chars, $w AS w
+           |  FROM (SELECT b, n_chars, $u AS u FROM rep))
+           |SELECT CAST(b AS BIGINT) AS b,
+           |  CAST(SUM(w) AS BIGINT) AS n_eff,
+           |  CAST(SUM(w * n_chars) AS BIGINT) AS sum_wchars,
+           |  CAST(CAST(SUM(w * n_chars) AS BIGINT)
+           |    // CAST(SUM(w) AS BIGINT) AS BIGINT) AS mean_chars
+           |FROM uw GROUP BY b ORDER BY b""".stripMargin
       }),
 
     // PII redaction: the corpus text carries deterministic contact blocks

@@ -965,6 +965,83 @@ object DedupQueries {
            |FROM st GROUP BY stage ORDER BY stage""".stripMargin
       }),
 
+    // FILTER OVERLAP MATRIX — the funnel's companion read, answering the
+    // question the funnel's first-fail attribution HIDES: how much do the
+    // filters agree? Each filter (near-dup, repetition, length floor) is
+    // evaluated INDEPENDENTLY per document, and one row reports the
+    // marginals, every pairwise intersection, the triple, and the union —
+    // the numbers that decide filter ORDER (run the cheap filter first
+    // only if it subsumes the expensive one) and reveal redundant stages.
+    // Same verified pieces as the funnel: broadcast CC drop set, Gopher
+    // repetition rule, length floor — flags are a pure map, the report is
+    // ONE scalar aggregate; the corpus is scanned once.
+    "corpus_filter_overlap" -> QueryDef(
+      (s, dir) => {
+        val clusters = docClusters(s, dir)
+        val drop = clusters.filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"), lit(1L).as("dropped"))
+        val d = Tables.load(s, dir, "documents")
+          .join(broadcast(drop), Seq("doc_id"), "left")
+        val ws = words(col("text"))
+        val n = size(ws).cast(LongType)
+        val nd = size(array_distinct(ws)).cast(LongType)
+        val topc = topElementCount(ws)
+        val repKeep = ((n - nd) * 10 <= n * 7) && (topc * 10 <= n * 3)
+        d.select(
+            when(col("dropped").isNotNull, 1L).otherwise(0L).as("f_dup"),
+            when(!repKeep, 1L).otherwise(0L).as("f_rep"),
+            when(n < 50, 1L).otherwise(0L).as("f_short"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("f_dup")).as("near_dup"),
+            sum(col("f_rep")).as("repetitive"),
+            sum(col("f_short")).as("too_short"),
+            sum(col("f_dup") * col("f_rep")).as("dup_and_rep"),
+            sum(col("f_dup") * col("f_short")).as("dup_and_short"),
+            sum(col("f_rep") * col("f_short")).as("rep_and_short"),
+            sum(col("f_dup") * col("f_rep") * col("f_short"))
+              .as("all_three"),
+            sum(greatest(col("f_dup"), col("f_rep"), col("f_short")))
+              .as("any_dropped"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        val n = s"CAST(len($ws) AS BIGINT)"
+        val nd = s"CAST(len(list_distinct($ws)) AS BIGINT)"
+        val topc = s"CAST(list_max(list_transform(list_distinct($ws), " +
+          s"x -> len(list_filter($ws, w -> w = x)))) AS BIGINT)"
+        s"""WITH RECURSIVE $minhashPairsCte,
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM pairs
+           |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT u AS id, u AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+           |clusters AS (
+           |  SELECT id AS doc_id, MIN(r) AS cid FROM reach GROUP BY id),
+           |dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cid),
+           |fl AS (
+           |  SELECT
+           |    CASE WHEN doc_id IN (SELECT doc_id FROM dropped)
+           |      THEN 1 ELSE 0 END AS f_dup,
+           |    CASE WHEN NOT (((n - nd) * 10 <= n * 7)
+           |      AND (topc * 10 <= n * 3)) THEN 1 ELSE 0 END AS f_rep,
+           |    CASE WHEN n < 50 THEN 1 ELSE 0 END AS f_short
+           |  FROM (SELECT doc_id, $n AS n, $nd AS nd, $topc AS topc
+           |        FROM documents))
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(f_dup) AS BIGINT) AS near_dup,
+           |  CAST(SUM(f_rep) AS BIGINT) AS repetitive,
+           |  CAST(SUM(f_short) AS BIGINT) AS too_short,
+           |  CAST(SUM(f_dup * f_rep) AS BIGINT) AS dup_and_rep,
+           |  CAST(SUM(f_dup * f_short) AS BIGINT) AS dup_and_short,
+           |  CAST(SUM(f_rep * f_short) AS BIGINT) AS rep_and_short,
+           |  CAST(SUM(f_dup * f_rep * f_short) AS BIGINT) AS all_three,
+           |  CAST(SUM(GREATEST(f_dup, f_rep, f_short)) AS BIGINT)
+           |    AS any_dropped
+           |FROM fl""".stripMargin
+      }),
+
     // DUPLICATION INFLATION BY SOURCE — the dup-rate dashboard statistic
     // that decides which crawls/sources get deduped first: per source the
     // doc count, the distinct-content count, and the inflation ratio.

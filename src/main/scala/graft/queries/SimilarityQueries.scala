@@ -36,6 +36,20 @@ object SimilarityQueries {
   private val MmrCand = 12
   private val MmrPicks = 5
 
+  /** nDCG@[[TopK]] rank weights floor(10⁶/log₂(i+1)), i = 1..TopK —
+    * computed ONCE here and interpolated as the SAME literals into both
+    * the Spark expression and the oracle SQL (single source of truth:
+    * the list tracks TopK, and no cross-engine log() evaluation ever
+    * happens — the only log runs driver-side, below). */
+  private val DcgW: Seq[Long] = (1 to TopK).map(i =>
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  private val IdcgPpm: Long = DcgW.sum
+  /** `CASE WHEN rank = i THEN w_i … ELSE 0 END` — identical text feeds
+    * Spark's `expr` and DuckDB. */
+  private def dcgCase: String = DcgW.zipWithIndex.map { case (w, i) =>
+    s"WHEN rank = ${i + 1} THEN $w" }
+    .mkString("CASE ", " ", " ELSE 0 END")
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
@@ -297,6 +311,45 @@ object SimilarityQueries {
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
        |      AS BIGINT)) AS qv
        |  FROM embeddings, scale)""".stripMargin
+
+  /** (score, pos) per vector for the LINEAR-PROBE eval pair
+    * (`embed_probe_auc` / `embed_probe_calibration`): positives are
+    * label 0, the probe direction is the class-0 SUM vector S0 (rank-
+    * equivalent to the centroid — both downstream statistics are
+    * invariant under positive scaling, and the sum needs no division),
+    * and the score is the exact integer dot ⟨qv, S0⟩. S0 is a Dim-cell
+    * aggregate collected driver-side — the same bounded-state license as
+    * the power-iteration vector — so scoring is a PURE MAP over the
+    * cached quantized vectors. */
+  private def probeScored(s: SparkSession, dir: String): DataFrame = {
+    val qvl = quantizedVecs(s, dir)
+      .join(emb(s, dir).select(col("vec_id"), col("label")), "vec_id")
+    val s0: Seq[Long] = qvl.filter(col("label") === 0)
+      .select(posexplode(col("qv")).as(Seq("i", "q")))
+      .groupBy(col("i")).agg(sum(col("q")).as("sq"))
+      .orderBy(col("i")).collect().map(_.getLong(1)).toSeq
+    qvl.select(
+      aggregate(zip_with(col("qv"), typedLit(s0), (a, b) => a * b),
+        lit(0L), _ + _).as("score"),
+      when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+  }
+
+  /** CTE chain `scale, qvecs, lab, s0, sc` mirroring [[probeScored]]
+    * bit-for-bit (sc = (score, pos)). */
+  private def sqlProbeCtes: String =
+    s"""$sqlQuantPrefix,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |s0 AS (
+       |  SELECT list(s ORDER BY i) AS arr FROM (
+       |    SELECT i, CAST(SUM(qv[i + 1]) AS BIGINT) AS s
+       |    FROM qvecs q, lab l, (SELECT unnest(range(0, $Dim)) AS i) r
+       |    WHERE q.vec_id = l.vec_id AND l.label = 0
+       |    GROUP BY i)),
+       |sc AS (
+       |  SELECT CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> q.qv[i] * s0.arr[i])) AS BIGINT) AS score,
+       |    CASE WHEN l.label = 0 THEN 1 ELSE 0 END AS pos
+       |  FROM qvecs q, lab l, s0 WHERE q.vec_id = l.vec_id)""".stripMargin
 
   /** (vec_id, m, sv) sub-vector view of the quantized embeddings — a
     * pure map over the cached [[quantizedVecs]]. */
@@ -724,6 +777,48 @@ object SimilarityQueries {
               |FROM nn1 LEFT JOIN iv
               |  ON nn1.query_id = iv.query_id AND nn1.true_nn = iv.neighbor_id
               |ORDER BY nn1.query_id""".stripMargin)),
+
+    // NDCG@K EVAL — the position-weighted third leg of the index-quality
+    // triptych (recall@k: set overlap; MRR: where the single 1-NN lands;
+    // nDCG: how the WHOLE approximate ranking orders the true top-k).
+    // Relevance is binary membership in the exact top-k; rank weights are
+    // floor(10⁶/log₂(i+1)) ppm literals generated once driver-side (see
+    // [[DcgW]]) so both engines evaluate identical integer CASE arms —
+    // no float log in either plan. IDCG is the constant all-relevant
+    // prefix sum, so ndcg_ppm = dcg_ppm·10⁶ div IDCG stays exact.
+    // Scale shape: composes the two already-verified searches; the eval
+    // join is |queries|·k rows — free at any corpus size.
+    "retrieval_ndcg_eval" -> QueryDef(
+      (s, dir) => {
+        val bf = bruteforceTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val iv = ivfTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        iv.join(bf.withColumn("rel", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .select(col("query_id"), col("rank"),
+            coalesce(col("rel"), lit(0L)).as("rel"))
+          .groupBy(col("query_id"))
+          .agg(sum(col("rel")).as("n_rel"),
+            sum(expr(dcgCase) * col("rel")).as("dcg_ppm"))
+          .select(col("query_id"), col("n_rel"), col("dcg_ppm"),
+            expr(s"(dcg_ppm * 1000000) div ${IdcgPpm}L").as("ndcg_ppm"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($bruteforceSql)),
+              |iv AS (SELECT query_id, neighbor_id, rank FROM ($ivfSql)),
+              |m AS (
+              |  SELECT iv.query_id, iv.rank,
+              |    CASE WHEN bf.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+              |  FROM iv LEFT JOIN bf ON iv.query_id = bf.query_id
+              |    AND iv.neighbor_id = bf.neighbor_id),
+              |p AS (
+              |  SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+              |    CAST(SUM(($dcgCase) * rel) AS BIGINT) AS dcg_ppm
+              |  FROM m GROUP BY query_id)
+              |SELECT query_id, n_rel, dcg_ppm,
+              |  CAST((dcg_ppm * 1000000) // $IdcgPpm AS BIGINT) AS ndcg_ppm
+              |FROM p ORDER BY query_id""".stripMargin)),
 
     // Random-hyperplane LSH bucketing: 12-bit signature per vector; the
     // bucket histogram verifies the signature computation end-to-end
@@ -1393,6 +1488,108 @@ object SimilarityQueries {
              |FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i) r, scale
              |WHERE i < len(embedding)
              |GROUP BY label, i ORDER BY label, i""".stripMargin)),
+
+    // LINEAR-PROBE ROC-AUC — the accept gate for a cheap classifier-based
+    // curation filter (quality class, domain class): can one dot product
+    // separate class 0 from the rest, measured threshold-free? AUC is the
+    // Mann–Whitney rank statistic computed WITHOUT a global sort-rank:
+    // group scores to a histogram, walk the negative-count CDF, and sum
+    // U2 = Σ_s n_pos(s)·(2·cumneg(<s) + n_neg(s)) — doubled so the
+    // tie-half stays integral; U2 is exact DECIMAL(38,0) (pair counts
+    // clear int64 at ~3·10⁹ rows), auc = U2/(2·n_pos·n_neg) is ONE
+    // division of exact quantities, rounded to 9. Scale shape: scoring
+    // is a pure map (see [[probeScored]]), the histogram aggregates
+    // map-side to |distinct scores| rows, and the CDF walk is the
+    // SequencePacking distributed prefix-sum — never a single-task
+    // global window, the corpus is scanned once.
+    "embed_probe_auc" -> QueryDef(
+      (s, dir) => {
+        val dec38 = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val hist = probeScored(s, dir)
+          .groupBy(col("score"))
+          .agg(sum(col("pos")).as("n_pos"),
+            sum(lit(1L) - col("pos")).as("n_neg"))
+        graft.operators.SequencePacking.runningSum(
+            hist, "score", "n_neg", "cumneg")
+          .withColumn("below", col("cumneg") - col("n_neg"))
+          .agg(sum(col("n_pos")).as("n_pos"),
+            sum(col("n_neg")).as("n_neg"),
+            sum(dec38(col("n_pos")) *
+              (dec38(col("below")) * lit(2) + dec38(col("n_neg"))))
+              .as("u2"))
+          // u2 is computed exact in DECIMAL(38,0); it is REPORTED as a
+          // double (one exact→double conversion, identical in DuckDB)
+          // because the two engines' decimal-column renderings disagree
+          // at the dtype level even when the values match
+          .select(col("n_pos"), col("n_neg"),
+            col("u2").cast(DoubleType).as("u2"),
+            round(col("u2").cast(DoubleType) /
+              (lit(2d) * col("n_pos").cast(DoubleType)
+                * col("n_neg").cast(DoubleType)), 9).as("auc"))
+      },
+      Some(s"""WITH $sqlProbeCtes,
+              |hist AS (
+              |  SELECT score, CAST(SUM(pos) AS BIGINT) AS n_pos,
+              |    CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+              |  FROM sc GROUP BY score),
+              |cdf AS (
+              |  SELECT score, n_pos, n_neg,
+              |    CAST(COALESCE(SUM(n_neg) OVER (ORDER BY score
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS below
+              |  FROM hist)
+              |SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+              |  CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+              |  CAST(SUM(CAST(n_pos AS DECIMAL(38,0))
+              |    * (2 * CAST(below AS DECIMAL(38,0)) + n_neg)) AS DOUBLE)
+              |    AS u2,
+              |  round(CAST(SUM(CAST(n_pos AS DECIMAL(38,0))
+              |      * (2 * CAST(below AS DECIMAL(38,0)) + n_neg)) AS DOUBLE)
+              |    / (2.0 * SUM(n_pos) * SUM(n_neg)), 9) AS auc
+              |FROM cdf""".stripMargin)),
+
+    // LINEAR-PROBE RELIABILITY CURVE — the reliability-diagram companion
+    // of the AUC gate: bucket the probe score into 16 equal-width bins
+    // and read positives-rate against position in the score range — the
+    // curve consulted before turning a score into a keep/drop THRESHOLD
+    // (monotone and steep where the filter is trustworthy). Pure integer
+    // binning with NO products in the bin math: width = range div 16 + 1
+    // caps the bin at 15 for every range including 0. pos_rate is ppm
+    // (exact past 2⁶³ only beyond ~9·10¹² positives — loud non-ANSI
+    // NULL, documented bound). Scale shape: min/max is a scalar agg
+    // broadcast onto a pure map, then ONE map-side-combined ≤16-row
+    // aggregate — the corpus is scanned once.
+    "embed_probe_calibration" -> QueryDef(
+      (s, dir) => {
+        val scored = probeScored(s, dir)
+        val mm = scored.agg(min(col("score")).as("mn"),
+          max(col("score")).as("mx"))
+        scored.crossJoin(broadcast(mm))
+          .select(
+            expr("(score - mn) div ((mx - mn) div 16 + 1)").as("bin"),
+            col("pos"), (col("score") - col("mn")).as("rel_score"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+            sum(col("rel_score")).as("sum_rel"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            expr("(n_pos * 1000000) div n").as("pos_rate_ppm"),
+            expr("sum_rel div n").as("avg_rel_score"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH $sqlProbeCtes,
+              |mm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM sc),
+              |b AS (
+              |  SELECT (score - mn) // ((mx - mn) // 16 + 1) AS bin,
+              |    pos, score - mn AS rel_score
+              |  FROM sc, mm)
+              |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+              |  CAST((CAST(SUM(pos) AS BIGINT) * 1000000)
+              |    // CAST(count(*) AS BIGINT) AS BIGINT) AS pos_rate_ppm,
+              |  CAST(CAST(SUM(rel_score) AS BIGINT)
+              |    // CAST(count(*) AS BIGINT) AS BIGINT) AS avg_rel_score
+              |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
 
     // EMBEDDING DISTRIBUTION SHIFT BETWEEN SOURCES — the domain-shift
     // detector behind "did this crawl move in embedding space": for every

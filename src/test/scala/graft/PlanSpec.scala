@@ -858,11 +858,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
-  test("text_textrank_keywords: vocab bounds the graph via broadcast " +
-    "membership; the walk never joins the corpus to itself") {
+  test("text_textrank_keywords: corpus stages ran distributed during " +
+    "construction; the vocab-capped walk is driver-held, so the returned " +
+    "frame is a local result — no distributed work left in its plan") {
     val plan = formatted(q("text_textrank_keywords"))
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("LocalTableScan"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Exchange"), plan.take(3000))
   }
 
   test("sample_coreset_kcenter: greedy rounds are one scan + one 1-row " +
@@ -892,6 +894,47 @@ class PlanSpec extends SparkSpecBase {
     val plan = formatted(q("corpus_simpson_diversity"))
     assert(plan.contains("partial_count"), plan.take(3000))
     assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("retrieval_ndcg_eval: composes the verified searches; the eval " +
+    "join is queries×k-sized, never a corpus product") {
+    val plan = formatted(q("retrieval_ndcg_eval"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("embed_probe_auc: histogram map-side combines; the CDF walk is " +
+    "the partitioned prefix device, never a global-order window") {
+    val plan = formatted(q("embed_probe_auc"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the one-row result legitimately collapses at the very end (scalar
+    // aggregate); the CDF cumsum itself must window over __pid partitions
+    // — a regression to a global Window.orderBy drops the partition key
+    if (plan.contains("windowspecdefinition")) {
+      assert(plan.contains("windowspecdefinition(__pid"),
+        s"cumsum window lost its __pid partitioning:\n${plan.take(3000)}")
+    }
+  }
+
+  test("embed_probe_calibration: min/max broadcasts onto a pure map; " +
+    "one map-side-combined <=16-row aggregate") {
+    val plan = formatted(q("embed_probe_calibration"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("corpus_bootstrap_stats: x16 generator on a pure map — only the " +
+    "16-row combined aggregate ever shuffles, no join anywhere") {
+    val plan = formatted(q("corpus_bootstrap_stats"))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(3000))
+  }
+
+  test("corpus_filter_overlap: drop set broadcasts; flags are a pure " +
+    "map into ONE scalar aggregate") {
+    val plan = formatted(q("corpus_filter_overlap"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
   test("q_event_mad_outliers: the firehose collapses once into the " +

@@ -53,6 +53,29 @@ class SequencePackingSpec extends SparkSpecBase {
     }
   }
 
+  test("runningSum equals the sequential inclusive cumsum, any partitioning") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1L to 400L).map(i => (i * 3 - 700, rnd.nextInt(50).toLong))
+    var cum = 0L
+    val want = rows.sortBy(_._1).map { case (k, w) =>
+      cum += w; k -> cum
+    }.toMap
+    for (n <- Seq(1, 4, 32)) {
+      val got = SequencePacking
+        .runningSum(rows.toDF("k", "w"), "k", "w", "cum", Some(n))
+        .select("k", "cum")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"numPartitions=$n")
+    }
+  }
+
+  test("runningSum rejects reserved output column collisions") {
+    val df = Seq((1L, 2L)).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      SequencePacking.runningSum(df, "k", "w", "w")
+    }
+  }
+
   test("dirty session: repeated runs under cache pressure are identical") {
     // mirrors the driver's 140-query single-JVM session: storage-memory
     // churn + a changed shuffle-partition setting between runs must not
