@@ -195,6 +195,84 @@ object CorpusQueries {
            |FROM agg ORDER BY source""".stripMargin
       }),
 
+    // CHI-SQUARED TERM–SOURCE ASSOCIATION — the feature-selection read
+    // next to PMI: which words are over/under-represented in a source
+    // relative to the rest of the corpus, scored by the 2×2 presence
+    // chi-square. Rates are ppm-QUANTIZED first (p1 = df_in·10⁶ div n_s,
+    // p2 = df_out·10⁶ div n_o, pooled p̄ likewise), so the χ² form
+    // (p1−p2)²·n_s·n_o / (p̄(10⁶−p̄)·N) cancels the 10¹² exactly and
+    // every product stays a bounded DECIMAL(38,0) at ANY corpus size
+    // (≤10³¹ at N=10⁹ docs); the single double division at the end
+    // follows the corpus_simpson_diversity precedent. Scale shape: one
+    // distinct-word explode feeds two map-side-combined aggregates
+    // sharing the word key (one co-partitioned shuffle to join them),
+    // source sizes broadcast, TakeOrdered for the top 20. Observed
+    // (word, source) pairs only — a term's conspicuous ABSENCE from a
+    // source is the complement row of the same table.
+    "corpus_chi2_terms" -> QueryDef(
+      (s, dir) => {
+        val dec38 = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val d = Tables.load(s, dir, "documents")
+        val pres = d.select(col("source"),
+          explode(array_distinct(words(col("text")))).as("w"))
+        val bySrc = pres.groupBy(col("w"), col("source"))
+          .agg(count(lit(1)).as("a"))
+        val tot = pres.groupBy(col("w")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 5)
+        val srcN = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val nAll = d.count()
+        bySrc.join(tot, "w").join(broadcast(srcN), "source")
+          .withColumn("n_o", lit(nAll) - col("n_s"))
+          .withColumn("p1", expr("a * 1000000 div n_s"))
+          .withColumn("p2",
+            expr("(df - a) * 1000000 div greatest(n_o, 1)"))
+          .withColumn("pbar", expr(s"df * 1000000 div ${nAll}L"))
+          .withColumn("num",
+            dec38(col("p1") - col("p2")) * dec38(col("p1") - col("p2"))
+              * dec38(col("n_s")) * dec38(col("n_o")))
+          .withColumn("den", greatest(
+            dec38(col("pbar")) * dec38(lit(1000000L) - col("pbar"))
+              * dec38(lit(nAll)), dec38(lit(1L))))
+          .select(col("w"), col("source"),
+            col("a").as("df_in"), col("df").as("df_all"),
+            col("n_s").as("n_src"),
+            round(col("num").cast(DoubleType) /
+              col("den").cast(DoubleType), 6).as("chi2"))
+          .orderBy(col("chi2").desc, col("w"), col("source"))
+          .limit(20)
+      },
+      Some {
+        val ws = sqlWords("text")
+        s"""WITH pres AS (
+           |  SELECT source, unnest(list_distinct($ws)) AS w
+           |  FROM documents),
+           |bysrc AS (
+           |  SELECT w, source, count(*) AS a FROM pres GROUP BY w, source),
+           |tot AS (
+           |  SELECT w, count(*) AS df FROM pres GROUP BY w
+           |  HAVING count(*) >= 5),
+           |srcn AS (
+           |  SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+           |nall AS (SELECT count(*) AS n FROM documents),
+           |q AS (
+           |  SELECT b.w, b.source, b.a, t.df, s.n_s,
+           |    (n.n - s.n_s) AS n_o, n.n AS n,
+           |    CAST(b.a * 1000000 // s.n_s AS BIGINT) AS p1,
+           |    CAST((t.df - b.a) * 1000000
+           |      // greatest(n.n - s.n_s, 1) AS BIGINT) AS p2,
+           |    CAST(t.df * 1000000 // n.n AS BIGINT) AS pbar
+           |  FROM bysrc b JOIN tot t ON b.w = t.w
+           |  JOIN srcn s ON b.source = s.source, nall n)
+           |SELECT w, source, CAST(a AS BIGINT) AS df_in,
+           |  CAST(df AS BIGINT) AS df_all, CAST(n_s AS BIGINT) AS n_src,
+           |  round(CAST(CAST(p1 - p2 AS DECIMAL(38,0)) * (p1 - p2)
+           |      * n_s * n_o AS DOUBLE)
+           |    / CAST(greatest(CAST(pbar AS DECIMAL(38,0))
+           |      * (1000000 - pbar) * n, 1) AS DOUBLE), 6) AS chi2
+           |FROM q ORDER BY chi2 DESC, w, source LIMIT 20""".stripMargin
+      }),
+
     // TEXTRANK KEYWORD EXTRACTION — nodes are the corpus top-200 words,
     // edges are adjacent-word co-occurrences canonicalized undirected,
     // and 5 rounds of exact-integer PageRank (identical arithmetic to

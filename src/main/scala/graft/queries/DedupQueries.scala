@@ -1480,6 +1480,63 @@ object DedupQueries {
            |ORDER BY w.doc_id""".stripMargin
       }),
 
+    // WINNOWED-FINGERPRINT CANDIDATE PAIRS — the cross-document leg of
+    // text_winnowing: bucket-join documents on their SPARSE winnowed
+    // fingerprint sets (min-in-window selection over word-4-gram hashes,
+    // w=8) and report pairs sharing ≥ 2 fingerprints. The scale argument
+    // vs dedup_substring_spans' all-shingle index: winnowing posts ~n/w
+    // fingerprints per document instead of n shingles — an 8× smaller
+    // posting table carrying the SAME detection guarantee (any shared
+    // run of ≥ w+k−1 words contributes a shared fingerprint). Hot
+    // fingerprints (boilerplate) are df-capped at 8 docs before the
+    // bucket self-join, so bucket fan-out is bounded and the join stays
+    // posting-shaped — never corpus².
+    "dedup_winnow_pairs" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val hs = transform(shingles(words(col("text")), 4),
+          x => md5Long(x))
+        val n = size(hs)
+        val m = greatest(n - lit(7), lit(1))
+        val sel = when(n >= 1, array_distinct(transform(
+          sequence(lit(0), m - 1), i => array_min(slice(hs, i + 1, lit(8))))))
+        val fps = d.select(col("doc_id"), explode(sel).as("fp"))
+        val capped = fps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("dfc")).filter(col("dfc") <= 8)
+          .select(col("fp"))
+        val b = fps.join(capped, "fp")
+        b.as("x").join(b.as("y"), Seq("fp"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val hs = s"list_transform(${sqlShingles(sqlWords("text"), 4)}, " +
+          s"s -> ${sqlMd5Long("s")})"
+        s"""WITH h AS (
+           |  SELECT doc_id, hs, len(hs) AS n, greatest(len(hs)-7, 1) AS m
+           |  FROM (SELECT doc_id, $hs AS hs FROM documents)),
+           |sel AS (
+           |  SELECT doc_id,
+           |    CASE WHEN n >= 1 THEN list_distinct(list_transform(
+           |      range(0, m), i -> list_min(hs[i+1:i+8]))) END AS fp
+           |  FROM h),
+           |fps AS (SELECT doc_id, unnest(fp) AS fp FROM sel),
+           |capped AS (
+           |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 8),
+           |b AS (SELECT f.doc_id, f.fp FROM fps f
+           |      JOIN capped c ON f.fp = c.fp)
+           |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |  CAST(count(*) AS BIGINT) AS n_shared
+           |FROM b x JOIN b y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           |GROUP BY x.doc_id, y.doc_id
+           |HAVING count(*) >= 2
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // TRIANGLE COUNT of the near-duplicate graph (edges = verified
     // MinHash-LSH pairs) — the cluster-cliquishness diagnostic that tells
     // apart chain-shaped duplicate clusters (transitive-closure artifacts)

@@ -1489,6 +1489,82 @@ object SimilarityQueries {
              |WHERE i < len(embedding)
              |GROUP BY label, i ORDER BY label, i""".stripMargin)),
 
+    // SIMPLIFIED SILHOUETTE per IVF cell — the cluster-quality gate read
+    // before trusting cell-local operations (probe recall, semantic
+    // clusters, cluster-downweighted sampling): per vector a = d² to its
+    // OWN cell seed, b = d² to the nearest OTHER seed, s = (b−a)/max(a,b)
+    // in exact ppm — positive means the vector sits inside its cell,
+    // near-zero means the boundary runs through it. Simplified (centroid
+    // distance, not mean pairwise) is the standard scale form: full
+    // silhouette is O(n²) per cluster and never survives 100 TB. All
+    // arithmetic is exact integers over the shared int8-quantized
+    // vectors; the K seed centroids are collected driver-side
+    // (label-count-bounded state, the same license as the probe vector)
+    // and interpolated as literals, so scoring is a PURE MAP — no join,
+    // no per-(vector×centroid) shuffle — and the only exchange is the
+    // map-side-combined ≤K-row cell aggregate.
+    "ann_cluster_silhouette" -> QueryDef(
+      (s, dir) => {
+        val qv = quantizedVecs(s, dir)
+        val seedIds = emb(s, dir).groupBy(col("label"))
+          .agg(min(col("vec_id")).as("seed_id"))
+        val seeds = seedIds
+          .join(qv, seedIds("seed_id") === qv("vec_id"))
+          .select(col("label"), col("qv")).collect()
+          .map(r => (r.getInt(0).toLong, r.getSeq[Long](1)))
+          .sortBy(_._1)
+        def d2(cv: Seq[Long]) = aggregate(
+          zip_with(col("qv"), lit(cv.toArray), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _)
+        // asc struct sort on (d2, cell): element 0 = own cell (ties →
+        // smaller label, = the oracle's ORDER BY d2, c_label), 1 = nearest
+        // other
+        val arr = sort_array(array(seeds.map { case (l, cv) =>
+          struct(d2(cv).as("d2"), lit(l).as("cell")) }: _*))
+        qv.select(col("vec_id"), arr.getItem(0).getField("cell").as("cell"),
+            arr.getItem(0).getField("d2").as("a_d2"),
+            arr.getItem(1).getField("d2").as("b_d2"))
+          .withColumn("s_ppm",
+            expr("((b_d2 - a_d2) * 1000000) div greatest(b_d2, 1)"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("s_ppm")).as("sum_ppm"),
+            min(col("s_ppm")).as("min_sil_ppm"),
+            max(col("s_ppm")).as("max_sil_ppm"))
+          .select(col("cell"), col("n_vecs"),
+            expr("sum_ppm div n_vecs").as("mean_sil_ppm"),
+            col("min_sil_ppm"), col("max_sil_ppm"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH $sqlQuantPrefix,
+             |seeds AS (
+             |  SELECT e.label AS c_label, q.qv AS cqv
+             |  FROM embeddings e
+             |  JOIN (SELECT label, min(vec_id) AS seed_id FROM embeddings
+             |        GROUP BY label) s ON e.vec_id = s.seed_id
+             |  JOIN qvecs q ON q.vec_id = e.vec_id),
+             |r AS (
+             |  SELECT vec_id, c_label, d2,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY d2, c_label) AS rn
+             |  FROM (
+             |    SELECT v.vec_id, s.c_label,
+             |      list_sum(list_transform(range(1, ${Dim + 1}),
+             |        i -> (v.qv[i] - s.cqv[i]) * (v.qv[i] - s.cqv[i]))) AS d2
+             |    FROM qvecs v, seeds s)),
+             |sil AS (
+             |  SELECT o.c_label AS cell,
+             |    ((b.d2 - o.d2) * 1000000) // greatest(b.d2, 1) AS s_ppm
+             |  FROM r o JOIN r b ON b.vec_id = o.vec_id AND b.rn = 2
+             |  WHERE o.rn = 1)
+             |SELECT CAST(cell AS BIGINT) AS cell,
+             |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  CAST(CAST(SUM(s_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
+             |    AS mean_sil_ppm,
+             |  CAST(MIN(s_ppm) AS BIGINT) AS min_sil_ppm,
+             |  CAST(MAX(s_ppm) AS BIGINT) AS max_sil_ppm
+             |FROM sil GROUP BY cell ORDER BY cell""".stripMargin)),
+
     // LINEAR-PROBE ROC-AUC — the accept gate for a cheap classifier-based
     // curation filter (quality class, domain class): can one dot product
     // separate class 0 from the rest, measured threshold-free? AUC is the

@@ -937,6 +937,35 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("ann_cluster_silhouette: broadcast-literal seeds make scoring a " +
+    "pure map — no join, no per-(vector x centroid) shuffle") {
+    val plan = formatted(q("ann_cluster_silhouette"))
+    // no shuffle-shaped join anywhere (the cached quantizedVecs build
+    // subtree legitimately shows its broadcast-of-1-row scale factor)
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the <=K-row cell aggregate must map-side combine
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("corpus_chi2_terms: word-keyed aggregates join co-partitioned; " +
+    "source sizes broadcast; top-20 is a TakeOrdered, never a sort") {
+    val plan = formatted(q("corpus_chi2_terms"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("dedup_winnow_pairs: posting-shaped bucket join over the sparse " +
+    "winnowed set — df-capped, never corpus^2") {
+    val plan = formatted(q("dedup_winnow_pairs"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // pair counting must map-side combine
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
   test("q_event_mad_outliers: the firehose collapses once into the " +
     "histogram; median/MAD selections run over histogram rows") {
     val plan = formatted(q("q_event_mad_outliers"))
