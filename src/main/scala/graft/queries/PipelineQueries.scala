@@ -1175,6 +1175,48 @@ object PipelineQueries {
            |GROUP BY 1, 2 ORDER BY user_id""".stripMargin
       }),
 
+    // MISRA–GRIES HEAVY HITTERS — the frequent-items companion of the
+    // count-min point estimate, run as candidate-then-verify: pass 1 is
+    // ONE corpus scan through the mergeable ≤64-counter Misra–Gries
+    // aggregate (PODS'12 merge — pointwise sum then subtract the 65th
+    // largest), whose guarantee — every word with frequency > N/65
+    // survives ANY row order and partitioning — makes the driver-held
+    // candidate set a proven superset; pass 2 re-counts just the ≤64
+    // candidates exactly (codegen'd InSet filter, map-side-combined
+    // count) and applies the strict n·64 > N cut. Output is exact counts
+    // — the sketch only prunes the unbounded vocabulary, so the result
+    // is deterministic even though MG counter values are order-dependent.
+    // Two corpus scans total, O(k) state per partition at any scale.
+    "sketch_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.words
+        import graft.functions.SketchAggregates.misraGries
+        val hhK = 64
+        val tok = Tables.load(s, dir, "documents")
+          .select(explode(words(col("text"))).as("w"))
+        val pass1 = tok.agg(misraGries(col("w"), hhK).as("cands"),
+          count(lit(1)).as("n_tok")).head()
+        val cands = pass1.getSeq[String](0)
+        val nTok = pass1.getLong(1)
+        tok.filter(col("w").isin(cands: _*))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .filter(col("n") * hhK > nTok)
+          .select(col("w"), col("n"),
+            expr(s"n * 1000000 div ${nTok}L").as("share_ppm"))
+          .orderBy(col("n").desc, col("w"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlWords
+        s"""WITH w AS (
+           |  SELECT unnest(${sqlWords("text")}) AS w FROM documents),
+           |n AS (SELECT count(*) AS n_tok FROM w),
+           |c AS (SELECT w, count(*) AS n FROM w GROUP BY w)
+           |SELECT c.w, CAST(c.n AS BIGINT) AS n,
+           |  CAST(c.n * 1000000 // n.n_tok AS BIGINT) AS share_ppm
+           |FROM c, n WHERE c.n * 64 > n.n_tok
+           |ORDER BY n DESC, w""".stripMargin
+      }),
+
     // The register sketch as a PER-GROUP aggregate: distinct users per
     // event_type estimated from 64 registers per group — the shuffle
     // carries ≤ 64 rows per group per partition (map-side max-combine),

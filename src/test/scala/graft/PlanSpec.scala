@@ -966,6 +966,13 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("sketch_heavy_hitters: pass 2 re-counts <=k candidates through a " +
+    "pure filter + map-side-combined count — no join in the final plan") {
+    val plan = formatted(q("sketch_heavy_hitters"))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
   test("q_event_mad_outliers: the firehose collapses once into the " +
     "histogram; median/MAD selections run over histogram rows") {
     val plan = formatted(q("q_event_mad_outliers"))

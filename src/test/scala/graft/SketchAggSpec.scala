@@ -45,4 +45,41 @@ class SketchAggSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(got == Map("a" -> Seq(3L, 5L), "b" -> Seq(9L)))
   }
+
+  test("misra_gries candidate set contains every item with freq > N/(k+1), " +
+    "under any partitioning") {
+    import graft.functions.SketchAggregates.misraGries
+    val rnd = new scala.util.Random(7)
+    // skewed stream: a few heavy items over a long random tail
+    val heavy = Seq("alpha" -> 900, "beta" -> 500, "gamma" -> 260)
+    val rows = heavy.flatMap { case (w, n) => Seq.fill(n)(w) } ++
+      (1 to 3000).map(_ => s"t${rnd.nextInt(2000)}")
+    val k = 16
+    val n = rows.size
+    val exact = rows.groupBy(identity).view.mapValues(_.size).toMap
+    val mustSurvive = exact.collect {
+      case (w, c) if c.toLong * (k + 1) > n => w
+    }.toSet
+    assert(mustSurvive.nonEmpty) // the test exercises the guarantee
+    for (parts <- Seq(1, 4, 23)) {
+      val cands = rows.toDF("w").repartition(parts)
+        .agg(misraGries($"w", k).as("c"))
+        .head().getSeq[String](0).toSet
+      assert(cands.size <= k, s"parts=$parts: ${cands.size} > k")
+      assert(mustSurvive.subsetOf(cands),
+        s"parts=$parts lost ${mustSurvive -- cands}")
+    }
+  }
+
+  test("misra_gries per-group, null inputs, and k larger than the " +
+    "distinct count (exact candidate set)") {
+    import graft.functions.SketchAggregates.misraGries
+    val df = Seq(("a", Some("x")), ("a", Some("x")), ("a", Some("y")),
+      ("a", None), ("b", Some("z"))).toDF("g", "w")
+    val got = df.groupBy($"g").agg(misraGries($"w", 8).as("c"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // k exceeds the distinct count, so no decrement ever fires: the
+    // candidate set is exactly the distinct values, sorted
+    assert(got == Map("a" -> Seq("x", "y"), "b" -> Seq("z")))
+  }
 }
