@@ -127,6 +127,24 @@ object TextFunctions {
   def shingleHashesHof(text: Column, k: Int): Column =
     array_distinct(transform(shingles(words(text), k), s => md5Long(s)))
 
+  /** Winnowed fingerprints: struct(n_kgrams, fps) — the distinct
+    * min-in-w-window selections over the positional k-shingle hash
+    * sequence. Native ([[WinnowedFps]]); [[winnowedFpsHof]] is the
+    * bit-identical functions-only twin it is property-tested against. */
+  def winnowedFps(text: Column, k: Int, w: Int): Column =
+    exprCol(WinnowedFps(colExpr(text), k, w))
+
+  def winnowedFpsHof(text: Column, k: Int, w: Int): Column = {
+    val hs = transform(shingles(words(text), k), s => md5Long(s))
+    val n = size(hs)
+    val m = greatest(n - lit(w - 1), lit(1))
+    struct(
+      n.cast(LongType).as("n_kgrams"),
+      when(n >= 1, array_distinct(transform(sequence(lit(0), m - 1),
+          i => array_min(slice(hs, i + 1, lit(w))))))
+        .otherwise(array().cast(ArrayType(LongType))).as("fps"))
+  }
+
   /** MinHash signature (numHashes ≤ 16): per permutation, the minimum of
     * h_i over the element hash set. Empty sets hash to P (sentinel).
     * Native ([[MinHashSig]]); HOF twin below. */

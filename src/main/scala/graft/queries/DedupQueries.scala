@@ -1494,13 +1494,11 @@ object DedupQueries {
     "dedup_winnow_pairs" -> QueryDef(
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val hs = transform(shingles(words(col("text")), 4),
-          x => md5Long(x))
-        val n = size(hs)
-        val m = greatest(n - lit(7), lit(1))
-        val sel = when(n >= 1, array_distinct(transform(
-          sequence(lit(0), m - 1), i => array_min(slice(hs, i + 1, lit(8))))))
-        val fps = d.select(col("doc_id"), explode(sel).as("fp"))
+        // native WinnowedFps (see text_winnowing): the HOF winnow
+        // re-evaluates the positional hash tree per window — measured
+        // 340 s at sf0.1; the native expression computes it once per doc.
+        val fps = d.select(col("doc_id"),
+          explode(winnowedFps(col("text"), 4, 8).getField("fps")).as("fp"))
         val capped = fps.groupBy(col("fp"))
           .agg(count(lit(1)).as("dfc")).filter(col("dfc") <= 8)
           .select(col("fp"))

@@ -434,22 +434,29 @@ object TextQueries {
     // detection-floor property plagiarism/overlap pipelines rely on.
     // Per-row pure map (the window slides INSIDE the row over a
     // length-bounded list); no shuffle but the presentation sort; exact
-    // integers end to end.
+    // integers end to end. The selection runs in the native [[WinnowedFps]]
+    // expression — the HOF formulation re-evaluates the positional hash
+    // tree per window position (O(n²·w) digests/doc), so native here is
+    // the difference between <1 s and minutes at sf0.1.
     "text_winnowing" -> QueryDef(
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val hs = transform(shingles(words(col("text")), 4), x => md5Long(x))
-        val n = size(hs)
-        val m = greatest(n - lit(7), lit(1))
-        val sel = array_distinct(transform(sequence(lit(0), m - 1),
-          i => array_min(slice(hs, i + 1, lit(8)))))
-        d.select(
+        val wf = d.select(col("doc_id"),
+          winnowedFps(col("text"), 4, 8).as("wf"))
+        wf.select(col("doc_id"),
+            col("wf.n_kgrams").as("n_kgrams"),
+            col("wf.fps").as("fps"),
+            greatest(col("wf.n_kgrams") - lit(7L), lit(1L)).as("m"))
+          .select(
             col("doc_id"),
-            n.cast(LongType).as("n_kgrams"),
-            when(n >= 1, size(sel)).otherwise(0).cast(LongType).as("n_fp"),
-            when(n >= 1, array_min(sel)).otherwise(-1L).as("min_fp"),
-            when(n >= 1, array_max(sel)).otherwise(-1L).as("max_fp"),
-            m.cast(LongType).as("m"))
+            col("n_kgrams"),
+            when(col("n_kgrams") >= 1, size(col("fps")))
+              .otherwise(0).cast(LongType).as("n_fp"),
+            when(col("n_kgrams") >= 1, array_min(col("fps")))
+              .otherwise(-1L).as("min_fp"),
+            when(col("n_kgrams") >= 1, array_max(col("fps")))
+              .otherwise(-1L).as("max_fp"),
+            col("m"))
           .selectExpr("doc_id", "n_kgrams", "n_fp", "min_fp", "max_fp",
             "(n_fp * 1000000) div m AS density_ppm")
           .orderBy(col("doc_id"))

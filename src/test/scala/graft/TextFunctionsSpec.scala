@@ -110,6 +110,22 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(badDot.count() === 0)
   }
 
+  test("WinnowedFps native matches the HOF winnow, incl. degenerate docs") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60).select(col("text"))
+      .union(spark.createDataFrame(Seq(
+        Tuple1(""), Tuple1("one"), Tuple1("a b c"), Tuple1("a b c d"),
+        Tuple1("w w w w w w w w w w w w"))).toDF("text"))
+    val cmp = df.select(
+      winnowedFps(col("text"), 4, 8).as("n"),
+      winnowedFpsHof(col("text"), 4, 8).as("h"))
+    val bad = cmp.filter(
+      col("n.n_kgrams") =!= col("h.n_kgrams")
+        || size(col("n.fps")) =!= size(col("h.fps"))
+        || col("n.fps") =!= col("h.fps"))
+    assert(bad.count() === 0)
+  }
+
   test("SQL-registered functions match the Column API bit-for-bit") {
     graft.functions.GraftExtensions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
