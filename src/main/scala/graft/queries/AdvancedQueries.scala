@@ -28,6 +28,9 @@ object AdvancedQueries {
 
   private case class TradeGraph(edgeDeg: DataFrame, nodes: DataFrame)
 
+  /** One (α,β)-core peel-curve row. */
+  case class AbcoreRound(round: Long, n_alive: Long, n_dir_edges: Long)
+
   /** The customer↔supplier trade graph both graph queries walk, built in
     * ONE folded pass: the deduped pair table is the only big shuffle;
     * per-side degrees are tiny aggregates broadcast back onto it; both
@@ -1364,6 +1367,417 @@ object AdvancedQueries {
              |  coalesce(last_ch, '(none)') AS channel,
              |  count(*) AS n, CAST(SUM(cents) AS BIGINT) AS revenue_cents
              |FROM attr WHERE event_type = 'purchase' GROUP BY 2
-             |ORDER BY model, channel""".stripMargin))
+             |ORDER BY model, channel""".stripMargin)),
+
+    // BIPARTITE (α,β)-CORE PEEL of the trade graph (Ahmed et al. / the
+    // standard two-sided generalization of k-core for bipartite graphs —
+    // a single k cannot straddle two degree regimes, here ~39 customer vs
+    // ~590 supplier): repeatedly delete customers with < α supplier
+    // partners and suppliers with < β customer partners until only the
+    // mutually-supporting core remains. Thresholds derive from the data
+    // (exact integer ceil — no float boundary): α = ⌈mean customer
+    // degree⌉, β = ⌈0.6·mean supplier degree⌉, the "above-average
+    // connectivity against a forgiving partner floor" screen; on this
+    // corpus the peel is a genuine cascade (removing sub-α customers
+    // drags suppliers below β, which drags more customers below α) that
+    // dissolves the whole graph by round 4 — the peel curve IS the
+    // finding: no self-sustaining elite trade core exists. Per round:
+    // one map-side-combined degree count over the current edge set, then
+    // the edge set semi-joins down to survivors on each endpoint; rounds
+    // are truncated at 4 (the oracle unrolls the same 4 — a fixpoint
+    // marker would be engine-divergent); each round's edge set is
+    // lineage-cut like the other iterative walks. 100 TB shape: the edge
+    // table is the only corpus-scale object (read from the shared
+    // trade-graph artifact, hash-laid by src); every round's degree
+    // aggregate combines map-side; the survivor sets that semi-join back
+    // are nodes-sized, never edge-sized; the three threshold scalars are
+    // one aggregate row over the pair artifact.
+    "graph_abcore" -> QueryDef(
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
+        val rounds = 4
+        val pairs = tradePairs(s, dir)
+        val stats = pairs.agg(count(lit(1)).as("e"),
+          countDistinct(col("c")).as("nc"),
+          countDistinct(col("p")).as("ns")).collect()(0)
+        val (e0, nc, ns) = (stats.getLong(0), stats.getLong(1),
+          stats.getLong(2))
+        val alpha = (e0 + nc - 1) / nc
+        val beta = (3 * e0 + 5 * ns - 1) / (5 * ns)
+        val g = tradeGraph(s, dir, withDegrees = false)
+        // ONE job per round: the round's degree table (node-sized) is
+        // cached and its single forcing aggregate yields the PREVIOUS
+        // round's survivor counts for free — n_alive = |deg| (distinct
+        // src by construction), n_dir_edges = Σdg. The alive sets that
+        // semi-join back are filters over the cached degree tables
+        // (node-sized, so AQE picks broadcast semi-joins here; no
+        // explicit hint — at cluster scale a billions-node alive set
+        // must be allowed to fall back to a shuffled semi-join), and
+        // lineage stays shallow (4 chained semi-joins) without explicit
+        // barriers while the edge table is scanned once per round.
+        var cur = g.edgeDeg
+        var deg = cur.groupBy(col("src")).agg(count(lit(1)).as("dg")).cache()
+        val thr = when(pmod(col("src"), lit(2)) === 0, lit(alpha))
+          .otherwise(lit(beta))
+        val out = (1 to rounds).map { r =>
+          val alive = deg.filter(col("dg") >= thr)
+          cur = cur
+            .join(alive.select(col("src")), Seq("src"), "left_semi")
+            .join(alive.select(col("src").as("dst")), Seq("dst"),
+              "left_semi")
+            .select(col("src"), col("dst"))
+          deg = cur.groupBy(col("src")).agg(count(lit(1)).as("dg")).cache()
+          val c = deg.agg(count(lit(1)).as("a"),
+            coalesce(sum(col("dg")), lit(0L)).as("e")).collect()(0)
+          AbcoreRound(r.toLong, c.getLong(0), c.getLong(1))
+        }
+        s.createDataFrame(out).orderBy(col("round"))
+      },
+      Some {
+        def round(r: Int): String =
+          s"""a$r AS MATERIALIZED (
+             |  SELECT e.src AS node FROM e${r - 1} e, thr t
+             |  GROUP BY e.src, t.alpha, t.beta
+             |  HAVING count(*) >= CASE WHEN e.src % 2 = 0
+             |    THEN t.alpha ELSE t.beta END),
+             |e$r AS MATERIALIZED (
+             |  SELECT e.src, e.dst FROM e${r - 1} e
+             |  JOIN a$r sa ON e.src = sa.node
+             |  JOIN a$r sb ON e.dst = sb.node)""".stripMargin
+        s"""WITH pairs AS MATERIALIZED (
+           |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |thr AS MATERIALIZED (
+           |  SELECT (count(*) + count(DISTINCT c) - 1)
+           |           // count(DISTINCT c) AS alpha,
+           |         (3 * count(*) + 5 * count(DISTINCT p) - 1)
+           |           // (5 * count(DISTINCT p)) AS beta
+           |  FROM pairs),
+           |e0 AS MATERIALIZED (
+           |  SELECT c AS src, p AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT p AS src, c AS dst FROM pairs),
+           |${(1 to 4).map(round).mkString(",\n")}
+           |SELECT round, n_alive, n_dir_edges FROM (
+           |${(1 to 4).map(r =>
+              s"""  SELECT CAST($r AS BIGINT) AS round,
+                 |    (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e$r)
+                 |      AS n_alive,
+                 |    (SELECT CAST(count(*) AS BIGINT) FROM e$r)
+                 |      AS n_dir_edges""".stripMargin)
+             .mkString("\n  UNION ALL\n")}
+           |) ORDER BY round""".stripMargin
+      }),
+
+    // HOURLY TREND SLOPE — per event type, the least-squares slope of the
+    // gap-densified hourly count series against the hour index (events/
+    // hour per hour: is traffic growing, and how fast?) plus the signed
+    // r² fit quality — the capacity-planning / drift-alarm read next to
+    // CUSUM's changepoint view. Same exact-moment device as
+    // q_event_autocorr: integer sums, DECIMAL(38,0) products, each
+    // reported stat ONE double division of exact quantities, round(6).
+    // The raw scan collapses to a map-side-combined (type, hour) count;
+    // the dense (type, x, y) table is hours-bounded; the moment rollup
+    // is ≤|types| rows.
+    "q_event_trend_slope" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(ts AS BIGINT) div 3600").as("h"))
+        val c = e.groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val grid = c.groupBy(col("event_type"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("event_type"), col("h0"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        val dense = grid.join(c, Seq("event_type", "h"), "left")
+          .select(col("event_type"), (col("h") - col("h0")).as("x"),
+            coalesce(col("cnt"), lit(0L)).as("y"))
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val m = dense.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+            sum(dec(col("x")) * dec(col("x"))).as("sx2"),
+            sum(dec(col("y")) * dec(col("y"))).as("sy2"))
+        m.select(col("event_type"), col("n").as("n_hours"),
+            (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+              .as("num"),
+            (dec(col("n")) * col("sx2") - dec(col("sx")) * dec(col("sx")))
+              .cast(DoubleType).as("dx"),
+            (dec(col("n")) * col("sy2") - dec(col("sy")) * dec(col("sy")))
+              .cast(DoubleType).as("dy"))
+          .select(col("event_type"), col("n_hours"),
+            when(col("dx") === 0d, lit(0d))
+              .otherwise(org.apache.spark.sql.functions.round(
+                col("num").cast(DoubleType) / col("dx"), 6))
+              .as("slope_per_hour"),
+            when(col("dx") === 0d || col("dy") === 0d, lit(0d))
+              .otherwise(org.apache.spark.sql.functions.round(
+                col("num").cast(DoubleType) *
+                  abs(col("num").cast(DoubleType)) /
+                  (col("dx") * col("dy")), 6)).as("r2_signed"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS MATERIALIZED (
+             |  SELECT event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT event_type, min(h) AS h0,
+             |    unnest(range(min(h), max(h) + 1)) AS h
+             |  FROM c GROUP BY event_type),
+             |dense AS (
+             |  SELECT g.event_type, g.h - g.h0 AS x,
+             |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS y
+             |  FROM grid g LEFT JOIN c ON g.event_type = c.event_type
+             |    AND g.h = c.h),
+             |m AS (
+             |  SELECT event_type, count(*) AS n,
+             |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2,
+             |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2
+             |  FROM dense GROUP BY 1),
+             |r AS (
+             |  SELECT event_type, n, n * sxy - sx * sy AS num,
+             |    CAST(n * sx2 - sx * sx AS DOUBLE) AS dx,
+             |    CAST(n * sy2 - sy * sy AS DOUBLE) AS dy
+             |  FROM m)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+             |  CASE WHEN dx = 0 THEN 0.0
+             |    ELSE round(CAST(num AS DOUBLE) / dx, 6) END
+             |    AS slope_per_hour,
+             |  CASE WHEN dx = 0 OR dy = 0 THEN 0.0
+             |    ELSE round(CAST(num AS DOUBLE) * abs(CAST(num AS DOUBLE))
+             |      / (dx * dy), 6) END AS r2_signed
+             |FROM r ORDER BY event_type""".stripMargin)),
+
+    // DEGREE ASSORTATIVITY of the trade graph — the signed r² of
+    // (deg(src), deg(dst)) over all directed edges: do high-degree
+    // customers trade with high-degree suppliers (assortative, r > 0) or
+    // with the long tail (disassortative, r < 0)? The one-number mixing
+    // diagnostic read before trusting degree-based sampling or hub
+    // removal. Same exact-moment device as q_event_autocorr: integer
+    // sums and DECIMAL(38,0) products, one cast-to-double ratio,
+    // round(6) (envelope: |num| < 10^19, documented there). Scale shape:
+    // degrees are ONE map-side-combined aggregate over the edge artifact
+    // joined back onto it (node-sized build sides), then a 1-row moment
+    // aggregate — the edge table is scanned twice, shuffled once.
+    "graph_degree_assortativity" -> QueryDef(
+      (s, dir) => {
+        val g = tradeGraph(s, dir, withDegrees = false)
+        val deg = g.edgeDeg.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val m = g.edgeDeg
+          .join(deg.select(col("src"), col("dg").as("x")), "src")
+          .join(deg.select(col("src").as("dst"), col("dg").as("y")), "dst")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+            sum(dec(col("x")) * dec(col("x"))).as("sx2"),
+            sum(dec(col("y")) * dec(col("y"))).as("sy2"))
+        m.select(col("n").as("n_dir_edges"),
+            (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+              .as("num"),
+            (dec(col("n")) * col("sx2") - dec(col("sx")) * dec(col("sx")))
+              .cast(DoubleType).as("dx"),
+            (dec(col("n")) * col("sy2") - dec(col("sy")) * dec(col("sy")))
+              .cast(DoubleType).as("dy"))
+          .select(col("n_dir_edges"),
+            when(col("dx") === 0d || col("dy") === 0d, lit(0d))
+              .otherwise(org.apache.spark.sql.functions.round(
+                col("num").cast(DoubleType) *
+                  abs(col("num").cast(DoubleType)) /
+                  (col("dx") * col("dy")), 6)).as("r2_signed"))
+      },
+      Some("""WITH pairs AS MATERIALIZED (
+             |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS MATERIALIZED (
+             |  SELECT c AS src, p AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT p AS src, c AS dst FROM pairs),
+             |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+             |m AS (
+             |  SELECT count(*) AS n,
+             |    SUM(CAST(dx.dg AS HUGEINT)) AS sx,
+             |    SUM(CAST(dy.dg AS HUGEINT)) AS sy,
+             |    SUM(CAST(dx.dg AS HUGEINT) * CAST(dy.dg AS HUGEINT)) AS sxy,
+             |    SUM(CAST(dx.dg AS HUGEINT) * CAST(dx.dg AS HUGEINT)) AS sx2,
+             |    SUM(CAST(dy.dg AS HUGEINT) * CAST(dy.dg AS HUGEINT)) AS sy2
+             |  FROM e
+             |  JOIN deg dx ON dx.src = e.src
+             |  JOIN deg dy ON dy.src = e.dst),
+             |r AS (
+             |  SELECT n, n * sxy - sx * sy AS num,
+             |    CAST(n * sx2 - sx * sx AS DOUBLE) AS dx,
+             |    CAST(n * sy2 - sy * sy AS DOUBLE) AS dy
+             |  FROM m)
+             |SELECT CAST(n AS BIGINT) AS n_dir_edges,
+             |  CASE WHEN dx = 0 OR dy = 0 THEN 0.0
+             |    ELSE round(CAST(num AS DOUBLE) * abs(CAST(num AS DOUBLE))
+             |      / (dx * dy), 6) END AS r2_signed
+             |FROM r""".stripMargin)),
+
+    // COMMON-NEIGHBOR / JACCARD LINK PREDICTION over the bipartite trade
+    // graph: the top supplier pairs by customer-set Jaccard — "suppliers
+    // serving the same customer base", the score behind substitute-vendor
+    // detection and co-purchase recommendation. Classic two-hop shape:
+    // enumerate wedges s1←c→s2 from each customer's (df-capped) supplier
+    // list and count per (s1, s2). The cap excludes customers with > 64
+    // suppliers from BOTH the intersection and the degree counts (the
+    // dedup_ngram_jaccard_capped license: hub customers contribute O(d²)
+    // wedges and near-zero signal, and the exclusion is part of the
+    // operator's definition, shared with the oracle) — so per-customer
+    // fan-out is ≤ 64², the wedge table is Σd² bounded, and no corpus²
+    // product exists anywhere. Jaccard is exact integer ppm:
+    // common·10⁶ div (d1+d2−common). One shuffle for the wedge
+    // aggregate; degrees are supplier-sized aggregates joined back (AQE
+    // broadcasts them at this scale; no hint — a billions-supplier
+    // catalog must fall back to shuffled joins).
+    "graph_common_neighbors" -> QueryDef(
+      (s, dir) => {
+        val pairs = tradePairs(s, dir)
+          .select(expr("c div 2").as("c"), expr("(p - 1) div 2").as("p"))
+        val smallCust = pairs.groupBy(col("c"))
+          .agg(count(lit(1)).as("cd")).filter(col("cd") <= 64)
+          .select(col("c"))
+        val kept = pairs.join(smallCust, Seq("c"), "left_semi")
+        val sdeg = kept.groupBy(col("p")).agg(count(lit(1)).as("dg"))
+        val wedges = kept.as("x").join(kept.as("y"),
+            col("x.c") === col("y.c") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("s_a"), col("y.p").as("s_b"))
+          .agg(count(lit(1)).as("common"))
+        wedges
+          .join(sdeg.select(col("p").as("s_a"), col("dg").as("da")), "s_a")
+          .join(sdeg.select(col("p").as("s_b"), col("dg").as("db")), "s_b")
+          .select(col("s_a"), col("s_b"), col("common"),
+            expr("common * 1000000 div (da + db - common)").as("jac_ppm"))
+          .orderBy(col("jac_ppm").desc, col("s_a"), col("s_b"))
+          .limit(25)
+      },
+      Some("""WITH pairs AS MATERIALIZED (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |smallc AS (
+             |  SELECT c FROM pairs GROUP BY c HAVING count(*) <= 64),
+             |kept AS MATERIALIZED (
+             |  SELECT p.c, p.p FROM pairs p JOIN smallc USING (c)),
+             |sdeg AS (SELECT p, count(*) AS dg FROM kept GROUP BY p),
+             |w AS (
+             |  SELECT x.p AS s_a, y.p AS s_b, count(*) AS common
+             |  FROM kept x JOIN kept y ON x.c = y.c AND x.p < y.p
+             |  GROUP BY 1, 2)
+             |SELECT CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+             |  CAST(common AS BIGINT) AS common,
+             |  CAST(common * 1000000 // (da.dg + db.dg - common) AS BIGINT)
+             |    AS jac_ppm
+             |FROM w
+             |JOIN sdeg da ON da.p = w.s_a
+             |JOIN sdeg db ON db.p = w.s_b
+             |ORDER BY jac_ppm DESC, s_a, s_b LIMIT 25""".stripMargin)),
+
+    // HOURLY-SERIES AUTOCORRELATION — per event type, the signed r² of
+    // (count_t, count_{t−L}) at lags 1..6 hours over the gap-densified
+    // hourly series: the seasonality / burst-persistence diagnostic read
+    // before trusting any per-hour monitoring threshold (a high lag-24
+    // ACF says "compare to yesterday's hour", a flat curve says a global
+    // mean suffices). All moments are exact integers (sums of counts and
+    // their products through DECIMAL(38,0)); the single float step is the
+    // final Pearson ratio — one cast-to-double of exact quantities, one
+    // multiply, one divide, round(6) — the AUC device, bit-identical
+    // across engines. Signed r² (num·|num| / (dx·dy)) keeps the sign
+    // without a square root. Scale shape: the raw scan collapses to a
+    // map-side-combined (type, hour) count; densify + 6 lag columns ride
+    // ONE type-partitioned window over the hours-bounded series (wall
+    // clock, not data volume, bounds each partition — the EWMA/CUSUM
+    // license); everything after is a ≤|types|·6-row aggregate.
+    "q_event_autocorr" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(ts AS BIGINT) div 3600").as("h"))
+        val c = e.groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val grid = c.groupBy(col("event_type"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        val dense = grid.join(c, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+        val lagged = (1 to 6).foldLeft(dense) { (df, l) =>
+          df.withColumn(s"x$l", lag(col("cnt"), l).over(w))
+        }
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val pairs = lagged.select(col("event_type"), col("cnt").as("y"),
+            expr("stack(6, 1L, x1, 2L, x2, 3L, x3, 4L, x4, 5L, x5, 6L, x6)")
+              .as(Seq("lag", "x")))
+          .filter(col("x").isNotNull)
+        val m = pairs.groupBy(col("event_type"), col("lag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+            sum(dec(col("x")) * dec(col("x"))).as("sx2"),
+            sum(dec(col("y")) * dec(col("y"))).as("sy2"))
+        m.select(col("event_type"), col("lag"), col("n").as("n_pairs"),
+            (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+              .as("num"),
+            (dec(col("n")) * col("sx2") - dec(col("sx")) * dec(col("sx")))
+              .cast(DoubleType).as("dx"),
+            (dec(col("n")) * col("sy2") - dec(col("sy")) * dec(col("sy")))
+              .cast(DoubleType).as("dy"))
+          .select(col("event_type"), col("lag"), col("n_pairs"),
+            when(col("dx") === 0d || col("dy") === 0d, lit(0d))
+              .otherwise(org.apache.spark.sql.functions.round(
+                col("num").cast(DoubleType) *
+                  abs(col("num").cast(DoubleType)) /
+                  (col("dx") * col("dy")), 6)).as("r2_signed"))
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some("""WITH c AS MATERIALIZED (
+             |  SELECT event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT event_type,
+             |    unnest(range(min(h), max(h) + 1)) AS h
+             |  FROM c GROUP BY event_type),
+             |dense AS MATERIALIZED (
+             |  SELECT g.event_type, g.h,
+             |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+             |  FROM grid g LEFT JOIN c ON g.event_type = c.event_type
+             |    AND g.h = c.h),
+             |pairs AS (
+             |  SELECT a.event_type, l.lag, b.cnt AS x, a.cnt AS y
+             |  FROM dense a
+             |  JOIN (SELECT unnest(range(1, 7)) AS lag) l ON true
+             |  JOIN dense b ON b.event_type = a.event_type
+             |    AND b.h = a.h - l.lag),
+             |m AS (
+             |  SELECT event_type, lag, count(*) AS n,
+             |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2,
+             |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2
+             |  FROM pairs GROUP BY 1, 2),
+             |r AS (
+             |  SELECT event_type, lag, n,
+             |    n * sxy - sx * sy AS num,
+             |    CAST(n * sx2 - sx * sx AS DOUBLE) AS dx,
+             |    CAST(n * sy2 - sy * sy AS DOUBLE) AS dy
+             |  FROM m)
+             |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+             |  CAST(n AS BIGINT) AS n_pairs,
+             |  CASE WHEN dx = 0 OR dy = 0 THEN 0.0
+             |    ELSE round(CAST(num AS DOUBLE) * abs(CAST(num AS DOUBLE))
+             |      / (dx * dy), 6) END AS r2_signed
+             |FROM r ORDER BY event_type, lag""".stripMargin))
   )
 }
