@@ -662,6 +662,127 @@ object CurationQueries {
              |  greatest(
              |    CAST(FLOOR(CAST(budget AS DOUBLE) * w / wsum) AS BIGINT)
              |      - n_chars, 0) AS deficit_chars
-             |FROM srcs, tot ORDER BY source""".stripMargin))
+             |FROM srcs, tot ORDER BY source""".stripMargin)),
+
+    // EFFECTIVE SAMPLE SIZE of length-proportional sampling weights, per
+    // source — the Kish ESS (Σw)²/Σw² that tells a mixture designer how
+    // SKEWED each source's document-length distribution is before using
+    // length-weighted sampling: ess_docs ≈ n means uniform lengths (the
+    // weights change nothing), ess_docs ≪ n means a few long documents
+    // would dominate every batch drawn from that source. Exact integer
+    // moments (Σw, Σw² through DECIMAL(38,0) — n_chars² clears int64 at
+    // corpus scale), then each reported ratio is ONE double division of
+    // exact quantities, round(6). Scale: a pure map-side-combined
+    // |sources|-row rollup; nothing downstream scales with the corpus.
+    "sample_ess_weights" -> QueryDef(
+      (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        Tables.load(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_w"),
+            sum(dec(col("n_chars")) * dec(col("n_chars"))).as("sw2"))
+          .select(col("source"), col("n_docs"), col("sum_w"),
+            round((dec(col("sum_w")) * dec(col("sum_w"))).cast(DoubleType)
+              / col("sw2").cast(DoubleType), 6).as("ess_docs"),
+            round((dec(col("sum_w")) * dec(col("sum_w"))).cast(DoubleType)
+              / (col("sw2") * dec(col("n_docs"))).cast(DoubleType), 6)
+              .as("ess_ratio"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH m AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    SUM(CAST(n_chars AS HUGEINT)) AS sum_w,
+             |    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+             |      AS sw2
+             |  FROM documents GROUP BY source)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(sum_w AS BIGINT) AS sum_w,
+             |  round(CAST(sum_w * sum_w AS DOUBLE) / CAST(sw2 AS DOUBLE), 6)
+             |    AS ess_docs,
+             |  round(CAST(sum_w * sum_w AS DOUBLE)
+             |    / CAST(sw2 * n_docs AS DOUBLE), 6) AS ess_ratio
+             |FROM m ORDER BY source""".stripMargin)),
+
+    // CURRICULUM PHASE ASSIGNMENT — order the corpus easy→hard and split
+    // it into 4 equal-count phases (curriculum learning's standard stage
+    // schedule): difficulty = mean word length in exact milli-chars
+    // ((n_chars·1000) div n_tokens — long words ≈ rarer/technical text),
+    // phase boundaries are the EXACT quartiles of the difficulty
+    // distribution. Mechanism is the suite's scale-safe exact-quantile
+    // device: difficulty collapses to a value histogram (bounded by
+    // distinct milli-ratios, not corpus size), the inclusive prefix-CDF
+    // rides the SequencePacking distributed prefix-sum — never a
+    // single-task global window — and the three boundary scalars come
+    // from ONE aggregate row broadcast back onto a pure-map phase tag.
+    // Per-phase rollup reports the schedule a trainer consumes.
+    "curation_curriculum_phases" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(words(col("text"))).cast(LongType).as("n_tokens"))
+          .withColumn("diff_milli",
+            expr("(n_chars * 1000) div n_tokens"))
+        val hist = d.groupBy(col("diff_milli"))
+          .agg(count(lit(1)).as("cnt"))
+        val cdf = graft.operators.SequencePacking.runningSum(
+          hist, "diff_milli", "cnt", "cum")
+        val bounds = cdf.crossJoin(broadcast(
+            d.agg(count(lit(1)).as("n"))))
+          .agg(
+            min(when(col("cum") >= expr("(1 * n + 3) div 4"),
+              col("diff_milli"))).as("b1"),
+            min(when(col("cum") >= expr("(2 * n + 3) div 4"),
+              col("diff_milli"))).as("b2"),
+            min(when(col("cum") >= expr("(3 * n + 3) div 4"),
+              col("diff_milli"))).as("b3"))
+        d.crossJoin(broadcast(bounds))
+          .withColumn("phase",
+            lit(1L) + (col("diff_milli") > col("b1")).cast(LongType)
+              + (col("diff_milli") > col("b2")).cast(LongType)
+              + (col("diff_milli") > col("b3")).cast(LongType))
+          .groupBy(col("phase"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("diff_milli")).as("min_diff"),
+            max(col("diff_milli")).as("max_diff"),
+            sum(col("n_tokens")).as("sum_tokens"))
+          .orderBy(col("phase"))
+      },
+      Some(s"""WITH d AS MATERIALIZED (
+             |  SELECT doc_id, n_chars,
+             |    CAST(len(${sqlWords("text")}) AS BIGINT) AS n_tokens,
+             |    (n_chars * 1000) // CAST(len(${sqlWords("text")}) AS BIGINT)
+             |      AS diff_milli
+             |  FROM documents),
+             |hist AS (
+             |  SELECT diff_milli, count(*) AS cnt FROM d GROUP BY 1),
+             |cdf AS (
+             |  SELECT diff_milli,
+             |    CAST(SUM(cnt) OVER (ORDER BY diff_milli
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM hist),
+             |n AS (SELECT count(*) AS n FROM d),
+             |b AS (
+             |  SELECT
+             |    min(CASE WHEN cum >= (1 * n.n + 3) // 4
+             |      THEN diff_milli END) AS b1,
+             |    min(CASE WHEN cum >= (2 * n.n + 3) // 4
+             |      THEN diff_milli END) AS b2,
+             |    min(CASE WHEN cum >= (3 * n.n + 3) // 4
+             |      THEN diff_milli END) AS b3
+             |  FROM cdf, n)
+             |SELECT phase, count(*) AS n_docs,
+             |  CAST(min(diff_milli) AS BIGINT) AS min_diff,
+             |  CAST(max(diff_milli) AS BIGINT) AS max_diff,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+             |FROM (
+             |  SELECT d.*,
+             |    1 + CAST(diff_milli > b.b1 AS BIGINT)
+             |      + CAST(diff_milli > b.b2 AS BIGINT)
+             |      + CAST(diff_milli > b.b3 AS BIGINT) AS phase
+             |  FROM d, b)
+             |GROUP BY phase ORDER BY phase""".stripMargin))
   )
 }

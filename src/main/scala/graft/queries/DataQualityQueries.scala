@@ -143,6 +143,63 @@ object DataQualityQueries {
              |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
              |      GROUP BY o_orderkey HAVING count(*) > 1)),
              |    (SELECT count(*) FROM orders))
-             |ORDER BY check_name""".stripMargin))
+             |ORDER BY check_name""".stripMargin)),
+
+    // CANDIDATE-KEY / UNIQUENESS PROFILE — the schema-discovery pass of a
+    // data profiler: for a lattice of column combinations, the exact
+    // distinct count and uniqueness ratio (ppm), flagging combinations
+    // that are candidate keys. ONE pass over the table: the six distinct
+    // counts ride a single Expand-based aggregate (Spark plans
+    // multi-countDistinct as one Expand + one shuffle — the profiler
+    // never rescans the table per combination), then a 6-row unpivot.
+    // At 100 TB the Expand multiplies rows 6× INTO a map-side-combined
+    // partial aggregate, which is the intended trade: 6 combos' worth of
+    // partial-distinct state per task, one shuffle total.
+    "dq_uniqueness_profile" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val a = o.agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("d1"),
+          countDistinct(col("o_custkey")).as("d2"),
+          countDistinct(col("o_orderdate")).as("d3"),
+          countDistinct(col("o_orderstatus")).as("d4"),
+          countDistinct(col("o_custkey"), col("o_orderdate")).as("d5"),
+          countDistinct(col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice")).as("d6"))
+        a.select(col("n"), expr(
+            """stack(6,
+              |  'o_orderkey', d1,
+              |  'o_custkey', d2,
+              |  'o_orderdate', d3,
+              |  'o_orderstatus', d4,
+              |  'o_custkey,o_orderdate', d5,
+              |  'o_custkey,o_orderdate,o_totalprice', d6)""".stripMargin)
+            .as(Seq("combo", "n_distinct")))
+          .select(col("combo"), col("n_distinct"),
+            expr("(n_distinct * 1000000) div n").as("uniq_ppm"),
+            (col("n_distinct") === col("n")).as("is_key"))
+          .orderBy(col("combo"))
+      },
+      Some("""WITH a AS (
+             |  SELECT count(*) AS n,
+             |    count(DISTINCT o_orderkey) AS d1,
+             |    count(DISTINCT o_custkey) AS d2,
+             |    count(DISTINCT o_orderdate) AS d3,
+             |    count(DISTINCT o_orderstatus) AS d4,
+             |    count(DISTINCT (o_custkey, o_orderdate)) AS d5,
+             |    count(DISTINCT (o_custkey, o_orderdate, o_totalprice)) AS d6
+             |  FROM orders),
+             |u AS (
+             |  SELECT 'o_orderkey' AS combo, d1 AS n_distinct, n FROM a
+             |  UNION ALL SELECT 'o_custkey', d2, n FROM a
+             |  UNION ALL SELECT 'o_orderdate', d3, n FROM a
+             |  UNION ALL SELECT 'o_orderstatus', d4, n FROM a
+             |  UNION ALL SELECT 'o_custkey,o_orderdate', d5, n FROM a
+             |  UNION ALL
+             |  SELECT 'o_custkey,o_orderdate,o_totalprice', d6, n FROM a)
+             |SELECT combo, CAST(n_distinct AS BIGINT) AS n_distinct,
+             |  CAST((n_distinct * 1000000) // n AS BIGINT) AS uniq_ppm,
+             |  n_distinct = n AS is_key
+             |FROM u ORDER BY combo""".stripMargin))
   )
 }

@@ -221,6 +221,75 @@ object PipelineQueries {
              |  WHERE term IN ('spark', 'merge', 'window'))
              |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // BM25 top-k retrieval — text_tfidf_topk plus the two terms that make
+    // BM25 the production lexical ranker: tf SATURATION (k1 = 1.2 caps a
+    // term's contribution, so keyword stuffing stops paying) and document
+    // LENGTH NORMALIZATION (b = 0.75 discounts matches in long documents
+    // against the corpus mean length). Same rational idf as tfidf
+    // ((N−df+0.5)/(df+0.5) — division-only; correctly-rounded double ops
+    // are bit-identical across engines, unlike ln); the norm factor is
+    // likewise pure divisions of exact integers, the per-term scores sum
+    // through DECIMAL(18,6) so addition is exact and order-free. Scale
+    // shape: doc lengths and the inverted index come from ONE tokenize
+    // pass shuffled once on (doc, term); df and avgdl are broadcast-sized
+    // scalars/tables at any corpus size; only query-term postings ever
+    // join.
+    "retrieval_bm25_topk" -> QueryDef(
+      (s, dir) => {
+        val terms = Seq("spark", "merge", "window")
+        val d = Tables.load(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val dfreq = tf.filter(col("term").isin(terms: _*))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val tot = toks.agg(count(lit(1)).as("tot"))
+        val tfD = col("tf").cast(DoubleType)
+        val avgdl = col("tot").cast(DoubleType) / col("n").cast(DoubleType)
+        val idf = (col("n") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d))
+        val norm = tfD * lit(2.2d) /
+          (tfD + lit(1.2d) * (lit(0.25d) +
+            lit(0.75d) * (col("dl").cast(DoubleType) / avgdl)))
+        tf.filter(col("term").isin(terms: _*))
+          .join(broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(n))
+          .crossJoin(broadcast(tot))
+          .withColumn("s", (idf * norm).cast(DecimalType(18, 6)))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("s")).cast(DoubleType).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |toksf AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM toksf
+             |  GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toksf GROUP BY 1),
+             |dfreq AS (
+             |  SELECT term, count(*) AS df FROM tf
+             |  WHERE term IN ('spark', 'merge', 'window') GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |tot AS (SELECT count(*) AS tot FROM toksf)
+             |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM (
+             |  SELECT tf.doc_id,
+             |    CAST(((n.n - df + 0.5) / (df + 0.5)) *
+             |      (CAST(tf AS DOUBLE) * 2.2 /
+             |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+             |        0.75 * (CAST(dl.dl AS DOUBLE) /
+             |                (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
+             |      AS DECIMAL(18,6)) AS s
+             |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), n, tot
+             |  WHERE term IN ('spark', 'merge', 'window'))
+             |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Salted skew join — the 100 TB pattern for a shuffle join whose key
     // distribution is skewed (one hot orderkey would otherwise pin its
     // entire fan-in on one reducer): the fact side salts each row into one
