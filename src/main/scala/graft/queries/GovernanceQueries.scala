@@ -267,6 +267,165 @@ object GovernanceQueries {
              |GROUP BY c_nationkey, c_mktsegment
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
 
+    // FELLEGI–SUNTER AGREEMENT-PATTERN PROFILE — the evidence table of
+    // probabilistic record linkage: over the blocked ER candidate pairs,
+    // each pair's agreement vector (name distance level, nation agrees?,
+    // segment agrees?) is tabulated against the match truth, yielding
+    // per-pattern m (rate among true matches) and u (rate among false
+    // candidates) in exact ppm — the m/u columns whose log-ratio IS the
+    // Fellegi–Sunter weight (reported as rates, not logs: the ranking is
+    // identical and stays cross-engine exact). This is the sheet a
+    // linkage engineer reads to set match/possible/non-match thresholds.
+    // 100 TB shape: reuses the blocked candidate pass (no new name×name
+    // product); attribute lookups are two equi-joins against the
+    // customer dim; the pattern table is ≤|2·2·2| rows with totals
+    // broadcast back.
+    "er_agreement_patterns" -> QueryDef(
+      (s, dir) => {
+        // WIDER net than er_blocked_match's resolve pass (last-3 blocks,
+        // lev ≤ 2): the evidence table must SEE false candidates to
+        // estimate u — the resolve pass's tight lev ≤ 1 cut admits
+        // almost none by construction
+        val (dirty, _) = erCandidates(s, dir)
+        val c = Tables.load(s, dir, "customer")
+        val clean = c.selectExpr("c_custkey", "c_name")
+          .withColumn("blk3", expr("right(c_name, 3)"))
+        val cand = dirty.withColumn("blk3", expr("right(name_d, 3)"))
+          .join(clean, "blk3")
+          .withColumn("lev", levenshtein(col("name_d"), col("c_name")))
+          .filter(col("lev") <= 2)
+          .select(col("d_key"), col("c_custkey"), col("lev"))
+        val a = c.select(col("c_custkey").as("d_key"),
+          col("c_nationkey").as("nat_a"), col("c_mktsegment").as("seg_a"))
+        val b = c.select(col("c_custkey"),
+          col("c_nationkey").as("nat_b"), col("c_mktsegment").as("seg_b"))
+        val pat = cand.join(a, "d_key").join(b, "c_custkey")
+          .select(col("lev").cast(LongType).as("name_lev"),
+            (col("nat_a") === col("nat_b")).as("same_nation"),
+            (col("seg_a") === col("seg_b")).as("same_segment"),
+            when(col("d_key") === col("c_custkey"), 1L).otherwise(0L)
+              .as("m"))
+          .groupBy(col("name_lev"), col("same_nation"), col("same_segment"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("m")).as("n_true"))
+        val tot = pat.agg(sum(col("n_true")).as("tot_true"),
+          sum(col("n_pairs") - col("n_true")).as("tot_false"))
+        pat.crossJoin(broadcast(tot))
+          .selectExpr("name_lev", "same_nation", "same_segment",
+            "n_pairs", "n_true",
+            "(n_true * 1000000) div greatest(tot_true, 1) AS m_ppm",
+            "((n_pairs - n_true) * 1000000) div greatest(tot_false, 1)" +
+              " AS u_ppm")
+          .orderBy(col("name_lev"), col("same_nation"), col("same_segment"))
+      },
+      Some {
+        s"""WITH $erCandidatesSql,
+           |cand2 AS (
+           |  SELECT d.d_key, c.c_custkey,
+           |    levenshtein(d.name_d, c.c_name) AS lev
+           |  FROM dirty d JOIN customer c
+           |    ON right(d.name_d, 3) = right(c.c_name, 3)
+           |  WHERE levenshtein(d.name_d, c.c_name) <= 2),
+           |pat AS (
+           |  SELECT cand2.lev AS name_lev,
+           |    a.c_nationkey = b.c_nationkey AS same_nation,
+           |    a.c_mktsegment = b.c_mktsegment AS same_segment,
+           |    count(*) AS n_pairs,
+           |    CAST(SUM(CASE WHEN cand2.d_key = cand2.c_custkey
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+           |  FROM cand2
+           |  JOIN customer a ON a.c_custkey = cand2.d_key
+           |  JOIN customer b ON b.c_custkey = cand2.c_custkey
+           |  GROUP BY 1, 2, 3),
+           |tot AS (
+           |  SELECT CAST(SUM(n_true) AS BIGINT) AS tot_true,
+           |    CAST(SUM(n_pairs - n_true) AS BIGINT) AS tot_false
+           |  FROM pat)
+           |SELECT CAST(name_lev AS BIGINT) AS name_lev, same_nation,
+           |  same_segment, CAST(n_pairs AS BIGINT) AS n_pairs, n_true,
+           |  CAST((n_true * 1000000) // greatest(tot_true, 1) AS BIGINT)
+           |    AS m_ppm,
+           |  CAST(((n_pairs - n_true) * 1000000) // greatest(tot_false, 1)
+           |    AS BIGINT) AS u_ppm
+           |FROM pat, tot
+           |ORDER BY name_lev, same_nation, same_segment""".stripMargin
+      }),
+
+    // T-CLOSENESS — the third privacy gate after k-anonymity and
+    // l-diversity: within each quasi-identifier group (nation, segment),
+    // how far does the SENSITIVE-attribute distribution (balance in
+    // $10k bands) sit from the global distribution? Categorical
+    // t-closeness uses total variation distance; here it is EXACT ppm by
+    // clearing both denominators: tvd = ½[Σ_{v∈G}|p_gv − p_v| +
+    // (1 − Σ_{v∈G} p_v)] → (Σ|cnt_gv·N − cnt_v·N_g| + N_g·(N − Σcnt_v))
+    // ·10⁶ div (2·N_g·N), where the second term accounts for global
+    // bands ABSENT from the group (|0 − p_v| mass that an
+    // observed-pairs-only join would silently drop). Products ride
+    // DECIMAL(38,0). Scale: one (QI, band) aggregate over the table;
+    // band-level global counts and group totals are broadcast-sized
+    // joins; output is |QI groups| rows.
+    "privacy_t_closeness" -> QueryDef(
+      (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("band",
+            expr("""((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    | + 100000000) div 1000000) - 100""".stripMargin))
+        val gv = c.groupBy(col("c_nationkey"), col("c_mktsegment"),
+            col("band"))
+          .agg(count(lit(1)).as("cnt_gv"))
+        val v = gv.groupBy(col("band")).agg(sum(col("cnt_gv")).as("cnt_v"))
+        val g = gv.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(sum(col("cnt_gv")).as("n_g"))
+        val nTot = v.agg(sum(col("cnt_v")).as("n"))
+        gv.join(v, "band")
+          .join(g, Seq("c_nationkey", "c_mktsegment"))
+          .crossJoin(broadcast(nTot))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(max(col("n_g")).as("n_g"), max(col("n")).as("n"),
+            sum(abs(dec(col("cnt_gv")) * dec(col("n"))
+              - dec(col("cnt_v")) * dec(col("n_g")))).as("term1"),
+            sum(col("cnt_v")).as("covered"))
+          .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+            ((col("term1") + dec(col("n_g")) * (dec(col("n"))
+                - dec(col("covered")))) * dec(lit(1000000L))).as("numer"),
+            (dec(lit(2L)) * dec(col("n_g")) * dec(col("n"))).as("denom"))
+          .selectExpr("c_nationkey", "c_mktsegment", "n_g",
+            "CAST(numer div denom AS BIGINT) AS tvd_ppm")
+          .withColumn("violates_t02", col("tvd_ppm") > 200000L)
+          .orderBy(col("c_nationkey"), col("c_mktsegment"))
+      },
+      Some("""WITH cells AS MATERIALIZED (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    ((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      + 100000000) // 1000000) - 100 AS band,
+             |    count(*) AS cnt_gv
+             |  FROM customer GROUP BY 1, 2, 3),
+             |v AS (SELECT band, CAST(SUM(cnt_gv) AS BIGINT) AS cnt_v
+             |      FROM cells GROUP BY band),
+             |g AS (SELECT c_nationkey, c_mktsegment,
+             |        CAST(SUM(cnt_gv) AS BIGINT) AS n_g
+             |      FROM cells GROUP BY 1, 2),
+             |n AS (SELECT CAST(SUM(cnt_v) AS BIGINT) AS n FROM v),
+             |t AS (
+             |  SELECT cells.c_nationkey, cells.c_mktsegment,
+             |    max(g.n_g) AS n_g, max(n.n) AS n,
+             |    SUM(abs(CAST(cnt_gv AS HUGEINT) * n.n
+             |      - CAST(cnt_v AS HUGEINT) * g.n_g)) AS term1,
+             |    CAST(SUM(cnt_v) AS HUGEINT) AS covered
+             |  FROM cells
+             |  JOIN v USING (band)
+             |  JOIN g ON g.c_nationkey = cells.c_nationkey
+             |    AND g.c_mktsegment = cells.c_mktsegment, n
+             |  GROUP BY 1, 2)
+             |SELECT c_nationkey, c_mktsegment, CAST(n_g AS BIGINT) AS n_g,
+             |  CAST((term1 + CAST(n_g AS HUGEINT) * (n - covered)) * 1000000
+             |    // (2 * CAST(n_g AS HUGEINT) * n) AS BIGINT) AS tvd_ppm,
+             |  CAST((term1 + CAST(n_g AS HUGEINT) * (n - covered)) * 1000000
+             |    // (2 * CAST(n_g AS HUGEINT) * n) AS BIGINT) > 200000
+             |    AS violates_t02
+             |FROM t ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
     // IDF DRIFT — the vocabulary-shift audit between two corpus releases
     // (the same v1 -> v2 derivation as corpus_snapshot_diff): per word,
     // document frequency in each version, ranked by absolute drift. The
