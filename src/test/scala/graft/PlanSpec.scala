@@ -983,4 +983,69 @@ class PlanSpec extends SparkSpecBase {
     // medians/mads tables join back by broadcast (<= |types| rows)
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("retrieval_bm25_topk: df/N/avgdl sides broadcast; the inverted " +
+    "index is the only corpus-keyed shuffle; top-k never global-sorts") {
+    val plan = formatted(q("retrieval_bm25_topk"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("graph_common_neighbors: wedge join is equi-keyed on the shared " +
+    "customer (df-capped) — no cartesian/nested-loop anywhere") {
+    val plan = formatted(q("graph_common_neighbors"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // pair counting map-side combines
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("q_event_autocorr: the firehose collapses once into the hourly " +
+    "count; the lag pass is ONE type-partitioned window, moments " +
+    "map-side combine") {
+    val plan = formatted(q("q_event_autocorr"))
+    val w = "Window".r.findAllIn(plan).size
+    assert(w >= 1, s"expected the lag window:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("graph_degree_assortativity: degrees join back onto the edge " +
+    "artifact; the moment rollup is a 1-row map-side-combined aggregate") {
+    val plan = formatted(q("graph_degree_assortativity"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("dq_uniqueness_profile: the six distinct counts ride ONE " +
+    "Expand-based aggregate — a single scan, not six") {
+    val plan = formatted(q("dq_uniqueness_profile"))
+    assert(plan.contains("Expand"), plan.take(3000))
+    // one scan of orders
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 orders scan, got $scans")
+  }
+
+  test("curation_curriculum_phases: boundaries come from the histogram " +
+    "CDF broadcast back onto a pure-map phase tag — no global sort of " +
+    "the corpus") {
+    val plan = formatted(q("curation_curriculum_phases"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // phase tagging joins the 1-row bounds by broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("sample_ess_weights: one map-side-combined rollup to |sources| " +
+    "rows — nothing downstream scales with the corpus") {
+    val plan = executed(q("sample_ess_weights"))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2,
+      s"got ${shuffles.size} shuffles (agg + presentation sort allowed)")
+  }
 }
