@@ -1645,12 +1645,25 @@ object AdvancedQueries {
         val smallCust = pairs.groupBy(col("c"))
           .agg(count(lit(1)).as("cd")).filter(col("cd") <= 64)
           .select(col("c"))
+        // cached AND explicitly spread by customer: consumed THREE times
+        // (degree pass + both wedge sides), and without the repartition
+        // AQE coalesces the tiny cached table to ONE partition — the
+        // self-join then probes all Σd² wedges on a single core
+        // (measured 3× slower at sf0.1)
         val kept = pairs.join(smallCust, Seq("c"), "left_semi")
+          .repartition(col("c")).cache()
         val sdeg = kept.groupBy(col("p")).agg(count(lit(1)).as("dg"))
+        // the Σd²-bounded wedge stream is the dominant shuffle — pack the
+        // ordered pair into ONE long (valid while supplier keys < 2^31;
+        // at a wider keyspace switch to the two-column key) so 11M rows
+        // ride a single 8-byte key into the map-side-combined count
         val wedges = kept.as("x").join(kept.as("y"),
             col("x.c") === col("y.c") && col("x.p") < col("y.p"))
-          .groupBy(col("x.p").as("s_a"), col("y.p").as("s_b"))
-          .agg(count(lit(1)).as("common"))
+          .select((shiftleft(col("x.p"), 32) + col("y.p")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("common"))
+          .select(shiftright(col("pk"), 32).as("s_a"),
+            (col("pk").bitwiseAND(lit(0xffffffffL))).as("s_b"),
+            col("common"))
         wedges
           .join(sdeg.select(col("p").as("s_a"), col("dg").as("da")), "s_a")
           .join(sdeg.select(col("p").as("s_b"), col("dg").as("db")), "s_b")
