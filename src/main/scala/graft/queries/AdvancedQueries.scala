@@ -1468,6 +1468,51 @@ object AdvancedQueries {
            |) ORDER BY round""".stripMargin
       }),
 
+    // FREQUENT BEHAVIORAL TRIGRAMS — sequential-pattern mining one order
+    // above q_event_transitions' Markov bigrams: the top event-type
+    // trigrams by USER SUPPORT (distinct users whose timeline contains
+    // the pattern consecutively), the discovery pass behind funnel
+    // design ("which 3-step paths actually happen?"). Support counting
+    // dedups in-user first, so a bot looping one path counts once.
+    // Scale shape: ONE shuffle on user_id (the lag window parallelizes
+    // user-ways over bounded per-user history), the (user, trigram)
+    // dedup and the support count both map-side combine, top-15 is a
+    // TakeOrdered — the firehose is never globally sorted.
+    "q_event_trigrams" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts").cast(LongType).as("tse"))
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("tse"), col("event_id"))
+        val tri = e
+          .withColumn("t1", lag(col("event_type"), 2).over(byUser))
+          .withColumn("t2", lag(col("event_type"), 1).over(byUser))
+          .filter(col("t1").isNotNull)
+          .select(col("user_id"), col("t1"), col("t2"),
+            col("event_type").as("t3"))
+        tri.groupBy(col("t1"), col("t2"), col("t3"))
+          .agg(countDistinct(col("user_id")).as("support_users"),
+            count(lit(1)).as("n_occurrences"))
+          .orderBy(col("support_users").desc, col("n_occurrences").desc,
+            col("t1"), col("t2"), col("t3"))
+          .limit(15)
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type AS t3,
+             |    lag(event_type, 2) OVER w AS t1,
+             |    lag(event_type, 1) OVER w AS t2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id))
+             |SELECT t1, t2, t3,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS support_users,
+             |  COUNT(*) AS n_occurrences
+             |FROM seq WHERE t1 IS NOT NULL
+             |GROUP BY t1, t2, t3
+             |ORDER BY support_users DESC, n_occurrences DESC, t1, t2, t3
+             |LIMIT 15""".stripMargin)),
+
     // HOURLY TREND SLOPE — per event type, the least-squares slope of the
     // gap-densified hourly count series against the hour index (events/
     // hour per hour: is traffic growing, and how fast?) plus the signed

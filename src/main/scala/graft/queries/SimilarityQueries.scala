@@ -1489,6 +1489,82 @@ object SimilarityQueries {
              |WHERE i < len(embedding)
              |GROUP BY label, i ORDER BY label, i""".stripMargin)),
 
+    // CLASS-CENTROID SIMILARITY MATRIX — the confusability read on top of
+    // embed_class_centroids: signed squared cosine between every pair of
+    // class centroid SUM vectors (cos(mean_a, mean_b) = cos(sum_a, sum_b)
+    // — the 1/n scalings cancel), in exact ppm without a square root:
+    // sign(dot)·dot²·10⁶ div (|a|²·|b|²). High off-diagonal similarity
+    // flags label pairs a linear probe will confuse and clusters that
+    // IVF cells will split badly. All integer over the shared int8
+    // quantization. Scale shape: the corpus collapses ONCE into K·Dim
+    // sums (map-side-combined); the K×K pair table is label-count-sized,
+    // so the pairwise stage costs nothing at any corpus size.
+    "embed_centroid_similarity" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val scale = e.select(explode(col("embedding")).as("x"))
+          .agg(max(abs(col("x"))).cast(DoubleType).as("scale"))
+        val sums = e.crossJoin(broadcast(scale))
+          .select(col("label"),
+            posexplode(quantizeInt8Vec(col("embedding"), col("scale")))
+              .as(Seq("i", "q")))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("q")).as("sv"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("i"),
+            col("sv")))), p => p.getField("sv")).as("sv"))
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        def dot(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+        val withSelf = sums.withColumn("d_self", dot(col("sv"), col("sv")))
+        withSelf.as("a").join(withSelf.as("b"),
+            col("a.label") < col("b.label"))
+          .select(col("a.label").cast(LongType).as("label_a"),
+            col("b.label").cast(LongType).as("label_b"),
+            dot(col("a.sv"), col("b.sv")).as("d"),
+            col("a.d_self").as("daa"), col("b.d_self").as("dbb"))
+          .select(col("label_a"), col("label_b"),
+            (dec(col("d")) * dec(abs(col("d"))) * dec(lit(1000000L)))
+              .as("numer"),
+            (dec(col("daa")) * dec(col("dbb"))).as("denom"))
+          .selectExpr("label_a", "label_b",
+            "CAST(numer div greatest(denom, CAST(1 AS DECIMAL(38,0)))" +
+              " AS BIGINT) AS cos2s_ppm")
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some(s"""WITH scale AS (
+             |  SELECT CAST(MAX(list_aggregate(list_transform(embedding,
+             |    x -> abs(x)), 'max')) AS DOUBLE) AS scale FROM embeddings),
+             |sums AS MATERIALIZED (
+             |  SELECT label, i,
+             |    CAST(SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+             |      * 127.0 / scale + 0.5) AS BIGINT)) AS BIGINT) AS sv
+             |  FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i) r, scale
+             |  WHERE i < len(embedding)
+             |  GROUP BY label, i),
+             |vecs AS (
+             |  SELECT label, list(sv ORDER BY i) AS sv FROM sums
+             |  GROUP BY label),
+             |selfd AS (
+             |  SELECT label, sv,
+             |    list_sum(list_transform(range(1, ${Dim + 1}),
+             |      k -> CAST(sv[k] AS HUGEINT) * sv[k])) AS d_self
+             |  FROM vecs),
+             |pairs AS (
+             |  SELECT a.label AS label_a, b.label AS label_b,
+             |    list_sum(list_transform(range(1, ${Dim + 1}),
+             |      k -> CAST(a.sv[k] AS HUGEINT) * b.sv[k])) AS d,
+             |    a.d_self AS daa, b.d_self AS dbb
+             |  FROM selfd a JOIN selfd b ON a.label < b.label)
+             |SELECT CAST(label_a AS BIGINT) AS label_a,
+             |  CAST(label_b AS BIGINT) AS label_b,
+             |  CAST((CAST(d AS HUGEINT) * abs(CAST(d AS HUGEINT)) * 1000000)
+             |    // greatest(CAST(daa AS HUGEINT) * dbb, 1) AS BIGINT)
+             |    AS cos2s_ppm
+             |FROM pairs ORDER BY label_a, label_b""".stripMargin)),
+
     // SIMPLIFIED SILHOUETTE per IVF cell — the cluster-quality gate read
     // before trusting cell-local operations (probe recall, semantic
     // clusters, cluster-downweighted sampling): per vector a = d² to its
