@@ -1244,6 +1244,79 @@ object PipelineQueries {
            |GROUP BY 1, 2 ORDER BY user_id""".stripMargin
       }),
 
+    // AMS F₂ SKETCH — the second-frequency-moment estimator (Alon–
+    // Matias–Szegedy '96): F₂ = Σ_w c(w)² is the self-join size of the
+    // word table, the statistic a planner consults before choosing a
+    // join strategy on a skewed key. Estimate = median of 4 means of 4
+    // sketches, each sketch S_j = Σ_w ±c(w) with the sign drawn from an
+    // md5 bit — deterministic, identically derivable in the oracle; the
+    // exact F₂ sits beside it with the signed error. Scale shape: the
+    // corpus collapses ONCE into the vocab-sized count table
+    // (map-side-combined); all 16 sketches ride ONE posexplode over
+    // that table into a 16-row aggregate — nothing downstream scales
+    // with corpus size, and F₂'s products ride DECIMAL(38,0).
+    "sketch_ams_f2" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.{md5Long, words}
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val cnt = Tables.load(s, dir, "documents")
+          .select(explode(words(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .cache()
+        def sign(j: Int) =
+          when(md5Long(concat(lit(s"ams$j:"), col("w")))
+            .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+        val sketches = cnt.select(col("c"), posexplode(
+            array((0 until 16).map(sign): _*)).as(Seq("j", "sgn")))
+          .groupBy(col("j"))
+          .agg(sum(col("sgn") * col("c")).as("s"))
+          .select(col("j"), (dec(col("s")) * dec(col("s"))).as("s2"))
+        // median of 4 means of 4, denominators cleared to stay integer:
+        // with group sums G_g = Σ_{j∈g} S_j², the median of the four
+        // means (G_g/4) is (G_(2) + G_(3)) / 8 — ONE integral division
+        // of exact quantities, no cross-engine decimal-scale rules
+        val gs = sketches.groupBy(expr("j div 4").as("g"))
+          .agg(sum(col("s2")).as("gsum"))
+        val est = gs.agg(expr(
+          """CAST(aggregate(slice(array_sort(collect_list(gsum)), 2, 2),
+            |  CAST(0 AS DECIMAL(38,0)), (a, x) -> a + x) div 8 AS BIGINT)
+            |  AS est_f2""".stripMargin).as("est_f2"))
+        val truth = cnt.agg(sum(dec(col("c")) * dec(col("c")))
+          .cast(LongType).as("true_f2"))
+        truth.crossJoin(broadcast(est))
+          .selectExpr("true_f2", "est_f2",
+            "((est_f2 - true_f2) * 1000000) div true_f2 AS err_ppm")
+      },
+      Some {
+        import graft.functions.TextFunctions.{sqlMd5Long, sqlWords}
+        def sign(j: Int) =
+          s"CASE WHEN (${sqlMd5Long(s"'ams$j:' || w")} & 1) = 1 " +
+            "THEN 1 ELSE -1 END"
+        val sketchSelects = (0 until 16).map(j =>
+          s"SELECT $j AS j, SUM(CAST(${sign(j)} AS HUGEINT) * c) AS s " +
+            "FROM cnt").mkString("\n  UNION ALL ")
+        s"""WITH cnt AS MATERIALIZED (
+           |  SELECT w, count(*) AS c FROM (
+           |    SELECT unnest(${sqlWords("text")}) AS w FROM documents)
+           |  WHERE len(w) > 0 GROUP BY w),
+           |sk AS ($sketchSelects),
+           |gsums AS (
+           |  SELECT j // 4 AS g, SUM(s * s) AS gsum
+           |  FROM sk GROUP BY 1),
+           |est AS (
+           |  SELECT CAST((ms[2] + ms[3]) // 8 AS BIGINT) AS est_f2 FROM (
+           |    SELECT list(gsum ORDER BY gsum) AS ms FROM gsums)),
+           |tr AS (
+           |  SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS true_f2
+           |  FROM cnt)
+           |SELECT true_f2, est_f2,
+           |  CAST(((est_f2 - true_f2) * 1000000) // true_f2 AS BIGINT)
+           |    AS err_ppm
+           |FROM tr, est""".stripMargin
+      }),
+
     // MISRA–GRIES HEAVY HITTERS — the frequent-items companion of the
     // count-min point estimate, run as candidate-then-verify: pass 1 is
     // ONE corpus scan through the mergeable ≤64-counter Misra–Gries

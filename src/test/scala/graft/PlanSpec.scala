@@ -1048,4 +1048,35 @@ class PlanSpec extends SparkSpecBase {
     assert(shuffles.size <= 2,
       s"got ${shuffles.size} shuffles (agg + presentation sort allowed)")
   }
+
+  test("er_fastss_join: deletion-key expansion meets in ONE equi-join — " +
+    "no name x name product anywhere") {
+    val plan = formatted(q("er_fastss_join"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("q_event_trigrams: one user-partitioned window; support count " +
+    "map-side combines; top-k is a TakeOrdered") {
+    val plan = formatted(q("q_event_trigrams"))
+    assert("Window".r.findAllIn(plan).size >= 1, plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("embed_centroid_similarity: corpus collapses once to K-by-Dim " +
+    "sums; the pairwise stage is label-count-sized") {
+    val plan = formatted(q("embed_centroid_similarity"))
+    // the K-row self-join may be a broadcast nested loop (8x8); a
+    // corpus-scale cartesian would show as CartesianProduct
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
+
+  test("sketch_ams_f2: the corpus collapses once into the vocab count; " +
+    "all 16 sketches ride one posexplode over it") {
+    val plan = formatted(q("sketch_ams_f2"))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
