@@ -141,6 +141,26 @@ case class WinnowedFps(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** Integer dot product of two ARRAY<LONG> columns in one tight loop —
+  * bit-identical to `aggregate(zip_with(a, b, (x,y) => x*y), 0L, _+_)`
+  * (exact integer arithmetic commutes), which is interpreted per element
+  * and dominates cell-blocked pair scoring. */
+case class VecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** MinHash signature over a 60-bit hash array (see TextFunctions.MinHashA/B;
   * empty input hashes to P per permutation). */
 case class MinHashSig(child: Expression, numHashes: Int)

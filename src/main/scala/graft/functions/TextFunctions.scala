@@ -134,6 +134,11 @@ object TextFunctions {
   def winnowedFps(text: Column, k: Int, w: Int): Column =
     exprCol(WinnowedFps(colExpr(text), k, w))
 
+  /** Exact integer dot of two ARRAY<LONG> columns (native [[VecDotLong]];
+    * equals the zip_with/aggregate fold bit-for-bit). */
+  def dotLong(a: Column, b: Column): Column =
+    exprCol(VecDotLong(colExpr(a), colExpr(b)))
+
   def winnowedFpsHof(text: Column, k: Int, w: Int): Column = {
     val hs = transform(shingles(words(text), k), s => md5Long(s))
     val n = size(hs)

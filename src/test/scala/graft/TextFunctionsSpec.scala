@@ -110,6 +110,18 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(badDot.count() === 0)
   }
 
+  test("VecDotLong matches the zip_with/aggregate fold") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(30)
+      .select(transform(col("embedding"),
+        x => (x * 100).cast("long")).as("a"))
+      .withColumn("b", reverse(col("a")))
+    val bad = df.filter(dotLong(col("a"), col("b")) =!=
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), _ + _))
+    assert(bad.count() === 0)
+  }
+
   test("WinnowedFps native matches the HOF winnow, incl. degenerate docs") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(60).select(col("text"))
