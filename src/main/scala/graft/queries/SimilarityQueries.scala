@@ -1565,6 +1565,68 @@ object SimilarityQueries {
              |    AS cos2s_ppm
              |FROM pairs ORDER BY label_a, label_b""".stripMargin)),
 
+    // NEAREST-CENTROID CONFUSION MATRIX — the probe-lite classifier eval
+    // composing embed_class_centroids with assignment: every vector is
+    // classified to its nearest CLASS centroid (floor-mean of the shared
+    // int8 quantization — exact integers) and tabulated against its true
+    // label. The diagonal is nearest-centroid accuracy; off-diagonal
+    // cells name the confusable class pairs embed_centroid_similarity
+    // predicts. Scale shape: the corpus collapses once into K·Dim
+    // centroid sums; the K centroid arrays are label-count-bounded
+    // driver literals (the silhouette license), so scoring is a PURE
+    // MAP — d² = v·v + c·c − 2 v·c with the native long-dot — into a
+    // map-side-combined ≤K² confusion rollup.
+    "embed_nearest_centroid_confusion" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.dotLong
+        val qv = quantizedVecs(s, dir)
+          .join(emb(s, dir).select(col("vec_id"), col("label")), "vec_id")
+        val cents = qv
+          .select(col("label"), posexplode(col("qv")).as(Seq("i", "q")))
+          .groupBy(col("label"), col("i"))
+          .agg(floor(sum(col("q")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).cast(LongType).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("i"),
+            col("c")))), p => p.getField("c")).as("cv"))
+          .collect()
+          .map(r => (r.getInt(0).toLong, r.getSeq[Long](1)))
+          .sortBy(_._1)
+        val arr = sort_array(array(cents.map { case (l, cv) =>
+          val cself = cv.map(x => x * x).sum
+          struct((dotLong(col("qv"), col("qv")) + lit(cself)
+            - lit(2L) * dotLong(col("qv"), lit(cv.toArray))).as("d2"),
+            lit(l).as("cl")) }: _*))
+        qv.select(col("label").cast(LongType).as("true_label"),
+            arr.getItem(0).getField("cl").as("assigned_label"))
+          .groupBy(col("true_label"), col("assigned_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("true_label"), col("assigned_label"))
+      },
+      Some(s"""WITH $sqlQuantPrefix,
+             |lv AS (
+             |  SELECT q.vec_id, q.qv, e.label FROM qvecs q
+             |  JOIN embeddings e ON e.vec_id = q.vec_id),
+             |cents AS MATERIALIZED (
+             |  SELECT label, list(c ORDER BY i) AS cv FROM (
+             |    SELECT label, i,
+             |      CAST(FLOOR(CAST(SUM(qv[i + 1]) AS DOUBLE)
+             |        / count(*)) AS BIGINT) AS c
+             |    FROM lv, (SELECT unnest(range(0, $Dim)) AS i) r
+             |    GROUP BY label, i) GROUP BY label),
+             |assigned AS (
+             |  SELECT true_label, assigned_label FROM (
+             |    SELECT v.label AS true_label, c.label AS assigned_label,
+             |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             |        list_sum(list_transform(range(1, ${Dim + 1}),
+             |          k -> (v.qv[k] - c.cv[k]) * (v.qv[k] - c.cv[k]))),
+             |        c.label) AS rn
+             |    FROM lv v, cents c) WHERE rn = 1)
+             |SELECT CAST(true_label AS BIGINT) AS true_label,
+             |  CAST(assigned_label AS BIGINT) AS assigned_label,
+             |  count(*) AS n
+             |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // kNN-GRAPH RECIPROCITY — the hubness/quality read on an embedding
     // space: build the directed 5-NN graph (exact int8 distances inside
     // each vector's own IVF cell — the blocked form that survives scale)
