@@ -1420,11 +1420,15 @@ object AdvancedQueries {
           .otherwise(lit(beta))
         val out = (1 to rounds).map { r =>
           val alive = deg.filter(col("dg") >= thr)
-          cur = cur
+          // eager cut: without it every later round's action replays all
+          // prior semi-joins and re-builds their broadcasts (quadratic
+          // exchange-build latency across rounds — the dominant cost
+          // here, not data volume)
+          cur = graft.operators.IterBarrier.cut(cur
             .join(alive.select(col("src")), Seq("src"), "left_semi")
             .join(alive.select(col("src").as("dst")), Seq("dst"),
               "left_semi")
-            .select(col("src"), col("dst"))
+            .select(col("src"), col("dst")), r, reliableEvery = 0)
           deg = cur.groupBy(col("src")).agg(count(lit(1)).as("dg")).cache()
           val c = deg.agg(count(lit(1)).as("a"),
             coalesce(sum(col("dg")), lit(0L)).as("e")).collect()(0)
