@@ -1603,6 +1603,44 @@ object AdvancedQueries {
              |      / (dx * dy), 6) END AS r2_signed
              |FROM r ORDER BY event_type""".stripMargin)),
 
+    // HOUR-OF-DAY TRAFFIC PROFILE — the seasonal SHAPE companion to
+    // q_event_autocorr's lag view: per event type, the 24-bucket
+    // hour-of-day distribution in exact ppm shares plus each bucket's
+    // deviation from the uniform 1/24 (the "rush-hour fingerprint" that
+    // calibrates per-hour alert thresholds and informs crawl/ingest
+    // scheduling). Scale shape: ONE map-side-combined (type, hod)
+    // aggregate over the firehose; per-type totals are a ≤|types|-row
+    // aggregate joined back (broadcast-sized); everything downstream is
+    // |types|·24 rows.
+    "q_event_hour_profile" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("(CAST(ts AS BIGINT) div 3600) % 24").as("hod"))
+        val c = e.groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("n"))
+        val tot = c.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+        c.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("hod"), col("n"),
+            expr("(n * 1000000) div t").as("share_ppm"))
+          .withColumn("dev_ppm",
+            col("share_ppm") - lit(1000000L / 24))
+          .orderBy(col("event_type"), col("hod"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hod,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+             |        FROM c GROUP BY 1)
+             |SELECT c.event_type, CAST(hod AS BIGINT) AS hod,
+             |  CAST(n AS BIGINT) AS n,
+             |  CAST((n * 1000000) // t AS BIGINT) AS share_ppm,
+             |  CAST((n * 1000000) // t - 41666 AS BIGINT) AS dev_ppm
+             |FROM c JOIN tot USING (event_type)
+             |ORDER BY event_type, hod""".stripMargin)),
+
     // DEGREE ASSORTATIVITY of the trade graph — the signed r² of
     // (deg(src), deg(dst)) over all directed edges: do high-degree
     // customers trade with high-degree suppliers (assortative, r > 0) or
