@@ -1603,6 +1603,66 @@ object AdvancedQueries {
              |      / (dx * dy), 6) END AS r2_signed
              |FROM r ORDER BY event_type""".stripMargin)),
 
+    // USER-ACTIVITY GINI COEFFICIENT — inequality of the per-user event
+    // distribution, the one-number bot/power-user concentration read
+    // (G→0 uniform engagement, G→1 a few accounts generate everything).
+    // Exact rational form with ties: over the ascending per-user counts
+    // x_(1..n), G = (2·Σ i·x_(i) − (n+1)·S) / (n·S); tie groups
+    // contribute x·(m·R + m(m+1)/2) from the COUNT-OF-COUNTS histogram
+    // (R = users before the group), so nothing user-sized is ever
+    // sorted: the firehose collapses to per-user counts (one shuffle),
+    // those collapse to the bounded distinct-count histogram, and the
+    // rank prefix rides the SequencePacking distributed prefix-sum.
+    // One integral division at the end — cross-engine exact.
+    "q_user_gini" -> QueryDef(
+      (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+        val hist = perUser.groupBy(col("x")).agg(count(lit(1)).as("m"))
+        val cum = graft.operators.SequencePacking.runningSum(
+          hist, "x", "m", "cumu")
+        // the in-group rank sum m(m+1)/2 halves EXACTLY as a long (m(m+1)
+        // is even); decimal `/` would switch to engine-specific scale
+        // rules and DuckDB HUGEINT `/` is float division — both avoided
+        val terms = cum
+          .withColumn("h", expr("(m * (m + 1)) div 2"))
+          .select(
+            (dec(col("x")) * (dec(col("m")) * dec(col("cumu") - col("m"))
+              + dec(col("h")))).as("t"),
+            (dec(col("x")) * dec(col("m"))).as("sx"), dec(col("m")).as("mn"))
+        terms.agg(sum(col("t")).as("a"), sum(col("sx")).as("s"),
+            sum(col("mn")).as("n"))
+          .selectExpr("CAST(n AS BIGINT) AS n_users",
+            "CAST(s AS BIGINT) AS total_events",
+            "CAST(((2 * a - (n + 1) * s) * 1000000) div (n * s) AS BIGINT)" +
+              " AS gini_ppm")
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+             |hist AS (SELECT x, count(*) AS m FROM pu GROUP BY x),
+             |cum AS (
+             |  SELECT x, m,
+             |    SUM(m) OVER (ORDER BY x
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cumu
+             |  FROM hist),
+             |terms AS (
+             |  SELECT
+             |    CAST(x AS HUGEINT) * (CAST(m AS HUGEINT) * (cumu - m)
+             |      + (CAST(m AS HUGEINT) * (m + 1)) // 2) AS t,
+             |    CAST(x AS HUGEINT) * m AS sx,
+             |    CAST(m AS HUGEINT) AS mn
+             |  FROM cum),
+             |agg AS (
+             |  SELECT SUM(t) AS a, SUM(sx) AS s, SUM(mn) AS n FROM terms)
+             |SELECT CAST(n AS BIGINT) AS n_users,
+             |  CAST(s AS BIGINT) AS total_events,
+             |  CAST(((2 * a - (n + 1) * s) * 1000000) // (n * s) AS BIGINT)
+             |    AS gini_ppm
+             |FROM agg""".stripMargin)),
+
     // HOUR-OF-DAY TRAFFIC PROFILE — the seasonal SHAPE companion to
     // q_event_autocorr's lag view: per event type, the 24-bucket
     // hour-of-day distribution in exact ppm shares plus each bucket's

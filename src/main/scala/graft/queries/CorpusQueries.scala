@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import graft.{QueryDef, Tables}
+// (source-similarity uses the DECIMAL(38,0) exact-moment device)
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1443,6 +1444,70 @@ object CorpusQueries {
            |  CROSS JOIN tot t
            |  WHERE bg.c12 >= $PmiMinCount)
            |ORDER BY lift DESC, bigram LIMIT $PmiTopK""".stripMargin
-      })
+      }),
+
+    // SOURCE-SIMILARITY MATRIX — pairwise cosine of the per-source word
+    // COUNT vectors: the data-mixing read for "which sources are
+    // textually alike" (near-duplicate feeds get merged or downweighted
+    // before mixture design; it also sanity-checks source labels after
+    // an ingest refactor). Exact signed squared cosine in ppm (the
+    // centroid-similarity device — no sqrt, DECIMAL(38,0) products, one
+    // integral division). Scale shape: ONE tokenize pass collapses to
+    // the (source, word) count table (map-side-combined); the pair stage
+    // is a word-keyed self-join whose per-word fan-out is bounded by
+    // |sources|² — posting-shaped, never corpus²; norms are a
+    // |sources|-row aggregate joined back.
+    "corpus_source_similarity" -> QueryDef(
+      (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val cnt = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(words(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+          .cache()
+        val norms = cnt.groupBy(col("source"))
+          .agg(sum(dec(col("c")) * dec(col("c"))).as("n2"))
+        val dots = cnt.as("a").join(cnt.as("b"),
+            col("a.w") === col("b.w")
+              && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"),
+            col("b.source").as("src_b"))
+          .agg(sum(dec(col("a.c")) * dec(col("b.c"))).as("d"))
+        dots
+          .join(norms.select(col("source").as("src_a"),
+            col("n2").as("naa")), "src_a")
+          .join(norms.select(col("source").as("src_b"),
+            col("n2").as("nbb")), "src_b")
+          .select(col("src_a"), col("src_b"),
+            (col("d") * col("d") * dec(lit(1000000L))).as("numer"),
+            (col("naa") * col("nbb")).as("denom"))
+          .selectExpr("src_a", "src_b",
+            "CAST(numer div denom AS BIGINT) AS cos2_ppm")
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH cnt AS MATERIALIZED (
+             |  SELECT source, w, count(*) AS c FROM (
+             |    SELECT source, unnest(${sqlWords("text")}) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0 GROUP BY 1, 2),
+             |norms AS (
+             |  SELECT source,
+             |    SUM(CAST(c AS HUGEINT) * c) AS n2
+             |  FROM cnt GROUP BY source),
+             |dots AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    SUM(CAST(a.c AS HUGEINT) * b.c) AS d
+             |  FROM cnt a JOIN cnt b
+             |    ON a.w = b.w AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b,
+             |  CAST((d * d * 1000000) // (na.n2 * nb.n2) AS BIGINT)
+             |    AS cos2_ppm
+             |FROM dots
+             |JOIN norms na ON na.source = dots.src_a
+             |JOIN norms nb ON nb.source = dots.src_b
+             |ORDER BY src_a, src_b""".stripMargin))
   )
 }
