@@ -289,16 +289,25 @@ object CorpusQueries {
     // (one exchange per round) instead — see graph_pagerank.
     "text_textrank_keywords" -> QueryDef(
       (s, dir) => {
-        import graft.functions.TextFunctions.{shingles, words => tw}
+        import graft.functions.TextFunctions.{words => tw}
         val d = Tables.load(s, dir, "documents")
-        val vocab = d.select(explode(tw(col("text"))).as("word"))
+        // ONE tokenize pass feeds both the vocab count and the adjacency
+        // pairs (eager barrier — the two consumers are separate actions
+        // and would otherwise each re-tokenize the corpus); adjacent
+        // pairs come straight off the word array (zip of the two
+        // shifted slices), not via concat-then-resplit bigram strings
+        val docs = graft.operators.IterBarrier.cut(
+          d.select(tw(col("text")).as("ws")), 1, reliableEvery = 0)
+        val vocab = docs.select(explode(col("ws")).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("word")).limit(200)
           .select(col("word")).collect().map(_.getString(0))
-        val pairs = d
-          .select(explode(shingles(tw(col("text")), 2)).as("bg"))
-          .select(split(col("bg"), " ").getItem(0).as("a"),
-            split(col("bg"), " ").getItem(1).as("b"))
+        val pairs = docs
+          .select(explode(arrays_zip(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+          .select(col("p").getField("0").as("a"),
+            col("p").getField("1").as("b"))
           .filter(col("a") =!= col("b") &&
             col("a").isin(vocab.toSeq: _*) &&
             col("b").isin(vocab.toSeq: _*))
