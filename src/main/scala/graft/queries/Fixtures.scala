@@ -29,5 +29,6 @@ object Fixtures {
     DedupQueries.prepareDocs(spark, sfDir)
     DedupQueries.prepareDocsReplay(spark, sfDir)
     SimilarityQueries.prepareVecsReplay(spark, sfDir)
+    SimilarityQueries.prepareQvecs(spark, sfDir)
   }
 }
