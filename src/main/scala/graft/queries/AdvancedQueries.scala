@@ -1603,6 +1603,65 @@ object AdvancedQueries {
              |      / (dx * dy), 6) END AS r2_signed
              |FROM r ORDER BY event_type""".stripMargin)),
 
+    // CONVERSION LATENCY — per user, the time from FIRST click to FIRST
+    // subsequent purchase, rolled into an exponential histogram (<1 m,
+    // <1 h, <1 d, ≥1 d buckets) with converted/unconverted totals: the
+    // product-analytics read behind attribution windows and retargeting
+    // delays. One map-side-combined per-user (min click ts, min purchase
+    // ts ≥ that click) aggregate — min_by/conditional mins, no window,
+    // no self-join of the firehose; the histogram is a ≤5-row rollup.
+    "q_conversion_latency" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("ts").cast(LongType).as("tse"))
+        val perUser = e.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "click", col("tse")))
+            .as("first_click"),
+          min(when(col("event_type") === "purchase", col("tse")))
+            .as("first_purchase"))
+        val lat = perUser.filter(col("first_click").isNotNull)
+          .select(col("user_id"),
+            when(col("first_purchase") >= col("first_click"),
+              col("first_purchase") - col("first_click")).as("lat_s"))
+        lat.select(
+            when(col("lat_s").isNull, "no_conversion")
+              .when(col("lat_s") < 60, "lt_1m")
+              .when(col("lat_s") < 3600, "lt_1h")
+              .when(col("lat_s") < 86400, "lt_1d")
+              .otherwise("ge_1d").as("bucket"),
+            col("lat_s"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_users"),
+            coalesce(sum(col("lat_s")), lit(0L)).as("sum_latency_s"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS tse
+             |  FROM events),
+             |pu AS (
+             |  SELECT user_id,
+             |    MIN(CASE WHEN event_type = 'click' THEN tse END)
+             |      AS first_click,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN tse END)
+             |      AS first_purchase
+             |  FROM e GROUP BY user_id),
+             |lat AS (
+             |  SELECT user_id,
+             |    CASE WHEN first_purchase >= first_click
+             |      THEN first_purchase - first_click END AS lat_s
+             |  FROM pu WHERE first_click IS NOT NULL)
+             |SELECT CASE
+             |    WHEN lat_s IS NULL THEN 'no_conversion'
+             |    WHEN lat_s < 60 THEN 'lt_1m'
+             |    WHEN lat_s < 3600 THEN 'lt_1h'
+             |    WHEN lat_s < 86400 THEN 'lt_1d'
+             |    ELSE 'ge_1d' END AS bucket,
+             |  count(*) AS n_users,
+             |  CAST(coalesce(SUM(lat_s), 0) AS BIGINT) AS sum_latency_s
+             |FROM lat GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // USER-ACTIVITY GINI COEFFICIENT — inequality of the per-user event
     // distribution, the one-number bot/power-user concentration read
     // (G→0 uniform engagement, G→1 a few accounts generate everything).
