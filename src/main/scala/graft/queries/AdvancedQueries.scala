@@ -1603,6 +1603,101 @@ object AdvancedQueries {
              |      / (dx * dy), 6) END AS r2_signed
              |FROM r ORDER BY event_type""".stripMargin)),
 
+    // RFM SEGMENTATION — the classic customer-value grid: per user the
+    // Recency (hours since last purchase, against the corpus max),
+    // Frequency (purchase count) and Monetary (whole-dollar spend), each
+    // scored 1..5 by EXACT quintiles of its distribution, reported as
+    // the (r,f,m) segment census. Quintile boundaries use the suite's
+    // exact-quantile device three times over: each metric collapses to
+    // a bounded value histogram (hours are wall-clock-bounded, counts
+    // and dollars domain-bounded — the MAD-outliers license), the CDF
+    // rides the distributed prefix-sum, and the four boundary scalars
+    // come from ONE aggregate row broadcast onto a pure-map scorer. The
+    // firehose pays a single per-user aggregate; nothing user-sized is
+    // globally sorted.
+    "q_rfm_segments" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").cast(LongType).as("tse"),
+            (graft.MoneyMath.dec(col("value")) * 100).cast(LongType)
+              .as("cents"))
+        val mx = e.agg(max(col("tse")).as("mxts"))
+        // EAGER cut, not a lazy cache: three quintile derivations (each
+        // an eager prefix-sum) plus the scorer all consume pu — lazy
+        // branches would race the cold cache and re-aggregate the
+        // firehose per consumer (the PRF lesson)
+        val pu = graft.operators.IterBarrier.cut(
+          e.crossJoin(broadcast(mx))
+            .groupBy(col("user_id"))
+            .agg(expr("(max(mxts) - max(tse)) div 3600").as("r"),
+              count(lit(1)).as("f"),
+              expr("sum(cents) div 100").as("m")), 1, reliableEvery = 0)
+        def bounds(metric: String) = {
+          val hist = pu.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+          val cdf = graft.operators.SequencePacking.runningSum(
+            hist, metric, "cnt", "cum")
+          val bs = (1 to 4).map(i =>
+            min(when(col("cum") >= expr(s"($i * n + 4) div 5"),
+              col(metric))).as(s"${metric}_b$i"))
+          cdf.crossJoin(broadcast(pu.agg(count(lit(1)).as("n"))))
+            .agg(bs.head, bs.tail: _*)
+        }
+        def score(metric: String) =
+          lit(1L) + (col(metric) > col(s"${metric}_b1")).cast(LongType) +
+            (col(metric) > col(s"${metric}_b2")).cast(LongType) +
+            (col(metric) > col(s"${metric}_b3")).cast(LongType) +
+            (col(metric) > col(s"${metric}_b4")).cast(LongType)
+        pu.crossJoin(broadcast(bounds("r")))
+          .crossJoin(broadcast(bounds("f")))
+          .crossJoin(broadcast(bounds("m")))
+          .select(score("r").as("r_score"), score("f").as("f_score"),
+            score("m").as("m_score"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("r_score"), col("f_score"), col("m_score"))
+      },
+      Some {
+        def boundsCte(metric: String) =
+          s"""${metric}hist AS (
+             |  SELECT $metric AS v, count(*) AS cnt FROM pu GROUP BY 1),
+             |${metric}cdf AS (
+             |  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum
+             |  FROM ${metric}hist),
+             |${metric}b AS (
+             |  SELECT
+             |${(1 to 4).map(i =>
+                s"    min(CASE WHEN cum >= ($i * n.n + 4) // 5 THEN v END)" +
+                  s" AS b$i").mkString(",\n")}
+             |  FROM ${metric}cdf, n)""".stripMargin
+        def score(metric: String) =
+          s"1 + CAST($metric > ${metric}b.b1 AS BIGINT)" +
+            s" + CAST($metric > ${metric}b.b2 AS BIGINT)" +
+            s" + CAST($metric > ${metric}b.b3 AS BIGINT)" +
+            s" + CAST($metric > ${metric}b.b4 AS BIGINT)"
+        s"""WITH p AS (
+           |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase'),
+           |mx AS (SELECT max(tse) AS mxts FROM p),
+           |pu AS MATERIALIZED (
+           |  SELECT user_id,
+           |    (max(mx.mxts) - max(tse)) // 3600 AS r,
+           |    count(*) AS f,
+           |    CAST(SUM(cents) AS BIGINT) // 100 AS m
+           |  FROM p, mx GROUP BY user_id),
+           |n AS (SELECT count(*) AS n FROM pu),
+           |${boundsCte("r")},
+           |${boundsCte("f")},
+           |${boundsCte("m")}
+           |SELECT ${score("r")} AS r_score, ${score("f")} AS f_score,
+           |  ${score("m")} AS m_score, count(*) AS n_users
+           |FROM pu, rb, fb, mb
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      }),
+
     // CONVERSION LATENCY — per user, the time from FIRST click to FIRST
     // subsequent purchase, rolled into an exponential histogram (<1 m,
     // <1 h, <1 d, ≥1 d buckets) with converted/unconverted totals: the
