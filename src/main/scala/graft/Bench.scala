@@ -49,6 +49,8 @@ object Bench {
         s"/root/repo/.scratch/cdcdb_trunc/$sfName",
         s"/root/repo/.scratch/bpe_v1/$sfName",
         s"/root/repo/.scratch/doc_clusters_v1/$sfName",
+        s"/root/repo/.scratch/semantic_clusters_v1/$sfName",
+        s"/root/repo/.scratch/er_clusters_v1/$sfName",
         s"/root/repo/.scratch/trade_graph_v1/$sfName",
         s"/root/repo/.scratch/qvecs_v1/$sfName",
         s"/root/repo/.scratch/pq_model_v1/$sfName",

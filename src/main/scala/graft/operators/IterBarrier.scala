@@ -27,4 +27,17 @@ object IterBarrier {
         df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+
+  /** Deferred variant: truncates the LOGICAL plan immediately (the
+    * returned frame is already LogicalRDD-backed, so driver-side analysis
+    * stays bounded) but materializes the checkpoint blocks as a side
+    * effect of the NEXT action instead of launching a dedicated job.
+    * Right when every round already ends in a forcing aggregate (the
+    * (α,β)-core peel's degree count): the round then costs ONE job, not
+    * two, while lineage depth and recompute behavior match [[cut]]. */
+  def cutDeferred(df: DataFrame, round: Int, reliableEvery: Int): DataFrame =
+    if (reliableEvery > 0 && round % reliableEvery == 0 &&
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 }

@@ -1395,14 +1395,6 @@ object AdvancedQueries {
     "graph_abcore" -> QueryDef(
       (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val rounds = 4
-        val pairs = tradePairs(s, dir)
-        val stats = pairs.agg(count(lit(1)).as("e"),
-          countDistinct(col("c")).as("nc"),
-          countDistinct(col("p")).as("ns")).collect()(0)
-        val (e0, nc, ns) = (stats.getLong(0), stats.getLong(1),
-          stats.getLong(2))
-        val alpha = (e0 + nc - 1) / nc
-        val beta = (3 * e0 + 5 * ns - 1) / (5 * ns)
         val g = tradeGraph(s, dir, withDegrees = false)
         // ONE job per round: the round's degree table (node-sized) is
         // cached and its single forcing aggregate yields the PREVIOUS
@@ -1416,15 +1408,30 @@ object AdvancedQueries {
         // barriers while the edge table is scanned once per round.
         var cur = g.edgeDeg
         var deg = cur.groupBy(col("src")).agg(count(lit(1)).as("dg")).cache()
+        // α/β derive from the ROUND-0 degree table instead of a separate
+        // pairs aggregate: in the doubled edge set every endpoint occurs
+        // as a src, so nc/ns are the even/odd src counts and |pairs| is
+        // Σdg / 2 — the threshold scalars ride the job that builds round
+        // 0's degrees rather than paying their own.
+        val st = deg.agg(
+          coalesce(sum(col("dg")), lit(0L)).as("e2"),
+          sum(when(pmod(col("src"), lit(2)) === 0, 1L).otherwise(0L))
+            .as("nc"),
+          sum(when(pmod(col("src"), lit(2)) === 1, 1L).otherwise(0L))
+            .as("ns")).collect()(0)
+        val (e0, nc, ns) = (st.getLong(0) / 2, st.getLong(1), st.getLong(2))
+        val alpha = (e0 + nc - 1) / nc
+        val beta = (3 * e0 + 5 * ns - 1) / (5 * ns)
         val thr = when(pmod(col("src"), lit(2)) === 0, lit(alpha))
           .otherwise(lit(beta))
         val out = (1 to rounds).map { r =>
           val alive = deg.filter(col("dg") >= thr)
-          // eager cut: without it every later round's action replays all
-          // prior semi-joins and re-builds their broadcasts (quadratic
-          // exchange-build latency across rounds — the dominant cost
-          // here, not data volume)
-          cur = graft.operators.IterBarrier.cut(cur
+          // deferred cut: the logical plan truncates immediately (no
+          // quadratic semi-join replay across rounds) but the blocks
+          // materialize inside THIS round's forcing degree aggregate —
+          // one job per round instead of a cut job plus a count job,
+          // which at sf0.1 is pure scheduling fixed cost halved
+          cur = graft.operators.IterBarrier.cutDeferred(cur
             .join(alive.select(col("src")), Seq("src"), "left_semi")
             .join(alive.select(col("src").as("dst")), Seq("dst"),
               "left_semi")

