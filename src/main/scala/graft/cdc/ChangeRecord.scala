@@ -24,9 +24,13 @@ object ChangeRecord {
       * Carries no row images. The snapshot merge treats it as "every row
       * whose newest write precedes this offset is dead"; the log phase
       * emits nothing for it — there is no retract-stream row kind for a
-      * whole-table operation (the reference's deserializer dispatches
-      * c/r/u/d only, RowDataDebeziumDeserializeSchema.java:123-145, and
-      * Debezium's own skipped.operations default drops truncates). */
+      * whole-table operation. Upstream that is Debezium's
+      * skipped.operations DEFAULT (`t`) dropping truncates before the
+      * deserializer ever sees one; the reference's deserializer
+      * (RowDataDebeziumDeserializeSchema.java:123-145) special-cases only
+      * CREATE/READ/DELETE and routes every other op through its update
+      * branch, so a truncate reaching it would be mis-emitted, not
+      * skipped — the drop must happen at the envelope filter, as here. */
     val Truncate = "t"
     /** Schema-change event (reference: surfaced when includeSchemaChanges,
       * MySqlRecordEmitter.java:95-107; tracked in the database history,

@@ -491,6 +491,11 @@ object UpsertSink {
     val aside = new java.io.File(root.getPath + RebucketAsideSuffix)
     if (root.isDirectory && listBuckets(root).nonEmpty) {
       deleteRecursively(staging); deleteRecursively(aside)
+      // a crash between the staging->root rename and the final cleanup
+      // leaves the READY marker inside the live root; parquet readers
+      // ignore underscore files, but a stale readiness flag must not
+      // linger in live state
+      new java.io.File(root, RebucketReady).delete()
     } else if (new java.io.File(staging, RebucketReady).isFile) {
       deleteRecursively(root)
       java.nio.file.Files.move(staging.toPath, root.toPath)

@@ -480,8 +480,10 @@ class LogRangeReader(p: LogRangePartition)
           // schema changes route to SchemaHistory, not the row stream (the
           // reference emits them only under includeSchemaChanges);
           // truncates carry no images and Flink's retract stream has no
-          // whole-table row kind — the reference's deserializer dispatches
-          // c/r/u/d only, so a truncate contributes no log-phase rows
+          // whole-table row kind — upstream, Debezium's skipped.operations
+          // default drops truncates before the reference's deserializer
+          // (whose else-branch would otherwise mis-emit them as updates)
+          // ever sees one, so a truncate contributes no log-phase rows
           // (its state effect lives in the snapshot merge's death frontier)
           case ExternalOp.SchemaChange | ExternalOp.Truncate => Seq.empty
           case ExternalOp.Create | ExternalOp.Read =>

@@ -74,6 +74,24 @@ object CdcSourceConfig {
     * batches small" knob — SURVEY §7.3; reference bounds fetch batches via
     * Debezium max.batch.size). 0 = unbounded. */
   val MaxEventsPerTriggerKey = "scan.stream.max-events-per-trigger"
+  /** MongoDB change-stream batch cap (`poll.max.batch.size`,
+    * MongoDBSourceOptions.java:81-88): accepted as an ALIAS of
+    * [[MaxEventsPerTriggerKey]] — both bound how many change events one
+    * fetch (here: one micro-batch) may carry. The canonical key wins when
+    * both are set. */
+  val PollMaxBatchSizeKey = "poll.max.batch.size"
+  /** MongoDB cursor await time (`poll.await.time.ms`,
+    * MongoDBSourceOptions.java:90-97): validated and accepted as a
+    * documented no-op — the micro-batch pull model has no blocking
+    * change-stream cursor to await on; batch cadence belongs to the Spark
+    * trigger. */
+  val PollAwaitTimeMsKey = "poll.await.time.ms"
+  /** MongoDB copy-existing transfer-queue bound
+    * (`copy.existing.queue.size`, MongoDBSourceOptions.java:104-111):
+    * validated and accepted as a documented no-op — the snapshot phase is
+    * chunked DSv2 partitions pulled directly by Spark tasks; no
+    * hand-rolled producer/consumer queue exists to bound. */
+  val CopyExistingQueueSizeKey = "copy.existing.queue.size"
   /** Which CdcDialect serves this source (SURVEY §2.6 U5). */
   val DialectKey = "dialect"
   /** SQL statement flavor for a JDBC dialect's read path, by reference
@@ -178,7 +196,16 @@ object CdcSourceConfig {
     else if (p.startsWith("file:")) p.substring("file:".length)
     else p
 
-  def fromOptions(o: CaseInsensitiveStringMap): CdcSourceConfig = CdcSourceConfig(
+  def fromOptions(o: CaseInsensitiveStringMap): CdcSourceConfig = {
+    // grammar-parity no-ops still VALIDATE: a malformed value must fail at
+    // analysis exactly as it would against the reference connector, not
+    // ride along silently
+    require(o.getOrDefault(PollAwaitTimeMsKey, "0").toLong >= 0,
+      s"$PollAwaitTimeMsKey must be >= 0: ${o.get(PollAwaitTimeMsKey)}")
+    require(o.getOrDefault(CopyExistingQueueSizeKey, "1").toLong >= 1,
+      s"$CopyExistingQueueSizeKey must be >= 1: " +
+        s"${o.get(CopyExistingQueueSizeKey)}")
+    CdcSourceConfig(
     path = stripFileScheme(Option(o.get(PathKey)).getOrElse(
       throw new IllegalArgumentException("cdc source requires 'path'"))),
     table = Option(o.get(TableKey)).orElse(Option(o.get(TableNameKey)))
@@ -194,7 +221,8 @@ object CdcSourceConfig {
     skipRows = o.getOrDefault(SkipRowsKey, "0").toInt,
     timestampMs = o.getOrDefault(TimestampKey,
       o.getOrDefault(TimestampLegacyKey, "-1")).toLong,
-    maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey, "0").toLong,
+    maxEventsPerTrigger = o.getOrDefault(MaxEventsPerTriggerKey,
+      o.getOrDefault(PollMaxBatchSizeKey, "0")).toLong,
     dialectName = o.getOrDefault(DialectKey, "file"),
     dialectFlavor = o.getOrDefault(DialectFlavorKey, "db2-cdc"),
     maxSnapshotPartitions = o.getOrDefault(MaxSnapshotPartitionsKey, "4096").toInt,
@@ -231,6 +259,7 @@ object CdcSourceConfig {
       if (raw.isEmpty || raw == "none") Set.empty
       else raw.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
     })
+  }
 }
 
 case class CdcSourceConfig(

@@ -1705,27 +1705,35 @@ object AdvancedQueries {
            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
       }),
 
-    // CONVERSION LATENCY — per user, the time from FIRST click to FIRST
-    // subsequent purchase, rolled into an exponential histogram (<1 m,
-    // <1 h, <1 d, ≥1 d buckets) with converted/unconverted totals: the
-    // product-analytics read behind attribution windows and retargeting
-    // delays. One map-side-combined per-user (min click ts, min purchase
-    // ts ≥ that click) aggregate — min_by/conditional mins, no window,
-    // no self-join of the firehose; the histogram is a ≤5-row rollup.
+    // CONVERSION LATENCY — per user, the time from FIRST click to the
+    // FIRST purchase AT-OR-AFTER that click (a purchase predating the
+    // click does not count, but a later re-purchase does), rolled into an
+    // exponential histogram (<1 m, <1 h, <1 d, ≥1 d buckets) with
+    // converted/unconverted totals: the product-analytics read behind
+    // attribution windows and retargeting delays. The conditional min
+    // needs first_click before it can filter purchases, so it is a
+    // per-user window min (one shuffle on user_id) followed by a groupBy
+    // on the SAME key — the aggregate reuses the window's hash
+    // partitioning, so the firehose still shuffles once; the histogram
+    // is a ≤5-row rollup.
     "q_conversion_latency" -> QueryDef(
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
           .select(col("user_id"), col("event_type"),
             col("ts").cast(LongType).as("tse"))
-        val perUser = e.groupBy(col("user_id")).agg(
-          min(when(col("event_type") === "click", col("tse")))
-            .as("first_click"),
-          min(when(col("event_type") === "purchase", col("tse")))
-            .as("first_purchase"))
-        val lat = perUser.filter(col("first_click").isNotNull)
-          .select(col("user_id"),
-            when(col("first_purchase") >= col("first_click"),
-              col("first_purchase") - col("first_click")).as("lat_s"))
+        val uw = Window.partitionBy(col("user_id"))
+        val perUser = e
+          .withColumn("first_click",
+            min(when(col("event_type") === "click", col("tse"))).over(uw))
+          .filter(col("first_click").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(
+            min(col("first_click")).as("first_click"),
+            min(when(col("event_type") === "purchase" &&
+                col("tse") >= col("first_click"), col("tse")))
+              .as("conv_purchase"))
+        val lat = perUser.select(col("user_id"),
+            (col("conv_purchase") - col("first_click")).as("lat_s"))
         lat.select(
             when(col("lat_s").isNull, "no_conversion")
               .when(col("lat_s") < 60, "lt_1m")
@@ -1742,18 +1750,19 @@ object AdvancedQueries {
              |  SELECT user_id, event_type,
              |    CAST(floor(epoch(ts)) AS BIGINT) AS tse
              |  FROM events),
-             |pu AS (
+             |fc AS (
              |  SELECT user_id,
              |    MIN(CASE WHEN event_type = 'click' THEN tse END)
-             |      AS first_click,
-             |    MIN(CASE WHEN event_type = 'purchase' THEN tse END)
-             |      AS first_purchase
+             |      AS first_click
              |  FROM e GROUP BY user_id),
              |lat AS (
-             |  SELECT user_id,
-             |    CASE WHEN first_purchase >= first_click
-             |      THEN first_purchase - first_click END AS lat_s
-             |  FROM pu WHERE first_click IS NOT NULL)
+             |  SELECT f.user_id,
+             |    MIN(CASE WHEN e.event_type = 'purchase'
+             |          AND e.tse >= f.first_click THEN e.tse END)
+             |      - f.first_click AS lat_s
+             |  FROM fc f JOIN e ON e.user_id = f.user_id
+             |  WHERE f.first_click IS NOT NULL
+             |  GROUP BY f.user_id, f.first_click)
              |SELECT CASE
              |    WHEN lat_s IS NULL THEN 'no_conversion'
              |    WHEN lat_s < 60 THEN 'lt_1m'

@@ -462,7 +462,9 @@ object CorpusQueries {
             sum(col("w") * col("n_chars")).as("sum_wchars"))
           .select(col("b").cast(LongType).as("b"), col("n_eff"),
             col("sum_wchars"),
-            expr("sum_wchars div n_eff").as("mean_chars"))
+            // greatest(...,1): a zero-weight replicate must yield 0, not
+            // a NULL-vs-error divergence between the engines
+            expr("sum_wchars div greatest(n_eff, 1)").as("mean_chars"))
           .orderBy(col("b"))
       },
       Some {
@@ -481,7 +483,7 @@ object CorpusQueries {
            |  CAST(SUM(w) AS BIGINT) AS n_eff,
            |  CAST(SUM(w * n_chars) AS BIGINT) AS sum_wchars,
            |  CAST(CAST(SUM(w * n_chars) AS BIGINT)
-           |    // CAST(SUM(w) AS BIGINT) AS BIGINT) AS mean_chars
+           |    // greatest(CAST(SUM(w) AS BIGINT), 1) AS BIGINT) AS mean_chars
            |FROM uw GROUP BY b ORDER BY b""".stripMargin
       }),
 

@@ -163,9 +163,15 @@ object DataQualityQueries {
           countDistinct(col("o_custkey")).as("d2"),
           countDistinct(col("o_orderdate")).as("d3"),
           countDistinct(col("o_orderstatus")).as("d4"),
-          countDistinct(col("o_custkey"), col("o_orderdate")).as("d5"),
-          countDistinct(col("o_custkey"), col("o_orderdate"),
-            col("o_totalprice")).as("d6"))
+          // multi-column combos count DISTINCT over a struct, matching the
+          // oracle's row-value count(DISTINCT (a, b)): a tuple with a NULL
+          // field still counts (the struct itself is non-null in both
+          // engines), where Spark's bare countDistinct(a, b) would skip
+          // the whole row — a cross-engine divergence on nullable columns
+          countDistinct(struct(col("o_custkey"), col("o_orderdate")))
+            .as("d5"),
+          countDistinct(struct(col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))).as("d6"))
         a.select(col("n"), expr(
             """stack(6,
               |  'o_orderkey', d1,

@@ -135,7 +135,10 @@ object GovernanceQueries {
               .as("n_wrong"))
           .selectExpr("n_dirty", "n_matched", "n_correct", "n_wrong",
             "(n_correct * 1000000) div n_dirty AS recall_ppm",
-            "(n_correct * 1000000) div n_matched AS precision_ppm")
+            // greatest(...,1): an empty match set must yield 0, not a
+            // NULL-vs-error divergence between the engines
+            "(n_correct * 1000000) div greatest(n_matched, 1)" +
+              " AS precision_ppm")
       },
       Some {
         s"""WITH $erCandidatesSql,
@@ -149,7 +152,7 @@ object GovernanceQueries {
            |      LEFT JOIN resolved r USING (d_key))
            |SELECT n_dirty, n_matched, n_correct, n_wrong,
            |  (n_correct * 1000000) // n_dirty AS recall_ppm,
-           |  (n_correct * 1000000) // n_matched AS precision_ppm
+           |  (n_correct * 1000000) // greatest(n_matched, 1) AS precision_ppm
            |FROM (
            |  SELECT count(*) AS n_dirty,
            |    CAST(SUM(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END)
@@ -445,7 +448,8 @@ object GovernanceQueries {
             // resolve accuracy is ambiguity-limited (lev-1 digit
             // neighbors tie with the true record)
             "(n_correct * 1000000) div n_dirty AS recall_ppm",
-            "(n_correct * 1000000) div n_resolved AS precision_ppm")
+            "(n_correct * 1000000) div greatest(n_resolved, 1)" +
+              " AS precision_ppm")
       },
       Some {
         def keys(name: String) =
@@ -487,7 +491,7 @@ object GovernanceQueries {
            |  n_true_pairs, n_correct,
            |  (n_true_pairs * 1000000) // n_dirty AS blocking_recall_ppm,
            |  (n_correct * 1000000) // n_dirty AS recall_ppm,
-           |  (n_correct * 1000000) // n_resolved AS precision_ppm
+           |  (n_correct * 1000000) // greatest(n_resolved, 1) AS precision_ppm
            |FROM agg""".stripMargin
       }),
 

@@ -191,4 +191,28 @@ class OptionParitySpec extends AnyFunSuite {
     assert(minimal(CdcSourceConfig.TimestampKey -> "1",
       CdcSourceConfig.TimestampLegacyKey -> "2").timestampMs === 1L)
   }
+
+  test("MongoDB poll/copy-existing option names are accepted " +
+      "(MongoDBSourceOptions.java:81-111)") {
+    // poll.max.batch.size bounds events per change-stream fetch — the
+    // micro-batch analogue is max-events-per-trigger, so it aliases
+    assert(minimal(CdcSourceConfig.PollMaxBatchSizeKey -> "250")
+      .maxEventsPerTrigger === 250L)
+    // canonical key wins when both are present
+    assert(minimal(CdcSourceConfig.MaxEventsPerTriggerKey -> "7",
+      CdcSourceConfig.PollMaxBatchSizeKey -> "250")
+      .maxEventsPerTrigger === 7L)
+    // await-time / queue-size are pull-model no-ops but must VALIDATE:
+    // a malformed value fails at analysis like the reference
+    assert(minimal(CdcSourceConfig.PollAwaitTimeMsKey -> "1500")
+      .maxEventsPerTrigger === 0L) // accepted, no behavioral coupling
+    assert(minimal(CdcSourceConfig.CopyExistingQueueSizeKey -> "10240")
+      .path.nonEmpty)
+    intercept[IllegalArgumentException] {
+      minimal(CdcSourceConfig.PollAwaitTimeMsKey -> "-1")
+    }
+    intercept[IllegalArgumentException] {
+      minimal(CdcSourceConfig.CopyExistingQueueSizeKey -> "0")
+    }
+  }
 }
