@@ -1043,7 +1043,13 @@ object AdvancedQueries {
     // oracle states the same truth the naive way (per-type row_number
     // middles) — semantics identical, plan deliberately not.
     "q_event_mad_outliers" -> QueryDef(
-      (s, dir) => {
+      // every post-histogram table is ≤|types|·|distinct cents| rows; pin
+      // shuffle partitions to that volume and FORCE the cascade inside
+      // the pin (the returned frame is otherwise lazy, so the caller's
+      // action would run the two median selections and three broadcast
+      // chains at the session's partition count) — the eager-barrier +
+      // pinned-partitions device that fixed the MMR and PRF floors
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val e = Tables.load(s, dir, "events")
         val cents = (graft.MoneyMath.dec(col("value")) * 100).cast(LongType)
         val hist = e.select(col("event_type"), cents.as("v"))
@@ -1057,9 +1063,15 @@ object AdvancedQueries {
           val wc = Window.partitionBy(col("event_type"))
             .orderBy(col(valCol))
             .rowsBetween(Window.unboundedPreceding, 0)
+          // the per-type total rides the SAME window pass as the running
+          // cumsum (one sort, two frames) instead of a join against a
+          // separate aggregate — two stages fewer per selection
+          val wt = Window.partitionBy(col("event_type"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)
           h.withColumn("cum", sum(col("c")).over(wc))
+            .withColumn("n", sum(col("c")).over(wt))
             .withColumn("prev", col("cum") - col("c"))
-            .join(nDf, "event_type")
             .selectExpr("event_type", valCol, "c", "cum", "prev",
               "(n+1) div 2 AS lo", "(n+2) div 2 AS hi")
             .groupBy(col("event_type"))
@@ -1068,19 +1080,35 @@ object AdvancedQueries {
               sum(when(col("prev") < col("hi") && col("hi") <= col("cum"),
                 col(valCol)).otherwise(0L))).as("m2"))
         }
-        val medians = med2(hist, "v").withColumnRenamed("m2", "med2")
-        val dhist = hist.join(broadcast(medians), "event_type")
-          .selectExpr("event_type", "abs(2*v - med2) AS d", "c")
+        // medians/mads are ≤|types|-row SCALAR tables each referenced by
+        // three consumers (a derived histogram, the outlier filter, the
+        // final report) — as plan nodes every consumer re-executed the
+        // whole histogram-window selection, a ~7-job fixed-cost floor.
+        // Collect them (≤|types| rows, the same driver-held-scalar
+        // pattern as the K≤8 centroid literals) and inject as literal
+        // maps: job 1 = medians (populates the hist cache), job 2 = MADs
+        // (populates the derived-histogram cache), job 3 = the report.
+        val medMap = map(med2(hist, "v").collect().flatMap(r =>
+          Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+        val dhist = hist
+          .select(col("event_type"),
+            abs(lit(2) * col("v") - element_at(medMap, col("event_type")))
+              .as("d"), col("c"))
           .groupBy(col("event_type"), col("d"))
           .agg(sum(col("c")).as("c"))
-        val mads = med2(dhist, "d").withColumnRenamed("m2", "mad2x")
-        val outl = dhist.join(broadcast(mads), "event_type")
-          .filter(col("d") * 2 > col("mad2x") * 3)
+          .cache()
+        val madMap = map(med2(dhist, "d").collect().flatMap(r =>
+          Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+        val outl = dhist
+          .filter(col("d") * 2 > element_at(madMap, col("event_type")) * 3)
           .groupBy(col("event_type")).agg(sum(col("c")).as("n_outliers"))
-        nDf.join(medians, "event_type").join(mads, "event_type")
+        val rep = nDf
+          .withColumn("med2", element_at(medMap, col("event_type")))
+          .withColumn("mad2x", element_at(madMap, col("event_type")))
           .join(outl, Seq("event_type"), "left")
           .selectExpr("event_type", "n", "med2", "mad2x",
             "coalesce(n_outliers, 0) AS n_outliers")
+        graft.operators.IterBarrier.cut(rep, 1, reliableEvery = 0)
           .orderBy(col("event_type"))
       },
       Some("""WITH v AS (

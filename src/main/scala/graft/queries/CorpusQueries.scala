@@ -1402,7 +1402,11 @@ object CorpusQueries {
     // never appears in the scoring join. Top-k via TakeOrdered, no global
     // sort.
     "corpus_pmi_topk" -> QueryDef(
-      (s, dir) => {
+      // pinned partitions + an eager cut of the ≤top-k result INSIDE the
+      // pin: the tokenize pass, both explode-aggregates and the two count
+      // joins otherwise run lazily at the session partition count when
+      // the caller first acts — the same fixed-cost device as MMR/PRF
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val np = s.conf.get("spark.sql.shuffle.partitions").toInt
         val d = Tables.load(s, dir, "documents").repartition(np)
           .select(col("doc_id"), words(col("text")).as("ws"))
@@ -1416,7 +1420,7 @@ object CorpusQueries {
         val cand = bg.filter(col("c12") >= PmiMinCount)
           .withColumn("w1", split(col("bg"), " ").getItem(0))
           .withColumn("w2", split(col("bg"), " ").getItem(1))
-        cand
+        val top = cand
           .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
           .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
           .crossJoin(broadcast(totals))
@@ -1427,6 +1431,8 @@ object CorpusQueries {
                 col("c2").cast(DoubleType)), 6).as("lift"))
           .orderBy(col("lift").desc, col("bigram"))
           .limit(PmiTopK)
+        graft.operators.IterBarrier.cut(top, 1, reliableEvery = 0)
+          .orderBy(col("lift").desc, col("bigram"))
       },
       Some {
         val ws = sqlWords("text")
