@@ -31,6 +31,15 @@ object AdvancedQueries {
   /** One (α,β)-core peel-curve row. */
   case class AbcoreRound(round: Long, n_alive: Long, n_dir_edges: Long)
 
+  /** One label-propagation convergence-curve row. */
+  case class LabelPropRound(round: Long, n_communities: Long,
+      label_sum: Long)
+
+  /** One Holt double-exponential-smoothing row (fixed-point millis). */
+  case class HoltRow(event_type: String, hour: java.sql.Timestamp,
+      cnt: Long, level_milli: Long, trend_milli: Long,
+      forecast_milli: Long)
+
   /** The customer↔supplier trade graph both graph queries walk, built in
     * ONE folded pass: the deduped pair table is the only big shuffle;
     * per-side degrees are tiny aggregates broadcast back onto it; both
@@ -911,6 +920,71 @@ object AdvancedQueries {
              |SELECT event_type, hour, cnt, CAST(e AS BIGINT) AS ewma_milli
              |FROM ew ORDER BY event_type, hour""".stripMargin)),
 
+    // HOLT DOUBLE-EXPONENTIAL SMOOTHING (integer-exact): the trend-aware
+    // upgrade of q_events_ewma — per event type, level and trend with
+    // α = β = 0.25 in fixed-point millis over hourly counts:
+    //   L_t = (250·(c_t·1000) + 750·(L_{t−1} + T_{t−1})) div 1000
+    //   T_t = (250·(L_t − L_{t−1}) + 750·T_{t−1}) div 1000
+    // (L_1 = c_1·1000, T_1 = 0), forecast = L + T — the one-step-ahead
+    // capacity forecast a rate alerter compares the NEXT hour against.
+    // The trend difference can be negative: both engines truncate
+    // integer division toward zero (Scala `/`, DuckDB `//`), so the
+    // signed recurrence is bit-identical to the oracle's recursive CTE.
+    // Scale shape: one map-side (type, hour) count, then the recurrence
+    // parallelizes type-ways over bounded series (same segmentation note
+    // as q_events_ewma at 100 TB).
+    "q_holt_trend_forecast" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .as[HourCnt]
+        hourly.groupByKey(_.event_type)
+          .flatMapGroups { (_, rows) =>
+            var lv = 0L
+            var tr = 0L
+            rows.toSeq.sortBy(_.hour.getTime).iterator.zipWithIndex.map {
+              case (r, i) =>
+                if (i == 0) { lv = r.cnt * 1000L; tr = 0L }
+                else {
+                  val prev = lv
+                  lv = (250L * (r.cnt * 1000L) + 750L * (lv + tr)) / 1000L
+                  tr = (250L * (lv - prev) + 750L * tr) / 1000L
+                }
+                HoltRow(r.event_type, r.hour, r.cnt, lv, tr, lv + tr)
+            }
+          }
+          .toDF()
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH RECURSIVE hourly0 AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |hourly AS (
+             |  SELECT event_type, hour, cnt,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY hour) AS BIGINT) AS rn
+             |  FROM hourly0),
+             |ht(event_type, rn, hour, cnt, lv, tr) AS (
+             |  SELECT event_type, rn, hour, cnt, cnt * 1000,
+             |    CAST(0 AS BIGINT)
+             |  FROM hourly WHERE rn = 1
+             |  UNION ALL
+             |  SELECT h.event_type, h.rn, h.hour, h.cnt,
+             |    (250 * (h.cnt * 1000) + 750 * (w.lv + w.tr)) // 1000,
+             |    (250 * (((250 * (h.cnt * 1000) + 750 * (w.lv + w.tr))
+             |        // 1000) - w.lv) + 750 * w.tr) // 1000
+             |  FROM ht w JOIN hourly h
+             |    ON h.event_type = w.event_type AND h.rn = w.rn + 1)
+             |SELECT event_type, hour, cnt,
+             |  CAST(lv AS BIGINT) AS level_milli,
+             |  CAST(tr AS BIGINT) AS trend_milli,
+             |  CAST(lv + tr AS BIGINT) AS forecast_milli
+             |FROM ht ORDER BY event_type, hour""".stripMargin)),
+
     // CUSUM CHANGE-POINT DETECTION (integer-exact): the sequential drift
     // detector that catches what a pointwise z-test misses — a SUSTAINED
     // small rate shift. Per type, the one-sided CUSUM over hourly counts,
@@ -1396,6 +1470,69 @@ object AdvancedQueries {
              |  count(*) AS n, CAST(SUM(cents) AS BIGINT) AS revenue_cents
              |FROM attr WHERE event_type = 'purchase' GROUP BY 2
              |ORDER BY model, channel""".stripMargin)),
+
+    // LABEL PROPAGATION (min-label variant, bounded rounds) over the
+    // trade graph — the cheap community detector between per-node degree
+    // stats and the full CC closure: every node starts as its own label
+    // and each round adopts the minimum label in its closed neighborhood.
+    // After k rounds a node's label is the smallest node id within
+    // distance k, so the community count per round IS the convergence
+    // curve (how fast the graph collapses toward its components — a
+    // diameter read the one-shot CC answer hides). Rounds are truncated
+    // at 4 like the other iterative walks (a fixpoint test would be
+    // engine-divergent). 100 TB shape: per round ONE edge-keyed join +
+    // min-combine (map-side) + a node-sized left join; the edge table is
+    // hash-laid by src once (shared trade-graph artifact) and the label
+    // table is node-sized — the same exchange budget as one PageRank
+    // round, with deferred lineage cuts so each round is one job.
+    "graph_label_propagation" -> QueryDef(
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
+        val rounds = 4
+        val g = tradeGraph(s, dir, withDegrees = false)
+        val edges = g.edgeDeg
+        var lbl = g.nodes.select(col("node"), col("node").as("lbl"))
+        val out = (1 to rounds).map { r =>
+          val msgs = edges.join(lbl, col("node") === col("src"))
+            .groupBy(col("dst")).agg(min(col("lbl")).as("ml"))
+          lbl = graft.operators.IterBarrier.cutDeferred(
+            lbl.join(msgs, col("node") === col("dst"), "left")
+              .select(col("node"),
+                least(col("lbl"), coalesce(col("ml"), col("lbl")))
+                  .as("lbl")),
+            r, reliableEvery = 0)
+          val st = lbl.agg(countDistinct(col("lbl")).as("nc"),
+            sum(col("lbl")).as("ls")).collect()(0)
+          LabelPropRound(r.toLong, st.getLong(0), st.getLong(1))
+        }
+        s.createDataFrame(out).orderBy(col("round"))
+      },
+      Some {
+        def round(r: Int): String =
+          s"""l$r AS MATERIALIZED (
+             |  SELECT n.node,
+             |    least(n.lbl, coalesce(m.ml, n.lbl)) AS lbl
+             |  FROM l${r - 1} n LEFT JOIN (
+             |    SELECT e.dst AS node, MIN(l.lbl) AS ml
+             |    FROM e JOIN l${r - 1} l ON l.node = e.src
+             |    GROUP BY e.dst) m USING (node))""".stripMargin
+        def stat(r: Int): String =
+          s"""  SELECT CAST($r AS BIGINT) AS round,
+             |    CAST(count(DISTINCT lbl) AS BIGINT) AS n_communities,
+             |    CAST(SUM(lbl) AS BIGINT) AS label_sum FROM l$r""".stripMargin
+        s"""WITH pairs AS MATERIALIZED (
+           |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS MATERIALIZED (
+           |  SELECT c AS src, p AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT p AS src, c AS dst FROM pairs),
+           |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+           |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+           |${(1 to 4).map(round).mkString(",\n")}
+           |SELECT round, n_communities, label_sum FROM (
+           |${(1 to 4).map(stat).mkString("\n  UNION ALL\n")}
+           |) ORDER BY round""".stripMargin
+      }),
 
     // BIPARTITE (α,β)-CORE PEEL of the trade graph (Ahmed et al. / the
     // standard two-sided generalization of k-core for bipartite graphs —

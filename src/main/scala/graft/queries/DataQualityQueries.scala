@@ -20,7 +20,65 @@ object DataQualityQueries {
 
   import graft.MoneyMath.dec
 
+  /** Benford first-digit expectation, log₁₀(1 + 1/d) in ppm — driver
+    * literals (neither engine evaluates a log; same device as the nDCG
+    * weights). */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
   def defs: Map[String, QueryDef] = Map(
+
+    // BENFORD FIRST-DIGIT AUDIT — the fraud/synthetic-data screen an
+    // auditor runs on any organically-grown money column: the first
+    // significant digit of o_totalprice (in cents) against Benford's
+    // log₁₀(1+1/d) expectation, as observed-vs-expected ppm with the
+    // absolute deviation per digit. Naturally-generated multiplicative
+    // amounts follow the law; uniform or hand-seeded generators (like
+    // this one — the deviation sheet SHOWS it) do not, which is exactly
+    // what the audit is for. Exact integers end-to-end: cents through
+    // DECIMAL(18,2), first digit via string head, observed share as one
+    // integral division against a 1-row broadcast total, expectation as
+    // driver-literal ppm. 100 TB: one map-side-combined 9-bucket count;
+    // nothing downstream scales with row count.
+    "dq_benford_first_digit" -> QueryDef(
+      (s, dir) => {
+        val expMap = map(BenfordPpm.flatMap { case (d, p) =>
+          Seq(lit(d.toLong), lit(p)) }: _*)
+        val digits = Tables.load(s, dir, "orders")
+          .select((dec(col("o_totalprice")) * 100).cast(LongType)
+            .as("cents"))
+          .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) " +
+            "AS BIGINT)").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("total"))
+        digits.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("(n * 1000000) div total").as("obs_ppm"),
+            element_at(expMap, col("digit")).as("exp_ppm"))
+          .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+          .orderBy(col("digit"))
+      },
+      Some {
+        val vals = BenfordPpm.map { case (d, p) => s"($d, $p)" }
+          .mkString(", ")
+        s"""WITH c AS (
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |    AS BIGINT) AS cents FROM orders),
+           |d AS (
+           |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+           |      AS digit,
+           |    count(*) AS n
+           |  FROM c GROUP BY 1),
+           |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d),
+           |b(digit, exp_ppm) AS (VALUES $vals)
+           |SELECT d.digit, CAST(d.n AS BIGINT) AS n,
+           |  (d.n * 1000000) // t.total AS obs_ppm,
+           |  CAST(b.exp_ppm AS BIGINT) AS exp_ppm,
+           |  abs((d.n * 1000000) // t.total - b.exp_ppm) AS dev_ppm
+           |FROM d JOIN b ON b.digit = d.digit, t
+           |ORDER BY d.digit""".stripMargin
+      }),
 
     // RECONCILIATION AUDIT — double-entry check of the order header
     // against its lines: computed total = sum of

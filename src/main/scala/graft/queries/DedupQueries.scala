@@ -1371,6 +1371,55 @@ object DedupQueries {
               |    ON a.label = b.label AND a.vec_id < b.vec_id)
               |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
+    // COSINE-THRESHOLD CALIBRATION SWEEP — the read that PICKS the
+    // semantic-dedup threshold the other embedding queries hard-code:
+    // every label-blocked pair's cosine (ppm), bucketed into tenths, with
+    // the cumulative pair count at-or-above each bucket — the
+    // pairs-vs-threshold curve a pipeline owner reads before committing
+    // to a cut (too low floods the closure, too high misses near-dups).
+    // Exact: the fold-cosine is bit-identical cross-engine, ppm is one
+    // shared round, the bucket is truncating integer division (same
+    // toward-zero semantics in both engines — negative cosines land in
+    // bucket 0±). 100 TB: pair generation is the SAME blocked self-join
+    // as the dedup pipeline (never all-pairs); the histogram is a
+    // ≤21-row rollup and the cumulative window runs over those ≤21 rows
+    // only (bounded by construction, not by data).
+    "dedup_cosine_threshold_sweep" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+          .cache()
+        val hist = e.as("a")
+          .join(e.as("b"), col("a.label") === col("b.label")
+            && col("a.vec_id") < col("b.vec_id"))
+          .select(round(dot(col("a.embedding"), col("b.embedding"))
+              / (col("a.nrm") * col("b.nrm")) * 1e6d, 0).cast(LongType)
+            .as("cos_ppm"))
+          .selectExpr("cos_ppm div 100000 AS bucket")
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket").desc)
+          .rowsBetween(Long.MinValue, 0)
+        hist.withColumn("cum_pairs_ge", sum(col("n_pairs")).over(w))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT CAST(round(
+              |      ${sqlCosine("a.embedding", "b.embedding", 64)}
+              |        * 1000000, 0) AS BIGINT) AS cos_ppm
+              |  FROM embeddings a JOIN embeddings b
+              |    ON a.label = b.label AND a.vec_id < b.vec_id),
+              |h AS (
+              |  SELECT cos_ppm // 100000 AS bucket, count(*) AS n
+              |  FROM p GROUP BY 1)
+              |SELECT CAST(bucket AS BIGINT) AS bucket,
+              |  CAST(n AS BIGINT) AS n_pairs,
+              |  CAST(SUM(n) OVER (ORDER BY bucket DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS BIGINT) AS cum_pairs_ge
+              |FROM h ORDER BY bucket""".stripMargin)),
+
     // Semantic duplicate CLUSTERS: the embedding-cosine pairs closed into
     // groups with the same star-contraction operator the textual pipeline
     // uses — near-duplication by meaning is no more transitive than by

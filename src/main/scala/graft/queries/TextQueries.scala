@@ -28,6 +28,76 @@ object TextQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // GOPHER-STYLE RULE MATRIX — the named-rule companion to the blended
+    // quality score and the funnel's first-fail attribution: four
+    // independent document-quality rules (word-count band, mean-word-
+    // length band, minimum stopword evidence, repetition cap — the
+    // Gopher/C4 filter family re-expressed on this corpus), evaluated
+    // PER DOCUMENT as a bitmask, with the doc/char mass of every rule
+    // COMBINATION. The combination histogram is what the score hides:
+    // which rules co-fire decides whether filters are redundant or
+    // complementary. All thresholds integer-cross-multiplied (no ratio
+    // division anywhere). 100 TB: a pure map over the scan into a
+    // ≤16-row map-side-combined rollup.
+    "text_gopher_rule_matrix" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ws = words(col("text"))
+        val n = size(ws).cast(LongType)
+        val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+        val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
+          .cast(LongType)
+        val topc = topElementCount(ws)
+        val rLen = n >= 25 && n <= 1000
+        val rMwl = sumLen >= n * 3 && sumLen <= n * 10
+        val rStop = nStop >= 2
+        val rRep = topc * 10 <= n * 3
+        val mask = when(rLen, 8L).otherwise(0L) +
+          when(rMwl, 4L).otherwise(0L) +
+          when(rStop, 2L).otherwise(0L) +
+          when(rRep, 1L).otherwise(0L)
+        d.select(mask.as("rule_mask"), col("n_chars"))
+          .groupBy(col("rule_mask"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"))
+          .selectExpr("rule_mask",
+            "(rule_mask div 8) % 2 = 1 AS len_ok",
+            "(rule_mask div 4) % 2 = 1 AS mwl_ok",
+            "(rule_mask div 2) % 2 = 1 AS stop_ok",
+            "rule_mask % 2 = 1 AS rep_ok",
+            "n_docs", "n_chars_total")
+          .orderBy(col("rule_mask"))
+      },
+      Some {
+        val ws = sqlWords("text")
+        val n = s"CAST(len($ws) AS BIGINT)"
+        val sumLen =
+          s"CAST(list_sum(list_transform($ws, w -> length(w))) AS BIGINT)"
+        val nStop = s"CAST(len(list_filter($ws, w -> w IN " +
+          stopwords.mkString("('", "','", "')") + ")) AS BIGINT)"
+        val topc = s"CAST(list_max(list_transform(list_distinct($ws), " +
+          s"x -> len(list_filter($ws, w -> w = x)))) AS BIGINT)"
+        s"""WITH m AS (
+           |  SELECT n_chars,
+           |    (CASE WHEN n >= 25 AND n <= 1000 THEN 8 ELSE 0 END
+           |     + CASE WHEN sumlen >= n * 3 AND sumlen <= n * 10
+           |         THEN 4 ELSE 0 END
+           |     + CASE WHEN nstop >= 2 THEN 2 ELSE 0 END
+           |     + CASE WHEN topc * 10 <= n * 3 THEN 1 ELSE 0 END)
+           |      AS rule_mask
+           |  FROM (SELECT n_chars, $n AS n, $sumLen AS sumlen,
+           |          $nStop AS nstop, $topc AS topc
+           |        FROM documents))
+           |SELECT CAST(rule_mask AS BIGINT) AS rule_mask,
+           |  (rule_mask // 8) % 2 = 1 AS len_ok,
+           |  (rule_mask // 4) % 2 = 1 AS mwl_ok,
+           |  (rule_mask // 2) % 2 = 1 AS stop_ok,
+           |  rule_mask % 2 = 1 AS rep_ok,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+           |FROM m GROUP BY 1, 2, 3, 4, 5 ORDER BY rule_mask""".stripMargin
+      }),
+
     // Token counting: whitespace tokens + regex "BPE-ish" subword tokens.
     "text_token_count" -> QueryDef(
       (s, dir) => {
