@@ -920,6 +920,55 @@ object AdvancedQueries {
              |SELECT event_type, hour, cnt, CAST(e AS BIGINT) AS ewma_milli
              |FROM ew ORDER BY event_type, hour""".stripMargin)),
 
+    // COHORT RETENTION MATRIX — the product-analytics read behind every
+    // retention dashboard: users cohorted by first-active week, then for
+    // each (cohort, week offset) the count of cohort members active that
+    // week and their share of the cohort in ppm (one integral division).
+    // Week truncation is Monday-anchored in both engines, the offset is
+    // an exact day-difference div 7, and activity is the DISTINCT
+    // (user, week) grid so multi-event weeks count once. 100 TB shape:
+    // the firehose collapses to the distinct user-week grid (one shuffle
+    // on user), the first-seen table is user-sized and joins on the same
+    // key, and the matrix is a ≤|cohorts|·|offsets| rollup; cohort sizes
+    // come from the offset-0 diagonal, not a rescan.
+    "q_retention_cohorts" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val firsts = e.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort"))
+        val act = e.distinct()
+        val cells = act.join(firsts, "user_id")
+          .select(col("cohort"),
+            (datediff(col("wk"), col("cohort")) / 7).cast(LongType)
+              .as("offset_w"))
+          .groupBy(col("cohort"), col("offset_w"))
+          .agg(count(lit(1)).as("n_users"))
+        val sizes = cells.filter(col("offset_w") === 0)
+          .select(col("cohort"), col("n_users").as("cohort_size"))
+        cells.join(sizes, "cohort")
+          .selectExpr("cohort", "offset_w", "n_users",
+            "(n_users * 1000000) div cohort_size AS ret_ppm")
+          .orderBy(col("cohort"), col("offset_w"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+             |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1),
+             |a AS (
+             |  SELECT DISTINCT e.user_id, f.cohort,
+             |    datediff('day', f.cohort, e.wk) // 7 AS offset_w
+             |  FROM e JOIN f USING (user_id)),
+             |c AS (
+             |  SELECT cohort, offset_w, count(*) AS n_users
+             |  FROM a GROUP BY 1, 2),
+             |s AS (SELECT cohort, n_users AS cohort_size FROM c
+             |      WHERE offset_w = 0)
+             |SELECT c.cohort, CAST(c.offset_w AS BIGINT) AS offset_w,
+             |  CAST(c.n_users AS BIGINT) AS n_users,
+             |  (c.n_users * 1000000) // s.cohort_size AS ret_ppm
+             |FROM c JOIN s USING (cohort)
+             |ORDER BY cohort, offset_w""".stripMargin)),
+
     // HOLT DOUBLE-EXPONENTIAL SMOOTHING (integer-exact): the trend-aware
     // upgrade of q_events_ewma — per event type, level and trend with
     // α = β = 0.25 in fixed-point millis over hourly counts:

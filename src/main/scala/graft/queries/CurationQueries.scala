@@ -135,6 +135,48 @@ object CurationQueries {
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
       }),
 
+    // NEYMAN ALLOCATION — variance-optimal stratified sample sizing: a
+    // 1000-document budget split across sources with n_h ∝ N_h·σ_h
+    // (Neyman 1934), the statistically efficient alternative to the
+    // proportional split sample_stratified uses. N_h·σ_h is carried as
+    // the EXACT integer variance numerator v_h = N_h·Σy² − (Σy)² (which
+    // is N_h²·σ_h², so its square root IS N_h·σ_h); the only non-integer
+    // step is floor(sqrt(double)) of an exactly-representable < 2^53
+    // integer — IEEE sqrt is correctly rounded, so both engines floor
+    // the identical double. Allocation is one integral division against
+    // the broadcast Σ√v. Scale shape: one map-side-combined moment
+    // rollup to |sources| rows; everything after is sources-sized.
+    "sample_neyman_allocation" -> QueryDef(
+      (s, dir) => {
+        val m = Tables.load(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sy"),
+            sum(col("n_chars") * col("n_chars")).as("sy2"))
+          .selectExpr("source", "n_docs",
+            "CAST(floor(sqrt(CAST(n_docs * sy2 - sy * sy AS DOUBLE))) " +
+              "AS BIGINT) AS nh_sd")
+        val tot = m.agg(sum(col("nh_sd")).as("tot_sd"))
+        m.crossJoin(broadcast(tot))
+          .selectExpr("source", "n_docs", "nh_sd",
+            "(1000 * nh_sd) div tot_sd AS alloc")
+          .orderBy(col("source"))
+      },
+      Some("""WITH m AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS sy,
+             |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sy2
+             |  FROM documents GROUP BY source),
+             |v AS (
+             |  SELECT source, n_docs,
+             |    CAST(floor(sqrt(CAST(n_docs * sy2 - sy * sy AS DOUBLE)))
+             |      AS BIGINT) AS nh_sd
+             |  FROM m),
+             |t AS (SELECT CAST(SUM(nh_sd) AS BIGINT) AS tot_sd FROM v)
+             |SELECT source, n_docs, nh_sd,
+             |  (1000 * nh_sd) // t.tot_sd AS alloc
+             |FROM v, t ORDER BY source""".stripMargin)),
+
     // TOKEN-BUDGET WATERFILLING ACROSS SOURCES — the data-mixing
     // allocation step when a training run's token budget is smaller than
     // the corpus: raise one water level L and give every source

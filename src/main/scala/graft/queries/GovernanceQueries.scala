@@ -740,6 +740,47 @@ object GovernanceQueries {
            |ORDER BY g.source""".stripMargin
       }),
 
+    // BLOCKING-STRATEGY AUDIT — the sheet a blocking key is CHOSEN on,
+    // before the ER join ever runs: for each candidate strategy
+    // (name-suffix length 2/3/4), the cell count, the worst cell, and
+    // the total candidate-pair mass Σ sz·(sz−1)/2 the blocked self-join
+    // would generate. Shorter suffixes = fewer, fatter cells = more
+    // recall but quadratic-in-cell cost; the audit quantifies that
+    // trade exactly (the ER queries' suffix-4 choice is the row with
+    // pair_mass ≈ 0 here). All integer. 100 TB: the three strategies
+    // ride ONE pass (an in-row 3-way unpivot into a map-side-combined
+    // cell count), then a 3-row rollup; the audit never materializes a
+    // single candidate pair.
+    "gov_blocking_strategy_audit" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "customer")
+          .select(expr("""stack(3,
+            |  'suffix2', right(c_name, 2),
+            |  'suffix3', right(c_name, 3),
+            |  'suffix4', right(c_name, 4))""".stripMargin)
+            .as(Seq("strategy", "blk")))
+          .groupBy(col("strategy"), col("blk"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("strategy"))
+          .agg(count(lit(1)).as("n_cells"), max(col("sz")).as("max_cell"),
+            sum(expr("(sz * (sz - 1)) div 2")).as("pair_mass"))
+          .orderBy(col("strategy"))
+      },
+      Some("""WITH k AS (
+             |  SELECT 'suffix2' AS strategy, right(c_name, 2) AS blk
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT 'suffix3', right(c_name, 3) FROM customer
+             |  UNION ALL
+             |  SELECT 'suffix4', right(c_name, 4) FROM customer),
+             |cells AS (
+             |  SELECT strategy, blk, count(*) AS sz
+             |  FROM k GROUP BY 1, 2)
+             |SELECT strategy, CAST(count(*) AS BIGINT) AS n_cells,
+             |  CAST(MAX(sz) AS BIGINT) AS max_cell,
+             |  CAST(SUM((sz * (sz - 1)) // 2) AS BIGINT) AS pair_mass
+             |FROM cells GROUP BY strategy ORDER BY strategy""".stripMargin)),
+
     // ENTITY CLUSTERS — the transitive-closure step of entity resolution:
     // every candidate match edge (dirty mention <-> clean record, parity-
     // encoded node ids) is closed into connected components, and the
