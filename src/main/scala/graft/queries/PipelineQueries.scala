@@ -479,6 +479,99 @@ object PipelineQueries {
            |ORDER BY z, o_orderkey""".stripMargin
       }),
 
+    // LAYOUT PRUNING BENEFIT — the audit that justifies paying for a
+    // layout rewrite at all: the same 2-D filter box (a customer band ×
+    // a date band) against 256-row pages under three physical orders —
+    // natural (o_orderkey), single-column (custkey), and Z-order — and
+    // per layout how many pages the box TOUCHES. touch_ppm is what a
+    // min/max-zone-map scan would read: the single-column sort wins its
+    // own dimension and loses the other; Z-order bounds both — this
+    // 3-row sheet is the quantified reason the writer queries emit
+    // Z/Hilbert keys. Exact: 15-bit dimension masks keep the interleaved
+    // key + orderkey tiebreak inside one BIGINT; ranks come from the
+    // SequencePacking distributed prefix-sum (range-partitioned, never a
+    // single-task global window); pages and ppm are integer arithmetic.
+    // 100 TB: three range exchanges of the fact table (exactly what the
+    // writer being audited would do) and ≤3 tiny rollups.
+    "layout_pruning_benefit" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(o_custkey AS BIGINT) & 32767").as("x"),
+            expr("CAST(datediff(o_orderdate, DATE '1970-01-01') " +
+              "AS BIGINT) & 32767").as("y"))
+          .withColumn("hit",
+            (col("x").between(1000, 1999) &&
+              col("y").between(9500, 9865)).cast(LongType))
+          .withColumn("one", lit(1L))
+        val zBits = (0 until 15).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        def audit(name: String, keyExpr: String) = {
+          val keyed = base.withColumn("k", expr(keyExpr))
+          // 8 range partitions: the audit table is orders-sized; at
+          // cluster scale the caller sizes this to the writer's target
+          // file count (the very layout being audited)
+          graft.operators.SequencePacking
+            .runningSum(keyed, "k", "one", "rk", Some(8))
+            .selectExpr("hit", "(rk - 1) div 256 AS page")
+            .groupBy(col("page")).agg(max(col("hit")).as("touched"),
+              sum(col("hit")).as("n_hit"), count(lit(1)).as("n_rows"))
+            .agg(sum(col("n_rows")).as("n_rows"),
+              sum(col("n_hit")).as("n_rows_matched"),
+              count(lit(1)).as("n_pages"),
+              sum(col("touched")).as("n_pages_touched"))
+            .selectExpr(s"'$name' AS layout", "n_rows", "n_rows_matched",
+              "n_pages", "n_pages_touched",
+              "(n_pages_touched * 1000000) div n_pages AS touch_ppm")
+        }
+        audit("natural", "o_orderkey")
+          .unionByName(
+            audit("custkey", "(x << 33) | o_orderkey"))
+          .unionByName(
+            audit("zorder", s"(($zBits) << 33) | o_orderkey"))
+          .orderBy(col("layout"))
+      },
+      Some {
+        val zBits = (0 until 15).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        def audit(name: String, keyExpr: String) =
+          s"""  SELECT '$name' AS layout, n_rows, n_rows_matched, n_pages,
+             |    n_pages_touched,
+             |    (n_pages_touched * 1000000) // n_pages AS touch_ppm
+             |  FROM (
+             |    SELECT CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+             |      CAST(SUM(n_hit) AS BIGINT) AS n_rows_matched,
+             |      CAST(count(*) AS BIGINT) AS n_pages,
+             |      CAST(SUM(touched) AS BIGINT) AS n_pages_touched
+             |    FROM (
+             |      SELECT (rk - 1) // 256 AS page, MAX(hit) AS touched,
+             |        SUM(hit) AS n_hit, count(*) AS n_rows
+             |      FROM (SELECT hit,
+             |              ROW_NUMBER() OVER (ORDER BY $keyExpr) AS rk
+             |            FROM base)
+             |      GROUP BY 1))""".stripMargin
+        s"""WITH base AS MATERIALIZED (
+           |  SELECT o_orderkey, x, y,
+           |    CAST(x BETWEEN 1000 AND 1999
+           |      AND y BETWEEN 9500 AND 9865 AS BIGINT) AS hit
+           |  FROM (
+           |    SELECT o_orderkey,
+           |      CAST(o_custkey AS BIGINT) & 32767 AS x,
+           |      CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |        AS BIGINT) & 32767 AS y
+           |    FROM orders))
+           |SELECT layout, n_rows, n_rows_matched, n_pages,
+           |  n_pages_touched, touch_ppm FROM (
+           |${Seq(
+              audit("natural", "o_orderkey"),
+              audit("custkey", "(x << 33) | o_orderkey"),
+              audit("zorder", s"(($zBits) << 33) | o_orderkey"))
+              .mkString("\n  UNION ALL\n")}
+           |) ORDER BY layout""".stripMargin
+      }),
+
     // HILBERT-curve layout key — the locality-better sibling of Z-order
     // (adjacent Hilbert indices are always adjacent cells, no Z-shape
     // jumps → fewer files touched by a 2-D range predicate). The standard

@@ -768,6 +768,113 @@ object SimilarityQueries {
               |LEFT JOIN hits h ON q.query_id = h.query_id
               |ORDER BY q.query_id""".stripMargin)),
 
+    // NPROBE RECALL SWEEP — the tuning curve behind the fixed nprobe=2
+    // the IVF queries commit to: total exact-top-k hits and mean recall
+    // (ppm, one integral division) at nprobe ∈ {1, 2, 4}. The knob every
+    // IVF deployment turns first — the sweep shows where recall
+    // saturates so probe cost stops being spent past it. Scale shape:
+    // cell assignment and the ranked probe table are computed ONCE
+    // (prank ≤ 4 kept as a column); each sweep point is a filter over
+    // the same |probed cells|-bounded candidate set, so the corpus pays
+    // one assignment pass regardless of how many points the sweep has.
+    "ann_nprobe_recall_sweep" -> QueryDef(
+      (s, dir) => {
+        val bf = bruteforceTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
+        val seedIds = e.groupBy(col("label").as("c_label"))
+          .agg(min(col("vec_id")).as("seed_id"))
+        val cents = seedIds.join(e, col("seed_id") === col("vec_id"))
+          .select(col("c_label"), col("embedding").as("cv"),
+            col("nrm").as("cn"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosineHoisted(col("cv"), col("embedding"),
+            col("cn"), col("nrm")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("c_label"), col("embedding"), col("nrm")),
+            struct(col("ccos"), (-col("c_label")).as("nl"))).as("v"))
+          .select(col("vec_id"), col("v.embedding").as("embedding"),
+            col("v.nrm").as("nrm"), col("v.c_label").as("cell"))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("pcos").desc, col("c_label"))
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("pcos", cosineHoisted(col("cv"), col("qv"),
+            col("cn"), col("qn")))
+          .withColumn("prank", row_number().over(wProbe))
+          .filter(col("prank") <= 4)
+          .select(col("query_id"), col("qv"), col("qn"), col("prank"),
+            col("c_label").as("cell"))
+        val cands = assigned.join(probes, "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosineHoisted(col("qv"), col("embedding"),
+            col("qn"), col("nrm")))
+          .select(col("query_id"), col("prank"), col("vec_id"),
+            col("cos"))
+          .cache()
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val rows = Seq(1, 2, 4).map { np =>
+          cands.filter(col("prank") <= np)
+            .withColumn("rank", row_number().over(wTop))
+            .filter(col("rank") <= TopK)
+            .select(col("query_id"), col("vec_id").as("neighbor_id"))
+            .join(bf, Seq("query_id", "neighbor_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+            .selectExpr("nprobe", "n_hits",
+              s"(n_hits * 1000000) div ${NumQueries * TopK} AS recall_ppm")
+        }
+        rows.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+      },
+      Some {
+        def point(np: Int): String =
+          s"""  SELECT CAST($np AS BIGINT) AS nprobe,
+             |    CAST((SELECT count(*) FROM (
+             |      SELECT query_id, vec_id FROM (
+             |        SELECT query_id, vec_id,
+             |          ROW_NUMBER() OVER (PARTITION BY query_id
+             |            ORDER BY cos DESC, vec_id) AS rank
+             |        FROM cand WHERE prank <= $np) WHERE rank <= $TopK) t
+             |      JOIN bf ON bf.query_id = t.query_id
+             |        AND bf.neighbor_id = t.vec_id) AS BIGINT) AS n_hits"""
+            .stripMargin
+        s"""WITH cents AS MATERIALIZED (
+           |  SELECT e.label AS c_label, e.embedding AS cv FROM embeddings e
+           |  JOIN (SELECT label, min(vec_id) AS seed_id FROM embeddings
+           |        GROUP BY label) s ON e.vec_id = s.seed_id),
+           |assigned AS MATERIALIZED (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.c_label AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${sqlCosine("c.cv", "e.embedding", Dim)} DESC,
+           |        c.c_label) AS crank
+           |    FROM embeddings e, cents c) WHERE crank = 1),
+           |probes AS MATERIALIZED (
+           |  SELECT query_id, qv, prank, cell FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qv,
+           |      c.c_label AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${sqlCosine("c.cv", "q.embedding", Dim)} DESC,
+           |        c.c_label) AS prank
+           |    FROM embeddings q, cents c WHERE q.vec_id < $NumQueries)
+           |  WHERE prank <= 4),
+           |cand AS MATERIALIZED (
+           |  SELECT p.query_id, p.prank, a.vec_id,
+           |    ${sqlCosine("p.qv", "a.embedding", Dim)} AS cos
+           |  FROM assigned a JOIN probes p ON a.cell = p.cell
+           |  WHERE a.vec_id <> p.query_id),
+           |bf AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id FROM ($bruteforceSql))
+           |SELECT nprobe, n_hits,
+           |  (n_hits * 1000000) // ${NumQueries * TopK} AS recall_ppm
+           |FROM (
+           |${Seq(1, 2, 4).map(point).mkString("\n  UNION ALL\n")}
+           |) ORDER BY nprobe""".stripMargin
+      }),
+
     // MRR EVAL — the ranking-quality counterpart of the recall gates:
     // where recall asks "how much of the exact top-k survives", MRR asks
     // "how HIGH does the single true nearest neighbor land". Per query,
