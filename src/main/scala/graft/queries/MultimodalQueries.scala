@@ -586,6 +586,82 @@ object MultimodalQueries {
              |  coalesce(s.n_segments, 0) AS n_segments,
              |  coalesce(s.longest, 0) AS longest_segment
              |FROM tot t LEFT JOIN segs s ON t.doc_id = s.doc_id
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // A/V SYNC DRIFT — the container-health audit a video-ingest pipeline
+    // runs before trusting timestamps: every sampled video frame (stub
+    // codec's frame track, spread over the asset's sample clock) is
+    // matched to the nearest PRIOR audio analysis window (the 128-stride
+    // track mm_audio_windows emits) and the per-asset worst/total drift
+    // reported — a drifting container corrupts any later audio-visual
+    // alignment stage. The frame↔window match is the AS-OF join,
+    // composed the scalable way (tag, union, one carry-forward window
+    // pass over the per-asset timeline — q_asof_join's device, never a
+    // range-join pair explosion); the oracle uses DuckDB's native ASOF
+    // JOIN. 100 TB: both tracks are in-row fan-outs of the decode pass,
+    // the timeline shuffles once on doc_id, and the report is a
+    // per-asset rollup.
+    "mm_av_sync_drift" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val feats = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit("fake/v1").as("fmt"),
+            encode(col("text"), "UTF-8").as("content"))
+          .as[MediaBlob]
+          .mapPartitions(_.grouped(FakeCodec.BatchSize)
+            .flatMap(b => FakeCodec.decodeBatch(b.toSeq)))
+          .toDF()
+        val frames = feats
+          .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+            explode(sequence(lit(0L), col("n_frames") - 1, lit(2L)))
+              .as("frame_id"))
+          .select(col("doc_id"), col("frame_id"),
+            (col("frame_id") * expr("n_bytes div n_frames")).as("ts"))
+        val wins = feats
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), col("n_bytes") - 1, lit(128L)))
+              .as("ts"))
+        // tag + union + carry-forward: kind 0 (window) sorts before kind
+        // 1 (frame) at equal ts, so a window ON the frame instant matches
+        val timeline = wins
+          .select(col("doc_id"), col("ts"), lit(0).as("kind"),
+            col("ts").as("ts_a"), lit(null).cast(LongType).as("frame_id"))
+          .unionByName(frames
+            .select(col("doc_id"), col("ts"), lit(1).as("kind"),
+              lit(null).cast(LongType).as("ts_a"), col("frame_id")))
+        val wCarry = Window.partitionBy(col("doc_id"))
+          .orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        timeline
+          .withColumn("last_a",
+            last(col("ts_a"), ignoreNulls = true).over(wCarry))
+          .filter(col("kind") === 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames_sampled"),
+            max(col("ts") - col("last_a")).as("max_drift"),
+            sum(col("ts") - col("last_a")).as("sum_drift"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+             |  FROM documents),
+             |fr AS (
+             |  SELECT doc_id, frame_id,
+             |    frame_id * (n // (n % 7 + 1)) AS ts_f
+             |  FROM (SELECT doc_id, n,
+             |          unnest(range(0, n % 7 + 1, 2)) AS frame_id
+             |        FROM base)),
+             |aw AS (
+             |  SELECT doc_id, unnest(range(0, n, 128)) AS ts_a FROM base),
+             |m AS (
+             |  SELECT fr.doc_id, fr.ts_f, aw.ts_a
+             |  FROM fr ASOF JOIN aw
+             |    ON fr.doc_id = aw.doc_id AND fr.ts_f >= aw.ts_a)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_frames_sampled,
+             |  CAST(MAX(ts_f - ts_a) AS BIGINT) AS max_drift,
+             |  CAST(SUM(ts_f - ts_a) AS BIGINT) AS sum_drift
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

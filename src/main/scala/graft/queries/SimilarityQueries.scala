@@ -768,6 +768,35 @@ object SimilarityQueries {
               |LEFT JOIN hits h ON q.query_id = h.query_id
               |ORDER BY q.query_id""".stripMargin)),
 
+    // CELL-BALANCE AUDIT — the IVF health sheet next to the nprobe
+    // sweep: per cell its vector count and corpus share (ppm), because
+    // probe cost at a given recall is governed by the FATTEST probed
+    // cells — a skewed quantizer silently turns nprobe=2 into a
+    // near-full scan. The ANN-side twin of the ER blocking audit: prove
+    // the partition is bounded BEFORE trusting the search built on it.
+    // 100 TB: cell assignment is the one corpus pass (broadcast
+    // centroids, map-side argmax — one row per vector shuffled), the
+    // sheet is a |cells|-row rollup against a 1-row broadcast total.
+    "ann_cell_balance_audit" -> QueryDef(
+      (s, dir) => {
+        val parts = ivfParts(s, dir)
+        val cells = parts.assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"))
+        val tot = cells.agg(sum(col("n_vecs")).as("total"))
+        cells.crossJoin(broadcast(tot))
+          .selectExpr("cell", "n_vecs",
+            "(n_vecs * 1000000) div total AS share_ppm")
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH $sqlIvfCtes,
+              |cells AS (
+              |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+              |  FROM assigned GROUP BY cell),
+              |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM cells)
+              |SELECT cell, n_vecs,
+              |  (n_vecs * 1000000) // t.total AS share_ppm
+              |FROM cells, t ORDER BY cell""".stripMargin)),
+
     // NPROBE RECALL SWEEP — the tuning curve behind the fixed nprobe=2
     // the IVF queries commit to: total exact-top-k hits and mean recall
     // (ppm, one integral division) at nprobe ∈ {1, 2, 4}. The knob every
