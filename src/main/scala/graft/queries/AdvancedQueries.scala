@@ -920,8 +920,10 @@ object AdvancedQueries {
              |SELECT event_type, hour, cnt, CAST(e AS BIGINT) AS ewma_milli
              |FROM ew ORDER BY event_type, hour""".stripMargin)),
 
-    // COHORT RETENTION MATRIX — the product-analytics read behind every
-    // retention dashboard: users cohorted by first-active week, then for
+    // WEEKLY COHORT RETENTION MATRIX — the coarser, ppm-normalized
+    // sibling of the hour-grain q_retention_cohorts (different grain,
+    // different read: weekly product retention vs short-horizon return
+    // behavior): users cohorted by first-active week, then for
     // each (cohort, week offset) the count of cohort members active that
     // week and their share of the cohort in ppm (one integral division).
     // Week truncation is Monday-anchored in both engines, the offset is
@@ -931,7 +933,7 @@ object AdvancedQueries {
     // on user), the first-seen table is user-sized and joins on the same
     // key, and the matrix is a ≤|cohorts|·|offsets| rollup; cohort sizes
     // come from the offset-0 diagonal, not a rescan.
-    "q_retention_cohorts" -> QueryDef(
+    "q_weekly_retention" -> QueryDef(
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
           .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
