@@ -28,12 +28,6 @@ object AdvancedQueries {
 
   private case class TradeGraph(edgeDeg: DataFrame, nodes: DataFrame)
 
-  /** One (α,β)-core peel-curve row. */
-  case class AbcoreRound(round: Long, n_alive: Long, n_dir_edges: Long)
-
-  /** One label-propagation convergence-curve row. */
-  case class LabelPropRound(round: Long, n_communities: Long,
-      label_sum: Long)
 
   /** One Holt double-exponential-smoothing row (fixed-point millis). */
   case class HoltRow(event_type: String, hour: java.sql.Timestamp,
@@ -1542,7 +1536,15 @@ object AdvancedQueries {
         val g = tradeGraph(s, dir, withDegrees = false)
         val edges = g.edgeDeg
         var lbl = g.nodes.select(col("node"), col("node").as("lbl"))
-        val out = (1 to rounds).map { r =>
+        // ONE job for all four rounds: each round's label table is a
+        // deferred lineage cut (LogicalRDD immediately, blocks on first
+        // touch) and its convergence stats stay IN-PLAN as a 1-row
+        // aggregate — the union of the four stat rows is forced by a
+        // single eager cut inside the partition pin, so round r's blocks
+        // materialize once and are shared by round r+1's join AND round
+        // r's stat branch (same RDD → shared stages; no per-round collect
+        // paying a scheduling floor each).
+        val stats = (1 to rounds).map { r =>
           val msgs = edges.join(lbl, col("node") === col("src"))
             .groupBy(col("dst")).agg(min(col("lbl")).as("ml"))
           lbl = graft.operators.IterBarrier.cutDeferred(
@@ -1551,11 +1553,13 @@ object AdvancedQueries {
                 least(col("lbl"), coalesce(col("ml"), col("lbl")))
                   .as("lbl")),
             r, reliableEvery = 0)
-          val st = lbl.agg(countDistinct(col("lbl")).as("nc"),
-            sum(col("lbl")).as("ls")).collect()(0)
-          LabelPropRound(r.toLong, st.getLong(0), st.getLong(1))
+          lbl.agg(countDistinct(col("lbl")).as("n_communities"),
+              sum(col("lbl")).as("label_sum"))
+            .select(lit(r.toLong).as("round"), col("n_communities"),
+              col("label_sum"))
         }
-        s.createDataFrame(out).orderBy(col("round"))
+        graft.operators.IterBarrier.cut(stats.reduce(_.union(_)), 1,
+          reliableEvery = 0).orderBy(col("round"))
       },
       Some {
         def round(r: Int): String =
@@ -1640,24 +1644,30 @@ object AdvancedQueries {
         val beta = (3 * e0 + 5 * ns - 1) / (5 * ns)
         val thr = when(pmod(col("src"), lit(2)) === 0, lit(alpha))
           .otherwise(lit(beta))
-        val out = (1 to rounds).map { r =>
+        // ONE job for all four peel rounds (plus the threshold job
+        // above): each round's edge set is a deferred lineage cut, its
+        // degree table a lazy cache, and the round's survivor stats stay
+        // IN-PLAN as a 1-row aggregate over that degree table. The union
+        // of the four stat rows is forced by a single eager cut inside
+        // the partition pin — round r's degree blocks are computed once
+        // and shared by the round's stat branch AND round r+1's alive
+        // semi-joins (same RDD → shared stages), so the peel no longer
+        // pays a scheduling floor per round.
+        val stats = (1 to rounds).map { r =>
           val alive = deg.filter(col("dg") >= thr)
-          // deferred cut: the logical plan truncates immediately (no
-          // quadratic semi-join replay across rounds) but the blocks
-          // materialize inside THIS round's forcing degree aggregate —
-          // one job per round instead of a cut job plus a count job,
-          // which at sf0.1 is pure scheduling fixed cost halved
           cur = graft.operators.IterBarrier.cutDeferred(cur
             .join(alive.select(col("src")), Seq("src"), "left_semi")
             .join(alive.select(col("src").as("dst")), Seq("dst"),
               "left_semi")
             .select(col("src"), col("dst")), r, reliableEvery = 0)
           deg = cur.groupBy(col("src")).agg(count(lit(1)).as("dg")).cache()
-          val c = deg.agg(count(lit(1)).as("a"),
-            coalesce(sum(col("dg")), lit(0L)).as("e")).collect()(0)
-          AbcoreRound(r.toLong, c.getLong(0), c.getLong(1))
+          deg.agg(count(lit(1)).as("n_alive"),
+              coalesce(sum(col("dg")), lit(0L)).as("n_dir_edges"))
+            .select(lit(r.toLong).as("round"), col("n_alive"),
+              col("n_dir_edges"))
         }
-        s.createDataFrame(out).orderBy(col("round"))
+        graft.operators.IterBarrier.cut(stats.reduce(_.union(_)), 1,
+          reliableEvery = 0).orderBy(col("round"))
       },
       Some {
         def round(r: Int): String =
@@ -1830,14 +1840,14 @@ object AdvancedQueries {
     // Recency (hours since last purchase, against the corpus max),
     // Frequency (purchase count) and Monetary (whole-dollar spend), each
     // scored 1..5 by EXACT quintiles of its distribution, reported as
-    // the (r,f,m) segment census. Quintile boundaries use the suite's
-    // exact-quantile device three times over: each metric collapses to
-    // a bounded value histogram (hours are wall-clock-bounded, counts
-    // and dollars domain-bounded — the MAD-outliers license), the CDF
-    // rides the distributed prefix-sum, and the four boundary scalars
-    // come from ONE aggregate row broadcast onto a pure-map scorer. The
-    // firehose pays a single per-user aggregate; nothing user-sized is
-    // globally sorted.
+    // the (r,f,m) segment census. All three metrics collapse to ONE
+    // bounded value histogram (hours are wall-clock-bounded, counts and
+    // dollars domain-bounded — the MAD-outliers license) keyed by
+    // (metric, value), so the CDF and per-metric totals are windows over
+    // a bounded table and the twelve boundary scalars come from ONE
+    // aggregate row broadcast onto a pure-map scorer. The firehose pays
+    // a single per-user aggregate; nothing user-sized is globally
+    // sorted.
     "q_rfm_segments" -> QueryDef(
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
@@ -1856,24 +1866,35 @@ object AdvancedQueries {
             .agg(expr("(max(mxts) - max(tse)) div 3600").as("r"),
               count(lit(1)).as("f"),
               expr("sum(cents) div 100").as("m")), 1, reliableEvery = 0)
-        def bounds(metric: String) = {
-          val hist = pu.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
-          val cdf = graft.operators.SequencePacking.runningSum(
-            hist, metric, "cnt", "cum")
-          val bs = (1 to 4).map(i =>
-            min(when(col("cum") >= expr(s"($i * n + 4) div 5"),
-              col(metric))).as(s"${metric}_b$i"))
-          cdf.crossJoin(broadcast(pu.agg(count(lit(1)).as("n"))))
-            .agg(bs.head, bs.tail: _*)
-        }
+        // All three quintile derivations ride ONE bounded histogram: the
+        // per-user table unpivots to (metric, v) — a pure map, 3 rows per
+        // user — and each metric's value histogram is partition-local to
+        // its metric key, so the CDF and the per-metric total are plain
+        // windows over a BOUNDED table (hours wall-clock-bounded, counts
+        // and dollars domain-bounded — never user-sized). The twelve
+        // boundary scalars then come from a single global aggregate of
+        // conditional mins, broadcast onto the scorer: two jobs total
+        // where three eager prefix-sum passes used to pay six.
+        val hist = pu
+          .selectExpr("stack(3, 'r', r, 'f', f, 'm', m) AS (metric, v)")
+          .groupBy(col("metric"), col("v")).agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy(col("metric")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = hist
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n",
+            sum(col("cnt")).over(Window.partitionBy(col("metric"))))
+        val bCols = for (m <- Seq("r", "f", "m"); i <- 1 to 4) yield
+          min(when(col("metric") === m &&
+              col("cum") >= expr(s"($i * n + 4) div 5"), col("v")))
+            .as(s"${m}_b$i")
+        val bnds = cdf.agg(bCols.head, bCols.tail: _*)
         def score(metric: String) =
           lit(1L) + (col(metric) > col(s"${metric}_b1")).cast(LongType) +
             (col(metric) > col(s"${metric}_b2")).cast(LongType) +
             (col(metric) > col(s"${metric}_b3")).cast(LongType) +
             (col(metric) > col(s"${metric}_b4")).cast(LongType)
-        pu.crossJoin(broadcast(bounds("r")))
-          .crossJoin(broadcast(bounds("f")))
-          .crossJoin(broadcast(bounds("m")))
+        pu.crossJoin(broadcast(bnds))
           .select(score("r").as("r_score"), score("f").as("f_score"),
             score("m").as("m_score"))
           .groupBy(col("r_score"), col("f_score"), col("m_score"))
