@@ -1705,6 +1705,133 @@ object AdvancedQueries {
            |) ORDER BY round""".stripMargin
       }),
 
+    // HITS (Kleinberg hubs/authorities) on the DIRECTED bipartite trade
+    // graph — customers are hubs (they point at suppliers), suppliers
+    // are authorities; the doubled symmetric edge set the other walks
+    // use would make the two scores degenerate, so this query is the one
+    // consumer of the RAW pair direction. Two unnormalized rounds with
+    // h₀ = 1: a₁ = indegree, h₁ = Σ a₁ over partners, a₂/h₂ likewise —
+    // exact BIGINT throughout (score growth is bounded by
+    // max_deg_c²·max_deg_p² ≈ 10¹² here; at corpus scales that overflow
+    // int64 the round update takes DECIMAL(38,0) sums or a per-round
+    // integer re-scale, same update shape). Per round the only exchange
+    // is one pair-keyed join + a node-sized map-side-combined sum; the
+    // report is two top-8 TakeOrdereds over node-sized score tables.
+    "graph_hits" -> QueryDef(
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
+        val pairs = tradePairs(s, dir).cache()
+        val a1 = pairs.groupBy(col("p")).agg(count(lit(1)).as("a"))
+        val h1 = pairs.join(a1, "p").groupBy(col("c"))
+          .agg(sum(col("a")).as("h"))
+        val a2 = pairs.join(h1, "c").groupBy(col("p"))
+          .agg(sum(col("h")).as("a"))
+        val h2 = pairs.join(a2, "p").groupBy(col("c"))
+          .agg(sum(col("a")).as("h"))
+        def top(df: DataFrame, node: String, score: String, role: String) =
+          df.orderBy(col(score).desc, col(node))
+            .limit(8)
+            .select(lit(role).as("role"),
+              row_number().over(Window.orderBy(col(score).desc, col(node)))
+                .cast(LongType).as("rank"),
+              col(node).as("node"), col(score).as("score"))
+        graft.operators.IterBarrier.cut(
+          top(h2, "c", "h", "hub").union(top(a2, "p", "a", "authority")),
+          1, reliableEvery = 0).orderBy(col("role"), col("rank"))
+      },
+      Some("""WITH pairs AS MATERIALIZED (
+             |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |a1 AS MATERIALIZED (
+             |  SELECT p, count(*) AS a FROM pairs GROUP BY p),
+             |h1 AS MATERIALIZED (
+             |  SELECT c, CAST(SUM(a) AS BIGINT) AS h
+             |  FROM pairs JOIN a1 USING (p) GROUP BY c),
+             |a2 AS MATERIALIZED (
+             |  SELECT p, CAST(SUM(h) AS BIGINT) AS a
+             |  FROM pairs JOIN h1 USING (c) GROUP BY p),
+             |h2 AS MATERIALIZED (
+             |  SELECT c, CAST(SUM(a) AS BIGINT) AS h
+             |  FROM pairs JOIN a2 USING (p) GROUP BY c)
+             |SELECT role, rank, node, score FROM (
+             |  SELECT 'hub' AS role,
+             |    CAST(row_number() OVER (ORDER BY h DESC, c) AS BIGINT)
+             |      AS rank,
+             |    c AS node, h AS score
+             |  FROM h2 ORDER BY h DESC, c LIMIT 8)
+             |UNION ALL
+             |SELECT role, rank, node, score FROM (
+             |  SELECT 'authority' AS role,
+             |    CAST(row_number() OVER (ORDER BY a DESC, p) AS BIGINT)
+             |      AS rank,
+             |    p AS node, a AS score
+             |  FROM a2 ORDER BY a DESC, p LIMIT 8)
+             |ORDER BY role, rank""".stripMargin)),
+
+    // CORENESS BY H-INDEX ITERATION (Lü et al., "The H-index of a
+    // network node": iterating c₀ = degree, c_{t+1}(v) = h-index of
+    // {c_t(u) : u ∈ N(v)} converges to the node's CORE NUMBER) — the
+    // full k-core decomposition read that the (α,β) peel's fixed
+    // thresholds cannot give, bounded to two iterations like the other
+    // truncated walks (the oracle unrolls the same two; a fixpoint test
+    // would be engine-divergent). The h-index is computed IN-PLAN, no
+    // per-node collect: neighbor values rank via row_number over the
+    // node's partition (descending value, neighbor id as the total-order
+    // tie-break — the h value itself is tie-order-independent) and
+    // h = max rank with value ≥ rank. Per round the exchange is one
+    // edge-keyed join + one node-partitioned window over degree-bounded
+    // neighbor lists; the report is a coreness histogram, never a
+    // node-sized sort.
+    "graph_coreness_hindex" -> QueryDef(
+      (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
+        val g = tradeGraph(s, dir, withDegrees = false)
+        val edges = g.edgeDeg
+        var core = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).cast(LongType).as("c"))
+        for (r <- 1 to 2) {
+          val nbr = edges
+            .join(core.select(col("node").as("dst"), col("c").as("cu")),
+              "dst")
+          val w = Window.partitionBy(col("src"))
+            .orderBy(col("cu").desc, col("dst"))
+          core = graft.operators.IterBarrier.cutDeferred(
+            nbr.withColumn("rn", row_number().over(w).cast(LongType))
+              .groupBy(col("src").as("node"))
+              .agg(coalesce(max(when(col("cu") >= col("rn"), col("rn"))),
+                lit(0L)).as("c")),
+            r, reliableEvery = 0)
+        }
+        graft.operators.IterBarrier.cut(
+          core.groupBy(col("c").as("coreness"))
+            .agg(count(lit(1)).as("n_nodes")),
+          1, reliableEvery = 0).orderBy(col("coreness"))
+      },
+      Some {
+        def round(r: Int): String =
+          s"""c$r AS MATERIALIZED (
+             |  SELECT src AS node,
+             |    CAST(coalesce(max(CASE WHEN cu >= rn THEN rn END), 0)
+             |      AS BIGINT) AS c
+             |  FROM (
+             |    SELECT e.src, CAST(row_number() OVER (
+             |        PARTITION BY e.src ORDER BY p.c DESC, e.dst)
+             |      AS BIGINT) AS rn, p.c AS cu
+             |    FROM e JOIN c${r - 1} p ON p.node = e.dst)
+             |  GROUP BY src)""".stripMargin
+        s"""WITH pairs AS MATERIALIZED (
+           |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS MATERIALIZED (
+           |  SELECT c AS src, p AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT p AS src, c AS dst FROM pairs),
+           |c0 AS MATERIALIZED (
+           |  SELECT src AS node, CAST(count(*) AS BIGINT) AS c
+           |  FROM e GROUP BY src),
+           |${(1 to 2).map(round).mkString(",\n")}
+           |SELECT c AS coreness, count(*) AS n_nodes
+           |FROM c2 GROUP BY c ORDER BY coreness""".stripMargin
+      }),
+
     // FREQUENT BEHAVIORAL TRIGRAMS — sequential-pattern mining one order
     // above q_event_transitions' Markov bigrams: the top event-type
     // trigrams by USER SUPPORT (distinct users whose timeline contains
