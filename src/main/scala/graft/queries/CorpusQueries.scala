@@ -1525,6 +1525,76 @@ object CorpusQueries {
              |FROM dots
              |JOIN norms na ON na.source = dots.src_a
              |JOIN norms nb ON nb.source = dots.src_b
-             |ORDER BY src_a, src_b""".stripMargin))
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // TOTAL-VARIATION DRIFT — per source, the exact TV distance between
+    // the source's unigram distribution and the whole corpus's: the
+    // sharpest of the drift triptych (KS on score CDFs, IDF drift on
+    // rank shifts, TV on raw distribution mass — TV bounds every
+    // event-probability difference, so tvd_ppm = 120000 reads "an LM
+    // sees up to 12% different token mass from this source"). The
+    // absent-term mass needs NO source×vocab cross join:
+    // Σ_{w∉src} c_w·ts = ts·(tot − Σ_{w∈src} c_w), so the whole metric
+    // is one posting-shaped join (per-source counts against the corpus
+    // count table, only the source's OWN vocabulary fans in) plus two
+    // scalar aggregates. Cross-multiplied integer form |c_sw·tot −
+    // c_w·ts| through DECIMAL(38,0), one integral division at the end —
+    // exact at any corpus size.
+    "corpus_tv_drift" -> QueryDef(
+      (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val cnt = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(words(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+          .cache()
+        val ct = cnt.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+        val ts = cnt.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+        val tot = cnt.agg(sum(col("c")).as("tot"))
+        cnt.join(ct, "w")
+          .join(ts, "source")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("source"))
+          .agg(
+            max(col("ts")).as("n_tokens"),
+            count(lit(1)).as("vocab_size"),
+            sum(abs(dec(col("c")) * dec(col("tot")) -
+              dec(col("cw")) * dec(col("ts")))).as("a"),
+            sum(dec(col("cw"))).as("pres"),
+            max(dec(col("tot"))).as("totd"))
+          .select(col("source"), col("n_tokens"), col("vocab_size"),
+            (col("a") + dec(col("n_tokens")) * (col("totd") - col("pres")))
+              .as("numer"),
+            (dec(col("n_tokens")) * col("totd")).as("denom"))
+          .selectExpr("source", "n_tokens", "vocab_size",
+            "CAST((numer * 500000) div denom AS BIGINT) AS tvd_ppm")
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH cnt AS MATERIALIZED (
+             |  SELECT source, w, count(*) AS c FROM (
+             |    SELECT source, unnest(${sqlWords("text")}) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0 GROUP BY 1, 2),
+             |ct AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw
+             |       FROM cnt GROUP BY w),
+             |ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts
+             |       FROM cnt GROUP BY source),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM cnt)
+             |SELECT source, n_tokens, vocab_size,
+             |  CAST((numer * 500000) // denom AS BIGINT) AS tvd_ppm
+             |FROM (
+             |  SELECT cnt.source,
+             |    max(ts.ts) AS n_tokens,
+             |    CAST(count(*) AS BIGINT) AS vocab_size,
+             |    SUM(abs(CAST(cnt.c AS HUGEINT) * tot.tot -
+             |      CAST(ct.cw AS HUGEINT) * ts.ts))
+             |      + CAST(max(ts.ts) AS HUGEINT) *
+             |        (max(tot.tot) - SUM(CAST(ct.cw AS HUGEINT))) AS numer,
+             |    CAST(max(ts.ts) AS HUGEINT) * max(tot.tot) AS denom
+             |  FROM cnt JOIN ct USING (w) JOIN ts USING (source), tot
+             |  GROUP BY cnt.source)
+             |ORDER BY source""".stripMargin))
   )
 }

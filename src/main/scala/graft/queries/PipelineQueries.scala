@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions.quantizeInt8
 import graft.queries.SimilarityQueries.Dim
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -410,6 +411,168 @@ object PipelineQueries {
              |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), n, tot
              |  WHERE term IN ('spark', 'merge', 'window'))
              |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // RANKER AGREEMENT (Kendall tau) — when two lexical rankers disagree
+    // on a corpus, WHERE they disagree is the tuning signal: per query
+    // set, BM25's and plain tf-idf's top-10 lists are intersected and
+    // every document pair in the intersection is counted concordant or
+    // discordant by rank-difference sign; tau rides exact integers
+    // ((C−D)·10⁶ div (C+D)). Both scores come from ONE tokenize/tf pass
+    // (they share tf, df, dl and the corpus scalars — BM25 is tf-idf
+    // plus saturation and length norm), queries are a 4-row literal
+    // table joined onto the postings, and the pair stage is a self-join
+    // of ≤10-row-per-query lists — never corpus-sized. The production
+    // read: tau ≈ 1 means the cheap ranker suffices; low tau names the
+    // queries needing the expensive one.
+    "retrieval_rank_correlation" -> QueryDef(
+      (s, dir) => {
+        val qsets: Seq[(Long, Seq[String])] = Seq(
+          1L -> Seq("spark", "merge", "window"),
+          2L -> Seq("join", "batch"),
+          3L -> Seq("table", "key"),
+          4L -> Seq("stream", "vector"))
+        val d = Tables.load(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+        val qt = s.createDataFrame(
+          qsets.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+          .toDF("qid", "term")
+        // one (doc, term) aggregate feeds BOTH rankers; the eager cut
+        // stops the five consumers below re-tokenizing the corpus (the
+        // PRF lesson)
+        val tf = graft.operators.IterBarrier.cut(
+          toks.groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf")), 1, reliableEvery = 0)
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val dfreq = tf.join(broadcast(qt), "term")
+          .groupBy(col("qid"), col("term")).agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val tot = tf.agg(sum(col("tf")).as("tot"))
+        val tfD = col("tf").cast(DoubleType)
+        val avgdl = col("tot").cast(DoubleType) / col("n").cast(DoubleType)
+        val idf = (col("n") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d))
+        val norm = tfD * lit(2.2d) /
+          (tfD + lit(1.2d) * (lit(0.25d) +
+            lit(0.75d) * (col("dl").cast(DoubleType) / avgdl)))
+        val scored = tf.join(broadcast(qt), "term")
+          .join(broadcast(dfreq), Seq("qid", "term"))
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(n))
+          .crossJoin(broadcast(tot))
+          .withColumn("sb", (idf * norm).cast(DecimalType(18, 6)))
+          .withColumn("st", (tfD * idf).cast(DecimalType(18, 6)))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(sum(col("sb")).cast(DoubleType).as("bm25"),
+            sum(col("st")).cast(DoubleType).as("tfidf"))
+        def top10(score: String) = scored
+          .withColumn("r", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col(score).desc, col("doc_id"))))
+          .filter(col("r") <= 10)
+          .select(col("qid"), col("doc_id"), col("r").as(s"r_$score"))
+        val both = top10("bm25").join(top10("tfidf"), Seq("qid", "doc_id"))
+        val a = both.select(col("qid"), col("doc_id").as("d1"),
+          col("r_bm25").as("b1"), col("r_tfidf").as("t1"))
+        val b = both.select(col("qid").as("qid2"), col("doc_id").as("d2"),
+          col("r_bm25").as("b2"), col("r_tfidf").as("t2"))
+        val pairs = a.join(b,
+          col("qid") === col("qid2") && col("d1") < col("d2"))
+        val agg = pairs.groupBy(col("qid")).agg(
+          sum(when((col("b1") - col("b2")) * (col("t1") - col("t2")) > 0, 1L)
+            .otherwise(0L)).as("n_conc"),
+          sum(when((col("b1") - col("b2")) * (col("t1") - col("t2")) < 0, 1L)
+            .otherwise(0L)).as("n_disc"))
+        // report every query set, zeros where the two top-10s are
+        // disjoint — a vanished row would hide exactly the queries whose
+        // rankers disagree most
+        qt.select(col("qid")).distinct()
+          .join(both.groupBy(col("qid")).agg(count(lit(1)).as("n_common")),
+            Seq("qid"), "left")
+          .join(agg, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_common"), lit(0L)).as("n_common"),
+            coalesce(col("n_conc"), lit(0L)).as("n_conc"),
+            coalesce(col("n_disc"), lit(0L)).as("n_disc"),
+            // |C−D| divides, the sign applies after: Spark's `div`
+            // truncates toward zero while DuckDB's `//` floors, so a
+            // negative numerator would round differently across engines
+            expr("CASE WHEN coalesce(n_conc, 0) + coalesce(n_disc, 0) = 0 " +
+              "THEN 0 ELSE (CASE WHEN n_conc >= n_disc THEN 1 ELSE -1 END) " +
+              "* ((abs(coalesce(n_conc, 0) - coalesce(n_disc, 0)) " +
+              "* 1000000) div (coalesce(n_conc, 0) + coalesce(n_disc, 0))) " +
+              "END").as("tau_ppm"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS MATERIALIZED (
+             |  SELECT doc_id, term, count(*) AS tf FROM toks
+             |  WHERE len(term) > 0 GROUP BY 1, 2),
+             |qt(qid, term) AS (VALUES
+             |  (1, 'spark'), (1, 'merge'), (1, 'window'),
+             |  (2, 'join'), (2, 'batch'),
+             |  (3, 'table'), (3, 'key'),
+             |  (4, 'stream'), (4, 'vector')),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+             |       FROM tf GROUP BY 1),
+             |dfreq AS (
+             |  SELECT qid, term, count(*) AS df
+             |  FROM tf JOIN qt USING (term) GROUP BY 1, 2),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot FROM tf),
+             |scored AS MATERIALIZED (
+             |  SELECT qid, doc_id,
+             |    CAST(SUM(CAST(((n.n - df + 0.5) / (df + 0.5)) *
+             |      (CAST(tf AS DOUBLE) * 2.2 /
+             |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+             |        0.75 * (CAST(dl.dl AS DOUBLE) /
+             |                (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
+             |      AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+             |    CAST(SUM(CAST(CAST(tf AS DOUBLE) *
+             |      ((n.n - df + 0.5) / (df + 0.5))
+             |      AS DECIMAL(18,6))) AS DOUBLE) AS tfidf
+             |  FROM tf JOIN qt USING (term) JOIN dfreq USING (qid, term)
+             |    JOIN dl USING (doc_id), n, tot
+             |  GROUP BY 1, 2),
+             |tb AS (
+             |  SELECT qid, doc_id, r_bm25 FROM (
+             |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+             |      ORDER BY bm25 DESC, doc_id) AS r_bm25 FROM scored)
+             |  WHERE r_bm25 <= 10),
+             |tt AS (
+             |  SELECT qid, doc_id, r_tfidf FROM (
+             |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+             |      ORDER BY tfidf DESC, doc_id) AS r_tfidf FROM scored)
+             |  WHERE r_tfidf <= 10),
+             |isec AS MATERIALIZED (
+             |  SELECT qid, doc_id, r_bm25, r_tfidf
+             |  FROM tb JOIN tt USING (qid, doc_id)),
+             |pr AS (
+             |  SELECT a.qid,
+             |    CAST(SUM(CASE WHEN (a.r_bm25 - b.r_bm25) *
+             |      (a.r_tfidf - b.r_tfidf) > 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_conc,
+             |    CAST(SUM(CASE WHEN (a.r_bm25 - b.r_bm25) *
+             |      (a.r_tfidf - b.r_tfidf) < 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_disc
+             |  FROM isec a JOIN isec b
+             |    ON a.qid = b.qid AND a.doc_id < b.doc_id
+             |  GROUP BY a.qid)
+             |SELECT CAST(q.qid AS BIGINT) AS qid,
+             |  coalesce(c.n_common, CAST(0 AS BIGINT)) AS n_common,
+             |  coalesce(pr.n_conc, CAST(0 AS BIGINT)) AS n_conc,
+             |  coalesce(pr.n_disc, CAST(0 AS BIGINT)) AS n_disc,
+             |  CAST(CASE WHEN coalesce(pr.n_conc, 0) + coalesce(pr.n_disc, 0)
+             |      = 0 THEN 0
+             |    ELSE (CASE WHEN pr.n_conc >= pr.n_disc THEN 1 ELSE -1 END)
+             |      * ((abs(coalesce(pr.n_conc, 0) - coalesce(pr.n_disc, 0))
+             |      * 1000000) // (coalesce(pr.n_conc, 0)
+             |      + coalesce(pr.n_disc, 0))) END AS BIGINT) AS tau_ppm
+             |FROM (SELECT DISTINCT qid FROM qt) q
+             |LEFT JOIN (SELECT qid, CAST(count(*) AS BIGINT) AS n_common
+             |           FROM isec GROUP BY qid) c USING (qid)
+             |LEFT JOIN pr USING (qid)
+             |ORDER BY q.qid""".stripMargin)),
 
     // Salted skew join — the 100 TB pattern for a shuffle join whose key
     // distribution is skewed (one hot orderkey would otherwise pin its
