@@ -1030,6 +1030,77 @@ object AdvancedQueries {
              |  CAST(lv + tr AS BIGINT) AS forecast_milli
              |FROM ht ORDER BY event_type, hour""".stripMargin)),
 
+    // HOUR-OF-WEEK SEASONAL ANOMALIES — the monitoring read CUSUM and
+    // z-scores both miss: an hour that is normal for the corpus but
+    // abnormal FOR ITS SLOT (3am Tuesday behaving like noon Friday).
+    // The seasonal expectation is the per-(type, dow, hour-of-day) mean
+    // over the series' weeks; the residual is carried exactly by
+    // cross-multiplication, dev20 = |cnt·n_slot − tot_slot|·20 div
+    // n_slot (4- and 5-sample slots both divide 20, so the ranking
+    // metric is the exact |cnt − mean| in twentieths — no float mean in
+    // either engine). Day-of-week is pure epoch arithmetic ((h div 24 +
+    // 4) mod 7 — epoch day 0 was a Thursday), no calendar functions.
+    // Scale shape: the firehose pays ONE map-side-combined (type, hour)
+    // rollup; the dense grid, slot table and residual join are all
+    // wall-clock-bounded (|types| × hours), never event-sized; the
+    // report is a top-10 TakeOrdered.
+    "q_seasonal_anomalies" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(ts AS LONG) div 3600").as("h"))
+        val c = e.groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val bounds = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val grid = e.select(col("event_type")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        val dense = grid.join(c, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .withColumn("dow", expr("pmod((h div 24) + 4, 7)"))
+          .withColumn("hod", expr("pmod(h, 24)"))
+        val slot = dense.groupBy(col("event_type"), col("dow"), col("hod"))
+          .agg(count(lit(1)).as("n_slot"), sum(col("cnt")).as("tot_slot"))
+        dense.join(slot, Seq("event_type", "dow", "hod"))
+          .withColumn("dev20",
+            expr("(abs(cnt * n_slot - tot_slot) * 20) div n_slot"))
+          .select(col("event_type"), col("h"), col("dow"), col("hod"),
+            col("cnt"), col("n_slot"), col("tot_slot"), col("dev20"))
+          .orderBy(col("dev20").desc, col("event_type"), col("h"))
+          .limit(10)
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+             |  FROM events),
+             |c AS (
+             |  SELECT event_type, h, count(*) AS cnt FROM e GROUP BY 1, 2),
+             |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+             |grid AS (
+             |  SELECT t.event_type, unnest(range(b.h0, b.h1 + 1)) AS h
+             |  FROM (SELECT DISTINCT event_type FROM e) t, b),
+             |dense AS (
+             |  SELECT g.event_type, g.h,
+             |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+             |    ((g.h // 24) + 4) % 7 AS dow, g.h % 24 AS hod
+             |  FROM grid g LEFT JOIN c
+             |    ON c.event_type = g.event_type AND c.h = g.h),
+             |slot AS (
+             |  SELECT event_type, dow, hod,
+             |    CAST(count(*) AS BIGINT) AS n_slot,
+             |    CAST(SUM(cnt) AS BIGINT) AS tot_slot
+             |  FROM dense GROUP BY 1, 2, 3)
+             |SELECT d.event_type, d.h, d.dow, d.hod, d.cnt,
+             |  s.n_slot, s.tot_slot,
+             |  CAST((abs(d.cnt * s.n_slot - s.tot_slot) * 20) // s.n_slot
+             |    AS BIGINT) AS dev20
+             |FROM dense d JOIN slot s
+             |  ON d.event_type = s.event_type AND d.dow = s.dow
+             |    AND d.hod = s.hod
+             |ORDER BY dev20 DESC, d.event_type, d.h LIMIT 10""".stripMargin)),
+
     // CUSUM CHANGE-POINT DETECTION (integer-exact): the sequential drift
     // detector that catches what a pointwise z-test misses — a SUSTAINED
     // small rate shift. Per type, the one-sided CUSUM over hourly counts,

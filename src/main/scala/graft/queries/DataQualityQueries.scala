@@ -341,6 +341,58 @@ object DataQualityQueries {
              |SELECT combo, CAST(n_distinct AS BIGINT) AS n_distinct,
              |  CAST((n_distinct * 1000000) // n AS BIGINT) AS uniq_ppm,
              |  n_distinct = n AS is_key
-             |FROM u ORDER BY combo""".stripMargin))
+             |FROM u ORDER BY combo""".stripMargin)),
+
+    // FEED-FRESHNESS AUDIT — the staleness monitor every ingest pipeline
+    // runs before anything trusts a feed: per event type (the corpus's
+    // natural feed key), when did it last produce, how far behind the
+    // freshest feed is it, and is its trailing-24h volume in line with
+    // its 30-day daily average (rate_ratio_ppm = 10⁶ means "normal day";
+    // a stale-but-recently-renamed feed shows up as ratio ≈ 0 long
+    // before last_ts looks old). All integer epoch arithmetic against
+    // ONE corpus-max scalar broadcast onto a single map-side-combined
+    // per-type aggregate — the audit costs one scan at any corpus size.
+    "dq_freshness_audit" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("ts").cast(LongType).as("tse"))
+        val mx = e.agg(max(col("tse")).as("mxts"))
+        e.crossJoin(broadcast(mx))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            max(col("tse")).as("last_epoch_s"),
+            ((max(col("mxts")) - max(col("tse"))) / lit(60))
+              .cast(LongType).as("staleness_min"),
+            sum(when(col("tse") >= col("mxts") - 86400L, 1L).otherwise(0L))
+              .as("n_last_24h"))
+          .select(col("event_type"), col("n_events"), col("last_epoch_s"),
+            col("staleness_min"), col("n_last_24h"),
+            expr("(n_last_24h * 1000000) div greatest(n_events div 30, 1)")
+              .as("rate_ratio_ppm"),
+            (col("staleness_min") > 30L).as("is_stale"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS tse
+             |  FROM events),
+             |mx AS (SELECT max(tse) AS mxts FROM e),
+             |f AS (
+             |  SELECT event_type,
+             |    count(*) AS n_events,
+             |    max(tse) AS last_epoch_s,
+             |    CAST((max(mx.mxts) - max(tse)) // 60 AS BIGINT)
+             |      AS staleness_min,
+             |    CAST(SUM(CASE WHEN tse >= mx.mxts - 86400 THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_last_24h
+             |  FROM e, mx GROUP BY event_type)
+             |SELECT event_type, n_events, last_epoch_s, staleness_min,
+             |  n_last_24h,
+             |  CAST((n_last_24h * 1000000)
+             |    // greatest(n_events // 30, 1) AS BIGINT)
+             |    AS rate_ratio_ppm,
+             |  staleness_min > 30 AS is_stale
+             |FROM f ORDER BY event_type""".stripMargin))
   )
 }
