@@ -168,12 +168,18 @@ object TextFunctions {
 
   /** LSH band key: fold `rowsPerBand` consecutive signature entries into one
     * 60-bit value (sequential `acc*31+v mod 2^60` — same fold in DuckDB via
-    * `list_reduce`). `sig` is 0-indexed via element_at(i+1). */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
-    val M = 1152921504606846976L // 2^60
+    * `list_reduce`). `sig` is 0-indexed via element_at(i+1).
+    *
+    * The default modulus never engages below rowsPerBand = 5 (the fold
+    * grows like P·31^(r−1) < 2^60), so acc·31 stays inside int64. Wider
+    * bands MUST pass a smaller modulus (2^55 keeps acc·31 + v < 2^63 for
+    * any r) or the fold overflows int64 in BOTH engines before the first
+    * reduction — the band sweep's 2×8 layout uses 2^55. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int,
+      modulus: Long = 1152921504606846976L): Column = {
     val keys = (0 until bands).map { b =>
       (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, r) =>
-        (acc * 31 + element_at(sig, b * rowsPerBand + r + 1)) % M
+        (acc * 31 + element_at(sig, b * rowsPerBand + r + 1)) % modulus
       }
     }
     array(keys: _*)
@@ -254,11 +260,11 @@ object TextFunctions {
     sigs.mkString("[", ", ", "]")
   }
 
-  def sqlBandKeys(sig: String, bands: Int, rowsPerBand: Int): String = {
-    val M = "1152921504606846976"
+  def sqlBandKeys(sig: String, bands: Int, rowsPerBand: Int,
+      modulus: Long = 1152921504606846976L): String = {
     val keys = (0 until bands).map { b =>
       (0 until rowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
-        s"(($acc * 31 + $sig[${b * rowsPerBand + r + 1}]) % $M)"
+        s"(($acc * 31 + $sig[${b * rowsPerBand + r + 1}]) % $modulus)"
       }
     }
     keys.mkString("[", ", ", "]")

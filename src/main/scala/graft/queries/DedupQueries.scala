@@ -98,6 +98,13 @@ object DedupQueries {
     s.read.parquet(s"$out/clusters")
   }
 
+  /** Band-fold modulus for the band-config SWEEP: 2^55, because its
+    * widest layout folds 8 signature entries and the default 2^60 would
+    * let acc·31 overflow int64 in both engines mid-fold (see
+    * TextFunctions.bandKeys). Sweep keys only ever join sweep keys, so
+    * the distinct key space from the production 4×4 index is harmless. */
+  private val SweepM = 36028797018963968L
+
   /** The candidate-generation half of the LSH index: `sigs` is the cached
     * signature table, `cands` the deduped candidate pairs. */
   private case class LshIndex(sigs: DataFrame, cands: DataFrame)
@@ -791,6 +798,131 @@ object DedupQueries {
               |       ELSE round(CAST(n_hit AS DOUBLE) / n_truth, 6) END
               |    AS recall
               |FROM m""".stripMargin)),
+
+    // LSH BAND-CONFIGURATION SWEEP — the (b, r) tuning table behind
+    // dedup_lsh_recall's single accept gate: from ONE 16-hash signature
+    // pass, three band layouts (2×8 strict, 4×4 production, 8×2 loose)
+    // each generate their sampled candidate set, measured against the
+    // SAME exact-Jaccard truth. The output is the measured s-curve
+    // trade: more bands → more candidates AND more recall; the sweep
+    // picks the cheapest layout that clears the recall floor BEFORE a
+    // corpus-scale run commits to one. Same sampling contract as
+    // lsh_recall (truth and candidates both restricted to pairs touching
+    // the deterministic 1/4 doc sample, truth probed asymmetrically), so
+    // the expensive truth side is paid ONCE for all three configs.
+    "dedup_lsh_band_sweep" -> QueryDef(
+      (s, dir) => {
+        def sampled(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          md5(c.cast(StringType)) < lit("4")
+        val sigs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+          .withColumn("sig", minHashSignature(col("sh"), 16))
+          .cache()
+        val sizes = sigs.select(col("doc_id"), size(col("sh")).as("n"))
+        val shEx = sigs.select(col("doc_id"), explode(col("sh")).as("h"))
+        val inter = shEx.filter(sampled(col("doc_id"))).as("a")
+          .join(shEx.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+            col("a.h").as("h"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(countDistinct(col("h")).as("i"))
+        val truth = graft.operators.IterBarrier.cut(inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+            "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+            "id_b")
+          .filter(round(col("i").cast(DoubleType)
+            / (col("na") + col("nb") - col("i")), 6) >= 0.5d)
+          .select(col("id_a"), col("id_b")), 1, reliableEvery = 0)
+        val rows = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+          val ex = sigs.select(col("doc_id"),
+            posexplode(bandKeys(col("sig"), b, r, SweepM))
+              .as(Seq("band", "key")))
+          val cands = ex.as("a")
+            .join(ex.as("b"), col("a.band") === col("b.band")
+              && col("a.key") === col("b.key")
+              && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .dropDuplicates("id_a", "id_b")
+            .filter(sampled(col("id_a")) || sampled(col("id_b")))
+          truth.withColumn("t", lit(1))
+            .join(cands.withColumn("c", lit(1)), Seq("id_a", "id_b"), "full")
+            .agg(sum(col("t")).cast(LongType).as("n_truth"),
+              sum(col("c")).cast(LongType).as("n_candidates"),
+              sum(when(col("t").isNotNull && col("c").isNotNull, 1))
+                .cast(LongType).as("n_hit"))
+            .select(lit(b.toLong).as("bands"),
+              lit(r.toLong).as("rows_per_band"),
+              col("n_truth"), col("n_candidates"), col("n_hit"),
+              when(col("n_truth") === 0, 1.0d)
+                .otherwise(round(col("n_hit").cast(DoubleType)
+                  / col("n_truth"), 6)).as("recall"))
+        }
+        rows.reduce(_.unionByName(_)).orderBy(col("bands"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 3)
+        val sig = sqlMinHashSignature("sh", 16)
+        def candsCte(name: String, b: Int, r: Int): String = {
+          val bands = sqlBandKeys("sig", b, r, SweepM)
+          val bandRows = (1 to b)
+            .map(i => s"SELECT doc_id, $i AS band, bands[$i] AS key " +
+              s"FROM (SELECT doc_id, $bands AS bands FROM sigs)")
+            .mkString("\n    UNION ALL ")
+          s"""${name}_rows AS ($bandRows),
+             |$name AS (
+             |  SELECT id_a, id_b FROM (
+             |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |    FROM ${name}_rows a JOIN ${name}_rows b
+             |      ON a.band = b.band AND a.key = b.key
+             |      AND a.doc_id < b.doc_id)
+             |  WHERE md5(CAST(id_a AS VARCHAR)) < '4'
+             |     OR md5(CAST(id_b AS VARCHAR)) < '4')""".stripMargin
+        }
+        def point(name: String, b: Int, r: Int): String =
+          s"""  SELECT CAST($b AS BIGINT) AS bands,
+             |    CAST($r AS BIGINT) AS rows_per_band,
+             |    CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+             |    CAST((SELECT COUNT(*) FROM $name) AS BIGINT)
+             |      AS n_candidates,
+             |    CAST((SELECT COUNT(*) FROM truth t JOIN $name c
+             |          ON t.id_a = c.id_a AND t.id_b = c.id_b) AS BIGINT)
+             |      AS n_hit""".stripMargin
+        s"""WITH docs AS (SELECT doc_id, $sh AS sh FROM documents),
+           |sigs AS MATERIALIZED (
+           |  SELECT doc_id, $sig AS sig FROM docs),
+           |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+           |sh_ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+           |inter AS (
+           |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+           |    GREATEST(a.doc_id, b.doc_id) AS id_b,
+           |    COUNT(DISTINCT a.h) AS i
+           |  FROM sh_ex a JOIN sh_ex b
+           |    ON a.h = b.h AND a.doc_id <> b.doc_id
+           |  WHERE md5(CAST(a.doc_id AS VARCHAR)) < '4'
+           |  GROUP BY 1, 2),
+           |truth AS MATERIALIZED (
+           |  SELECT i.id_a, i.id_b
+           |  FROM inter i
+           |  JOIN sizes sa ON sa.doc_id = i.id_a
+           |  JOIN sizes sb ON sb.doc_id = i.id_b
+           |  WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6)
+           |    >= 0.5),
+           |${candsCte("c28", 2, 8)},
+           |${candsCte("c44", 4, 4)},
+           |${candsCte("c82", 8, 2)}
+           |SELECT bands, rows_per_band, n_truth, n_candidates, n_hit,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE round(CAST(n_hit AS DOUBLE) / n_truth, 6) END
+           |    AS recall
+           |FROM (
+           |${Seq(("c28", 2, 8), ("c44", 4, 4), ("c82", 8, 2))
+             .map { case (n, b, r) => point(n, b, r) }
+             .mkString("\n  UNION ALL\n")}
+           |) ORDER BY bands""".stripMargin
+      }),
 
     // ASYMMETRIC CONTAINMENT dedup — the quote/subset detector Jaccard
     // misses: a short document wholly contained in a long one has low
