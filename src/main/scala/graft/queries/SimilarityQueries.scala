@@ -1891,6 +1891,115 @@ object SimilarityQueries {
              |    // (SELECT count(*) FROM edges) AS BIGINT)
              |    AS reciprocity_ppm""".stripMargin)),
 
+    // CLASS-MARGIN AUDIT — the label-separability read a classifier/
+    // hard-negative pipeline needs BEFORE trusting the embedding space:
+    // per vector, the distance margin between its nearest OTHER-label
+    // and nearest SAME-label neighbor (cell-blocked candidates — the
+    // same IVF blocking every pair stage here uses; never corpus²).
+    // Positive margin = the vector's class neighborhood is tighter than
+    // the impostor's; the per-label rollup (how many vectors have a
+    // positive margin, and the exact integer margin mass) names the
+    // classes whose regions overlap. The two nearest distances are
+    // CONDITIONAL MINs in one map-side-combined aggregate — no rank
+    // window; margin mass is reported as the raw signed BIGINT sum
+    // (mean-by-division would hit the truncate-vs-floor divergence on
+    // negative numerators across engines).
+    "embed_margin_audit" -> QueryDef(
+      (s, dir) => {
+        val qv = quantizedVecs(s, dir)
+        val lv = qv.join(
+          emb(s, dir).select(col("vec_id"), col("label")), "vec_id")
+        val seedIds = emb(s, dir).groupBy(col("label"))
+          .agg(min(col("vec_id")).as("seed_id"))
+        val seeds = seedIds
+          .join(qv, seedIds("seed_id") === qv("vec_id"))
+          .select(col("label"), col("qv")).collect()
+          .map(r => (r.getInt(0).toLong, r.getSeq[Long](1)))
+          .sortBy(_._1)
+        def d2To(cv: Seq[Long]) = aggregate(
+          zip_with(col("qv"), lit(cv.toArray), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _)
+        val arr = sort_array(array(seeds.map { case (l, cv) =>
+          struct(d2To(cv).as("d2"), lit(l).as("cell")) }: _*))
+        val assigned = lv.select(col("vec_id"), col("label"),
+            arr.getItem(0).getField("cell").as("cell"), col("qv"),
+            graft.functions.TextFunctions.dotLong(col("qv"), col("qv"))
+              .as("dself"))
+          .repartition(col("cell")).cache()
+        val per = assigned.as("a").join(assigned.as("b"),
+            col("a.cell") === col("b.cell")
+              && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("src"),
+            col("a.label").as("lbl"),
+            (col("a.label") === col("b.label")).as("same"),
+            (col("a.dself") + col("b.dself") - lit(2L) *
+              graft.functions.TextFunctions.dotLong(col("a.qv"),
+                col("b.qv"))).as("d2"))
+          .groupBy(col("src"), col("lbl"))
+          .agg(min(when(col("same"), col("d2"))).as("d_same"),
+            min(when(!col("same"), col("d2"))).as("d_other"))
+        per.groupBy(col("lbl"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("d_same").isNotNull && col("d_other").isNotNull,
+              1L).otherwise(0L)).as("n_covered"),
+            sum(when(col("d_same").isNotNull && col("d_other").isNotNull
+              && col("d_other") > col("d_same"), 1L).otherwise(0L))
+              .as("n_pos_margin"),
+            coalesce(sum(when(col("d_same").isNotNull
+              && col("d_other").isNotNull,
+              col("d_other") - col("d_same"))), lit(0L))
+              .as("sum_margin"))
+          .select(col("lbl").cast(LongType).as("label"), col("n_vecs"),
+            col("n_covered"), col("n_pos_margin"), col("sum_margin"),
+            expr("(n_pos_margin * 1000000) div greatest(n_covered, 1)")
+              .as("pos_ppm"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH $sqlQuantPrefix,
+             |lv AS (
+             |  SELECT q.vec_id, q.qv, e.label FROM qvecs q
+             |  JOIN embeddings e ON e.vec_id = q.vec_id),
+             |seeds AS (
+             |  SELECT e.label AS c_label, q.qv AS cqv
+             |  FROM embeddings e
+             |  JOIN (SELECT label, min(vec_id) AS seed_id FROM embeddings
+             |        GROUP BY label) s ON e.vec_id = s.seed_id
+             |  JOIN qvecs q ON q.vec_id = e.vec_id),
+             |assigned AS MATERIALIZED (
+             |  SELECT vec_id, label, qv, cell FROM (
+             |    SELECT v.vec_id, v.label, v.qv, s.c_label AS cell,
+             |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             |        list_sum(list_transform(range(1, ${Dim + 1}),
+             |          i -> (v.qv[i] - s.cqv[i]) * (v.qv[i] - s.cqv[i]))),
+             |        s.c_label) AS rn
+             |    FROM lv v, seeds s) WHERE rn = 1),
+             |per AS (
+             |  SELECT vec_id AS src, label AS lbl,
+             |    min(CASE WHEN label = blabel THEN d2 END) AS d_same,
+             |    min(CASE WHEN label <> blabel THEN d2 END) AS d_other
+             |  FROM (
+             |    SELECT a.vec_id, a.label, b.label AS blabel,
+             |      list_sum(list_transform(range(1, ${Dim + 1}),
+             |        i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS d2
+             |    FROM assigned a JOIN assigned b
+             |      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+             |  GROUP BY 1, 2)
+             |SELECT CAST(lbl AS BIGINT) AS label,
+             |  CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(SUM(CASE WHEN d_same IS NOT NULL AND d_other IS NOT
+             |    NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             |  CAST(SUM(CASE WHEN d_same IS NOT NULL AND d_other IS NOT
+             |    NULL AND d_other > d_same THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pos_margin,
+             |  CAST(coalesce(SUM(CASE WHEN d_same IS NOT NULL AND d_other
+             |    IS NOT NULL THEN d_other - d_same END), 0) AS BIGINT)
+             |    AS sum_margin,
+             |  CAST((SUM(CASE WHEN d_same IS NOT NULL AND d_other IS NOT
+             |    NULL AND d_other > d_same THEN 1 ELSE 0 END) * 1000000)
+             |    // greatest(SUM(CASE WHEN d_same IS NOT NULL AND d_other
+             |    IS NOT NULL THEN 1 ELSE 0 END), 1) AS BIGINT) AS pos_ppm
+             |FROM per GROUP BY lbl ORDER BY label""".stripMargin)),
+
     // SIMPLIFIED SILHOUETTE per IVF cell — the cluster-quality gate read
     // before trusting cell-local operations (probe recall, semantic
     // clusters, cluster-downweighted sampling): per vector a = d² to its
