@@ -1247,6 +1247,47 @@ object PipelineQueries {
            |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
       }),
 
+    // Deterministic STRATIFIED K-FOLD assignment (k = 5) — the
+    // cross-validation twin of the 90/5/5 split: fold membership is a
+    // pure function of the document key (md5 mod 5), so folds are
+    // reproducible, partition-independent, and a late-arriving shard of
+    // a 100 TB corpus folds identically. The audit rollup reports each
+    // (lang, fold) cell's share of its language in ppm — the balance
+    // check that catches a biased key hash BEFORE five training runs
+    // are spent on skewed folds; the share window runs over the
+    // ≤ langs×5-row rollup, never the corpus.
+    "sample_kfold_assign" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        val d = Tables.load(s, dir, "documents")
+        val fold = pmod(md5Long(concat(lit("fold:"),
+          col("doc_id").cast(StringType))), lit(5L))
+        val cells = d.select(col("lang"), col("n_chars"), fold.as("fold"))
+          .groupBy(col("lang"), col("fold"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"))
+        cells
+          .withColumn("lang_total",
+            sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+          .select(col("lang"), col("fold"), col("n_docs"),
+            col("n_chars_total"),
+            expr("(n_docs * 1000000) div lang_total").as("share_ppm"))
+          .orderBy(col("lang"), col("fold"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val h = sqlMd5Long("concat('fold:', CAST(doc_id AS VARCHAR))")
+        s"""WITH cells AS (
+           |  SELECT lang, $h % 5 AS fold,
+           |    COUNT(*) AS n_docs,
+           |    CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+           |  FROM documents GROUP BY 1, 2)
+           |SELECT lang, fold, n_docs, n_chars_total,
+           |  CAST((n_docs * 1000000) // (SUM(n_docs) OVER (
+           |    PARTITION BY lang)) AS BIGINT) AS share_ppm
+           |FROM cells ORDER BY lang, fold""".stripMargin
+      }),
+
     // QUANTILE-SKETCH MERGE LAW, verified end-to-end (the histogram twin
     // of sketch_hll_merge): per-shard equi-width histograms over SHARED
     // global bounds, merged by per-bin count ADDITION, against the

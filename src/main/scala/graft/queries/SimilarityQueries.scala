@@ -1107,6 +1107,42 @@ object SimilarityQueries {
            |FROM c2 JOIN stats USING (cid) ORDER BY cid""".stripMargin
       }),
 
+    // PQ DISTORTION AUDIT — the reconstruction-quality sheet of the
+    // STORED index (codes artifact vs the final codebook), per subspace:
+    // a2's d2 measures the penultimate iteration, but what searches pay
+    // at query time is |sv − c2[code]|², so the audit recomputes exactly
+    // that — one broadcast of the M·K codebook onto the codes⋈subvector
+    // join, one map-side-combined rollup to M rows. A subspace whose
+    // mean distortion is a multiple of its peers' is the one to give
+    // more codewords (the PQ analogue of the IVF cell-balance sheet);
+    // mean divides nonnegative integers, so truncate-vs-floor never
+    // diverges.
+    "ann_pq_distortion" -> QueryDef(
+      (s, dir) => {
+        val pq = pqPipeline(s, dir)
+        pq.codes.join(pq.sub, Seq("m", "vec_id"))
+          .join(broadcast(pq.c2), Seq("m", "cid"))
+          .withColumn("d2", aggregate(
+            zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), _ + _))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_d2"),
+            max(col("d2")).as("max_d2"))
+          .select(col("m").cast(LongType).as("m"), col("n_vecs"),
+            col("sum_d2"), expr("sum_d2 div n_vecs").as("mean_d2"),
+            col("max_d2"))
+          .orderBy(col("m"))
+      },
+      Some(s"""WITH $sqlPqPrefix,
+             |${sqlPqAssignCte("a3", "c2")}
+             |SELECT CAST(m AS BIGINT) AS m,
+             |  CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(SUM(d2) AS BIGINT) AS sum_d2,
+             |  CAST(CAST(SUM(d2) AS BIGINT) // count(*) AS BIGINT)
+             |    AS mean_d2,
+             |  CAST(MAX(d2) AS BIGINT) AS max_d2
+             |FROM a3 GROUP BY m ORDER BY m""".stripMargin)),
+
     // PRODUCT QUANTIZATION codebook training — the memory-compression
     // step between scalar int8 (vec_quantize_int8) and IVF search: a
     // 64-dim vector becomes M=4 sub-codes once each 16-dim subspace has
