@@ -1014,6 +1014,69 @@ object DedupQueries {
               |SELECT id AS doc_id, MIN(r) AS cluster_id
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // CLUSTER SOURCE PURITY — the provenance read on the near-dup
+    // closure: per multi-member cluster, how many sources its members
+    // span and what share the dominant source holds. Pure clusters
+    // (share = 10⁶) are ordinary intra-feed duplication; MIXED clusters
+    // are the finding — the same text arriving through several feeds,
+    // which is what inflates a naive per-source mixture weight (and the
+    // cross-source matrix only shows pairwise). Reads the write-once
+    // cluster artifact; everything after is a cluster-keyed rollup plus
+    // one window over the (cluster, source) table — bounded by
+    // duplicates, never corpus-sized.
+    "dedup_cluster_purity" -> QueryDef(
+      (s, dir) => {
+        val clusters = docClusters(s, dir)
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        val src = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        val cs = clusters.join(src, "doc_id")
+          .groupBy(col("cluster_id"), col("source"))
+          .agg(count(lit(1)).as("cnt"))
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy(col("cluster_id"))
+          .orderBy(col("cnt").desc, col("source"))
+        cs.withColumn("rk", row_number().over(w))
+          .withColumn("n_docs",
+            sum(col("cnt")).over(W.partitionBy(col("cluster_id"))))
+          .withColumn("n_sources", count(lit(1))
+            .over(W.partitionBy(col("cluster_id"))))
+          .filter(col("rk") === 1 && col("n_docs") >= 2)
+          .select(col("cluster_id"), col("n_docs"), col("n_sources"),
+            col("source").as("top_source"),
+            expr("(cnt * 1000000) div n_docs").as("top_share_ppm"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM pairs
+              |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT u AS id, u AS r FROM edges
+              |  UNION
+              |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+              |clusters AS (
+              |  SELECT id AS doc_id, MIN(r) AS cluster_id
+              |  FROM reach GROUP BY id),
+              |cs AS (
+              |  SELECT c.cluster_id, d.source, count(*) AS cnt
+              |  FROM clusters c JOIN documents d USING (doc_id)
+              |  GROUP BY 1, 2)
+              |SELECT cluster_id, n_docs, n_sources,
+              |  source AS top_source,
+              |  CAST((cnt * 1000000) // n_docs AS BIGINT) AS top_share_ppm
+              |FROM (
+              |  SELECT cluster_id, source, cnt,
+              |    row_number() OVER (PARTITION BY cluster_id
+              |      ORDER BY cnt DESC, source) AS rk,
+              |    CAST(SUM(cnt) OVER (PARTITION BY cluster_id) AS BIGINT)
+              |      AS n_docs,
+              |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+              |      AS n_sources
+              |  FROM cs)
+              |WHERE rk = 1 AND n_docs >= 2
+              |ORDER BY cluster_id""".stripMargin)),
+
     // INCREMENTAL near-dup: a new ingest batch (here docs with
     // doc_id % 5 == 4, ~20%) checked against the whole corpus without
     // re-pairing the corpus against itself — only band buckets containing

@@ -588,6 +588,51 @@ object MultimodalQueries {
              |FROM tot t LEFT JOIN segs s ON t.doc_id = s.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
 
+    // BITRATE AUDIT — the storage-planning sheet per bitrate band: each
+    // asset's bits-per-frame (payload bits over the codec's frame count,
+    // exact integer division) buckets into 64-bit-wide bands, and the
+    // band rollup carries asset counts, total payload bytes and the
+    // band's observed bpf range. The read: which bitrate bands hold the
+    // bytes (re-encode the top band first), and whether a feed is
+    // emitting pathological outliers (a lone max_bpf far above its
+    // band's min). Decode is the batched stub codec (real plumbing,
+    // fake arithmetic — see FakeCodec); everything downstream is a
+    // map-side-combined rollup, so the audit costs one decode pass at
+    // any corpus size.
+    "mm_bitrate_audit" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit("fake/v1").as("fmt"),
+            encode(col("text"), "UTF-8").as("content"))
+          .as[MediaBlob]
+        val feats = blobs
+          .mapPartitions(_.grouped(FakeCodec.BatchSize)
+            .flatMap(b => FakeCodec.decodeBatch(b.toSeq)))
+          .toDF()
+        feats
+          .withColumn("bpf", expr("(n_bytes * 8) div n_frames"))
+          .withColumn("bucket", expr("bpf div 64"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("n_bytes")).as("total_bytes"),
+            min(col("bpf")).as("min_bpf"),
+            max(col("bpf")).as("max_bpf"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH f AS (
+             |  SELECT
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    CAST((octet_length(encode(text)) * 8)
+             |      // (octet_length(encode(text)) % 7 + 1) AS BIGINT)
+             |      AS bpf
+             |  FROM documents)
+             |SELECT bpf // 64 AS bucket,
+             |  count(*) AS n_assets,
+             |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             |  min(bpf) AS min_bpf, max(bpf) AS max_bpf
+             |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // A/V SYNC DRIFT — the container-health audit a video-ingest pipeline
     // runs before trusting timestamps: every sampled video frame (stub
     // codec's frame track, spread over the asset's sample clock) is
