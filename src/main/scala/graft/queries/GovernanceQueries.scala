@@ -817,6 +817,67 @@ object GovernanceQueries {
               |  GROUP BY component)
               |SELECT sz AS cluster_size, count(*) AS n_clusters,
               |  CAST(MIN(component) AS BIGINT) AS min_component
-              |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin))
+              |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin)),
+
+    // ER CLUSTER SHAPE AUDIT — the merge-safety classification the size
+    // histogram cannot give: a size-4 cluster is harmless if it is one
+    // clean record with three dirty mentions (star_clean — merge them
+    // all) but a stewardship incident if it holds two clean records
+    // (tangle / star_dirty — a transitive merge would COLLAPSE DISTINCT
+    // ENTITIES; these are exactly the clusters a reviewer must split by
+    // hand). Parity encoding makes the census free: clean nodes are
+    // even, dirty mentions odd, so per component two conditional sums
+    // classify the shape. Reads the write-once ER closure; the rollup is
+    // components-sized, never registry-sized.
+    "er_cluster_shape_audit" -> QueryDef(
+      (s, dir) => {
+        erClusters(s, dir).groupBy(col("component"))
+          .agg(sum(when(pmod(col("id"), lit(2)) === 0, 1L).otherwise(0L))
+            .as("n_clean"),
+            sum(when(pmod(col("id"), lit(2)) === 1, 1L).otherwise(0L))
+              .as("n_dirty"))
+          .withColumn("shape",
+            when(col("n_clean") === 1 && col("n_dirty") === 1, "pair")
+              .when(col("n_clean") === 1, "star_clean")
+              .when(col("n_dirty") === 1, "star_dirty")
+              .otherwise("tangle"))
+          .groupBy(col("shape"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("n_clean")).as("n_clean_records"),
+            sum(col("n_dirty")).as("n_dirty_mentions"),
+            max(col("n_clean") + col("n_dirty")).as("max_cluster"))
+          .orderBy(col("shape"))
+      },
+      Some(s"""WITH RECURSIVE $erCandidatesSql,
+              |edges AS (
+              |  SELECT c_custkey * 2 AS u, d_key * 2 + 1 AS v FROM cand
+              |  UNION
+              |  SELECT d_key * 2 + 1 AS u, c_custkey * 2 AS v FROM cand),
+              |reach(id, r) AS (
+              |  SELECT u AS id, u AS r FROM edges
+              |  UNION
+              |  SELECT reach.id, e.v FROM reach JOIN edges e
+              |    ON e.u = reach.r),
+              |comp AS (
+              |  SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+              |census AS (
+              |  SELECT component,
+              |    CAST(SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_clean,
+              |    CAST(SUM(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_dirty
+              |  FROM comp GROUP BY component)
+              |SELECT shape, count(*) AS n_clusters,
+              |  CAST(SUM(n_clean) AS BIGINT) AS n_clean_records,
+              |  CAST(SUM(n_dirty) AS BIGINT) AS n_dirty_mentions,
+              |  CAST(MAX(n_clean + n_dirty) AS BIGINT) AS max_cluster
+              |FROM (
+              |  SELECT n_clean, n_dirty,
+              |    CASE WHEN n_clean = 1 AND n_dirty = 1 THEN 'pair'
+              |         WHEN n_clean = 1 THEN 'star_clean'
+              |         WHEN n_dirty = 1 THEN 'star_dirty'
+              |         ELSE 'tangle' END AS shape
+              |  FROM census)
+              |GROUP BY shape ORDER BY shape""".stripMargin))
   )
 }
