@@ -1178,4 +1178,94 @@ class PlanSpec extends SparkSpecBase {
     assert(comms.sameElements(comms.sorted.reverse),
       s"communities grew across rounds: ${comms.mkString(",")}")
   }
+
+  test("graph_hits: rounds materialize behind the single eager cut; " +
+    "hub/authority ranks are dense and positive") {
+    val df = q("graph_hits")
+    // the returned frame is the barrier itself — the four join rounds
+    // ran inside ONE forcing job, not four
+    assert(formatted(df).contains("Scan ExistingRDD"))
+    val rows = df.collect()
+    val byRole = rows.groupBy(_.getString(0))
+    for ((role, rs) <- byRole) {
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length),
+        s"$role ranks not dense")
+      assert(rs.forall(_.getLong(3) > 0), s"$role has non-positive score")
+    }
+    // bipartite parity: hubs are customers (even ids), authorities odd
+    assert(byRole("hub").forall(_.getLong(2) % 2 == 0))
+    assert(byRole("authority").forall(_.getLong(2) % 2 == 1))
+  }
+
+  test("graph_coreness_hindex: h-index iteration can only tighten — " +
+    "every core number is bounded by the max degree") {
+    val df = q("graph_coreness_hindex")
+    assert(formatted(df).contains("Scan ExistingRDD")) // barrier-backed
+    val rows = df.collect()
+    assert(rows.forall(_.getLong(1) > 0))
+    val maxCore = rows.map(_.getLong(0)).max
+    // c2 <= c0 = degree pointwise, so max coreness <= max degree
+    val maxDeg = SparkEntry.queries("graph_degree_hist")(spark, dir)
+      .collect().map(_.getAs[Number](3).longValue).max
+    assert(maxCore <= maxDeg, s"coreness $maxCore exceeds max degree $maxDeg")
+  }
+
+  test("retrieval_rank_correlation: both rankers ride ONE barriered tf " +
+    "table; the pair stage is qid-keyed, never corpus-sized") {
+    val plan = formatted(q("retrieval_rank_correlation"))
+    // tf is an eager lineage cut — consumers read the checkpointed RDD,
+    // not five re-tokenizations of the corpus
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("corpus_tv_drift: one posting-shaped join, map-side-combined " +
+    "sums, no source-by-vocab cartesian") {
+    val plan = formatted(q("corpus_tv_drift"))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("dedup_lsh_band_sweep: three configs share one signature table " +
+    "and one checkpointed truth; candidates stay band-bucket equi-joins") {
+    val plan = formatted(q("dedup_lsh_band_sweep"))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000)) // truth cut
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("embed_margin_audit: candidates are cell-blocked; the nearest " +
+    "same/other distances are map-side conditional mins, no rank window") {
+    val plan = formatted(q("embed_margin_audit"))
+    assert(plan.contains("partial_min"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_seasonal_anomalies: the report is a TakeOrdered top-10, " +
+    "never a corpus-global sort; grid tables are wall-clock-bounded") {
+    val plan = formatted(q("q_seasonal_anomalies"))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_rfm_segments: all three quintile boundaries come from one " +
+    "unpivoted histogram aggregate broadcast onto the scorer") {
+    val plan = formatted(q("q_rfm_segments"))
+    // the unpivot is one in-row Generate (stack), the boundary row
+    // reaches the scorer as a broadcast of a single aggregate
+    assert(plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("er_cluster_shape_audit + dedup_cluster_purity: artifact-backed " +
+    "closures — the census never re-runs the pair stage") {
+    for (name <- Seq("er_cluster_shape_audit", "dedup_cluster_purity")) {
+      val plan = formatted(q(name))
+      // the closure comes back from its write-once parquet snapshot;
+      // a levenshtein/jaccard recomputation would show its expression
+      assert(!plan.contains("levenshtein"), s"$name: ${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(2000)}")
+    }
+  }
 }
