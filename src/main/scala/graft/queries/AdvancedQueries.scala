@@ -1030,6 +1030,64 @@ object AdvancedQueries {
              |  CAST(lv + tr AS BIGINT) AS forecast_milli
              |FROM ht ORDER BY event_type, hour""".stripMargin)),
 
+    // ANOMALY PERSISTENCE — a single hot hour is noise; N CONSECUTIVE
+    // hot hours are an incident. Hours where a type's count reaches 4/3
+    // of its observed hourly mean (exact cross-multiplied test
+    // 3·cnt·n_hours ≥ 4·total — no float mean; the rational threshold
+    // fires at every tested scale where a hard 2× only fires on sparse
+    // series) are grouped into consecutive runs by
+    // the gaps-and-islands device (h − row_number is constant within a
+    // run), and only runs of ≥ 2 hours are reported with their span and
+    // peak. A zero/absent hour can never flag, so the island pass needs
+    // no dense grid — it runs over the FLAGGED set only, which is
+    // incident-sized, not wall-clock-sized; the firehose pays one
+    // map-side hourly rollup.
+    "q_anomaly_persistence" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(ts AS LONG) div 3600").as("h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val tt = c.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_hours"))
+        val flagged = c.join(tt, "event_type")
+          .filter(lit(3L) * col("cnt") * col("n_hours")
+            >= lit(4L) * col("tot"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        flagged
+          .withColumn("grp", col("h") - row_number().over(w))
+          .groupBy(col("event_type"), col("grp"))
+          .agg(min(col("h")).as("start_h"),
+            count(lit(1)).as("run_hours"),
+            max(col("cnt")).as("peak_cnt"))
+          .filter(col("run_hours") >= 2)
+          .select(col("event_type"), col("start_h"), col("run_hours"),
+            col("peak_cnt"))
+          .orderBy(col("event_type"), col("start_h"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |tt AS (
+             |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot,
+             |    CAST(count(*) AS BIGINT) AS n_hours
+             |  FROM c GROUP BY 1),
+             |flagged AS (
+             |  SELECT c.event_type, c.h, c.cnt,
+             |    c.h - row_number() OVER (PARTITION BY c.event_type
+             |      ORDER BY c.h) AS grp
+             |  FROM c JOIN tt USING (event_type)
+             |  WHERE 3 * c.cnt * tt.n_hours >= 4 * tt.tot)
+             |SELECT event_type, min(h) AS start_h,
+             |  count(*) AS run_hours,
+             |  CAST(max(cnt) AS BIGINT) AS peak_cnt
+             |FROM flagged GROUP BY event_type, grp
+             |HAVING count(*) >= 2
+             |ORDER BY event_type, start_h""".stripMargin)),
+
     // HOUR-OF-WEEK SEASONAL ANOMALIES — the monitoring read CUSUM and
     // z-scores both miss: an hour that is normal for the corpus but
     // abnormal FOR ITS SLOT (3am Tuesday behaving like noon Friday).

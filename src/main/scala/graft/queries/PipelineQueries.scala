@@ -1495,6 +1495,123 @@ object PipelineQueries {
            |ORDER BY doc_id, chunk_id""".stripMargin
       }),
 
+    // BLOOM FALSE-POSITIVE-RATE AUDIT — the measured calibration sheet
+    // behind q_bloom_prune_join's cost argument: the same
+    // Kirsch–Mitzenmacher double-hash construction (bit_i = h1 + i·h2
+    // mod m, k = 3, m = 4096) built over the BUILDING-segment member
+    // keys, probed with every non-member key; a probe whose k positions
+    // are ALL set is a false positive. Expressed set-wise so both
+    // engines compute it exactly: the filter IS the distinct member
+    // position set, a probe counts its matching positions through one
+    // equi-join (never a byte-array UDF on the oracle side; base hash
+    // is the shared md5Long — same construction, auditable in SQL).
+    // The read: measured fpr_ppm against bit density — if density drifts
+    // past ~50% the pruning join's selectivity claim is void. One row;
+    // every stage is key-bounded.
+    "sketch_bloom_fpr" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        val m = 4096L
+        val k = 3
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        def h1(key: org.apache.spark.sql.Column) =
+          md5Long(concat(lit("bf1:"), key.cast(StringType)))
+        def h2(key: org.apache.spark.sql.Column) =
+          md5Long(concat(lit("bf2:"), key.cast(StringType)))
+            .bitwiseOR(lit(1L))
+        def posArr(key: org.apache.spark.sql.Column) = array(
+          (0 until k).map(i => pmod(h1(key) + lit(i.toLong) * h2(key),
+            lit(m))): _*)
+        val members = c.filter(col("c_mktsegment") === "BUILDING")
+        val bits = members
+          .select(explode(posArr(col("c_custkey"))).as("pos")).distinct()
+          .cache()
+        val probes = c.filter(col("c_mktsegment") =!= "BUILDING")
+          .select(col("c_custkey"),
+            posexplode(posArr(col("c_custkey"))).as(Seq("i", "pos")))
+        val fp = probes.join(bits, "pos")
+          .groupBy(col("c_custkey")).agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === k)
+        members.agg(count(lit(1)).as("n_members"))
+          .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+          .crossJoin(broadcast(c.filter(col("c_mktsegment") =!= "BUILDING")
+            .agg(count(lit(1)).as("n_probes"))))
+          .crossJoin(broadcast(fp.agg(count(lit(1)).as("n_false_pos"))))
+          .selectExpr("n_members", "n_bits_set",
+            s"(n_bits_set * 1000000) div $m AS density_ppm",
+            "n_probes", "n_false_pos",
+            "(n_false_pos * 1000000) div greatest(n_probes, 1) AS fpr_ppm")
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val m = 4096L
+        def h1 = sqlMd5Long("concat('bf1:', CAST(c_custkey AS VARCHAR))")
+        def h2 = "(" +
+          sqlMd5Long("concat('bf2:', CAST(c_custkey AS VARCHAR))") + " | 1)"
+        def pos(i: Int) = s"(($h1 + $i * $h2) % $m)"
+        val posList = (0 until 3).map(pos).mkString("[", ", ", "]")
+        s"""WITH members AS (
+           |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+           |bits AS MATERIALIZED (
+           |  SELECT DISTINCT unnest($posList) AS pos FROM members),
+           |probes AS (
+           |  SELECT c_custkey, unnest($posList) AS pos
+           |  FROM customer WHERE c_mktsegment <> 'BUILDING'),
+           |fp AS (
+           |  SELECT p.c_custkey FROM probes p JOIN bits USING (pos)
+           |  GROUP BY p.c_custkey HAVING count(*) = 3),
+           |n AS (
+           |  SELECT
+           |    CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
+           |    CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+           |    CAST((SELECT count(*) FROM customer
+           |          WHERE c_mktsegment <> 'BUILDING') AS BIGINT)
+           |      AS n_probes,
+           |    CAST((SELECT count(*) FROM fp) AS BIGINT) AS n_false_pos)
+           |SELECT n_members, n_bits_set,
+           |  CAST((n_bits_set * 1000000) // $m AS BIGINT) AS density_ppm,
+           |  n_probes, n_false_pos,
+           |  CAST((n_false_pos * 1000000) // greatest(n_probes, 1)
+           |    AS BIGINT) AS fpr_ppm
+           |FROM n""".stripMargin
+      }),
+
+    // PADDING-WASTE AUDIT — the quantified case for length-aware
+    // batching: if batches are cut from 512-char-wide length buckets,
+    // every document pads only to its BUCKET's max, vs the global max a
+    // naive uniform batcher pads to. Exact integer waste per bucket
+    // (Σ bucket_max − len, and the same docs' share of global-max
+    // padding) — the two columns' ratio IS the savings a dynamic batcher
+    // buys. One map-side rollup per side; the global max is a 1-row
+    // broadcast; never a sort.
+    "pack_padding_waste" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("n_chars"),
+            expr("n_chars div 512").as("bucket"))
+        val g = d.agg(max(col("n_chars")).as("gmax"))
+        d.crossJoin(broadcast(g))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("n_chars")).as("bucket_max"),
+            (max(col("n_chars")) * count(lit(1)) - sum(col("n_chars")))
+              .as("waste_bucketed"),
+            (max(col("gmax")) * count(lit(1)) - sum(col("n_chars")))
+              .as("waste_global"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH g AS (SELECT max(n_chars) AS gmax FROM documents)
+             |SELECT n_chars // 512 AS bucket,
+             |  count(*) AS n_docs,
+             |  CAST(max(n_chars) AS BIGINT) AS bucket_max,
+             |  CAST(max(n_chars) * count(*) - SUM(n_chars) AS BIGINT)
+             |    AS waste_bucketed,
+             |  CAST(max(g.gmax) * count(*) - SUM(n_chars) AS BIGINT)
+             |    AS waste_global
+             |FROM documents, g
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // Bloom-filter runtime pruning — the explicit form of Spark's injected
     // runtime filters: bits built over the dim side's join keys in ONE
     // small aggregate, shipped to the fact scan as a literal, non-candidate
