@@ -1258,6 +1258,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("sketch_bloom_fpr: the probe meets the position set in ONE " +
+    "equi-join; nothing key-squared") {
+    val plan = formatted(q("sketch_bloom_fpr"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("q_anomaly_persistence: the island window runs over the flagged " +
+    "set after the hourly rollup — one firehose shuffle") {
+    val plan = formatted(q("q_anomaly_persistence"))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("er_cluster_shape_audit + dedup_cluster_purity: artifact-backed " +
     "closures — the census never re-runs the pair stage") {
     for (name <- Seq("er_cluster_shape_audit", "dedup_cluster_purity")) {
