@@ -1077,6 +1077,56 @@ object DedupQueries {
               |WHERE rk = 1 AND n_docs >= 2
               |ORDER BY cluster_id""".stripMargin)),
 
+    // FOLD-LEAKAGE AUDIT — the cross-validation twin of the train/test
+    // leakage split: near-duplicate documents landing in DIFFERENT
+    // k-folds make every fold's validation optimistic (the model saw
+    // the duplicate in training). Composes two verified pieces — the
+    // write-once near-dup closure and sample_kfold_assign's md5-mod
+    // fold (SAME hash string, so the audit measures the exact split the
+    // k-fold query ships) — into a per-cluster distinct-fold census:
+    // n_folds = 1 is containment, ≥ 2 is leakage mass, reported as a
+    // ≤5-row histogram. Work after the artifact read is bounded by
+    // duplicates, never the corpus.
+    "dedup_fold_leakage" -> QueryDef(
+      (s, dir) => {
+        val fold = pmod(md5Long(concat(lit("fold:"),
+          col("doc_id").cast(StringType))), lit(5L))
+        val cl = docClusters(s, dir)
+          .select(col("id").as("doc_id"), col("component"))
+        val per = cl.withColumn("fold", fold)
+          .groupBy(col("component"))
+          .agg(countDistinct(col("fold")).as("n_folds"),
+            count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+        per.groupBy(col("n_folds"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("n_docs")).as("n_docs"))
+          .orderBy(col("n_folds"))
+      },
+      Some {
+        val h = graft.functions.TextFunctions
+          .sqlMd5Long("concat('fold:', CAST(doc_id AS VARCHAR))")
+        s"""WITH RECURSIVE $minhashPairsCte,
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM pairs
+           |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT u AS id, u AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+           |clusters AS (
+           |  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+           |per AS (
+           |  SELECT component,
+           |    CAST(count(DISTINCT $h % 5) AS BIGINT) AS n_folds,
+           |    count(*) AS n_docs
+           |  FROM clusters GROUP BY component
+           |  HAVING count(*) >= 2)
+           |SELECT n_folds, count(*) AS n_clusters,
+           |  CAST(SUM(n_docs) AS BIGINT) AS n_docs
+           |FROM per GROUP BY n_folds ORDER BY n_folds""".stripMargin
+      }),
+
     // INCREMENTAL near-dup: a new ingest batch (here docs with
     // doc_id % 5 == 4, ~20%) checked against the whole corpus without
     // re-pairing the corpus against itself — only band buckets containing
