@@ -116,6 +116,29 @@ object AdvancedQueries {
     }
   }
 
+  /** One h-index refinement round for the coreness iteration, as a
+    * HISTOGRAM SELECTION (PlanSpec pins the no-per-neighbor-window
+    * contract on this helper): neighbor values collapse to a
+    * (node, value) → count histogram under a map-side-combined groupBy
+    * BEFORE any per-node work, then h = max over distinct values v of
+    * min(v, F(v)) with F the histogram's descending cumsum. The only
+    * window runs over histogram rows (≤ #distinct neighbor values per
+    * node, bounded by the max core number) — a power-law hub never
+    * lands its raw neighbor list in one task. */
+  private[graft] def hIndexRound(edges: DataFrame,
+      core: DataFrame): DataFrame = {
+    val hist = edges
+      .join(core.select(col("node").as("dst"), col("c").as("cu")), "dst")
+      .groupBy(col("src"), col("cu"))
+      .agg(count(lit(1)).as("cnt"))
+    // cu is distinct within src after the groupBy, so the default RANGE
+    // frame has no tie ambiguity; f = F(cu) = #neighbor values >= cu
+    val w = Window.partitionBy(col("src")).orderBy(col("cu").desc)
+    hist.withColumn("f", sum(col("cnt")).over(w))
+      .groupBy(col("src").as("node"))
+      .agg(coalesce(max(least(col("cu"), col("f"))), lit(0L)).as("c"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // As-of join: each purchase matched to the user's most recent
@@ -1902,14 +1925,19 @@ object AdvancedQueries {
     // full k-core decomposition read that the (α,β) peel's fixed
     // thresholds cannot give, bounded to two iterations like the other
     // truncated walks (the oracle unrolls the same two; a fixpoint test
-    // would be engine-divergent). The h-index is computed IN-PLAN, no
-    // per-node collect: neighbor values rank via row_number over the
-    // node's partition (descending value, neighbor id as the total-order
-    // tie-break — the h value itself is tie-order-independent) and
-    // h = max rank with value ≥ rank. Per round the exchange is one
-    // edge-keyed join + one node-partitioned window over degree-bounded
-    // neighbor lists; the report is a coreness histogram, never a
-    // node-sized sort.
+    // would be engine-divergent). The h-index is computed IN-PLAN as a
+    // HISTOGRAM SELECTION, never a per-neighbor ranking: with
+    // F(v) = #{u ∈ N(x) : c_t(u) ≥ v}, the identity
+    // h = max over distinct neighbor values v of min(v, F(v)) holds
+    // (v ≤ h ⇒ min ≤ h; v > h ⇒ F(v) < h+1 ⇒ min ≤ h; and the
+    // smallest distinct value v* ≥ h attains min(v*, F(v*)) ≥ h). So
+    // per round the exchange is one edge-keyed join feeding a
+    // map-side-combined groupBy(node, value) — a power-law hub's
+    // neighbor fan-in collapses to its DISTINCT-VALUE histogram before
+    // any shuffle — then a cumsum window over the histogram rows (≤
+    // #distinct values per node, bounded by the max core number, NOT by
+    // degree) and one max. No task ever holds a full neighbor list; the
+    // report is a coreness histogram, never a node-sized sort.
     "graph_coreness_hindex" -> QueryDef(
       (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val g = tradeGraph(s, dir, withDegrees = false)
@@ -1917,17 +1945,8 @@ object AdvancedQueries {
         var core = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).cast(LongType).as("c"))
         for (r <- 1 to 2) {
-          val nbr = edges
-            .join(core.select(col("node").as("dst"), col("c").as("cu")),
-              "dst")
-          val w = Window.partitionBy(col("src"))
-            .orderBy(col("cu").desc, col("dst"))
           core = graft.operators.IterBarrier.cutDeferred(
-            nbr.withColumn("rn", row_number().over(w).cast(LongType))
-              .groupBy(col("src").as("node"))
-              .agg(coalesce(max(when(col("cu") >= col("rn"), col("rn"))),
-                lit(0L)).as("c")),
-            r, reliableEvery = 0)
+            hIndexRound(edges, core), r, reliableEvery = 0)
         }
         graft.operators.IterBarrier.cut(
           core.groupBy(col("c").as("coreness"))
@@ -1938,13 +1957,14 @@ object AdvancedQueries {
         def round(r: Int): String =
           s"""c$r AS MATERIALIZED (
              |  SELECT src AS node,
-             |    CAST(coalesce(max(CASE WHEN cu >= rn THEN rn END), 0)
-             |      AS BIGINT) AS c
+             |    CAST(coalesce(max(least(cu, f)), 0) AS BIGINT) AS c
              |  FROM (
-             |    SELECT e.src, CAST(row_number() OVER (
-             |        PARTITION BY e.src ORDER BY p.c DESC, e.dst)
-             |      AS BIGINT) AS rn, p.c AS cu
-             |    FROM e JOIN c${r - 1} p ON p.node = e.dst)
+             |    SELECT src, cu, CAST(SUM(cnt) OVER (
+             |        PARTITION BY src ORDER BY cu DESC) AS BIGINT) AS f
+             |    FROM (
+             |      SELECT e.src, p.c AS cu, count(*) AS cnt
+             |      FROM e JOIN c${r - 1} p ON p.node = e.dst
+             |      GROUP BY e.src, p.c))
              |  GROUP BY src)""".stripMargin
         s"""WITH pairs AS MATERIALIZED (
            |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p

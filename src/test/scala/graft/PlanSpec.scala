@@ -1210,6 +1210,37 @@ class PlanSpec extends SparkSpecBase {
     assert(maxCore <= maxDeg, s"coreness $maxCore exceeds max degree $maxDeg")
   }
 
+  test("hIndexRound: histogram selection, never a per-neighbor ranking — " +
+    "no row_number window; neighbor fan-in combines map-side before it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // star: hub 1 has 5 leaves; leaves see only the hub. core = degree.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("src", "dst")
+    val core = Seq((1L, 5L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("node", "c")
+    val round = graft.queries.AdvancedQueries.hIndexRound(edges, core)
+    val plan = formatted(round)
+    // the scale contract: the hub's 5 neighbor rows reach the window as
+    // ONE histogram row (groupBy (src, cu) with partial_count), and no
+    // window ranks raw neighbors
+    assert(!plan.contains("row_number"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    // h-index of {1,1,1,1,1} is 1 (hub); of {5} is 1 (leaves)
+    val got = round.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L), got.toString)
+    // asymmetric check: values {3,2,2,1} -> h = 2
+    val e2 = Seq((9L, 10L), (9L, 11L), (9L, 12L), (9L, 13L))
+      .toDF("src", "dst")
+    val c2 = Seq((10L, 3L), (11L, 2L), (12L, 2L), (13L, 1L))
+      .toDF("node", "c")
+    val h9 = graft.queries.AdvancedQueries.hIndexRound(e2, c2)
+      .filter(col("node") === 9L).collect()(0).getLong(1)
+    assert(h9 == 2L, s"h-index of {3,2,2,1} should be 2, got $h9")
+  }
+
   test("retrieval_rank_correlation: both rankers ride ONE barriered tf " +
     "table; the pair stage is qid-keyed, never corpus-sized") {
     val plan = formatted(q("retrieval_rank_correlation"))
