@@ -1314,71 +1314,64 @@ object AdvancedQueries {
     // oracle states the same truth the naive way (per-type row_number
     // middles) — semantics identical, plan deliberately not.
     "q_event_mad_outliers" -> QueryDef(
-      // every post-histogram table is ≤|types|·|distinct cents| rows; pin
-      // shuffle partitions to that volume and FORCE the cascade inside
-      // the pin (the returned frame is otherwise lazy, so the caller's
-      // action would run the two median selections and three broadcast
-      // chains at the session's partition count) — the eager-barrier +
-      // pinned-partitions device that fixed the MMR and PRF floors
+      // ONE LINEAR JOB (round-9 fold of the former 3-job cascade): the
+      // median/MAD selections are FULL-FRAME WINDOW COLUMNS carried down
+      // the dataflow — hist window→ per-row med2 → derive the deviation
+      // histogram by map+regroup → second window → per-row mad2x → one
+      // type-keyed rollup emits n/med2/mad2x/outliers together. The old
+      // collect-as-literal device existed because med/mad fed THREE plan
+      // consumers (each re-ran the selection); a single linear chain has
+      // no fanout, so nothing re-executes and nothing collects. Every
+      // post-histogram table is ≤|types|·|distinct cents| rows; pin
+      // shuffle partitions to that volume and FORCE the plan inside the
+      // pin via the eager barrier.
       (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val e = Tables.load(s, dir, "events")
         val cents = (graft.MoneyMath.dec(col("value")) * 100).cast(LongType)
         val hist = e.select(col("event_type"), cents.as("v"))
           .groupBy(col("event_type"), col("v"))
-          .agg(count(lit(1)).as("c")).cache()
-        val nDf = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
-        // med2-style selection over a (type, value, count) histogram:
-        // rank-lo and rank-hi picked from the running cumsum, added
-        // separately so odd counts double the single middle (= 2*median)
-        def med2(h: DataFrame, valCol: String): DataFrame = {
+          .agg(count(lit(1)).as("c"))
+        // med2 selection as WINDOW COLUMNS over a (type, val, count)
+        // histogram: rank-lo/rank-hi picked from the running cumsum and
+        // added separately so odd counts double the single middle
+        // (= 2*median); the lo/hi picks ride a full-partition frame over
+        // the SAME sort as the cumsum — one exchange, one sort, no join.
+        def withMed2(h: DataFrame, valCol: String,
+            outName: String): DataFrame = {
           val wc = Window.partitionBy(col("event_type"))
             .orderBy(col(valCol))
             .rowsBetween(Window.unboundedPreceding, 0)
-          // the per-type total rides the SAME window pass as the running
-          // cumsum (one sort, two frames) instead of a join against a
-          // separate aggregate — two stages fewer per selection
           val wt = Window.partitionBy(col("event_type"))
             .rowsBetween(Window.unboundedPreceding,
               Window.unboundedFollowing)
           h.withColumn("cum", sum(col("c")).over(wc))
             .withColumn("n", sum(col("c")).over(wt))
             .withColumn("prev", col("cum") - col("c"))
-            .selectExpr("event_type", valCol, "c", "cum", "prev",
-              "(n+1) div 2 AS lo", "(n+2) div 2 AS hi")
-            .groupBy(col("event_type"))
-            .agg((sum(when(col("prev") < col("lo") && col("lo") <= col("cum"),
-                col(valCol)).otherwise(0L)) +
+            .withColumn("lo", expr("(n + 1) div 2"))
+            .withColumn("hi", expr("(n + 2) div 2"))
+            .withColumn(outName,
+              sum(when(col("prev") < col("lo") && col("lo") <= col("cum"),
+                col(valCol)).otherwise(0L)).over(wt) +
               sum(when(col("prev") < col("hi") && col("hi") <= col("cum"),
-                col(valCol)).otherwise(0L))).as("m2"))
+                col(valCol)).otherwise(0L)).over(wt))
+            .drop("cum", "prev", "lo", "hi")
         }
-        // medians/mads are ≤|types|-row SCALAR tables each referenced by
-        // three consumers (a derived histogram, the outlier filter, the
-        // final report) — as plan nodes every consumer re-executed the
-        // whole histogram-window selection, a ~7-job fixed-cost floor.
-        // Collect them (≤|types| rows, the same driver-held-scalar
-        // pattern as the K≤8 centroid literals) and inject as literal
-        // maps: job 1 = medians (populates the hist cache), job 2 = MADs
-        // (populates the derived-histogram cache), job 3 = the report.
-        val medMap = map(med2(hist, "v").collect().flatMap(r =>
-          Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
-        val dhist = hist
-          .select(col("event_type"),
-            abs(lit(2) * col("v") - element_at(medMap, col("event_type")))
-              .as("d"), col("c"))
+        val dhist = withMed2(hist, "v", "med2")
+          .select(col("event_type"), col("n"), col("med2"),
+            abs(lit(2) * col("v") - col("med2")).as("d"), col("c"))
           .groupBy(col("event_type"), col("d"))
-          .agg(sum(col("c")).as("c"))
-          .cache()
-        val madMap = map(med2(dhist, "d").collect().flatMap(r =>
-          Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
-        val outl = dhist
-          .filter(col("d") * 2 > element_at(madMap, col("event_type")) * 3)
-          .groupBy(col("event_type")).agg(sum(col("c")).as("n_outliers"))
-        val rep = nDf
-          .withColumn("med2", element_at(medMap, col("event_type")))
-          .withColumn("mad2x", element_at(madMap, col("event_type")))
-          .join(outl, Seq("event_type"), "left")
-          .selectExpr("event_type", "n", "med2", "mad2x",
-            "coalesce(n_outliers, 0) AS n_outliers")
+          .agg(sum(col("c")).as("c"), min(col("n")).as("n"),
+            min(col("med2")).as("med2"))
+        // second selection over the deviation histogram; the final
+        // type-keyed rollup reuses the window's hash partitioning (no
+        // new exchange) and emits the whole report row at once
+        val rep = withMed2(dhist.drop("n").withColumnRenamed("med2", "m2"),
+            "d", "mad2x")
+          .groupBy(col("event_type"))
+          .agg(sum(col("c")).as("n"), min(col("m2")).as("med2"),
+            min(col("mad2x")).as("mad2x"),
+            sum(when(col("d") * 2 > col("mad2x") * 3, col("c"))
+              .otherwise(0L)).as("n_outliers"))
         graft.operators.IterBarrier.cut(rep, 1, reliableEvery = 0)
           .orderBy(col("event_type"))
       },

@@ -989,10 +989,10 @@ class PlanSpec extends SparkSpecBase {
 
   test("q_event_mad_outliers: the firehose collapses once into the " +
     "histogram; median/MAD selections run over histogram rows") {
-    // the selections now run eagerly inside the partition pin (medians/
-    // MADs collected as ≤|types|-row scalar maps, report checkpointed);
-    // the returned frame must be that checkpointed result, and the
-    // row-level MAD contract must hold
+    // the whole cascade is ONE linear job inside the partition pin
+    // (median/MAD selections are window columns carried down the
+    // dataflow, report checkpointed); the returned frame must be that
+    // checkpointed result, and the row-level MAD contract must hold
     val df = q("q_event_mad_outliers")
     val plan = executed(df)
     val fileScans = plan.collect {
