@@ -1671,10 +1671,11 @@ object AdvancedQueries {
     // diameter read the one-shot CC answer hides). Rounds are truncated
     // at 4 like the other iterative walks (a fixpoint test would be
     // engine-divergent). 100 TB shape: per round ONE edge-keyed join +
-    // min-combine (map-side) + a node-sized left join; the edge table is
-    // hash-laid by src once (shared trade-graph artifact) and the label
-    // table is node-sized — the same exchange budget as one PageRank
-    // round, with deferred lineage cuts so each round is one job.
+    // min-combine (map-side), the node's own label riding the message
+    // stream as a self-message union branch — one exchange per round, no
+    // node-sized join back; the edge table is hash-laid by src once
+    // (shared trade-graph artifact) and the label table is node-sized,
+    // with deferred lineage cuts so each round is one job.
     "graph_label_propagation" -> QueryDef(
       (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val rounds = 4
@@ -1690,13 +1691,16 @@ object AdvancedQueries {
         // r's stat branch (same RDD → shared stages; no per-round collect
         // paying a scheduling floor each).
         val stats = (1 to rounds).map { r =>
+          // closed-neighborhood min as ONE aggregation: the node's own
+          // label rides the message stream as a self-message (node-sized
+          // union branch), so the round is join + min-combine — no
+          // node-sized left join back. Column order in both branches is
+          // (node, lbl) — the positional-union contract.
           val msgs = edges.join(lbl, col("node") === col("src"))
-            .groupBy(col("dst")).agg(min(col("lbl")).as("ml"))
+            .select(col("dst").as("node"), col("lbl"))
           lbl = graft.operators.IterBarrier.cutDeferred(
-            lbl.join(msgs, col("node") === col("dst"), "left")
-              .select(col("node"),
-                least(col("lbl"), coalesce(col("ml"), col("lbl")))
-                  .as("lbl")),
+            msgs.union(lbl).groupBy(col("node"))
+              .agg(min(col("lbl")).as("lbl")),
             r, reliableEvery = 0)
           lbl.agg(countDistinct(col("lbl")).as("n_communities"),
               sum(col("lbl")).as("label_sum"))
@@ -1753,26 +1757,36 @@ object AdvancedQueries {
     // marker would be engine-divergent); each round's edge set is
     // lineage-cut like the other iterative walks. 100 TB shape: the edge
     // table is the only corpus-scale object (read from the shared
-    // trade-graph artifact, hash-laid by src); every round's degree
-    // aggregate combines map-side; the survivor sets that semi-join back
-    // are nodes-sized, never edge-sized; the three threshold scalars are
-    // one aggregate row over the pair artifact.
+    // trade-graph artifact, hash-laid by src) and it is IMMUTABLE — the
+    // peel never materializes a shrunken edge set; the survivor sets
+    // that semi-join against it are nodes-sized, never edge-sized; the
+    // three threshold scalars are one aggregate row over the pair
+    // artifact.
     "graph_abcore" -> QueryDef(
       (s, dir) => graft.QueryUtil.withShufflePartitions(s, 8) {
         val rounds = 4
         val g = tradeGraph(s, dir, withDegrees = false)
-        // ONE job per round: the round's degree table (node-sized) is
-        // cached and its single forcing aggregate yields the PREVIOUS
-        // round's survivor counts for free — n_alive = |deg| (distinct
-        // src by construction), n_dir_edges = Σdg. The alive sets that
-        // semi-join back are filters over the cached degree tables
-        // (node-sized, so AQE picks broadcast semi-joins here; no
-        // explicit hint — at cluster scale a billions-node alive set
-        // must be allowed to fall back to a shuffled semi-join), and
-        // lineage stays shallow (4 chained semi-joins) without explicit
-        // barriers while the edge table is scanned once per round.
-        var cur = g.edgeDeg
-        var deg = cur.groupBy(col("src")).agg(count(lit(1)).as("dg")).cache()
+        // ALIVE-SET iteration (round-9 form): survivor sets shrink
+        // monotonically (a node in a_r had a qualifying degree inside
+        // e_{r-1}, so a_r ⊆ nodes(e_{r-1}) ⊆ a_{r-1}), which makes the
+        // round-r edge set e_0 ∩ (a_r × a_r) — the peel can iterate the
+        // NODE-SIZED degree table alone against the immutable edge
+        // artifact instead of cutting and re-materializing an |E|-sized
+        // edge set every round (4 edge-block writes saved; at corpus
+        // scale, materializing e_1 of a 100 TB graph is the whole cost).
+        // Per round: two semi-joins against the node-sized alive filter
+        // (AQE broadcasts them here; a billions-node alive set may fall
+        // back to shuffled semi-joins at cluster scale) feeding a degree
+        // count that combines map-side on the artifact's src layout, and
+        // the round's survivor stats stay IN-PLAN as a 1-row aggregate
+        // over the cached degree table — n_alive = |deg| (distinct src
+        // by construction), n_dir_edges = Σdg. The union of the four
+        // stat rows is forced by a single eager cut inside the partition
+        // pin, so round r's degree blocks are computed once and shared
+        // by the stat branch AND round r+1's alive filter.
+        val edges = g.edgeDeg
+        var deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+          .cache()
         // α/β derive from the ROUND-0 degree table instead of a separate
         // pairs aggregate: in the doubled edge set every endpoint occurs
         // as a src, so nc/ns are the even/odd src counts and |pairs| is
@@ -1789,23 +1803,13 @@ object AdvancedQueries {
         val beta = (3 * e0 + 5 * ns - 1) / (5 * ns)
         val thr = when(pmod(col("src"), lit(2)) === 0, lit(alpha))
           .otherwise(lit(beta))
-        // ONE job for all four peel rounds (plus the threshold job
-        // above): each round's edge set is a deferred lineage cut, its
-        // degree table a lazy cache, and the round's survivor stats stay
-        // IN-PLAN as a 1-row aggregate over that degree table. The union
-        // of the four stat rows is forced by a single eager cut inside
-        // the partition pin — round r's degree blocks are computed once
-        // and shared by the round's stat branch AND round r+1's alive
-        // semi-joins (same RDD → shared stages), so the peel no longer
-        // pays a scheduling floor per round.
         val stats = (1 to rounds).map { r =>
           val alive = deg.filter(col("dg") >= thr)
-          cur = graft.operators.IterBarrier.cutDeferred(cur
+          deg = edges
             .join(alive.select(col("src")), Seq("src"), "left_semi")
             .join(alive.select(col("src").as("dst")), Seq("dst"),
               "left_semi")
-            .select(col("src"), col("dst")), r, reliableEvery = 0)
-          deg = cur.groupBy(col("src")).agg(count(lit(1)).as("dg")).cache()
+            .groupBy(col("src")).agg(count(lit(1)).as("dg")).cache()
           deg.agg(count(lit(1)).as("n_alive"),
               coalesce(sum(col("dg")), lit(0L)).as("n_dir_edges"))
             .select(lit(r.toLong).as("round"), col("n_alive"),
