@@ -105,6 +105,27 @@ object DedupQueries {
     * the distinct key space from the production 4×4 index is harmless. */
   private val SweepM = 36028797018963968L
 
+  /** Document-frequency cap for the exact-Jaccard TRUTH passes
+    * (lsh_recall / band_sweep): a shingle posted by more than this many
+    * documents is boilerplate and leaves the truth's Jaccard space
+    * entirely — both the intersection counts and the per-doc sizes —
+    * bounding the truth self-join's per-key fan-in the same way
+    * dedup_winnow_pairs caps its fingerprint index. The truth is a
+    * calibration sample; the cap is mirrored verbatim in the oracle CTE
+    * so both engines measure recall on the identical capped space. */
+  private val TruthDfCap = 64
+
+  /** df-capped inverted shingle index: keeps only postings whose key
+    * appears in ≤ cap documents. The df aggregate combines map-side, so
+    * a corpus-scale hot key costs one partial row per input partition —
+    * never a fan-in — and the surviving index joins against itself with
+    * per-key fan-in ≤ cap (PlanSpec pins both properties). */
+  private[graft] def cappedShingleIndex(shEx: DataFrame,
+      cap: Int): DataFrame =
+    shEx.join(
+      shEx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("h")), "h")
+
   /** The candidate-generation half of the LSH index: `sigs` is the cached
     * signature table, `cands` the deduped candidate pairs. */
   private case class LshIndex(sigs: DataFrame, cands: DataFrame)
@@ -733,11 +754,16 @@ object DedupQueries {
         // exact truth WITHOUT materializing pair×array joins: shingle sets
         // are distinct, so |A∩B| is a countDistinct over the inverted
         // index and |A∪B| = |A|+|B|-|A∩B| — the same integer-ratio
-        // Jaccard, never touching the arrays again
-        val sizes = sigs.select(col("doc_id"), size(col("sh")).as("n"))
-        val shEx = sigs.select(col("doc_id"), explode(col("sh")).as("h"))
-        val inter = shEx.filter(sampled(col("doc_id"))).as("a")
-          .join(shEx.as("b"),
+        // Jaccard, never touching the arrays again. The index is
+        // df-capped (TruthDfCap, mirrored in the oracle): boilerplate
+        // shingles leave the Jaccard space on BOTH sides, so the truth
+        // self-join's per-key fan-in stays bounded at corpus scale.
+        val kept = cappedShingleIndex(
+          sigs.select(col("doc_id"), explode(col("sh")).as("h")),
+          TruthDfCap)
+        val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = kept.filter(sampled(col("doc_id"))).as("a")
+          .join(kept.as("b"),
             col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
@@ -764,13 +790,17 @@ object DedupQueries {
                 / col("n_truth"), 6)).as("recall"))
       },
       Some(s"""WITH $minhashPairsCte,
-              |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
               |sh_ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+              |kept AS MATERIALIZED (
+              |  SELECT doc_id, h FROM sh_ex WHERE h IN (
+              |    SELECT h FROM sh_ex GROUP BY h
+              |    HAVING count(*) <= $TruthDfCap)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
               |inter AS (
               |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
               |    GREATEST(a.doc_id, b.doc_id) AS id_b,
               |    COUNT(DISTINCT a.h) AS i
-              |  FROM sh_ex a JOIN sh_ex b
+              |  FROM kept a JOIN kept b
               |    ON a.h = b.h AND a.doc_id <> b.doc_id
               |  WHERE md5(CAST(a.doc_id AS VARCHAR)) < '4'
               |  GROUP BY 1, 2),
@@ -818,10 +848,16 @@ object DedupQueries {
           .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
           .withColumn("sig", minHashSignature(col("sh"), 16))
           .cache()
-        val sizes = sigs.select(col("doc_id"), size(col("sh")).as("n"))
-        val shEx = sigs.select(col("doc_id"), explode(col("sh")).as("h"))
-        val inter = shEx.filter(sampled(col("doc_id"))).as("a")
-          .join(shEx.as("b"),
+        // truth over the df-capped shingle space (TruthDfCap, mirrored
+        // in the oracle) — the same hot-fingerprint cap as
+        // dedup_winnow_pairs, so a boilerplate shingle in millions of
+        // docs never fans out the truth self-join
+        val kept = cappedShingleIndex(
+          sigs.select(col("doc_id"), explode(col("sh")).as("h")),
+          TruthDfCap)
+        val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = kept.filter(sampled(col("doc_id"))).as("a")
+          .join(kept.as("b"),
             col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
@@ -893,13 +929,17 @@ object DedupQueries {
         s"""WITH docs AS (SELECT doc_id, $sh AS sh FROM documents),
            |sigs AS MATERIALIZED (
            |  SELECT doc_id, $sig AS sig FROM docs),
-           |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
            |sh_ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+           |kept AS MATERIALIZED (
+           |  SELECT doc_id, h FROM sh_ex WHERE h IN (
+           |    SELECT h FROM sh_ex GROUP BY h
+           |    HAVING count(*) <= $TruthDfCap)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
            |inter AS (
            |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
            |    GREATEST(a.doc_id, b.doc_id) AS id_b,
            |    COUNT(DISTINCT a.h) AS i
-           |  FROM sh_ex a JOIN sh_ex b
+           |  FROM kept a JOIN kept b
            |    ON a.h = b.h AND a.doc_id <> b.doc_id
            |  WHERE md5(CAST(a.doc_id AS VARCHAR)) < '4'
            |  GROUP BY 1, 2),

@@ -1264,6 +1264,26 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("cappedShingleIndex: hot keys leave the index before any " +
+    "self-join — df combines map-side, surviving fan-in is <= cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    // key 100 is boilerplate (5 docs), key 200 is rare (2 docs)
+    val shEx = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
+      (5L, 100L), (1L, 200L), (2L, 200L), (3L, 300L))
+      .toDF("doc_id", "h")
+    val kept = graft.queries.DedupQueries.cappedShingleIndex(shEx, 3)
+    val plan = formatted(kept)
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the boilerplate key is gone; every surviving key's df <= cap
+    val dfs = kept.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(dfs <= 3, s"surviving key df $dfs exceeds cap")
+    assert(kept.filter(col("h") === 100L).count() == 0)
+    assert(kept.count() == 3) // two 200-postings + one 300-posting
+  }
+
   test("embed_margin_audit: candidates are cell-blocked; the nearest " +
     "same/other distances are map-side conditional mins, no rank window") {
     val plan = formatted(q("embed_margin_audit"))
