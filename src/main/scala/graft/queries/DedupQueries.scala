@@ -250,6 +250,11 @@ object DedupQueries {
   /** A detected candidate pair: id_a arrived before id_b; est = matching
     * signature positions / 16 (exact k/16 doubles on both engines). */
   case class LshPair(id_a: Long, id_b: Long, est: Double)
+  /** One event of the cluster-maintenance stream: op "p" = a verified
+    * pair (id_a, id_b), op "d" = a retired document (id_a; id_b unused).
+    * Tombstones are emitted from band 0 only — every document explodes
+    * into all 4 bands, so exactly one group owns the retirement. */
+  case class ClusterEvt(op: String, id_a: Long, id_b: Long)
 
   /** Replay-log fixture: an EMPTY snapshot and the corpus itself arriving
     * through the log in three offset phases —
@@ -530,6 +535,265 @@ object DedupQueries {
            |  AND NOT (id_b >= 1000000000 AND id_a < 1000000000
            |           AND id_a % 13 = 3)
            |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // STREAMING DUPLICATE CLUSTERING — the last leg of the end-to-end
+    // streaming dedup pipeline: cdc_stream_lsh_ingest detects pairs at
+    // ingest; THIS query maintains the cluster-id assignment (doc →
+    // min id of its near-dup component) INCREMENTALLY as those pairs and
+    // document retirements stream in, so every batch consumer reads the
+    // same closure dedup_cluster_cc computes — without ever rerunning a
+    // corpus-scale job. Design: a per-band-bucket union-find cannot span
+    // buckets (components connect THROUGH shared docs across buckets),
+    // and pure pair-union state cannot handle deletes (removing a bridge
+    // doc SPLITS a cluster — decremental connectivity needs the edges).
+    // So the maintenance is foreachBatch-incremental, the Spark-first
+    // MERGE shape: per micro-batch, connectivity is recomputed ONLY over
+    // the touched clusters' retained edge sets plus the batch's new
+    // pairs — work ∝ Δ × duplicate-cluster size, never corpus — and the
+    // assignment upserts/deletes land through the bucketed UpsertSink
+    // merge (pruned bucket rewrites, the same sink the changelog
+    // materializer ships). Edge state is cluster-tagged so an affected
+    // cluster's edges pull by tag (a cid-bucketed table prunes this read
+    // at 100 TB); docs whose last surviving edge disappears fall out of
+    // the assignment (a delete upsert), exactly matching the batch
+    // closure's members-of-≥2-doc-clusters surface. End-of-stream state
+    // must hash-match the relational closure over the post-change corpus
+    // — the oracle replays the same changelog's final state through the
+    // same band/est pair semantics and a recursive-CTE closure.
+    "cdc_stream_dedup_clusters" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+        import graft.cdc.ChangeRecord._
+        import s.implicits._
+        val dir = prepareDocsReplay(s, dir0)
+        val out = s"/root/repo/.scratch/stream_clusters/${System.nanoTime()}"
+        val nBase = Tables.load(s, dir0, "documents").count()
+        val evts = s.readStream.format("graft-cdc")
+          .option("path", dir).option("table", "documents")
+          .option("scan.startup.mode", "earliest")
+          .option("changelog.mode", "all")
+          // several micro-batches: cluster growth, merges and splits must
+          // genuinely cross trigger boundaries
+          .option("scan.stream.max-events-per-trigger",
+            math.max(64L, nBase / 3).toString)
+          .load()
+          .filter(col(OpCol).isin(RowKind.Insert, RowKind.Delete))
+          .select(col("doc_id"), col(OffsetCol).as("off"), col(OpCol).as("op"),
+            minHashSignature(shingleHashes(col("text"), 3), 16).as("sig"))
+          .select(posexplode(bandKeys(col("sig"), 4, 4)).as(Seq("band", "key")),
+            col("doc_id"), col("off"), col("op"), col("sig"))
+          .as[BandEvt]
+        // stage 1 — the same online LSH bucket state as
+        // cdc_stream_lsh_ingest, emitting verified pairs PLUS retirement
+        // tombstones (from band 0 only: one tombstone per delete)
+        val pairEvts = evts.groupByKey(e => (e.band, e.key))
+          .flatMapGroupsWithState[BucketState, ClusterEvt](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (_: (Int, Long), rows: Iterator[BandEvt],
+                state: GroupState[BucketState]) =>
+              var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+              val outB = Seq.newBuilder[ClusterEvt]
+              rows.toSeq.sortBy(_.off).foreach { e =>
+                if (e.op == RowKind.Delete) {
+                  val i = st.ids.indexOf(e.doc_id)
+                  if (i >= 0) st = BucketState(
+                    st.ids.patch(i, Nil, 1), st.sigs.patch(i, Nil, 1))
+                  if (e.band == 0) outB += ClusterEvt("d", e.doc_id, -1L)
+                } else {
+                  st.ids.zip(st.sigs).foreach { case (id, sg) =>
+                    val m = sg.iterator.zip(e.sig.iterator)
+                      .count { case (x, y) => x == y }
+                    if (m >= 8) outB += ClusterEvt("p", id, e.doc_id)
+                  }
+                  st = BucketState(st.ids :+ e.doc_id, st.sigs :+ e.sig)
+                }
+              }
+              state.update(st)
+              outB.result().iterator
+          }
+        // stage 2 — incremental closure maintenance. Two pieces of state:
+        // `edges`, the retained cluster-tagged live edge set (LSH-sparse,
+        // the same object the batch pipeline materializes; lineage-cut
+        // per batch), and the UpsertSink assignment store — which doubles
+        // as the doc → cluster LOOKUP (bucketed by doc_id: the per-batch
+        // touched-doc probe is a pruned point read at scale, and the
+        // end-of-stream result reads the store, so the merge path is what
+        // the oracle checks). The per-batch closure is SIZE-GATED runtime
+        // adaptivity: the recompute region is Δ-bounded (touched clusters
+        // only), so the steady-state small delta repairs on the driver
+        // with a union-find over the collected region — a bounded collect
+        // on the same planning-stat budget as mergeInto's touched-bucket
+        // scan — while a region past the gate falls back to the
+        // distributed star contraction. Both paths emit identical min-id
+        // components.
+        var edges = Seq.empty[(Long, Long, Long)].toDF("cid", "a", "b")
+        val repairGate = 100000
+        val q = pairEvts.toDF()
+          .writeStream
+          .foreachBatch { (batch0: DataFrame, bid: Long) =>
+            val evs = batch0.collect() // Δ-sized: this batch's events
+            if (evs.nonEmpty) {
+              val delIds = evs.filter(_.getString(0) == "d")
+                .map(_.getLong(1)).toSet
+              val newPairsArr = evs.filter(_.getString(0) == "p")
+                .map(r => (r.getLong(1), r.getLong(2))).distinct
+              val touched = (newPairsArr.flatMap(p => Seq(p._1, p._2)) ++
+                delIds).distinct.toSeq
+              // clusters touched by this batch — a Δ-sized point probe
+              // of the bucketed assignment store
+              val affectedIds =
+                if (new java.io.File(out).isDirectory)
+                  graft.cdc.UpsertSink.readState(s, out)
+                    .filter(col("doc_id").isInCollection(touched))
+                    .select(col("cluster_id")).distinct()
+                    .collect().map(_.getLong(0)).toSeq
+                else Seq.empty[Long]
+              val affected = affectedIds.toDF("cid")
+              // the recompute region: affected clusters' retained edges +
+              // the batch's new pairs, minus anything touching a retired
+              // doc (a retired doc's cluster is always affected, so
+              // unaffected edges cannot touch it)
+              val pulledArr = edges.join(broadcast(affected), Seq("cid"))
+                .select(col("a"), col("b"))
+                .limit(repairGate).collect()
+                .map(r => (r.getLong(0), r.getLong(1)))
+              val (retagged, upsBase) =
+                if (pulledArr.length < repairGate) {
+                  // driver union-find repair — the steady-state path
+                  val sub = (pulledArr ++ newPairsArr)
+                    .filter(e => !delIds(e._1) && !delIds(e._2)).distinct
+                  val parent =
+                    scala.collection.mutable.Map.empty[Long, Long]
+                  def find(x: Long): Long = {
+                    var r = x
+                    while (parent.getOrElse(r, r) != r) r = parent(r)
+                    var c = x
+                    while (parent.getOrElse(c, c) != c) {
+                      val n = parent(c); parent(c) = r; c = n
+                    }
+                    r
+                  }
+                  sub.foreach { case (a, b) =>
+                    val (ra, rb) = (find(a), find(b))
+                    if (ra != rb) parent(math.max(ra, rb)) =
+                      math.min(ra, rb)
+                  }
+                  val members = sub.flatMap(e => Seq(e._1, e._2)).distinct
+                  val newAssign = members.map(d => (d, find(d)))
+                  // members whose last surviving edge disappeared (incl.
+                  // retired docs) get a DELETE — the assignment surface
+                  // is exactly "docs in ≥2-doc clusters"
+                  val oldMembers = pulledArr.flatMap(e => Seq(e._1, e._2))
+                  val gone = ((oldMembers ++ delIds).distinct.toSet --
+                    members).toSeq
+                  (sub.map { case (a, b) => (find(a), a, b) }.toSeq
+                      .toDF("cid", "a", "b"),
+                    newAssign.map { case (d, c) => (d, c,
+                        graft.cdc.ChangeRecord.RowKind.Insert) }.toSeq
+                      .++(gone.map(d => (d, 0L,
+                        graft.cdc.ChangeRecord.RowKind.Delete)))
+                      .toDF("doc_id", "cluster_id",
+                        graft.cdc.ChangeRecord.OpCol))
+                } else {
+                  // distributed fallback: the region outgrew the gate —
+                  // star-contract it as DataFrames end to end
+                  val delsDf = delIds.toSeq.toDF("d")
+                  val sub = edges.join(broadcast(affected), Seq("cid"))
+                    .select(col("a"), col("b"))
+                    .unionByName(
+                      newPairsArr.toSeq.toDF("a", "b"))
+                    .join(delsDf.select(col("d").as("a")), Seq("a"),
+                      "left_anti")
+                    .join(delsDf.select(col("d").as("b")), Seq("b"),
+                      "left_anti")
+                  val cc = graft.operators.ConnectedComponents
+                    .components(sub, "a", "b")
+                  val newAssign = cc.select(col("id").as("doc_id"),
+                    col("component").as("cluster_id"))
+                  val oldMembers = graft.cdc.UpsertSink.readState(s, out)
+                    .join(broadcast(affected
+                        .select(col("cid").as("cluster_id"))),
+                      Seq("cluster_id"))
+                    .select(col("doc_id"))
+                  val gone = oldMembers
+                    .unionByName(delIds.toSeq.toDF("doc_id")).distinct()
+                    .join(newAssign.select(col("doc_id")), Seq("doc_id"),
+                      "left_anti")
+                  (sub.join(cc.select(col("id").as("a"),
+                        col("component").as("cid")), "a")
+                      .select(col("cid"), col("a"), col("b")),
+                    newAssign.withColumn(graft.cdc.ChangeRecord.OpCol,
+                        lit(graft.cdc.ChangeRecord.RowKind.Insert))
+                      .unionByName(gone
+                        .withColumn("cluster_id", lit(0L))
+                        .withColumn(graft.cdc.ChangeRecord.OpCol,
+                          lit(graft.cdc.ChangeRecord.RowKind.Delete))))
+                }
+              val prevEdges = edges
+              edges = prevEdges
+                .join(broadcast(affected), Seq("cid"), "left_anti")
+                .unionByName(retagged).localCheckpoint(true)
+              prevEdges.unpersist()
+              graft.cdc.UpsertSink.mergeInto(s,
+                upsBase.withColumn(graft.cdc.ChangeRecord.OffsetCol,
+                  lit(bid)),
+                Seq("doc_id"), out, numBuckets = 8)
+            }
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.cdc.UpsertSink.readState(s, out)
+          .select(col("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 3)
+        val sig = sqlMinHashSignature("sh", 16)
+        val bands = sqlBandKeys("sig", 4, 4)
+        val bandRows = (1 to 4)
+          .map(i => s"SELECT doc_id, sig, $i AS band, bands[$i] AS key FROM sigs")
+          .mkString("\n    UNION ALL ")
+        // final corpus state of the replay log: base docs minus the
+        // phase-2 deletes (%13==3), plus the phase-3 copies (%100==1,
+        // id+1e9 — a copy outlives its deleted source). Pairs between two
+        // docs both alive at end-of-stream ALWAYS formed at ingest
+        // (copies arrive last, deletes precede them), so the stream's
+        // surviving pair set equals the est-pairs over this state.
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 3
+           |  UNION ALL
+           |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents
+           |  WHERE doc_id % 100 = 1),
+           |docs AS MATERIALIZED (SELECT doc_id, $sh AS sh FROM corpus),
+           |sigs AS MATERIALIZED (
+           |  SELECT doc_id, sig, $bands AS bands
+           |  FROM (SELECT doc_id, $sig AS sig FROM docs)),
+           |brows AS MATERIALIZED ($bandRows),
+           |cands AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM brows a JOIN brows b
+           |    ON a.band = b.band AND a.key = b.key
+           |    AND a.doc_id < b.doc_id),
+           |p AS MATERIALIZED (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT c.id_a, c.id_b,
+           |      CAST(len(list_filter(range(1, 17),
+           |        i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16.0 AS est
+           |    FROM cands c
+           |    JOIN sigs sa ON sa.doc_id = c.id_a
+           |    JOIN sigs sb ON sb.doc_id = c.id_b)
+           |  WHERE est >= 0.5),
+           |edges AS MATERIALIZED (
+           |  SELECT id_a AS u, id_b AS v FROM p
+           |  UNION SELECT id_b AS u, id_a AS v FROM p),
+           |reach(id, r) AS (
+           |  SELECT u AS id, u AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+           |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
       }),
 
     // Exact dedup: normalize → hash → keep the smallest doc_id per hash.

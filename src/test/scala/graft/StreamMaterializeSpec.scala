@@ -44,6 +44,49 @@ class StreamMaterializeSpec extends SparkSpecBase {
     assert(state() === Set((1L, "v1b"), (3L, "v3")))
   }
 
+  test("cluster-assignment maintenance through mergeInto: grow, merge, " +
+    "split and dissolve across batches, deletes drop the keys") {
+    // the cdc_stream_dedup_clusters upsert algebra end to end: batch 1
+    // creates {1,2} and {5,6}; batch 2 merges them through bridge doc 3
+    // (everyone re-upserts under min id 1); batch 3 deletes the bridge —
+    // the cluster SPLITS back: {1,2} and {5,6} re-upsert under their own
+    // minima, 3's key is deleted; batch 4 deletes 2 — {1} dissolves:
+    // BOTH members' keys are deleted (assignment surface is docs in
+    // >=2-doc clusters).
+    val out = tmpDir("clusters") + "/state"
+    val assignSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("cluster_id", LongType),
+      StructField(OpCol, StringType), StructField(OffsetCol, LongType)))
+    def ups(bid: Long, rows: Seq[(Long, Long, String)]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (d, c, op) =>
+          Row(d, c, op, bid)
+        }), assignSchema)
+    def state(): Set[(Long, Long)] = UpsertSink.readState(spark, out)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    UpsertSink.mergeInto(spark, ups(0L, Seq(
+      (1L, 1L, "+I"), (2L, 1L, "+I"), (5L, 5L, "+I"), (6L, 5L, "+I"))),
+      Seq("doc_id"), out, numBuckets = 4)
+    assert(state() === Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)))
+    UpsertSink.mergeInto(spark, ups(1L, Seq(
+      (1L, 1L, "+I"), (2L, 1L, "+I"), (3L, 1L, "+I"), (5L, 1L, "+I"),
+      (6L, 1L, "+I"))), Seq("doc_id"), out)
+    assert(state() === Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L),
+      (6L, 1L)))
+    UpsertSink.mergeInto(spark, ups(2L, Seq(
+      (1L, 1L, "+I"), (2L, 1L, "+I"), (5L, 5L, "+I"), (6L, 5L, "+I"),
+      (3L, 0L, "-D"))), Seq("doc_id"), out)
+    assert(state() === Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)))
+    UpsertSink.mergeInto(spark, ups(3L, Seq(
+      (1L, 0L, "-D"), (2L, 0L, "-D"))), Seq("doc_id"), out)
+    assert(state() === Set((5L, 5L), (6L, 5L)))
+    // idempotent replay of the delete batch (checkpoint recovery)
+    UpsertSink.mergeInto(spark, ups(3L, Seq(
+      (1L, 0L, "-D"), (2L, 0L, "-D"))), Seq("doc_id"), out)
+    assert(state() === Set((5L, 5L), (6L, 5L)))
+  }
+
   test("upserts: stateful stream emits newest image per key, delete wins") {
     // file CDC db: 5 rows; update id1 (off1), delete id2 (off2), update id1
     // again (off3) — rate-limited to 1 event per batch so state must carry
