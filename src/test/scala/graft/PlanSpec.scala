@@ -1241,6 +1241,22 @@ class PlanSpec extends SparkSpecBase {
     assert(h9 == 2L, s"h-index of {3,2,2,1} should be 2, got $h9")
   }
 
+  test("graph_abcore: the peel only shrinks — alive counts and directed " +
+    "edge counts are non-increasing over the four rounds") {
+    val df = q("graph_abcore")
+    assert(formatted(df).contains("Scan ExistingRDD")) // barrier-backed
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).sameElements(1L to 4L))
+    val alive = rows.map(_.getLong(1))
+    val edges = rows.map(_.getLong(2))
+    assert(alive.zip(alive.tail).forall { case (x, y) => y <= x },
+      s"n_alive not non-increasing: ${alive.mkString(",")}")
+    assert(edges.zip(edges.tail).forall { case (x, y) => y <= x },
+      s"n_dir_edges not non-increasing: ${edges.mkString(",")}")
+    // the doubled symmetric edge set always has even directed count
+    assert(edges.forall(_ % 2 == 0))
+  }
+
   test("retrieval_rank_correlation: both rankers ride ONE barriered tf " +
     "table; the pair stage is qid-keyed, never corpus-sized") {
     val plan = formatted(q("retrieval_rank_correlation"))
