@@ -628,7 +628,10 @@ object DedupQueries {
         // distributed star contraction. Both paths emit identical min-id
         // components.
         var edges = Seq.empty[(Long, Long, Long)].toDF("cid", "a", "b")
-        val repairGate = 100000
+        // overridable so the spec can force the distributed branch and
+        // prove both closure paths agree (FallbackEquivalenceSpec)
+        val repairGate = sys.props.getOrElse("graft.dedup.repairGate",
+          "100000").toInt
         val q = pairEvts.toDF()
           .writeStream
           .foreachBatch { (batch0: DataFrame, bid: Long) =>
@@ -711,7 +714,11 @@ object DedupQueries {
                     .components(sub, "a", "b")
                   val newAssign = cc.select(col("id").as("doc_id"),
                     col("component").as("cluster_id"))
-                  val oldMembers = graft.cdc.UpsertSink.readState(s, out)
+                  val oldMembers = (if (new java.io.File(out).isDirectory)
+                      graft.cdc.UpsertSink.readState(s, out)
+                        .select(col("doc_id"), col("cluster_id"))
+                    else Seq.empty[(Long, Long)].toDF("doc_id",
+                      "cluster_id"))
                     .join(broadcast(affected
                         .select(col("cid").as("cluster_id"))),
                       Seq("cluster_id"))
