@@ -745,7 +745,7 @@ object DedupQueries {
               graft.cdc.UpsertSink.mergeInto(s,
                 upsBase.withColumn(graft.cdc.ChangeRecord.OffsetCol,
                   lit(bid)),
-                Seq("doc_id"), out, numBuckets = 8)
+                Seq("doc_id"), out, numBuckets = 4)
             }
             ()
           }
