@@ -50,6 +50,21 @@ object QueryUtil {
     s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
   }
+
+  /** Write a CORPUS-FRACTION write-once artifact (pair table, cluster
+    * assignment, PQ code table) hash-partitioned on `key`: such a table
+    * must never funnel through one task — at test SF `parts` small files
+    * are noise, at 100 TB the partitioned write is the difference between
+    * a write and a single-task bottleneck, and the hash layout is the one
+    * the artifact's consumers re-key on anyway. Small MODEL artifacts
+    * (codebooks, BPE rules, K query vectors) stay single-file by design.
+    * Production sizes `parts` to data volume; consumers must be row-order
+    * insensitive (all artifact consumers here aggregate by min/sum/count).
+    */
+  def writeArtifact(df: DataFrame, key: String, path: String,
+      parts: Int = 8): Unit =
+    df.repartition(parts, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").parquet(path)
 }
 
 object Tables {

@@ -73,11 +73,12 @@ object AdvancedQueries {
           .select(col("o_orderkey"), col("o_custkey"))
         val l = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
-        o.join(l, col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("c"),
-            (col("l_suppkey") * 2 + 1).as("p"))
-          .distinct()
-          .coalesce(1).write.mode("overwrite").parquet(s"$out/pairs")
+        graft.QueryUtil.writeArtifact(
+          o.join(l, col("o_orderkey") === col("l_orderkey"))
+            .select((col("o_custkey") * 2).as("c"),
+              (col("l_suppkey") * 2 + 1).as("p"))
+            .distinct(),
+          "c", s"$out/pairs")
         new java.io.File(out, "_DONE").createNewFile()
       }
     }

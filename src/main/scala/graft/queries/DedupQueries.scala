@@ -62,9 +62,9 @@ object DedupQueries {
     val out = s"/root/repo/.scratch/doc_clusters_v$DocClustersVersion/$sf"
     this.synchronized {
       if (!new java.io.File(out, "_DONE").isFile) {
-        graft.operators.ConnectedComponents
-          .components(minhashPairs(s, dir), "id_a", "id_b")
-          .coalesce(1).write.mode("overwrite").parquet(s"$out/clusters")
+        graft.QueryUtil.writeArtifact(graft.operators.ConnectedComponents
+          .components(minhashPairs(s, dir), "id_a", "id_b"),
+          "id", s"$out/clusters")
         new java.io.File(out, "_DONE").createNewFile()
       }
     }
@@ -88,10 +88,10 @@ object DedupQueries {
       s"/root/repo/.scratch/semantic_clusters_v$SemanticClustersVersion/$sf"
     this.synchronized {
       if (!new java.io.File(out, "_DONE").isFile) {
-        graft.operators.ConnectedComponents
+        graft.QueryUtil.writeArtifact(graft.operators.ConnectedComponents
           .components(cosinePairs(s, dir), "id_a", "id_b")
-          .select(col("id").as("vec_id"), col("component").as("cluster_id"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$out/clusters")
+          .select(col("id").as("vec_id"), col("component").as("cluster_id")),
+          "vec_id", s"$out/clusters")
         new java.io.File(out, "_DONE").createNewFile()
       }
     }

@@ -73,7 +73,7 @@ object GovernanceQueries {
         val comp = graft.QueryUtil.withShufflePartitions(s, 4) {
           graft.operators.ConnectedComponents.components(edges, "u", "v")
         }
-        comp.coalesce(1).write.mode("overwrite").parquet(s"$out/clusters")
+        graft.QueryUtil.writeArtifact(comp, "id", s"$out/clusters")
         new java.io.File(out, "_DONE").createNewFile()
       }
     }

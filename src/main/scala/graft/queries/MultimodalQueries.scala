@@ -416,9 +416,9 @@ object MultimodalQueries {
         this.synchronized {
           if (!new java.io.File(out, "_DONE").isFile) {
             val pairs = phashPairs(s, dir).select(col("id_a"), col("id_b"))
-            graft.operators.ConnectedComponents
-              .components(pairs, "id_a", "id_b")
-              .coalesce(1).write.mode("overwrite").parquet(s"$out/clusters")
+            graft.QueryUtil.writeArtifact(graft.operators.ConnectedComponents
+              .components(pairs, "id_a", "id_b"),
+              "id", s"$out/clusters")
             new java.io.File(out, "_DONE").createNewFile()
           }
         }

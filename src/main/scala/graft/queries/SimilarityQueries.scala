@@ -421,14 +421,19 @@ object SimilarityQueries {
         // two-iteration Lloyd pipeline
         val a2 = pqAssign(sub, c1).cache()
         val c2 = pqUpdate(a2).cache()
-        a2.select(col("m"), col("vec_id"), col("cid"), col("d2"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$out/a2")
+        // a2 and codes are CORPUS-sized (N·M rows) → hash-partitioned
+        // artifact writes; c2 is the M·K codebook — a model artifact,
+        // single-file by design
+        graft.QueryUtil.writeArtifact(
+          a2.select(col("m"), col("vec_id"), col("cid"), col("d2")),
+          "vec_id", s"$out/a2")
         c2.coalesce(1).write.mode("overwrite").parquet(s"$out/c2")
         // the stored index itself: every corpus vector's final code
         // against the trained codebook — (N·M) narrow rows, the table
         // both ADC searches previously re-derived per query
-        pqAssign(sub, c2).select(col("m"), col("vec_id"), col("cid"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$out/codes")
+        graft.QueryUtil.writeArtifact(
+          pqAssign(sub, c2).select(col("m"), col("vec_id"), col("cid")),
+          "vec_id", s"$out/codes")
         a2.unpersist(); c2.unpersist()
         new java.io.File(out, "_DONE").createNewFile()
       }
