@@ -30,5 +30,6 @@ object Fixtures {
     DedupQueries.prepareDocsReplay(spark, sfDir)
     SimilarityQueries.prepareVecsReplay(spark, sfDir)
     SimilarityQueries.prepareQvecs(spark, sfDir)
+    SimilarityQueries.prepareNavGraph(spark, sfDir)
   }
 }

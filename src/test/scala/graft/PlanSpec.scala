@@ -1257,6 +1257,33 @@ class PlanSpec extends SparkSpecBase {
     assert(edges.forall(_ % 2 == 0))
   }
 
+  test("ann_graph_search_topk: dense ranks, distinct neighbors, " +
+    "non-decreasing distance; the hub layer reaches a full top-k " +
+    "for every query") {
+    val rows = q("ann_graph_search_topk").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 8, s"expected 8 queries, got ${byQ.size}")
+    for ((qid, rs) <- byQ) {
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.length == 5, s"query $qid returned ${sorted.length}")
+      assert(sorted.map(_.getLong(1)).sameElements(1L to 5L))
+      val d2s = sorted.map(_.getLong(3))
+      assert(d2s.zip(d2s.tail).forall { case (a, b) => a <= b },
+        s"query $qid distances not sorted: ${d2s.mkString(",")}")
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length)
+      assert(rs.forall(_.getLong(2) != qid), "self returned as neighbor")
+    }
+  }
+
+  test("ann_graph_recall: candidate and truth sets are both full " +
+    "query_count x k; hits bounded; recall consistent") {
+    val r = q("ann_graph_recall").collect()(0)
+    assert(r.getLong(0) == 40 && r.getLong(1) == 40)
+    assert(r.getLong(2) >= 0 && r.getLong(2) <= 40)
+    assert(math.abs(r.getDouble(3) -
+      (r.getLong(2).toDouble / r.getLong(0))) < 1e-6)
+  }
+
   test("retrieval_rank_correlation: both rankers ride ONE barriered tf " +
     "table; the pair stage is qid-keyed, never corpus-sized") {
     val plan = formatted(q("retrieval_rank_correlation"))
