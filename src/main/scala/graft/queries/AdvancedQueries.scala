@@ -28,6 +28,43 @@ object AdvancedQueries {
 
   private case class TradeGraph(edgeDeg: DataFrame, nodes: DataFrame)
 
+  /** The windowed-funnel oracle, shared between the batch query
+    * (`q_window_funnel`) and its streaming state-machine twin
+    * (`q_stream_window_funnel`) — one definition so both engines' funnel
+    * claims are about the same quantity. Window W = 86400 s. */
+  private[queries] val WindowFunnelOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tse
+      |  FROM events),
+      |w1 AS (
+      |  SELECT user_id, event_type, event_id, tse,
+      |    MAX(CASE WHEN event_type = 'view' THEN tse END) OVER
+      |      (PARTITION BY user_id ORDER BY tse, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_view
+      |  FROM e),
+      |w2 AS (
+      |  SELECT user_id, event_type, tse, last_view,
+      |    MAX(CASE WHEN event_type = 'click' THEN last_view END)
+      |      OVER (PARTITION BY user_id ORDER BY tse, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS best_anchor
+      |  FROM w1),
+      |u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS s1,
+      |    MAX(CASE WHEN event_type = 'click'
+      |      AND last_view >= tse - 86400 THEN 1 ELSE 0 END) AS s2,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |      AND best_anchor >= tse - 86400 THEN 1 ELSE 0 END) AS s3
+      |  FROM w2 GROUP BY user_id)
+      |SELECT CAST(CASE WHEN s3 = 1 THEN 3 WHEN s2 = 1 THEN 2
+      |    WHEN s1 = 1 THEN 1 ELSE 0 END AS BIGINT) AS stage,
+      |  COUNT(*) AS n_users
+      |FROM u GROUP BY stage ORDER BY stage""".stripMargin
+
 
   /** One Holt double-exponential-smoothing row (fixed-point millis). */
   case class HoltRow(event_type: String, hour: java.sql.Timestamp,
@@ -335,6 +372,53 @@ object AdvancedQueries {
              |  COUNT(t_click) AS n_signup_click,
              |  COUNT(t_purchase) AS n_full_funnel
              |FROM s3""".stripMargin)),
+
+    // WINDOWED FUNNEL (ClickHouse `windowFunnel` semantics) — per user,
+    // (oracle shared with the streaming twin `q_stream_window_funnel`
+    // via [[AdvancedQueries.WindowFunnelOracle]])
+    // the deepest view → click → purchase chain whose events ALL fall
+    // within 1 h of the chain's FIRST event (q_funnel above has no window
+    // bound; this is the session-scoped variant every product-analytics
+    // engine ships as a dedicated aggregate). Re-expressed as two
+    // running-max windows instead of the naive per-user self-joins: over
+    // the (user, ts)-ordered stream, `last_view` carries the latest view
+    // before each row and `best_anchor` the latest such anchor seen at
+    // any STRICTLY-preceding click — a purchase completes the chain iff
+    // best_anchor >= its ts − W (v < c < p <= v+W follows by
+    // construction; c <= v+W is implied by c < p). ONE sort per user
+    // partition, no self-join, no event×event blowup — the form that
+    // survives a 100 TB event log (per-partition work is user-activity-
+    // bounded; a pathological single user is a time-bounded stream, the
+    // EWMA/CUSUM license). Output: users by deepest stage reached.
+    "q_window_funnel" -> QueryDef(
+      (s, dir) => {
+        val W = 86400L // 1-day window: the corpus' ~2 events/user/day
+                       // rate puts full chains in range (1 h finds none)
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts").cast(LongType).as("tse"))
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("tse"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val chains = e
+          .withColumn("last_view",
+            max(when(col("event_type") === "view", col("tse"))).over(ord))
+          .withColumn("best_anchor",
+            max(when(col("event_type") === "click", col("last_view")))
+              .over(ord))
+        val stages = chains.groupBy(col("user_id")).agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
+          max(when(col("event_type") === "click" &&
+            col("last_view") >= col("tse") - W, 1).otherwise(0)).as("s2"),
+          max(when(col("event_type") === "purchase" &&
+            col("best_anchor") >= col("tse") - W, 1).otherwise(0)).as("s3"))
+        stages
+          .select(when(col("s3") === 1, 3L).when(col("s2") === 1, 2L)
+            .when(col("s1") === 1, 1L).otherwise(0L).as("stage"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some(WindowFunnelOracle)),
 
     // RETENTION cohorts — users grouped by first-activity hour, counted by
     // how many hours later they return: the (cohort, offset) matrix every

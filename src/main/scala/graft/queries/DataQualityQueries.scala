@@ -393,6 +393,74 @@ object DataQualityQueries {
              |    // greatest(n_events // 30, 1) AS BIGINT)
              |    AS rate_ratio_ppm,
              |  staleness_min > 30 AS is_stale
-             |FROM f ORDER BY event_type""".stripMargin))
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // PRIMARY-KEY GAPS-AND-ISLANDS AUDIT — sequence fragmentation of a
+    // surviving keyspace (here: the open-order snapshot after completed /
+    // purged rows left): contiguity of the pk space drives range-scan
+    // and min/max-pruning efficiency, so the islands/gaps LENGTH
+    // histogram is the number a compaction policy reads. Scale-correct
+    // form of the classic gaps-and-islands device: island STARTS (no
+    // k−1) and ENDS (no k+1) fall out of two left-anti equi-joins; the
+    // i-th start pairs with the i-th end by the DISTRIBUTED prefix-sum
+    // rank (SequencePacking.runningSum, range-partitioned — never a
+    // single-task ROW_NUMBER over the corpus); gap r = start(r+1) −
+    // end(r) − 1 is one more rank equi-join. Lengths band by the
+    // smear+bit_count power-of-two device — everything integer.
+    "dq_pk_gap_audit" -> QueryDef(
+      (s, dir) => {
+        val k = Tables.load(s, dir, "orders")
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey").as("k")).cache()
+        val starts = k.join(k.select((col("k") + 1).as("k")), Seq("k"),
+          "left_anti").withColumn("one", lit(1L))
+        val ends = k.join(k.select((col("k") - 1).as("k")), Seq("k"),
+          "left_anti").withColumn("one", lit(1L))
+        val sr = graft.operators.SequencePacking
+          .runningSum(starts, "k", "one", "r", Some(8))
+          .select(col("k").as("st"), col("r"))
+        val er = graft.operators.SequencePacking
+          .runningSum(ends, "k", "one", "r", Some(8))
+          .select(col("k").as("en"), col("r"))
+        val isl = sr.join(er, "r")
+        val spans = isl.select(lit("island").as("kind"),
+            (col("en") - col("st") + 1).as("len"))
+          .unionByName(isl.as("a")
+            .join(isl.as("b"), col("b.r") === col("a.r") + 1)
+            .select(lit("gap").as("kind"),
+              (col("b.st") - col("a.en") - 1).as("len")))
+        spans
+          .withColumn("len_band",
+            expr(s"CAST(bit_count(${PipelineQueries.smearExpr("len")}) " +
+              "AS BIGINT)"))
+          .groupBy(col("kind"), col("len_band"))
+          .agg(count(lit(1)).as("n_spans"), sum(col("len")).as("n_keys"))
+          .orderBy(col("kind"), col("len_band"))
+      },
+      Some {
+        s"""WITH k AS (
+           |  SELECT o_orderkey AS k FROM orders
+           |  WHERE o_orderstatus = 'O'),
+           |s AS (
+           |  SELECT a.k, ROW_NUMBER() OVER (ORDER BY a.k) AS r
+           |  FROM k a LEFT JOIN k p ON p.k = a.k - 1 WHERE p.k IS NULL),
+           |e AS (
+           |  SELECT a.k, ROW_NUMBER() OVER (ORDER BY a.k) AS r
+           |  FROM k a LEFT JOIN k n ON n.k = a.k + 1 WHERE n.k IS NULL),
+           |isl AS (
+           |  SELECT s.r, s.k AS st, e.k AS en FROM s JOIN e ON s.r = e.r),
+           |spans AS (
+           |  SELECT 'island' AS kind, en - st + 1 AS len FROM isl
+           |  UNION ALL
+           |  SELECT 'gap', b.st - a.en - 1
+           |  FROM isl a JOIN isl b ON b.r = a.r + 1)
+           |SELECT kind,
+           |  CAST(bit_count(${PipelineQueries.smearExpr("len")}) AS BIGINT)
+           |    AS len_band,
+           |  CAST(count(*) AS BIGINT) AS n_spans,
+           |  CAST(sum(len) AS BIGINT) AS n_keys
+           |FROM spans GROUP BY kind, len_band
+           |ORDER BY kind, len_band""".stripMargin
+      })
   )
 }

@@ -2220,6 +2220,208 @@ object DedupQueries {
            |       (SELECT count(*) FROM t) AS n_triangles""".stripMargin
       }),
 
+    // PER-NODE LOCAL CLUSTERING COEFFICIENT of the near-duplicate graph —
+    // graph_triangles' per-node companion: cc(v) = 2·tri(v) / (deg(v)·
+    // (deg(v)−1)) tells WHICH duplicate clusters are cliques (true
+    // re-posts: every copy pairs with every copy) vs chains (transitive
+    // artifacts a threshold tweak would split). Same degree-ordered
+    // oriented wedge stream as the global count (O(m^1.5) bound; every
+    // join side edge-shaped), plus one explode-and-count rollup of each
+    // triangle's three corners — the rollup is triangle-sized, never
+    // corpus-sized. cc in exact ppm (integer div); deg ≥ 2 nodes only
+    // (cc undefined below that).
+    "graph_local_clustering" -> QueryDef(
+      (s, dir) => {
+        val p = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
+          .cache()
+        val deg = p.select(explode(array(col("id_a"), col("id_b")))
+            .as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        val e = p
+          .join(deg.select(col("v").as("id_a"), col("dg").as("da")),
+            "id_a")
+          .join(deg.select(col("v").as("id_b"), col("dg").as("db")),
+            "id_b")
+          .select(
+            when(col("da") <= col("db"), col("id_a")).otherwise(col("id_b"))
+              .as("src"),
+            when(col("da") <= col("db"), col("id_b")).otherwise(col("id_a"))
+              .as("dst"))
+          .cache()
+        val wedges = e.as("x").join(e.as("y"),
+            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+          .select(col("x.src").as("a"), col("x.dst").as("b"),
+            col("y.dst").as("c"))
+        val triNodes = wedges
+          .join(p, col("b") === col("id_a") && col("c") === col("id_b"))
+          .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+        deg.filter(col("dg") >= 2)
+          .join(triNodes, Seq("v"), "left")
+          .select(col("v").as("id"), col("dg").as("deg"),
+            coalesce(col("tri"), lit(0L)).as("n_tri"))
+          .withColumn("cc_ppm",
+            expr("(n_tri * 2000000) div (deg * (deg - 1))"))
+          .orderBy(col("id"))
+      },
+      Some {
+        s"""WITH $minhashPairsCte,
+           |p AS (SELECT id_a, id_b FROM pairs),
+           |deg AS (
+           |  SELECT v, count(*) AS dg FROM (
+           |    SELECT id_a AS v FROM p UNION ALL SELECT id_b FROM p)
+           |  GROUP BY v),
+           |e AS (
+           |  SELECT CASE WHEN da.dg <= db.dg THEN p.id_a ELSE p.id_b END
+           |           AS src,
+           |         CASE WHEN da.dg <= db.dg THEN p.id_b ELSE p.id_a END
+           |           AS dst
+           |  FROM p JOIN deg da ON da.v = p.id_a
+           |         JOIN deg db ON db.v = p.id_b),
+           |w AS (
+           |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+           |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst),
+           |t AS (
+           |  SELECT w.a, w.b, w.c
+           |  FROM w JOIN p ON w.b = p.id_a AND w.c = p.id_b),
+           |tr AS (
+           |  SELECT v, count(*) AS tri FROM (
+           |    SELECT a AS v FROM t UNION ALL SELECT b FROM t
+           |    UNION ALL SELECT c FROM t)
+           |  GROUP BY v)
+           |SELECT CAST(d.v AS BIGINT) AS id, CAST(d.dg AS BIGINT) AS deg,
+           |  CAST(COALESCE(tr.tri, 0) AS BIGINT) AS n_tri,
+           |  CAST((COALESCE(tr.tri, 0) * 2000000)
+           |    // (d.dg * (d.dg - 1)) AS BIGINT) AS cc_ppm
+           |FROM deg d LEFT JOIN tr ON tr.v = d.v
+           |WHERE d.dg >= 2
+           |ORDER BY id""".stripMargin
+      }),
+
+    // SHINGLE DOCUMENT-FREQUENCY HISTOGRAM — the capacity-planning audit
+    // behind every df-cap in this file (winnow_pairs, the truth passes):
+    // how many distinct 3-shingles live at each power-of-two df band,
+    // and how many postings they carry. The heavy tail this surfaces is
+    // the exact quantity that decides a df-cap value at corpus scale —
+    // a band of million-df boilerplate shingles carrying half the
+    // postings means the uncapped self-join is quadratic in the hottest
+    // key. Two map-side-combined aggregates (per-shingle df, then the
+    // ≤64-row band rollup); the bit-length band comes from the suite's
+    // iterative smear + bit_count device — identical integer ops in
+    // both engines, no log2 anywhere.
+    "dedup_shingle_df_hist" -> QueryDef(
+      (s, dir) => {
+        val shEx = Tables.load(s, dir, "documents")
+          .select(explode(shingleHashes(col("text"), 3)).as("h"))
+        shEx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .withColumn("df_band",
+            expr(s"CAST(bit_count(${PipelineQueries.smearExpr("df")}) " +
+              "AS BIGINT)"))
+          .groupBy(col("df_band"))
+          .agg(count(lit(1)).as("n_shingles"), sum(col("df"))
+            .as("n_postings"))
+          .orderBy(col("df_band"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 3)
+        s"""WITH fps AS (
+           |  SELECT unnest(sh) AS h
+           |  FROM (SELECT $sh AS sh FROM documents)),
+           |df AS (SELECT h, count(*) AS df FROM fps GROUP BY h)
+           |SELECT CAST(bit_count(${PipelineQueries.smearExpr("df")})
+           |    AS BIGINT) AS df_band,
+           |  CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(df) AS BIGINT) AS n_postings
+           |FROM df GROUP BY df_band ORDER BY df_band""".stripMargin
+      }),
+
+    // LSH S-CURVE VALIDATION — the planner calibration behind the band
+    // sweep: for the production 4-band × 4-row index, the observed
+    // band-collision rate per exact-Jaccard decile against the theory
+    // curve p(s) = 1 − (1 − s⁴)⁴ evaluated at the bin midpoint. The pair
+    // DOMAIN comes from the df-capped shared-shingle index (anchor-side
+    // ¼ sample) so it is independent of the bands being audited —
+    // selection through the index under test would read 100% everywhere.
+    // Exact Jaccard bins by integer arithmetic on the full shingle sets;
+    // the theory value is a per-bin CONSTANT built from the identical
+    // multiply/divide tree in both engines (no pow, no float sums — the
+    // only data-dependent float is the final observed-rate division).
+    "dedup_scurve_validation" -> QueryDef(
+      (s, dir) => {
+        val idx = minhashCandidatesOf(Tables.load(s, dir, "documents"))
+        val kept = cappedShingleIndex(
+          idx.sigs.select(col("doc_id"), explode(col("sh")).as("h")),
+          TruthDfCap)
+        val dom = kept
+          .filter(md5(col("doc_id").cast(StringType)) < lit("4")).as("a")
+          .join(kept.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val j = dom
+          .join(idx.sigs.select(col("doc_id").as("id_a"),
+            col("sh").as("sha")), "id_a")
+          .join(idx.sigs.select(col("doc_id").as("id_b"),
+            col("sh").as("shb")), "id_b")
+          .withColumn("i",
+            size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+          .withColumn("u",
+            size(array_union(col("sha"), col("shb"))).cast(LongType))
+          .withColumn("sim_bin", least(lit(9L), expr("(i * 10) div u")))
+        val f = j
+          .join(idx.cands.withColumn("coll", lit(1L)),
+            Seq("id_a", "id_b"), "left")
+          .groupBy(col("sim_bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("coll"), lit(0L))).as("n_collided"))
+        val sm = (col("sim_bin").cast(DoubleType) + lit(0.5d)) / lit(10.0d)
+        val s4 = (sm * sm) * (sm * sm)
+        val q = lit(1.0d) - s4
+        f.select(col("sim_bin"), col("n_pairs"), col("n_collided"),
+            round(col("n_collided").cast(DoubleType) /
+              col("n_pairs").cast(DoubleType), 6).as("obs_rate"),
+            round(lit(1.0d) - ((q * q) * (q * q)), 6).as("theory_mid"))
+          .orderBy(col("sim_bin"))
+      },
+      Some {
+        s"""WITH $minhashPairsCte,
+           |sh_ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+           |kept AS MATERIALIZED (
+           |  SELECT doc_id, h FROM sh_ex WHERE h IN (
+           |    SELECT h FROM sh_ex GROUP BY h
+           |    HAVING count(*) <= $TruthDfCap)),
+           |dom AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM kept a JOIN kept b
+           |    ON a.h = b.h AND a.doc_id < b.doc_id
+           |  WHERE md5(CAST(a.doc_id AS VARCHAR)) < '4'),
+           |jd AS (
+           |  SELECT d.id_a, d.id_b,
+           |    LEAST(9, (CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT)
+           |      * 10) // CAST(len(list_distinct(list_concat(da.sh, db.sh)))
+           |      AS BIGINT)) AS sim_bin
+           |  FROM dom d JOIN docs da ON da.doc_id = d.id_a
+           |             JOIN docs db ON db.doc_id = d.id_b),
+           |f AS (
+           |  SELECT jd.sim_bin, count(*) AS n_pairs,
+           |    SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS n_collided
+           |  FROM jd LEFT JOIN cands c
+           |    ON c.id_a = jd.id_a AND c.id_b = jd.id_b
+           |  GROUP BY jd.sim_bin)
+           |SELECT CAST(sim_bin AS BIGINT) AS sim_bin,
+           |  CAST(n_pairs AS BIGINT) AS n_pairs,
+           |  CAST(n_collided AS BIGINT) AS n_collided,
+           |  round(CAST(n_collided AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+           |    AS obs_rate,
+           |  round(1.0 - ((q * q) * (q * q)), 6) AS theory_mid
+           |FROM (
+           |  SELECT *, 1.0 - ((sm * sm) * (sm * sm)) AS q FROM (
+           |    SELECT *, (CAST(sim_bin AS DOUBLE) + 0.5) / 10.0 AS sm
+           |    FROM f))
+           |ORDER BY sim_bin""".stripMargin
+      }),
+
     // DUPLICATION TREND BY INGEST DECILE: per tenth of the corpus in
     // arrival order, how many documents are near-duplicates of an EARLIER
     // document (the later member id_b of each verified MinHash pair) —

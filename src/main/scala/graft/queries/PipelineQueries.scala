@@ -1147,6 +1147,188 @@ object PipelineQueries {
     // histogram needs one tiny agg per group and merges by adding
     // counts). Values are fixed to cents (floor(v·100+0.5) — exact on
     // both engines), bins are 128 equal spans of the per-group range, and
+    // THETA-SKETCH SET OPERATIONS — the piece KMV union (above) leaves
+    // out: intersection and difference cardinality estimates between two
+    // sets from their sketches ALONE (the 100 TB use: "how many users
+    // overlap between two corpus snapshots" answered from two k-row
+    // sketch tables, never rescanning either corpus). Theta semantics:
+    // with θ = min(θ_A, θ_B) (each θ = the set's k-th smallest 60-bit
+    // hash; 2^60 when |set| < k), each sketch retains EVERY member hash
+    // below θ, so the sub-θ slices are exact uniform samples and
+    // |slice| · 2^60 / θ estimates each region of the Venn diagram.
+    // Everything to the final division is integer array algebra on two
+    // k-element sketches; exact counts ride along to show the error.
+    "sketch_theta_setops" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.SketchAggregates.kMinima
+        import graft.functions.TextFunctions.md5Long
+        val k = 16
+        val space = 1152921504606846976.0d // 2^60
+        // set universe: (user, day) activity keys — click-days vs
+        // purchase-days overlap on the ~third of user-days holding both,
+        // so all three Venn regions are non-trivial at sketch resolution
+        val e = Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            md5Long(concat(col("user_id").cast(StringType), lit(":"),
+              expr("CAST(ts AS LONG) div 86400").cast(StringType)))
+              .as("h"))
+        def sketchOf(t: String, as: String) =
+          e.filter(col("event_type") === t)
+            .agg(kMinima(col("h"), k).as(as))
+        val both = sketchOf("click", "ma").crossJoin(sketchOf("purchase", "mb"))
+          .withColumn("theta", least(
+            when(size(col("ma")) >= k, element_at(col("ma"), k))
+              .otherwise(lit(1152921504606846976L)),
+            when(size(col("mb")) >= k, element_at(col("mb"), k))
+              .otherwise(lit(1152921504606846976L))))
+          .withColumn("sa", filter(col("ma"), h => h < col("theta")))
+          .withColumn("sb", filter(col("mb"), h => h < col("theta")))
+        val ua = e.filter(col("event_type") === "click")
+          .select(col("h")).distinct()
+        val ub = e.filter(col("event_type") === "purchase")
+          .select(col("h")).distinct()
+        val exact = ua.withColumn("a", lit(1))
+          .join(ub.withColumn("b", lit(1)), Seq("h"), "full")
+          .agg(count(lit(1)).as("exact_union"),
+            sum(when(col("a").isNotNull && col("b").isNotNull, 1L)
+              .otherwise(0L)).as("exact_inter"),
+            sum(when(col("a").isNotNull && col("b").isNull, 1L)
+              .otherwise(0L)).as("exact_a_only"))
+        exact.crossJoin(both)
+          .select(col("exact_union"), col("exact_inter"),
+            col("exact_a_only"),
+            round(size(array_union(col("sa"), col("sb")))
+              .cast(DoubleType) * space / col("theta").cast(DoubleType), 4)
+              .as("est_union"),
+            round(size(array_intersect(col("sa"), col("sb")))
+              .cast(DoubleType) * space / col("theta").cast(DoubleType), 4)
+              .as("est_inter"),
+            round(size(array_except(col("sa"), col("sb")))
+              .cast(DoubleType) * space / col("theta").cast(DoubleType), 4)
+              .as("est_a_only"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val h = sqlMd5Long("concat(CAST(user_id AS VARCHAR), ':', " +
+          "CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS VARCHAR))")
+        s"""WITH hashed AS (
+           |  SELECT DISTINCT event_type, $h AS h FROM events
+           |  WHERE event_type IN ('click', 'purchase')),
+           |ranked AS (
+           |  SELECT event_type, h,
+           |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           |  FROM hashed),
+           |thetas AS (
+           |  SELECT
+           |    LEAST(
+           |      COALESCE(MAX(CASE WHEN event_type = 'click' AND rn = 16
+           |        THEN h END), 1152921504606846976),
+           |      COALESCE(MAX(CASE WHEN event_type = 'purchase' AND rn = 16
+           |        THEN h END), 1152921504606846976)) AS theta
+           |  FROM ranked),
+           |sa AS (SELECT h FROM ranked, thetas
+           |       WHERE event_type = 'click' AND rn <= 16 AND h < theta),
+           |sb AS (SELECT h FROM ranked, thetas
+           |       WHERE event_type = 'purchase' AND rn <= 16 AND h < theta),
+           |est AS (
+           |  SELECT
+           |    CAST((SELECT COUNT(*) FROM (SELECT h FROM sa UNION
+           |      SELECT h FROM sb)) AS BIGINT) AS n_union,
+           |    CAST((SELECT COUNT(*) FROM sa JOIN sb USING (h)) AS BIGINT)
+           |      AS n_inter,
+           |    CAST((SELECT COUNT(*) FROM sa WHERE h NOT IN
+           |      (SELECT h FROM sb)) AS BIGINT) AS n_a_only),
+           |exact AS (
+           |  SELECT
+           |    CAST(COUNT(*) AS BIGINT) AS exact_union,
+           |    CAST(SUM(CASE WHEN a IS NOT NULL AND b IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+           |    CAST(SUM(CASE WHEN a IS NOT NULL AND b IS NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS exact_a_only
+           |  FROM (
+           |    SELECT COALESCE(x.h, y.h) AS h, x.a, y.b FROM
+           |      (SELECT h, 1 AS a FROM hashed
+           |       WHERE event_type = 'click') x
+           |    FULL JOIN
+           |      (SELECT h, 1 AS b FROM hashed
+           |       WHERE event_type = 'purchase') y
+           |    ON x.h = y.h))
+           |SELECT exact_union, exact_inter, exact_a_only,
+           |  round(CAST(n_union AS DOUBLE) * 1152921504606846976.0
+           |    / CAST(theta AS DOUBLE), 4) AS est_union,
+           |  round(CAST(n_inter AS DOUBLE) * 1152921504606846976.0
+           |    / CAST(theta AS DOUBLE), 4) AS est_inter,
+           |  round(CAST(n_a_only AS DOUBLE) * 1152921504606846976.0
+           |    / CAST(theta AS DOUBLE), 4) AS est_a_only
+           |FROM exact, est, thetas""".stripMargin
+      }),
+
+    // HORVITZ–THOMPSON ESTIMATION under dyadic PPS sampling — the
+    // estimator audit for every weighted-sample consumer above: documents
+    // enter a Poisson sample with inclusion probability π_i = 2^{-b_i}
+    // where the band b_i widens as the byte weight shrinks (heavy docs
+    // near-certain, light docs 1-in-32), decided by comparing the doc's
+    // 60-bit hash against 2^{60-b} — DYADIC π makes the HT total
+    // Σ v_i · 2^{b_i} EXACT integer arithmetic end to end (the classic
+    // float-summation drift in HT implementations never starts), and the
+    // design stays mergeable: shards sample independently and the
+    // estimator just adds. One scan, one scalar aggregate; the only float
+    // is the final relative-error render.
+    "sample_horvitz_thompson" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.{md5Long, words}
+        val sampled = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(words(col("text"))).cast(LongType).as("v"),
+            md5Long(concat(lit("ht:"), col("doc_id").cast(StringType)))
+              .as("u"))
+          .withColumn("b",
+            when(col("n_chars") >= 2048, 1)
+              .when(col("n_chars") >= 1024, 2)
+              .when(col("n_chars") >= 512, 3)
+              .when(col("n_chars") >= 256, 4)
+              .otherwise(5))
+          .withColumn("keep",
+            col("u") < expr("shiftright(1152921504606846976L, b)"))
+        sampled.agg(
+            sum(col("v")).as("true_total"),
+            sum(when(col("keep"),
+              col("v") * expr("shiftleft(CAST(1 AS BIGINT), b)"))
+              .otherwise(0L)).as("ht_estimate"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+          .select(col("true_total"), col("ht_estimate"), col("n_sampled"),
+            round((col("ht_estimate") - col("true_total"))
+              .cast(DoubleType) / col("true_total").cast(DoubleType), 6)
+              .as("rel_err"))
+      },
+      Some {
+        import graft.functions.TextFunctions.{sqlMd5Long, sqlWords}
+        val u = sqlMd5Long("concat('ht:', CAST(doc_id AS VARCHAR))")
+        s"""WITH d AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(len(${sqlWords("text")}) AS BIGINT) AS v,
+           |    $u AS u,
+           |    CASE WHEN n_chars >= 2048 THEN 1
+           |         WHEN n_chars >= 1024 THEN 2
+           |         WHEN n_chars >= 512 THEN 3
+           |         WHEN n_chars >= 256 THEN 4
+           |         ELSE 5 END AS b
+           |  FROM documents),
+           |agg AS (
+           |  SELECT CAST(SUM(v) AS BIGINT) AS true_total,
+           |    CAST(SUM(CASE WHEN u < (1152921504606846976 >> b)
+           |      THEN v * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+           |      AS ht_estimate,
+           |    CAST(SUM(CASE WHEN u < (1152921504606846976 >> b)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+           |  FROM d)
+           |SELECT true_total, ht_estimate, n_sampled,
+           |  round(CAST(ht_estimate - true_total AS DOUBLE)
+           |    / CAST(true_total AS DOUBLE), 6) AS rel_err
+           |FROM agg""".stripMargin
+      }),
+
     // every step to the final /100.0 render is integer arithmetic
     // (`div`), so the estimate is bit-deterministic. Quantile q = the
     // lower bound of the first bin whose cumulative count reaches

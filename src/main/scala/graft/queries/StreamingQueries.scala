@@ -3,6 +3,7 @@ package graft.queries
 import graft.cdc._
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -15,6 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StreamingQueries {
 
   import ChangeRecord._
+
+  /** Per-user windowed-funnel state: the two running maxima the batch
+    * windows compute, plus the deepest stage reached — O(1) per user. */
+  case class FunnelState(lastView: Long, bestAnchor: Long, stage: Int)
 
   private val ordersSpec = ChangelogGen.Spec(pk = "o_orderkey",
     measure = "o_totalprice", table = "orders")
@@ -105,6 +110,70 @@ object StreamingQueries {
              |  COUNT(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // STREAMING WINDOWED FUNNEL — the real-time twin of q_window_funnel:
+    // the same ClickHouse-windowFunnel semantics carried as per-user
+    // keyed STATE (flatMapGroupsWithState) instead of batch windows. The
+    // state is three scalars per user — latest view time, best click
+    // anchor (max last-view over clicks seen so far), deepest stage —
+    // exactly the two running maxima the batch form computes, so state
+    // is O(users), never O(events), and each event updates in O(1): the
+    // shape a live product-analytics funnel needs at firehose scale.
+    // Within a batch events apply in (ts, event_id) order (per-user
+    // activity-bounded sort — the session-window license); across
+    // batches the replayed file stream preserves event-time order. The
+    // oracle is the SAME SQL as the batch query.
+    "q_stream_window_funnel" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+        import s.implicits._
+        val W = 86400L
+        val name = s"wfunnel_${System.nanoTime()}"
+        val ds = Tables.eventsStream(s, dir0)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts").cast(LongType).as("tse"))
+          .as[(Long, String, Long, Long)]
+        val q = ds.groupByKey(_._1)
+          .flatMapGroupsWithState[FunnelState, (Long, Int)](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+            (user, it, st) =>
+              var fs = st.getOption
+                .getOrElse(FunnelState(Long.MinValue, Long.MinValue, 0))
+              it.toSeq.sortBy(e => (e._4, e._3)).foreach {
+                case (_, typ, _, tse) => typ match {
+                  case "view" =>
+                    // stage-1 before the state write: the running maxima
+                    // must only see STRICTLY earlier events (the batch
+                    // windows' 1-PRECEDING bound)
+                    fs = fs.copy(lastView = math.max(fs.lastView, tse),
+                      stage = math.max(fs.stage, 1))
+                  case "click" if fs.lastView != Long.MinValue =>
+                    val s2 = fs.lastView >= tse - W
+                    fs = fs.copy(
+                      bestAnchor = math.max(fs.bestAnchor, fs.lastView),
+                      stage = math.max(fs.stage, if (s2) 2 else fs.stage))
+                  case "purchase" if fs.bestAnchor != Long.MinValue &&
+                      fs.bestAnchor >= tse - W =>
+                    fs = fs.copy(stage = 3)
+                  case _ => ()
+                }
+              }
+              st.update(fs)
+              Iterator.single((user, fs.stage))
+          }
+          .toDF("user_id", "stage")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // stage is monotone per user: the final emission is the max
+        graft.QueryUtil.detachMemorySink(s, name)
+          .groupBy(col("user_id"))
+          .agg(max(col("stage")).cast(LongType).as("stage"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some(AdvancedQueries.WindowFunnelOracle)),
 
     // Stream-stream inner join with event-time watermarks and a range
     // condition (Spark's watermarked interval join): purchases matched to

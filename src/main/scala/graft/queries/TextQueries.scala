@@ -550,6 +550,41 @@ object TextQueries {
            |    THEN (CAST(len(fp) AS BIGINT) * 1000000) // m
            |    ELSE 0 END AS density_ppm
            |FROM sel ORDER BY doc_id""".stripMargin
+      }),
+
+    // FEATURE-HASHING COLLISION AUDIT — before a pipeline commits to the
+    // hashing trick (n-gram features at a fixed 2^12 bucket width, the
+    // standard vocab-free featurizer), this measures what the width
+    // costs: the bucket-occupancy histogram of the corpus' distinct
+    // 3-shingle feature space under the production 60-bit hash folded
+    // mod 4096. occupancy = 1 buckets are collision-free; n_features at
+    // occupancy ≥ 2 is exactly the feature mass that aliases. One
+    // distinct shuffle (feature space), then two map-side-combined
+    // aggregates — audit cost is feature-space-bounded, never
+    // corpus-bounded.
+    "text_hash_collision_audit" -> QueryDef(
+      (s, dir) => {
+        val feats = Tables.load(s, dir, "documents")
+          .select(explode(shingleHashes(col("text"), 3)).as("h"))
+          .distinct()
+        feats.select((col("h") % 4096L).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+          .groupBy(col("occ"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("occ")).as("n_features"))
+          .orderBy(col("occ"))
+      },
+      Some {
+        s"""WITH feats AS (
+           |  SELECT DISTINCT unnest(${sqlShingleHashes("text", 3)}) AS h
+           |  FROM documents),
+           |b AS (
+           |  SELECT h % 4096 AS bucket, count(*) AS occ
+           |  FROM feats GROUP BY bucket)
+           |SELECT CAST(occ AS BIGINT) AS occ,
+           |  CAST(count(*) AS BIGINT) AS n_buckets,
+           |  CAST(sum(occ) AS BIGINT) AS n_features
+           |FROM b GROUP BY occ ORDER BY occ""".stripMargin
       })
   )
 }

@@ -1376,4 +1376,88 @@ class PlanSpec extends SparkSpecBase {
       assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(2000)}")
     }
   }
+
+  test("q_window_funnel: running-max windows, NO self-join — the event " +
+    "log is scanned once and never joined against itself") {
+    val plan = executed(q("q_window_funnel"))
+    val joins = plan.collect {
+      case j if j.nodeName.contains("Join") => j
+    }
+    assert(joins.isEmpty, s"window funnel must not self-join: " +
+      s"${joins.map(_.nodeName)}")
+    // both chain columns ride the same (user, ts)-ordered sort: exactly
+    // one user-keyed exchange feeds the windows
+    val shuffles = plan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size <= 3, // user window + stage groupBy + order
+      s"got ${shuffles.size} shuffles")
+  }
+
+  test("sample_horvitz_thompson: one scan, one scalar aggregate — no " +
+    "join, no window, integer HT terms") {
+    val plan = executed(q("sample_horvitz_thompson"))
+    assert(plan.collect {
+      case j if j.nodeName.contains("Join") => j
+    }.isEmpty, "HT estimation must be a single-pass aggregate")
+    assert(formatted(q("sample_horvitz_thompson")).contains("shiftleft"),
+      "dyadic HT terms must be integer shifts, not float pow")
+  }
+
+  test("dedup_shingle_df_hist: two map-side-combined aggregates, no join") {
+    val plan = executed(q("dedup_shingle_df_hist"))
+    assert(plan.collect {
+      case j if j.nodeName.contains("Join") => j
+    }.isEmpty, "df histogram must not join")
+    val partials = formatted(q("dedup_shingle_df_hist"))
+    assert(partials.contains("partial_count") ||
+      partials.contains("HashAggregate"), partials.take(1000))
+  }
+
+  test("graph_local_clustering: wedge close stays an equi-join — no " +
+    "cartesian anywhere in the per-node rollup") {
+    val plan = formatted(q("graph_local_clustering"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("dedup_scurve_validation: the pair domain rides the df-capped " +
+    "index (hot-shingle cap joins BEFORE the self-join); candidates " +
+    "meet the domain in an equi-join, never a product") {
+    val plan = formatted(q("dedup_scurve_validation"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("sketch_theta_setops: sketch halves are one-row frames — the " +
+    "only corpus-scale work is the two bounded-buffer kMinima aggregates " +
+    "and the exact-count audit join on the 60-bit key") {
+    val plan = formatted(q("sketch_theta_setops"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("kminima") || plan.contains("KMinima") ||
+      plan.contains("k_minima"), plan.take(1500))
+  }
+
+  test("dq_pk_gap_audit: start/end ranks ride the distributed prefix " +
+    "device — never a global single-partition ROW_NUMBER") {
+    val plan = formatted(q("dq_pk_gap_audit"))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global single-partition window detected:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("text_hash_collision_audit: one vocab distinct, then map-side-" +
+    "combined aggregates — no join anywhere") {
+    val plan = executed(q("text_hash_collision_audit"))
+    assert(plan.collect {
+      case j if j.nodeName.contains("Join") => j
+    }.isEmpty, "collision audit must not join")
+  }
+
+  test("q_stream_window_funnel: streaming state machine matches the " +
+    "batch running-max windows row for row") {
+    val stream = q("q_stream_window_funnel").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = q("q_window_funnel").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(stream == batch, s"stream=$stream batch=$batch")
+  }
 }
