@@ -99,6 +99,54 @@ object SequencePacking {
       .drop("__pid")
   }
 
+  /** `df` plus `outCol` (LongType) = the INCLUSIVE running MAX of
+    * `valueCol` in total `orderCol` order — [[runningSum]]'s prefix-scan
+    * device specialized to max (the watermark primitive: "highest event
+    * time seen so far in arrival order"). Same contract: unique
+    * `orderCol`, range-disjoint partitions checked loudly, O(partitions)
+    * driver prefix pass, never a single-task global window. */
+  def runningMax(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, numPartitions: Option[Int] = None): DataFrame = {
+    val reservedCols = Seq(outCol, "__pid")
+    reservedCols.foreach(c => require(!df.columns.contains(c),
+      s"runningMax reserves column name '$c'; rename it in the input"))
+    val nParts = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val parted = df
+      .repartitionByRange(nParts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin layout for the prefix map below
+    val stats = parted.groupBy(col("__pid"))
+      .agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"),
+        max(col(valueCol)).as("__v"))
+      .orderBy(col("__mn"))
+      .collect()
+    for (i <- 1 until stats.length) {
+      safeCompare(stats(i - 1).get(2), stats(i).get(1)).foreach { c =>
+        require(c < 0, "runningMax: range partitions overlap — " +
+          s"partition ${stats(i - 1).getInt(0)} max=${stats(i - 1).get(2)} " +
+          s">= partition ${stats(i).getInt(0)} min=${stats(i).get(1)}")
+      }
+    }
+    // prefix(p) = max of all PRECEDING partitions' maxima (MinValue when
+    // none) — the scan analogue of runningSum's additive prefix
+    val prefix: Map[Int, Long] = stats.zip(
+      stats.scanLeft(Long.MinValue)((acc, r) => math.max(acc,
+        (if (r.isNullAt(3)) Long.MinValue
+         else r.getAs[Number](3).longValue))))
+      .map { case (r, pre) => r.getInt(0) -> pre }.toMap
+    val prefixCol: Column =
+      if (prefix.isEmpty) lit(Long.MinValue)
+      else coalesce(element_at(typedLit(prefix), col("__pid")),
+        lit(Long.MinValue))
+    val localMax = max(col(valueCol))
+      .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
+    parted
+      .withColumn(outCol, greatest(localMax, prefixCol).cast("long"))
+      .drop("__pid")
+  }
+
   /** Driver-side ordering check that must never disagree with Spark's
     * column ordering: numbers compare numerically, ASCII strings compare
     * bytewise (== UTF8String order); anything else (non-ASCII strings,

@@ -461,6 +461,65 @@ object DataQualityQueries {
            |  CAST(sum(len) AS BIGINT) AS n_keys
            |FROM spans GROUP BY kind, len_band
            |ORDER BY kind, len_band""".stripMargin
+      }),
+
+    // WATERMARK LATENESS AUDIT — the measurement that SIZES every
+    // `withWatermark` delay in the streaming family: per event, its
+    // lateness against the stream's running high-water mark (max event
+    // time seen so far in ARRIVAL order), banded by power-of-two
+    // seconds. The p-max of this histogram is exactly the smallest
+    // watermark delay that drops nothing; choosing a delay from a lower
+    // band quantifies the dropped mass. The corpus' ingest id is exactly
+    // event-time-ordered, so arrival is simulated with a deterministic
+    // 0–10-minute per-event hash delay (the transport-jitter model both
+    // engines share); the arrival key packs (arrival_s, ingest id) into
+    // one long (valid while ids < 2^20 — widen the shift at a larger
+    // keyspace). The global running max rides
+    // [[graft.operators.SequencePacking.runningMax]] — the distributed
+    // prefix-scan device (range-partitioned, O(partitions) driver
+    // prefix), never a single-task ORDER BY window.
+    "dq_watermark_lateness" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts").cast(LongType).as("tse"))
+          .withColumn("arr", col("tse") +
+            md5Long(concat(lit("wl:"), col("event_id").cast(StringType)))
+              % 600L)
+          .withColumn("ord",
+            expr("arr * 1048576 + event_id % 1048576"))
+        val wm = graft.operators.SequencePacking
+          .runningMax(e, "ord", "tse", "wm", Some(8))
+        wm.select((col("wm") - col("tse")).as("late_s"))
+          .withColumn("late_band",
+            expr(s"CAST(bit_count(${PipelineQueries.smearExpr("late_s")})" +
+              " AS BIGINT)"))
+          .groupBy(col("late_band"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("late_s")).as("max_late_s"))
+          .orderBy(col("late_band"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val d = sqlMd5Long("concat('wl:', CAST(event_id AS VARCHAR))")
+        s"""WITH e AS (
+           |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse
+           |  FROM events),
+           |a AS (
+           |  SELECT tse,
+           |    (tse + $d % 600) * 1048576 + event_id % 1048576 AS ord
+           |  FROM e),
+           |w AS (
+           |  SELECT tse,
+           |    MAX(tse) OVER (ORDER BY ord
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+           |  FROM a),
+           |l AS (SELECT wm - tse AS late_s FROM w)
+           |SELECT CAST(bit_count(${PipelineQueries.smearExpr("late_s")})
+           |    AS BIGINT) AS late_band,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(max(late_s) AS BIGINT) AS max_late_s
+           |FROM l GROUP BY late_band ORDER BY late_band""".stripMargin
       })
   )
 }

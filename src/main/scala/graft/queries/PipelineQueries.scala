@@ -1329,6 +1329,95 @@ object PipelineQueries {
            |FROM agg""".stripMargin
       }),
 
+    // A/B ASSIGNMENT + SAMPLE-RATIO-MISMATCH AUDIT — the experiment-
+    // platform primitive: users split into two arms by a salted hash
+    // (deterministic, stateless, re-derivable by every consumer), then
+    // the two pre-experiment balance checks every assignment must pass
+    // before its readout is trusted: SRM (arm-size imbalance, in ppm of
+    // total) and covariate balance (total-variation distance between the
+    // arms' event-type mixes, exact rational ppm — |cA·NB − cB·NA| sums,
+    // integers end to end). One scan feeding map-side-combined per-type
+    // counters + one distinct-user aggregate; nothing corpus-scale
+    // shuffles twice. The suite's no-transcendental device: TV instead
+    // of a chi-square p-value.
+    "sample_ab_srm_audit" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextFunctions.md5Long
+        val e = Tables.load(s, dir, "events")
+          .withColumn("arm",
+            (md5Long(concat(lit("ab:"), col("user_id").cast(StringType)))
+              % 2L).cast(IntegerType))
+        val users = e.select(col("user_id"), col("arm")).distinct()
+          .groupBy()
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L))
+            .as("n_users_a"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_users_b"))
+        val byType = e.groupBy(col("event_type")).agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"),
+          sum(when(col("arm") === 0, col("value").cast(DecimalType(18, 2)))
+            .otherwise(graft.MoneyMath.dzero)).as("va"),
+          sum(when(col("arm") === 1, col("value").cast(DecimalType(18, 2)))
+            .otherwise(graft.MoneyMath.dzero)).as("vb"))
+        val tot = byType.agg(
+            sum(col("ca")).as("n_events_a"), sum(col("cb")).as("n_events_b"),
+            sum(col("va")).cast(DoubleType).as("sum_value_a"),
+            sum(col("vb")).cast(DoubleType).as("sum_value_b"))
+        val tv = byType.crossJoin(broadcast(tot
+            .select(col("n_events_a").as("na"), col("n_events_b").as("nb"))))
+          .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+            .as("tvnum"))
+        users.crossJoin(tot).crossJoin(tv)
+          .select(col("n_users_a"), col("n_users_b"),
+            expr("abs(n_users_a - n_users_b) * 1000000 " +
+              "div (n_users_a + n_users_b)").as("srm_ppm"),
+            col("n_events_a"), col("n_events_b"),
+            col("sum_value_a"), col("sum_value_b"),
+            expr("tvnum * 1000000 div (2 * n_events_a * n_events_b)")
+              .as("type_tv_ppm"))
+      },
+      Some {
+        import graft.functions.TextFunctions.sqlMd5Long
+        val arm = s"${sqlMd5Long("concat('ab:', CAST(user_id AS VARCHAR))")} % 2"
+        s"""WITH e AS (
+           |  SELECT user_id, event_type, value, $arm AS arm FROM events),
+           |u AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_users_a,
+           |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_users_b
+           |  FROM (SELECT DISTINCT user_id, arm FROM e)),
+           |bt AS (
+           |  SELECT event_type,
+           |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS ca,
+           |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS cb,
+           |    SUM(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(18,2))
+           |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS va,
+           |    SUM(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(18,2))
+           |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS vb
+           |  FROM e GROUP BY event_type),
+           |tot AS (
+           |  SELECT CAST(SUM(ca) AS BIGINT) AS n_events_a,
+           |    CAST(SUM(cb) AS BIGINT) AS n_events_b,
+           |    CAST(SUM(va) AS DOUBLE) AS sum_value_a,
+           |    CAST(SUM(vb) AS DOUBLE) AS sum_value_b
+           |  FROM bt),
+           |tv AS (
+           |  SELECT CAST(SUM(abs(ca * t.n_events_b - cb * t.n_events_a))
+           |    AS BIGINT) AS tvnum
+           |  FROM bt, tot t)
+           |SELECT n_users_a, n_users_b,
+           |  CAST(abs(n_users_a - n_users_b) * 1000000
+           |    // (n_users_a + n_users_b) AS BIGINT) AS srm_ppm,
+           |  n_events_a, n_events_b, sum_value_a, sum_value_b,
+           |  CAST(tvnum * 1000000 // (2 * n_events_a * n_events_b)
+           |    AS BIGINT) AS type_tv_ppm
+           |FROM u, tot, tv""".stripMargin
+      }),
+
     // every step to the final /100.0 render is integer arithmetic
     // (`div`), so the estimate is bit-deterministic. Quantile q = the
     // lower bound of the first bin whose cumulative count reaches

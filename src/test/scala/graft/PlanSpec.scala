@@ -1460,4 +1460,22 @@ class PlanSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(stream == batch, s"stream=$stream batch=$batch")
   }
+
+  test("dq_watermark_lateness: the global high-water mark rides the " +
+    "distributed prefix-scan — never a single-partition window") {
+    val plan = formatted(q("dq_watermark_lateness"))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global single-partition window detected:\n${plan.take(3000)}")
+  }
+
+  test("sample_ab_srm_audit: one corpus scan into map-side-combined " +
+    "counters; the balance algebra joins only one-row frames") {
+    val plan = formatted(q("sample_ab_srm_audit"))
+    // events must be scanned at most twice (per-type counters + the
+    // distinct-user arm census) — a third scan means the TV pass
+    // re-read the corpus
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 3, s"got $scans corpus scans:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }

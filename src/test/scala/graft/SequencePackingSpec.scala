@@ -76,6 +76,31 @@ class SequencePackingSpec extends SparkSpecBase {
     }
   }
 
+  test("runningMax equals the sequential inclusive running max, any " +
+    "partitioning — including negative values and a descending tail") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 400L).map(i =>
+      (i * 3 - 700, rnd.nextInt(1000).toLong - 500L))
+    var mx = Long.MinValue
+    val want = rows.sortBy(_._1).map { case (k, v) =>
+      mx = math.max(mx, v); k -> mx
+    }.toMap
+    for (n <- Seq(1, 4, 32)) {
+      val got = SequencePacking
+        .runningMax(rows.toDF("k", "v"), "k", "v", "wm", Some(n))
+        .select("k", "wm")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"numPartitions=$n")
+    }
+  }
+
+  test("runningMax rejects reserved output column collisions") {
+    val df = Seq((1L, 2L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      SequencePacking.runningMax(df, "k", "v", "v")
+    }
+  }
+
   test("dirty session: repeated runs under cache pressure are identical") {
     // mirrors the driver's 140-query single-JVM session: storage-memory
     // churn + a changed shuffle-partition setting between runs must not
