@@ -856,8 +856,12 @@ object CdcSourceQueries {
     dir
   }
 
-  private case class MongoSrcRow(mk: Long, oid: String, decs: String,
-      b64: String, v: Long)
+  // NOT `private`: a private case class defeats whole-stage codegen for
+  // its Dataset encoder (janino cannot reference the private accessors,
+  // Spark logs a CodeGenerator compile error per consumer and falls back
+  // to the interpreted path for the whole fixture build)
+  private[queries] case class MongoSrcRow(mk: Long, oid: String,
+      decs: String, b64: String, v: Long)
 
   /** File CDC database whose wire values are BSON extended JSON: ObjectId
     * `{"$oid":…}`, Decimal128 `{"$numberDecimal":…}`, UUID-subtype binary

@@ -412,16 +412,27 @@ object DataQualityQueries {
         val k = Tables.load(s, dir, "orders")
           .filter(col("o_orderstatus") === "O")
           .select(col("o_orderkey").as("k")).cache()
-        val starts = k.join(k.select((col("k") + 1).as("k")), Seq("k"),
-          "left_anti").withColumn("one", lit(1L))
-        val ends = k.join(k.select((col("k") - 1).as("k")), Seq("k"),
-          "left_anti").withColumn("one", lit(1L))
-        val sr = graft.operators.SequencePacking
-          .runningSum(starts, "k", "one", "r", Some(8))
-          .select(col("k").as("st"), col("r"))
-        val er = graft.operators.SequencePacking
-          .runningSum(ends, "k", "one", "r", Some(8))
-          .select(col("k").as("en"), col("r"))
+        // boundary flags per key (interior keys drop BEFORE the prefix
+        // pass), then ONE packed cumsum carries both rank sequences —
+        // start-rank in the low 32 bits, end-rank in the high (valid
+        // while each boundary count < 2^31): half the prefix-pass fixed
+        // cost of ranking starts and ends separately
+        val flagged = k
+          .join(k.select((col("k") + 1).as("k"), lit(1).as("hasPrev")),
+            Seq("k"), "left")
+          .join(k.select((col("k") - 1).as("k"), lit(1).as("hasNext")),
+            Seq("k"), "left")
+          .select(col("k"),
+            when(col("hasPrev").isNull, 1L).otherwise(0L).as("isS"),
+            when(col("hasNext").isNull, 1L).otherwise(0L).as("isE"))
+          .filter(col("isS") === 1 || col("isE") === 1)
+          .withColumn("wp", col("isS") + col("isE") * lit(4294967296L))
+        val cum = graft.operators.SequencePacking
+          .runningSum(flagged, "k", "wp", "cum", Some(8))
+        val sr = cum.filter(col("isS") === 1)
+          .select(col("k").as("st"), (col("cum") % 4294967296L).as("r"))
+        val er = cum.filter(col("isE") === 1)
+          .select(col("k").as("en"), expr("cum div 4294967296L").as("r"))
         val isl = sr.join(er, "r")
         val spans = isl.select(lit("island").as("kind"),
             (col("en") - col("st") + 1).as("len"))

@@ -2738,6 +2738,90 @@ object SimilarityQueries {
     // broadcast onto the scan (pure-map quantization), then the standard
     // broadcast-queries + one-top-k-window search; recall join is
     // queries×k rows.
+    // BINARY-HAMMING ANN recall gate — the most aggressive quantizer in
+    // the family (64 dims → ONE 64-bit word, 256× smaller than float32):
+    // bit j = "dim j above its corpus mean", distances are single-word
+    // XOR+popcount — the memory-bandwidth regime where a 100 TB index
+    // fits the page cache. The threshold is EXACT with no float mean:
+    // over the int8-quantized artifact, bit = (q·n > Σq) by integer
+    // cross-multiplication. Measured the same way as the SQ8/RP gates:
+    // recall@5 against the float-cosine exact top-k.
+    "ann_binary_hamming_recall" -> QueryDef(
+      (s, dir) => {
+        val qv = quantizedVecs(s, dir)
+        val ds = qv.select(posexplode(col("qv")).as(Seq("i", "q")))
+          .groupBy(col("i"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        val codes = qv
+          .select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "q")))
+          .join(broadcast(ds), "i")
+          .groupBy(col("vec_id"))
+          // bit 63 is the sign bit: DuckDB rejects 1<<63 as signed
+          // overflow, so both engines spell it as the MinValue literal
+          .agg(sum(when(col("q") * col("n") > col("sum_q"),
+            expr("CASE WHEN i = 63 THEN -9223372036854775807L - 1L " +
+              "ELSE shiftleft(CAST(1 AS BIGINT), i) END"))
+            .otherwise(0L)).as("code"))
+        val q = codes.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("hd"), col("vec_id"))
+        val tr = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("hd", bit_count(col("qcode").bitwiseXOR(col("code"))))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val bf = bruteforceTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = bf.join(tr, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        bf.select(col("query_id")).distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
+              / lit(TopK.toDouble)).as("recall_at_k"))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($bruteforceSql)),
+           |$sqlQuantPrefix,
+           |ds AS (
+           |  SELECT i, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(qv[i + 1]) AS BIGINT) AS sum_q
+           |  FROM qvecs, (SELECT unnest(range(0, $Dim)) AS i) r
+           |  GROUP BY i),
+           |codes AS (
+           |  SELECT vec_id, CAST(SUM(CASE
+           |    WHEN qv[d.i + 1] * d.n > d.sum_q AND d.i = 63
+           |      THEN -9223372036854775807 - 1
+           |    WHEN qv[d.i + 1] * d.n > d.sum_q
+           |      THEN (CAST(1 AS BIGINT) << d.i)
+           |    ELSE 0 END) AS BIGINT) AS code
+           |  FROM qvecs, ds d GROUP BY vec_id),
+           |qs AS (SELECT vec_id AS query_id, code AS qcode
+           |       FROM codes WHERE vec_id < $NumQueries),
+           |tr AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT qs.query_id, c.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY qs.query_id
+           |        ORDER BY bit_count(xor(qs.qcode, c.code)), c.vec_id)
+           |        AS rank
+           |    FROM codes c, qs WHERE c.vec_id <> qs.query_id)
+           |  WHERE rank <= $TopK),
+           |hits AS (
+           |  SELECT query_id, count(*) AS n_hits
+           |  FROM bf JOIN tr USING (query_id, neighbor_id)
+           |  GROUP BY query_id)
+           |SELECT b.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT)
+           |    AS n_hits,
+           |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $TopK.0
+           |    AS recall_at_k
+           |FROM (SELECT DISTINCT query_id FROM bf) b
+           |LEFT JOIN hits h ON b.query_id = h.query_id
+           |ORDER BY b.query_id""".stripMargin
+      }),
+
     "ann_sq8_recall" -> QueryDef(
       (s, dir) => {
         // in-row max over each vector, then one scalar aggregate — never

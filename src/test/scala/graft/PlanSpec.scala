@@ -1461,6 +1461,13 @@ class PlanSpec extends SparkSpecBase {
     assert(stream == batch, s"stream=$stream batch=$batch")
   }
 
+  test("ann_binary_hamming_recall: the 64-row dim-threshold table " +
+    "broadcasts onto the code build; no cartesian anywhere") {
+    val plan = formatted(q("ann_binary_hamming_recall"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("dq_watermark_lateness: the global high-water mark rides the " +
     "distributed prefix-scan — never a single-partition window") {
     val plan = formatted(q("dq_watermark_lateness"))
