@@ -825,6 +825,55 @@ object CurationQueries {
              |      + CAST(diff_milli > b.b2 AS BIGINT)
              |      + CAST(diff_milli > b.b3 AS BIGINT) AS phase
              |  FROM d, b)
-             |GROUP BY phase ORDER BY phase""".stripMargin))
+             |GROUP BY phase ORDER BY phase""".stripMargin)),
+
+    // PARETO FRONTIER (2-D skyline) over (quality score, token count) —
+    // the curation question "which documents are undominated: nothing
+    // else is both better-scored AND longer" answered as a proper
+    // SKYLINE operator. Scale shape: the corpus first collapses to ONE
+    // row per distinct score (map-side-combined max-words — score
+    // cardinality is bounded by the score's 6-dp lattice, the same
+    // license as the suite's other score-granularity devices), and only
+    // that bounded table rides the frontier window (strictly-better
+    // scores precede, keep rows whose max_words exceeds the running
+    // max). Raw documents never enter a window.
+    "curation_pareto_frontier" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+          .select(qualityScore(col("text")).as("quality"),
+            size(words(col("text"))).cast(LongType).as("n_words"))
+        val byScore = d.groupBy(col("quality"))
+          .agg(max(col("n_words")).as("max_words"),
+            count(lit(1)).as("n_docs"))
+        val better = Window.orderBy(col("quality").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byScore
+          .withColumn("best_above", max(col("max_words")).over(better))
+          .filter(col("best_above").isNull ||
+            col("max_words") > col("best_above"))
+          .select(col("quality"), col("max_words"), col("n_docs"))
+          .orderBy(col("quality").desc)
+      },
+      Some {
+        s"""WITH d AS (
+           |  SELECT ${sqlQualityScore("text")} AS quality,
+           |    CAST(len(${sqlWords("text")}) AS BIGINT) AS n_words
+           |  FROM documents),
+           |bs AS (
+           |  SELECT quality, MAX(n_words) AS max_words,
+           |    CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM d GROUP BY quality),
+           |f AS (
+           |  SELECT quality, max_words, n_docs,
+           |    MAX(max_words) OVER (ORDER BY quality DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS best_above
+           |  FROM bs)
+           |SELECT quality, CAST(max_words AS BIGINT) AS max_words, n_docs
+           |FROM f
+           |WHERE best_above IS NULL OR max_words > best_above
+           |ORDER BY quality DESC""".stripMargin
+      })
   )
 }

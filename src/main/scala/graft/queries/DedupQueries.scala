@@ -2298,6 +2298,86 @@ object DedupQueries {
            |ORDER BY id""".stripMargin
       }),
 
+    // EDGE TRIANGLE-SUPPORT (k-TRUSS) HISTOGRAM — the edge-centric
+    // companion to the node-centric clustering coefficient above: per
+    // near-dup edge, how many triangles contain it (the k-truss support
+    // that separates load-bearing clique edges from support-0 bridge
+    // edges a transitive closure glued in — exactly the edges a
+    // threshold tweak would cut). Same degree-ordered oriented wedge
+    // stream; each found triangle contributes its three unordered edges
+    // to a triangle-sized rollup, then one left join back onto the pair
+    // set catches the support-0 edges. Histogram rows, all integers.
+    "graph_truss_support" -> QueryDef(
+      (s, dir) => {
+        val p = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
+          .cache()
+        val deg = p.select(explode(array(col("id_a"), col("id_b")))
+            .as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        val e = p
+          .join(deg.select(col("v").as("id_a"), col("dg").as("da")),
+            "id_a")
+          .join(deg.select(col("v").as("id_b"), col("dg").as("db")),
+            "id_b")
+          .select(
+            when(col("da") <= col("db"), col("id_a")).otherwise(col("id_b"))
+              .as("src"),
+            when(col("da") <= col("db"), col("id_b")).otherwise(col("id_a"))
+              .as("dst"))
+          .cache()
+        val tri = e.as("x").join(e.as("y"),
+            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+          .select(col("x.src").as("a"), col("x.dst").as("b"),
+            col("y.dst").as("c"))
+          .join(p, col("b") === col("id_a") && col("c") === col("id_b"))
+          .select(col("a"), col("b"), col("c"))
+        val edgeSupport = tri.select(
+            explode(array(
+              struct(least(col("a"), col("b")).as("u"),
+                greatest(col("a"), col("b")).as("v")),
+              struct(least(col("a"), col("c")).as("u"),
+                greatest(col("a"), col("c")).as("v")),
+              struct(least(col("b"), col("c")).as("u"),
+                greatest(col("b"), col("c")).as("v")))).as("ed"))
+          .select(col("ed.u").as("id_a"), col("ed.v").as("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("support"))
+        p.join(edgeSupport, Seq("id_a", "id_b"), "left")
+          .select(coalesce(col("support"), lit(0L)).as("support"))
+          .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+          .orderBy(col("support"))
+      },
+      Some {
+        s"""WITH $minhashPairsCte,
+           |p AS (SELECT id_a, id_b FROM pairs),
+           |deg AS (
+           |  SELECT v, count(*) AS dg FROM (
+           |    SELECT id_a AS v FROM p UNION ALL SELECT id_b FROM p)
+           |  GROUP BY v),
+           |e AS (
+           |  SELECT CASE WHEN da.dg <= db.dg THEN p.id_a ELSE p.id_b END
+           |           AS src,
+           |         CASE WHEN da.dg <= db.dg THEN p.id_b ELSE p.id_a END
+           |           AS dst
+           |  FROM p JOIN deg da ON da.v = p.id_a
+           |         JOIN deg db ON db.v = p.id_b),
+           |t AS (
+           |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+           |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+           |  JOIN p ON x.dst = p.id_a AND y.dst = p.id_b),
+           |es AS (
+           |  SELECT u AS id_a, v AS id_b, count(*) AS support FROM (
+           |    SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM t
+           |    UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM t
+           |    UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM t)
+           |  GROUP BY 1, 2)
+           |SELECT CAST(COALESCE(es.support, 0) AS BIGINT) AS support,
+           |  CAST(count(*) AS BIGINT) AS n_edges
+           |FROM p LEFT JOIN es
+           |  ON es.id_a = p.id_a AND es.id_b = p.id_b
+           |GROUP BY 1 ORDER BY support""".stripMargin
+      }),
+
     // SHINGLE DOCUMENT-FREQUENCY HISTOGRAM — the capacity-planning audit
     // behind every df-cap in this file (winnow_pairs, the truth passes):
     // how many distinct 3-shingles live at each power-of-two df band,

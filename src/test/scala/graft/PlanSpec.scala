@@ -1461,6 +1461,30 @@ class PlanSpec extends SparkSpecBase {
     assert(stream == batch, s"stream=$stream batch=$batch")
   }
 
+  test("graph_truss_support: wedge close and edge rollup are equi-joins " +
+    "over edge-shaped sides — never a cross product") {
+    val plan = formatted(q("graph_truss_support"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("curation_pareto_frontier: skyline invariant — walking the " +
+    "frontier down in quality, max_words strictly increases (nothing " +
+    "dominated survives); raw docs never enter the window (aggregate " +
+    "feeds it)") {
+    val rows = q("curation_pareto_frontier").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((qHi, wHi), (qLo, wLo)) =>
+        assert(qHi > qLo, s"frontier not quality-sorted: $qHi !> $qLo")
+        assert(wLo > wHi, s"dominated row survived: ($qLo,$wLo) vs ($qHi,$wHi)")
+      case _ => ()
+    }
+    val plan = formatted(q("curation_pareto_frontier"))
+    assert(plan.contains("HashAggregate") ||
+      plan.contains("SortAggregate"), plan.take(1500))
+  }
+
   test("ann_binary_hamming_recall: the 64-row dim-threshold table " +
     "broadcasts onto the code build; no cartesian anywhere") {
     val plan = formatted(q("ann_binary_hamming_recall"))
