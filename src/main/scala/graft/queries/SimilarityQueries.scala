@@ -2738,6 +2738,82 @@ object SimilarityQueries {
     // broadcast onto the scan (pure-map quantization), then the standard
     // broadcast-queries + one-top-k-window search; recall join is
     // queries×k rows.
+    // RESIDUAL QUANTIZER (RVQ) DISTORTION — the additive-codebook family
+    // (stage-2 codebook trained on the RESIDUALS of stage 1, codes sum):
+    // the report every quantizer bake-off needs is how much of stage-1's
+    // reconstruction error the residual stage removes. Both stages run
+    // the exact PQ Lloyd devices ([[pqAssign]]/[[pqUpdate]]) at FULL
+    // dimension under a single subspace id, so assignment ties, the
+    // floor-mean centroid update, and the integer d2 are shared
+    // definitions, not re-implementations. One bounded codebook
+    // broadcast per assign; sums exact integers.
+    "ann_rq_distortion" -> QueryDef(
+      (s, dir) => {
+        val sub = quantizedVecs(s, dir)
+          .select(lit(0).as("m"), col("vec_id"), col("qv").as("sv"))
+        val c0 = sub.filter(col("vec_id") < PqK)
+          .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+        val c1 = pqUpdate(pqAssign(sub, c0))
+        val a1 = pqAssign(sub, c1)
+        val r = a1.join(broadcast(c1), Seq("m", "cid"))
+          .select(col("m"), col("vec_id"),
+            zip_with(col("sv"), col("cv"), (a, b) => a - b).as("sv"))
+        val rc0 = r.filter(col("vec_id") < PqK)
+          .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+        val rc1 = pqUpdate(pqAssign(r, rc0))
+        val a2 = pqAssign(r, rc1)
+        def stage(a: DataFrame, st: Int) = a.agg(
+            count(lit(1)).as("n_vecs"),
+            sum(col("d2")).cast(LongType).as("sum_d2"))
+          .select(lit(st.toLong).as("stage"), col("n_vecs"), col("sum_d2"))
+        stage(a1, 1).unionByName(stage(a2, 2)).orderBy(col("stage"))
+      },
+      Some {
+        def d2F(q: String, c: String): String =
+          s"list_sum(list_transform(range(1, ${Dim + 1}), " +
+            s"i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
+        def assignCte(name: String, src: String, cents: String): String =
+          s"""$name AS (
+             |  SELECT m, vec_id, cid, sv, d2 FROM (
+             |    SELECT s.m, s.vec_id, c.cid, s.sv,
+             |      ${d2F("s.sv", "c.cv")} AS d2,
+             |      ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
+             |        ORDER BY ${d2F("s.sv", "c.cv")}, c.cid) AS rn
+             |    FROM $src s JOIN $cents c ON c.m = s.m) WHERE rn = 1)"""
+            .stripMargin
+        def updateCte(name: String, assigned: String): String =
+          s"""$name AS (
+             |  SELECT m, cid, list(c ORDER BY i) AS cv FROM (
+             |    SELECT m, cid, i,
+             |      CAST(FLOOR(CAST(SUM(sv[i + 1]) AS DOUBLE)
+             |        / COUNT(*)) AS BIGINT) AS c
+             |    FROM $assigned, (SELECT unnest(range(0, $Dim)) AS i) r
+             |    GROUP BY m, cid, i) GROUP BY m, cid)""".stripMargin
+        s"""WITH $sqlQuantPrefix,
+           |fsub AS (SELECT 0 AS m, vec_id, qv AS sv FROM qvecs),
+           |fc0 AS (SELECT m, vec_id AS cid, sv AS cv FROM fsub
+           |        WHERE vec_id < $PqK),
+           |${assignCte("fa0", "fsub", "fc0")},
+           |${updateCte("fc1", "fa0")},
+           |${assignCte("fa1", "fsub", "fc1")},
+           |res AS (
+           |  SELECT a.m, a.vec_id, list_transform(range(1, ${Dim + 1}),
+           |      i -> a.sv[i] - c.cv[i]) AS sv
+           |  FROM fa1 a JOIN fc1 c ON c.m = a.m AND c.cid = a.cid),
+           |rc0 AS (SELECT m, vec_id AS cid, sv AS cv FROM res
+           |        WHERE vec_id < $PqK),
+           |${assignCte("ra0", "res", "rc0")},
+           |${updateCte("rc1", "ra0")},
+           |${assignCte("ra1", "res", "rc1")}
+           |SELECT CAST(1 AS BIGINT) AS stage,
+           |  CAST(count(*) AS BIGINT) AS n_vecs,
+           |  CAST(SUM(d2) AS BIGINT) AS sum_d2 FROM fa1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           |  CAST(SUM(d2) AS BIGINT) FROM ra1
+           |ORDER BY stage""".stripMargin
+      }),
+
     // BINARY-HAMMING ANN recall gate — the most aggressive quantizer in
     // the family (64 dims → ONE 64-bit word, 256× smaller than float32):
     // bit j = "dim j above its corpus mean", distances are single-word

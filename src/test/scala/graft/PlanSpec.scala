@@ -1485,6 +1485,13 @@ class PlanSpec extends SparkSpecBase {
       plan.contains("SortAggregate"), plan.take(1500))
   }
 
+  test("ann_rq_distortion: every codebook broadcasts onto the corpus " +
+    "side; no shuffle join of an 8-row codebook, no cartesian") {
+    val plan = formatted(q("ann_rq_distortion"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("ann_binary_hamming_recall: the 64-row dim-threshold table " +
     "broadcasts onto the code build; no cartesian anywhere") {
     val plan = formatted(q("ann_binary_hamming_recall"))
