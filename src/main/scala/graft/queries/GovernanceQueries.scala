@@ -173,6 +173,92 @@ object GovernanceQueries {
     // the scan into a cells-bounded table (|nations| x |segments| x
     // |bands| rows); the violation filter runs on the cell table. The
     // record side is never sorted or joined.
+    // GENERALIZATION LADDER — the policy operator ABOVE k-anonymity:
+    // which generalization level first makes the table safe to release?
+    // Levels coarsen the QI set stepwise (L0 = the k-anonymity QI
+    // below; L1 widens the balance band $1k → $5k; L2 generalizes
+    // nation → region; L3 drops the segment, band → $10k), and each
+    // level reports its cell count, smallest cell and the row mass that
+    // would need suppression at k = 5. Scale shape: ONE corpus scan
+    // builds the L0 cell cube; every coarser level re-aggregates the
+    // CELL table (cells ≤ nations × segments × bands, never rows), the
+    // nation→region map broadcasts. Bands live in a +1000-shifted
+    // non-negative space so integer division agrees across engines
+    // (Spark `div` truncates toward zero, DuckDB `//` floors).
+    "privacy_generalization_ladder" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val cents = (graft.MoneyMath.dec(col("c_acctbal")) * 100)
+          .cast(LongType)
+        val cells = c.withColumn("cents", cents)
+          .selectExpr("c_nationkey", "c_mktsegment",
+            "(cents + 100000000) div 100000 AS b1")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"), col("b1"))
+          .agg(count(lit(1)).as("cnt"))
+          .cache()
+        val nat = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"),
+            col("n_regionkey"))
+        def report(g: org.apache.spark.sql.DataFrame,
+            lvl: Int): org.apache.spark.sql.DataFrame = g
+          .agg(count(lit(1)).as("n_cells"), min(col("cnt")).as("min_cell"),
+            sum(when(col("cnt") < 5, col("cnt")).otherwise(0L))
+              .as("n_suppressed"),
+            sum(col("cnt")).as("n_rows"))
+          .select(lit(lvl.toLong).as("lvl"), col("n_cells"),
+            col("min_cell"), col("n_suppressed"),
+            expr("n_suppressed * 1000000 div n_rows").as("suppress_ppm"))
+        val l0 = report(cells.groupBy(col("c_nationkey"),
+          col("c_mktsegment"), col("b1")).agg(sum(col("cnt")).as("cnt")), 0)
+        val l1 = report(cells.groupBy(col("c_nationkey"),
+            col("c_mktsegment"), expr("b1 div 5").as("b5"))
+          .agg(sum(col("cnt")).as("cnt")), 1)
+        val withReg = cells.join(broadcast(nat), "c_nationkey")
+        val l2 = report(withReg.groupBy(col("n_regionkey"),
+            col("c_mktsegment"), expr("b1 div 5").as("b5"))
+          .agg(sum(col("cnt")).as("cnt")), 2)
+        val l3 = report(withReg.groupBy(col("n_regionkey"),
+            expr("b1 div 10").as("b10"))
+          .agg(sum(col("cnt")).as("cnt")), 3)
+        l0.unionByName(l1).unionByName(l2).unionByName(l3)
+          .orderBy(col("lvl"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      + 100000000) // 100000 AS b1,
+             |    count(*) AS cnt
+             |  FROM customer GROUP BY 1, 2, 3),
+             |l0 AS (
+             |  SELECT 0 AS lvl, cnt FROM (
+             |    SELECT SUM(cnt) AS cnt FROM cells
+             |    GROUP BY c_nationkey, c_mktsegment, b1)),
+             |l1 AS (
+             |  SELECT 1 AS lvl, cnt FROM (
+             |    SELECT SUM(cnt) AS cnt FROM cells
+             |    GROUP BY c_nationkey, c_mktsegment, b1 // 5)),
+             |l2 AS (
+             |  SELECT 2 AS lvl, cnt FROM (
+             |    SELECT SUM(cnt) AS cnt FROM cells c
+             |    JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |    GROUP BY n.n_regionkey, c.c_mktsegment, c.b1 // 5)),
+             |l3 AS (
+             |  SELECT 3 AS lvl, cnt FROM (
+             |    SELECT SUM(cnt) AS cnt FROM cells c
+             |    JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |    GROUP BY n.n_regionkey, c.b1 // 10)),
+             |u AS (
+             |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
+             |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+             |SELECT CAST(lvl AS BIGINT) AS lvl,
+             |  CAST(count(*) AS BIGINT) AS n_cells,
+             |  CAST(min(cnt) AS BIGINT) AS min_cell,
+             |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+             |    AS n_suppressed,
+             |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) * 1000000
+             |    // SUM(cnt) AS BIGINT) AS suppress_ppm
+             |FROM u GROUP BY lvl ORDER BY lvl""".stripMargin)),
+
     "privacy_k_anonymity" -> QueryDef(
       (s, dir) => {
         val c = Tables.load(s, dir, "customer")
