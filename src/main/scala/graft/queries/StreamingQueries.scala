@@ -21,6 +21,41 @@ object StreamingQueries {
     * windows compute, plus the deepest stage reached — O(1) per user. */
   case class FunnelState(lastView: Long, bestAnchor: Long, stage: Int)
 
+  object FunnelState {
+    val empty: FunnelState = FunnelState(Long.MinValue, Long.MinValue, 0)
+  }
+
+  /** One micro-batch of the windowed-funnel state machine: apply this
+    * batch's (event_type, event_id, tse) rows — sorted here into
+    * (tse, event_id) order — on top of the carried state. Extracted so
+    * the BATCH-BOUNDARY INVARIANCE property is unit-testable: splitting
+    * a user's event sequence at any point and threading the state gives
+    * the same final stage as one pass (WindowFunnelStateSpec). */
+  private[graft] def funnelStep(fs0: FunnelState,
+      batch: Seq[(String, Long, Long)], w: Long): FunnelState = {
+    var fs = fs0
+    batch.sortBy { case (_, eid, tse) => (tse, eid) }.foreach {
+      case (typ, _, tse) => typ match {
+        case "view" =>
+          // stage-1 before the state write: the running maxima must only
+          // see STRICTLY earlier events (the batch windows' 1-PRECEDING
+          // bound)
+          fs = fs.copy(lastView = math.max(fs.lastView, tse),
+            stage = math.max(fs.stage, 1))
+        case "click" if fs.lastView != Long.MinValue =>
+          val s2 = fs.lastView >= tse - w
+          fs = fs.copy(
+            bestAnchor = math.max(fs.bestAnchor, fs.lastView),
+            stage = math.max(fs.stage, if (s2) 2 else fs.stage))
+        case "purchase" if fs.bestAnchor != Long.MinValue &&
+            fs.bestAnchor >= tse - w =>
+          fs = fs.copy(stage = 3)
+        case _ => ()
+      }
+    }
+    fs
+  }
+
   private val ordersSpec = ChangelogGen.Spec(pk = "o_orderkey",
     measure = "o_totalprice", table = "orders")
   private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -137,27 +172,9 @@ object StreamingQueries {
           .flatMapGroupsWithState[FunnelState, (Long, Int)](
             OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
             (user, it, st) =>
-              var fs = st.getOption
-                .getOrElse(FunnelState(Long.MinValue, Long.MinValue, 0))
-              it.toSeq.sortBy(e => (e._4, e._3)).foreach {
-                case (_, typ, _, tse) => typ match {
-                  case "view" =>
-                    // stage-1 before the state write: the running maxima
-                    // must only see STRICTLY earlier events (the batch
-                    // windows' 1-PRECEDING bound)
-                    fs = fs.copy(lastView = math.max(fs.lastView, tse),
-                      stage = math.max(fs.stage, 1))
-                  case "click" if fs.lastView != Long.MinValue =>
-                    val s2 = fs.lastView >= tse - W
-                    fs = fs.copy(
-                      bestAnchor = math.max(fs.bestAnchor, fs.lastView),
-                      stage = math.max(fs.stage, if (s2) 2 else fs.stage))
-                  case "purchase" if fs.bestAnchor != Long.MinValue &&
-                      fs.bestAnchor >= tse - W =>
-                    fs = fs.copy(stage = 3)
-                  case _ => ()
-                }
-              }
+              val fs = funnelStep(st.getOption.getOrElse(FunnelState.empty),
+                it.map { case (_, typ, eid, tse) => (typ, eid, tse) }.toSeq,
+                W)
               st.update(fs)
               Iterator.single((user, fs.stage))
           }
