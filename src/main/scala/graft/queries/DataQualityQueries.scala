@@ -474,6 +474,63 @@ object DataQualityQueries {
            |ORDER BY kind, len_band""".stripMargin
       }),
 
+    // MANN–WHITNEY U (rank-sum) TWO-SAMPLE TEST — the nonparametric
+    // "did this source's length distribution shift" check that the KS
+    // and chi² drift monitors don't cover (U is the probability-scaled
+    // count of cross-sample wins, robust to any monotone transform).
+    // Exact integer form: both samples collapse to VALUE HISTOGRAMS
+    // (map-side combine over the bounded length lattice), 2U = 2·Σ
+    // hA(v)·cumB(<v) + Σ hA(v)·hB(v) rides one window over histogram
+    // rows (value-lattice-bounded — the quantile-device license), and
+    // the rank-biserial effect size r = 2U/(nA·nB) − 1 is the one final
+    // division. No normal approximation, no sqrt — the effect size IS
+    // the deliverable at corpus scale.
+    "dq_mannwhitney_lengths" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"), col("n_chars").as("v"))
+        val hist = d.groupBy(col("v")).agg(
+            sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val terms = hist
+          .withColumn("cumb_less", coalesce(sum(col("cb")).over(w), lit(0L)))
+        terms.agg(
+            sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+            sum(col("ca") * col("cumb_less") * 2 + col("ca") * col("cb"))
+              .as("u2"))
+          .select(col("n_a"), col("n_b"), col("u2"),
+            round(col("u2").cast(DoubleType) /
+              (col("n_a") * col("n_b")).cast(DoubleType) - lit(1.0d), 6)
+              .as("rank_biserial"))
+      },
+      Some("""WITH d AS (
+             |  SELECT source, n_chars AS v FROM documents
+             |  WHERE source IN ('src0', 'src1')),
+             |hist AS (
+             |  SELECT v,
+             |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cb
+             |  FROM d GROUP BY v),
+             |terms AS (
+             |  SELECT ca, cb,
+             |    COALESCE(SUM(cb) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cumb_less
+             |  FROM hist)
+             |SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             |  CAST(SUM(cb) AS BIGINT) AS n_b,
+             |  CAST(SUM(ca * cumb_less * 2 + ca * cb) AS BIGINT) AS u2,
+             |  round(CAST(SUM(ca * cumb_less * 2 + ca * cb) AS DOUBLE)
+             |    / CAST(SUM(ca) * SUM(cb) AS DOUBLE) - 1.0, 6)
+             |    AS rank_biserial
+             |FROM terms""".stripMargin)),
+
     // WATERMARK LATENESS AUDIT — the measurement that SIZES every
     // `withWatermark` delay in the streaming family: per event, its
     // lateness against the stream's running high-water mark (max event

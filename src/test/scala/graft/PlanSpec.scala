@@ -1499,6 +1499,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("dq_mannwhitney_lengths: the rank algebra runs over the VALUE " +
+    "HISTOGRAM (aggregate feeds the window), never a per-row global sort " +
+    "of the corpus; no join anywhere") {
+    val plan = executed(q("dq_mannwhitney_lengths"))
+    assert(plan.collect {
+      case j if j.nodeName.contains("Join") => j
+    }.isEmpty, "U-statistic must not join")
+    assert(formatted(q("dq_mannwhitney_lengths")).contains("HashAggregate"))
+  }
+
   test("dq_watermark_lateness: the global high-water mark rides the " +
     "distributed prefix-scan — never a single-partition window") {
     val plan = formatted(q("dq_watermark_lateness"))
