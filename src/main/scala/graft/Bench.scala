@@ -53,7 +53,7 @@ object Bench {
         s"/root/repo/.scratch/er_clusters_v1/$sfName",
         s"/root/repo/.scratch/trade_graph_v1/$sfName",
         s"/root/repo/.scratch/qvecs_v1/$sfName",
-        s"/root/repo/.scratch/nav_graph_v1/$sfName",
+        s"/root/repo/.scratch/nav_graph_v2/$sfName",
         s"/root/repo/.scratch/pq_model_v1/$sfName",
         s"/root/repo/.scratch/phash_clusters_v1/$sfName",
         s"/root/repo/.scratch/cdcdb_ddl/$sfName",

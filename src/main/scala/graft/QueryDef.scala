@@ -65,6 +65,18 @@ object QueryUtil {
       parts: Int = 8): Unit =
     df.repartition(parts, org.apache.spark.sql.functions.col(key))
       .write.mode("overwrite").parquet(path)
+
+  /** Remove a PER-RUN scratch dir (e.g. a streaming query's nanoTime-keyed
+    * state store) once its contents are materialized — per-run dirs that
+    * outlive their query are unbounded disk growth across Verify/Bench
+    * cycles. Never use on the (sf, version)-keyed `_DONE` artifacts. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val fs = f.listFiles()
+      if (fs != null) fs.foreach(deleteRecursively)
+    }
+    f.delete()
+  }
 }
 
 object Tables {

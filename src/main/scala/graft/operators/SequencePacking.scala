@@ -70,11 +70,21 @@ object SequencePacking {
     // partition's min key — Spark's own ordering, not pid arithmetic
     val stats = parted.groupBy(col("__pid"))
       .agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"),
-        sum(col(weightCol)).as("__w"))
+        sum(col(weightCol)).as("__w"), count(lit(1)).as("__n"),
+        countDistinct(col(orderCol)).as("__nd"))
       .orderBy(col("__mn"))
       .collect()
-    // invariant: partitions must be disjoint key ranges (range exchange
-    // contract); checked best-effort where driver-side ordering is safe
+    // invariants, both checked LOUDLY: partitions must be disjoint key
+    // ranges (range exchange contract — covers cross-partition key
+    // duplication, since an equal boundary key fails the strict <), and
+    // orderCol must be unique WITHIN each partition (the ROWS-framed
+    // cumsum below would otherwise depend on intra-key row order)
+    stats.foreach { r =>
+      require(r.getLong(4) == r.getLong(5),
+        s"runningSum: order column '$orderCol' has duplicate values " +
+          s"(partition ${r.getInt(0)}: ${r.getLong(4)} rows, " +
+          s"${r.getLong(5)} distinct keys) — use a unique key")
+    }
     for (i <- 1 until stats.length) {
       safeCompare(stats(i - 1).get(2), stats(i).get(1)).foreach { c =>
         require(c < 0, "runningSum: range partitions overlap — " +
@@ -92,8 +102,12 @@ object SequencePacking {
     val prefixCol: Column =
       if (prefix.isEmpty) lit(0L)
       else coalesce(element_at(typedLit(prefix), col("__pid")), lit(0L))
+    // explicit ROWS frame: the default RANGE frame includes peer rows on
+    // ties — unreachable given the uniqueness check above, but the frame
+    // states the sequential semantics rather than relying on it
     val localCum = sum(col(weightCol))
-      .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
+      .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     parted
       .withColumn(outCol, (localCum + prefixCol).cast("long"))
       .drop("__pid")
@@ -119,9 +133,18 @@ object SequencePacking {
       .localCheckpoint(true) // pin layout for the prefix map below
     val stats = parted.groupBy(col("__pid"))
       .agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"),
-        max(col(valueCol)).as("__v"))
+        max(col(valueCol)).as("__v"), count(lit(1)).as("__n"),
+        countDistinct(col(orderCol)).as("__nd"))
       .orderBy(col("__mn"))
       .collect()
+    // same loud contract as runningSum: unique orderCol within each
+    // partition, strictly disjoint ranges across partitions
+    stats.foreach { r =>
+      require(r.getLong(4) == r.getLong(5),
+        s"runningMax: order column '$orderCol' has duplicate values " +
+          s"(partition ${r.getInt(0)}: ${r.getLong(4)} rows, " +
+          s"${r.getLong(5)} distinct keys) — use a unique key")
+    }
     for (i <- 1 until stats.length) {
       safeCompare(stats(i - 1).get(2), stats(i).get(1)).foreach { c =>
         require(c < 0, "runningMax: range partitions overlap — " +
@@ -141,7 +164,8 @@ object SequencePacking {
       else coalesce(element_at(typedLit(prefix), col("__pid")),
         lit(Long.MinValue))
     val localMax = max(col(valueCol))
-      .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
+      .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     parted
       .withColumn(outCol, greatest(localMax, prefixCol).cast("long"))
       .drop("__pid")

@@ -377,9 +377,10 @@ object AdvancedQueries {
     // (oracle shared with the streaming twin `q_stream_window_funnel`
     // via [[AdvancedQueries.WindowFunnelOracle]])
     // the deepest view → click → purchase chain whose events ALL fall
-    // within 1 h of the chain's FIRST event (q_funnel above has no window
-    // bound; this is the session-scoped variant every product-analytics
-    // engine ships as a dedicated aggregate). Re-expressed as two
+    // within W of the chain's FIRST event (W = 1 day here — see the
+    // inline note; q_funnel above has no window bound; this is the
+    // session-scoped variant every product-analytics engine ships as a
+    // dedicated aggregate). Re-expressed as two
     // running-max windows instead of the naive per-user self-joins: over
     // the (user, ts)-ordered stream, `last_view` carries the latest view
     // before each row and `best_anchor` the latest such anchor seen at

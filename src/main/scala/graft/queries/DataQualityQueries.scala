@@ -541,8 +541,11 @@ object DataQualityQueries {
     // event-time-ordered, so arrival is simulated with a deterministic
     // 0–10-minute per-event hash delay (the transport-jitter model both
     // engines share); the arrival key packs (arrival_s, ingest id) into
-    // one long (valid while ids < 2^20 — widen the shift at a larger
-    // keyspace). The global running max rides
+    // one long via a 2^31 shift (injective while ids < 2^31; a larger
+    // keyspace collides ONLY if two same-second events' ids differ by a
+    // multiple of 2^31, which runningMax's duplicate-key check rejects
+    // loudly rather than silently reordering). The global running max
+    // rides
     // [[graft.operators.SequencePacking.runningMax]] — the distributed
     // prefix-scan device (range-partitioned, O(partitions) driver
     // prefix), never a single-task ORDER BY window.
@@ -555,7 +558,7 @@ object DataQualityQueries {
             md5Long(concat(lit("wl:"), col("event_id").cast(StringType)))
               % 600L)
           .withColumn("ord",
-            expr("arr * 1048576 + event_id % 1048576"))
+            expr("arr * 2147483648 + event_id % 2147483648"))
         val wm = graft.operators.SequencePacking
           .runningMax(e, "ord", "tse", "wm", Some(8))
         wm.select((col("wm") - col("tse")).as("late_s"))
@@ -575,7 +578,7 @@ object DataQualityQueries {
            |  FROM events),
            |a AS (
            |  SELECT tse,
-           |    (tse + $d % 600) * 1048576 + event_id % 1048576 AS ord
+           |    (tse + $d % 600) * 2147483648 + event_id % 2147483648 AS ord
            |  FROM e),
            |w AS (
            |  SELECT tse,

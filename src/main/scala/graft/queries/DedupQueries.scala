@@ -113,7 +113,40 @@ object DedupQueries {
     * dedup_winnow_pairs caps its fingerprint index. The truth is a
     * calibration sample; the cap is mirrored verbatim in the oracle CTE
     * so both engines measure recall on the identical capped space. */
-  private val TruthDfCap = 64
+  private[graft] val TruthDfCap = 64
+
+  /** Per-band-bucket member cap for the STREAMING LSH ingest state
+    * ([[BucketState]] in `cdc_stream_lsh_ingest` and
+    * `cdc_stream_dedup_clusters` stage 1) — the streaming analogue of
+    * [[TruthDfCap]]. Without it, one hot band key (boilerplate text,
+    * near-empty docs) accumulates O(corpus) ids in a single keyed-state
+    * entry and emits O(bucket) pairs per arriving doc — unbounded state
+    * AND unbounded per-event work. The cap is an ARRIVAL-RANK df-cap:
+    * only the first `cap` documents ever INSERTED into a bucket are
+    * indexed there; once `cap` insertions have been seen the bucket is
+    * hot and later arrivals neither pair through it nor join it
+    * (saturation is permanent — deletes free state but never re-open a
+    * hot bucket, so the semantics are a pure function of the insert
+    * order, mirrorable in SQL as `ROW_NUMBER() OVER (PARTITION BY band,
+    * key ORDER BY doc_id) <= cap` since replay offsets arrive in doc_id
+    * order). A pair missed in one hot bucket still surfaces through any
+    * of the doc's other 3 bands — identical to how the batch df-cap
+    * drops only boilerplate-keyed candidates. Mirrored VERBATIM in both
+    * queries' oracle CTEs; sized so it binds NOTHING at sf0.01/sf0.1
+    * (StreamBucketCapSpec proves saturation semantics with a forced
+    * tiny cap, and asserts the default never binds on the fixture). */
+  private[graft] val StreamBucketCap = 4096
+
+  /** Deterministic corpus-inflation factor for the cap-fire evidence
+    * (`dedup_inflated_df_cap` + the ScaleCheck harness): each document
+    * appears [[InflateK]] times under distinct ids (stride 10⁸), so
+    * every key's df scales exactly ×K and the caps measurably bind. */
+  private[graft] val InflateK = 16
+
+  /** Spec-overridable effective cap (see [[StreamBucketCap]]). */
+  private def streamBucketCap: Long =
+    sys.props.getOrElse("graft.dedup.streamBucketCap",
+      StreamBucketCap.toString).toLong
 
   /** df-capped inverted shingle index: keeps only postings whose key
     * appears in ≤ cap documents. The df aggregate combines map-side, so
@@ -245,16 +278,62 @@ object DedupQueries {
   /** One exploded (band-bucket, document) event of the ingest stream. */
   case class BandEvt(band: Int, key: Long, doc_id: Long, off: Long,
       op: String, sig: Seq[Long])
-  /** Live docs of one LSH band bucket (ids ∥ sigs, arrival order). */
-  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  /** Live docs of one LSH band bucket (ids ∥ sigs, arrival order).
+    * `arrivals` counts every insert EVER routed to the bucket — the
+    * [[StreamBucketCap]] saturation counter: ids/sigs only ever hold
+    * docs whose arrival rank was ≤ cap, so state is bounded at cap
+    * entries per bucket regardless of corpus size. */
+  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]],
+      arrivals: Long)
   /** A detected candidate pair: id_a arrived before id_b; est = matching
     * signature positions / 16 (exact k/16 doubles on both engines). */
   case class LshPair(id_a: Long, id_b: Long, est: Double)
-  /** One event of the cluster-maintenance stream: op "p" = a verified
-    * pair (id_a, id_b), op "d" = a retired document (id_a; id_b unused).
-    * Tombstones are emitted from band 0 only — every document explodes
-    * into all 4 bands, so exactly one group owns the retirement. */
-  case class ClusterEvt(op: String, id_a: Long, id_b: Long)
+  /** One stage-1 emission of the online LSH bucket state: op "p" = a
+    * candidate pair (id_a arrived before id_b; m = matching signature
+    * positions of 16), op "d" = a retired document (id_a; id_b/m
+    * unused). Tombstones are emitted from band 0 only — every document
+    * explodes into all 4 bands, so exactly one group owns the
+    * retirement. */
+  case class BucketEvt(op: String, id_a: Long, id_b: Long, m: Int)
+
+  /** THE canonical stage-1 fold of the streaming LSH ingest — shared by
+    * `cdc_stream_lsh_ingest`, `cdc_stream_dedup_clusters` and the
+    * ScaleCheck inflation harness, so the [[StreamBucketCap]] semantics
+    * exist exactly once: deletes retire a doc from its bucket (and emit
+    * one band-0 tombstone); an insert whose bucket has seen fewer than
+    * `cap` insertions pairs against the live members (m ≥ 8 of 16
+    * matching positions emits) and joins the bucket; past `cap` the
+    * bucket is hot and the arrival neither pairs nor stores. */
+  private[graft] def bucketStep(cap: Long)(
+      key: (Int, Long), rows: Iterator[BandEvt],
+      state: org.apache.spark.sql.streaming.GroupState[BucketState])
+      : Iterator[BucketEvt] = {
+    import graft.cdc.ChangeRecord.RowKind
+    var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
+    val out = Seq.newBuilder[BucketEvt]
+    // offset order = arrival order (offsets are unique)
+    rows.toSeq.sortBy(_.off).foreach { e =>
+      if (e.op == RowKind.Delete) {
+        val i = st.ids.indexOf(e.doc_id)
+        if (i >= 0) st = BucketState(
+          st.ids.patch(i, Nil, 1), st.sigs.patch(i, Nil, 1), st.arrivals)
+        if (e.band == 0) out += BucketEvt("d", e.doc_id, -1L, 0)
+      } else if (st.arrivals < cap) {
+        st.ids.zip(st.sigs).foreach { case (id, sg) =>
+          val m = sg.iterator.zip(e.sig.iterator)
+            .count { case (x, y) => x == y }
+          if (m >= 8) out += BucketEvt("p", id, e.doc_id, m)
+        }
+        st = BucketState(st.ids :+ e.doc_id, st.sigs :+ e.sig,
+          st.arrivals + 1L)
+      } else {
+        // hot bucket (StreamBucketCap): neither pair nor store
+        st = BucketState(st.ids, st.sigs, st.arrivals + 1L)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
 
   /** Replay-log fixture: an EMPTY snapshot and the corpus itself arriving
     * through the log in three offset phases —
@@ -467,30 +546,11 @@ object DedupQueries {
             col("doc_id"), col("off"), col("op"), col("sig"))
           .as[BandEvt]
         val pairs = evts.groupByKey(e => (e.band, e.key))
-          .flatMapGroupsWithState[BucketState, LshPair](
-            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-            (_: (Int, Long), rows: Iterator[BandEvt],
-                state: GroupState[BucketState]) =>
-              var st = state.getOption.getOrElse(BucketState(Nil, Nil))
-              val out = Seq.newBuilder[LshPair]
-              // offset order = arrival order (offsets are unique)
-              rows.toSeq.sortBy(_.off).foreach { e =>
-                if (e.op == RowKind.Delete) {
-                  val i = st.ids.indexOf(e.doc_id)
-                  if (i >= 0) st = BucketState(
-                    st.ids.patch(i, Nil, 1), st.sigs.patch(i, Nil, 1))
-                } else {
-                  st.ids.zip(st.sigs).foreach { case (id, sg) =>
-                    val m = sg.iterator.zip(e.sig.iterator)
-                      .count { case (x, y) => x == y }
-                    if (m >= 8) out += LshPair(id, e.doc_id, m.toDouble / 16.0d)
-                  }
-                  st = BucketState(st.ids :+ e.doc_id, st.sigs :+ e.sig)
-                }
-              }
-              state.update(st)
-              out.result().iterator
-          }
+          .flatMapGroupsWithState[BucketState, BucketEvt](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+            bucketStep(streamBucketCap))
+          .filter(_.op == "p")
+          .map(b => LshPair(b.id_a, b.id_b, b.m.toDouble / 16.0d))
         val q = pairs.toDF()
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
@@ -516,10 +576,20 @@ object DedupQueries {
            |sigs AS (SELECT doc_id, sig, $bands AS bands
            |         FROM (SELECT doc_id, $sig AS sig FROM docs)),
            |brows AS ($bandRows),
+           |-- StreamBucketCap mirror: replay offsets arrive in doc_id
+           |-- order, so insertion rank per band bucket = ROW_NUMBER by
+           |-- doc_id; only the first $StreamBucketCap docs inserted into
+           |-- a bucket are indexed there (cap does not bind at test SFs)
+           |branks AS (
+           |  SELECT doc_id, band, key,
+           |    ROW_NUMBER() OVER (PARTITION BY band, key
+           |                       ORDER BY doc_id) AS rk
+           |  FROM brows),
            |cands AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM brows a JOIN brows b
-           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |  FROM branks a JOIN branks b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |  WHERE a.rk <= $StreamBucketCap AND b.rk <= $StreamBucketCap),
            |est AS (
            |  SELECT c.id_a, c.id_b,
            |    CAST(len(list_filter(range(1, 17),
@@ -588,30 +658,9 @@ object DedupQueries {
         // cdc_stream_lsh_ingest, emitting verified pairs PLUS retirement
         // tombstones (from band 0 only: one tombstone per delete)
         val pairEvts = evts.groupByKey(e => (e.band, e.key))
-          .flatMapGroupsWithState[BucketState, ClusterEvt](
-            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-            (_: (Int, Long), rows: Iterator[BandEvt],
-                state: GroupState[BucketState]) =>
-              var st = state.getOption.getOrElse(BucketState(Nil, Nil))
-              val outB = Seq.newBuilder[ClusterEvt]
-              rows.toSeq.sortBy(_.off).foreach { e =>
-                if (e.op == RowKind.Delete) {
-                  val i = st.ids.indexOf(e.doc_id)
-                  if (i >= 0) st = BucketState(
-                    st.ids.patch(i, Nil, 1), st.sigs.patch(i, Nil, 1))
-                  if (e.band == 0) outB += ClusterEvt("d", e.doc_id, -1L)
-                } else {
-                  st.ids.zip(st.sigs).foreach { case (id, sg) =>
-                    val m = sg.iterator.zip(e.sig.iterator)
-                      .count { case (x, y) => x == y }
-                    if (m >= 8) outB += ClusterEvt("p", id, e.doc_id)
-                  }
-                  st = BucketState(st.ids :+ e.doc_id, st.sigs :+ e.sig)
-                }
-              }
-              state.update(st)
-              outB.result().iterator
-          }
+          .flatMapGroupsWithState[BucketState, BucketEvt](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+            bucketStep(streamBucketCap))
         // stage 2 — incremental closure maintenance. Two pieces of state:
         // `edges`, the retained cluster-tagged live edge set (LSH-sparse,
         // the same object the batch pipeline materializes; lineage-cut
@@ -751,16 +800,23 @@ object DedupQueries {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        graft.cdc.UpsertSink.readState(s, out)
+        // materialize the final assignment BEFORE deleting the per-run
+        // state dir — readState is a lazy parquet scan, and the
+        // nanoTime-keyed dir would otherwise leak one orphaned bucketed
+        // store per run (unbounded disk growth across Verify/Bench)
+        val result = graft.cdc.UpsertSink.readState(s, out)
           .select(col("doc_id"), col("cluster_id"))
           .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+        graft.QueryUtil.deleteRecursively(new java.io.File(out))
+        result
       },
       Some {
         val sh = sqlShingleHashes("text", 3)
         val sig = sqlMinHashSignature("sh", 16)
         val bands = sqlBandKeys("sig", 4, 4)
         val bandRows = (1 to 4)
-          .map(i => s"SELECT doc_id, sig, $i AS band, bands[$i] AS key FROM sigs")
+          .map(i => s"SELECT doc_id, alive, $i AS band, bands[$i] AS key FROM sigs")
           .mkString("\n    UNION ALL ")
         // final corpus state of the replay log: base docs minus the
         // phase-2 deletes (%13==3), plus the phase-3 copies (%100==1,
@@ -769,20 +825,32 @@ object DedupQueries {
         // (copies arrive last, deletes precede them), so the stream's
         // surviving pair set equals the est-pairs over this state.
         s"""WITH RECURSIVE corpus AS (
-           |  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 3
+           |  SELECT doc_id, text, (doc_id % 13 <> 3) AS alive
+           |  FROM documents
            |  UNION ALL
-           |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents
-           |  WHERE doc_id % 100 = 1),
-           |docs AS MATERIALIZED (SELECT doc_id, $sh AS sh FROM corpus),
+           |  SELECT doc_id + 1000000000 AS doc_id, text, TRUE AS alive
+           |  FROM documents WHERE doc_id % 100 = 1),
+           |docs AS MATERIALIZED (
+           |  SELECT doc_id, alive, $sh AS sh FROM corpus),
            |sigs AS MATERIALIZED (
-           |  SELECT doc_id, sig, $bands AS bands
-           |  FROM (SELECT doc_id, $sig AS sig FROM docs)),
+           |  SELECT doc_id, alive, sig, $bands AS bands
+           |  FROM (SELECT doc_id, alive, $sig AS sig FROM docs)),
            |brows AS MATERIALIZED ($bandRows),
+           |-- StreamBucketCap mirror: insertion rank per band bucket is
+           |-- computed over ALL inserts (deleted docs occupied arrival
+           |-- slots at ingest), pairs form among alive rank-<=cap docs
+           |branks AS (
+           |  SELECT doc_id, alive, band, key,
+           |    ROW_NUMBER() OVER (PARTITION BY band, key
+           |                       ORDER BY doc_id) AS rk
+           |  FROM brows),
            |cands AS MATERIALIZED (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM brows a JOIN brows b
+           |  FROM branks a JOIN branks b
            |    ON a.band = b.band AND a.key = b.key
-           |    AND a.doc_id < b.doc_id),
+           |    AND a.doc_id < b.doc_id
+           |  WHERE a.alive AND b.alive
+           |    AND a.rk <= $StreamBucketCap AND b.rk <= $StreamBucketCap),
            |p AS MATERIALIZED (
            |  SELECT id_a, id_b FROM (
            |    SELECT c.id_a, c.id_b,
@@ -1648,6 +1716,63 @@ object DedupQueries {
              |    CAST(count(DISTINCT md5(text)) AS DOUBLE), 6) AS inflation
              |FROM documents GROUP BY source
              |ORDER BY source""".stripMargin)),
+
+    // ×16 INFLATED-CORPUS DF-CAP AUDIT — the empirical leg of the df-cap
+    // license. Every cap in the suite (TruthDfCap, winnow's fp cap, the
+    // ngram cap, StreamBucketCap) binds NOTHING at test SFs, so until now
+    // the "a hot key's quadratic join mass is exactly what the cap
+    // removes" claim was design argument only. This query measures it ON
+    // A CORPUS WHERE THE CAP FIRES: the [[InflateK]]=16 exact-copy
+    // inflation multiplies every shingle's df by 16, pushing real
+    // boilerplate shingles past TruthDfCap. Output: per power-of-two
+    // df band — key count, posting count, Σdf² (the per-key self-join
+    // fan-in mass an UNCAPPED truth pass would pay) and how many of the
+    // band's keys the cap excludes. The top bands' sq_mass concentrated
+    // in capped keys is the quadratic work the cap provably removes;
+    // ScaleCheck times the same families end-to-end (BASELINE.md §4).
+    // Scale shape: the ×16 generator is a pure flat-map (no join), df is
+    // one map-side-combined aggregate, the report is ≤ ~20 band rows.
+    "dedup_inflated_df_cap" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val corpus = d.select(col("doc_id"), col("text"),
+            explode(sequence(lit(0L), lit(InflateK - 1L))).as("i"))
+          .select((col("doc_id") + col("i") * 100000000L).as("doc_id"),
+            col("text"))
+        val tok = corpus.select(col("doc_id"),
+          explode(shingleHashes(col("text"), 3)).as("h"))
+        val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        dfreq
+          .withColumn("df_band", expr("CAST(bit_count(" +
+            PipelineQueries.smearExpr("df") + ") AS BIGINT)"))
+          .groupBy(col("df_band"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("df")).as("n_postings"),
+            sum(col("df") * col("df")).as("sq_mass"),
+            sum(when(col("df") > TruthDfCap, 1L).otherwise(0L))
+              .as("capped_keys"))
+          .orderBy(col("df_band"))
+      },
+      Some {
+        val sh = sqlShingleHashes("text", 3)
+        val band = s"CAST(bit_count(${PipelineQueries.smearExpr("df")}) " +
+          "AS BIGINT)"
+        s"""WITH corpus AS (
+           |  SELECT doc_id + 100000000 * i.i AS doc_id, text
+           |  FROM documents, (SELECT unnest(range(0, $InflateK)) AS i) i),
+           |tok AS (
+           |  SELECT doc_id, unnest(sh) AS h
+           |  FROM (SELECT doc_id, $sh AS sh FROM corpus)),
+           |dfreq AS (
+           |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY h)
+           |SELECT $band AS df_band,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(df) AS BIGINT) AS n_postings,
+           |  CAST(sum(df * df) AS BIGINT) AS sq_mass,
+           |  CAST(sum(CASE WHEN df > $TruthDfCap THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS capped_keys
+           |FROM dfreq GROUP BY df_band ORDER BY df_band""".stripMargin
+      }),
 
     // CLUSTER-DOWNWEIGHTED SAMPLING — dedup as soft reweighting instead of
     // hard removal: each near-dup cluster of size k keeps each member with

@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The MEASURED leg of the suite's cap licenses. DETERMINISM.md records
+ * honestly that every fan-in cap (the df-capped truth index, winnow's
+ * fingerprint cap, the ngram df cap, the salted skew join, the streaming
+ * [[DedupQueries.StreamBucketCap]]) binds NOTHING at sf0.01/sf0.1 — pure
+ * corpus-scale insurance argued by design. Each probe here builds one
+ * cap-carrying family's pipeline on a ×k EXACT-COPY inflated corpus
+ * (every key's frequency scales exactly ×k, so the caps measurably
+ * fire), executes it, and returns counters proving:
+ *
+ *   (a) the cap FIRED (`capped_keys` / `hot_buckets` > 0 at ×16);
+ *   (b) post-cap per-key fan-in stayed bounded (`kept_max_df` ≤ cap);
+ *   (c) with `graft.ScaleCheck` timing each probe across factors,
+ *       wall-time grows sub-quadratically in k while the EXCLUDED
+ *       quadratic mass (`sq_mass` over capped keys) explodes.
+ *
+ * Probes reuse the registry queries' own devices
+ * ([[DedupQueries.cappedShingleIndex]], [[DedupQueries.bucketStep]],
+ * the winnow/ngram/salt shapes) so the measurement is of the shipped
+ * code paths, not a reimplementation. Results → BASELINE.md §4.
+ */
+object InflationProbes {
+
+  /** ×k exact-copy inflation, id stride 10⁸ (the
+    * [[DedupQueries.InflateK]] convention shared with
+    * `dedup_inflated_df_cap`'s oracle). */
+  private def inflate(d: DataFrame, k: Int, idCol: String): DataFrame = {
+    val rest = d.columns.filterNot(_ == idCol).map(col).toSeq
+    d.select(col(idCol) +: rest :+
+        explode(sequence(lit(0L), lit(k - 1L))).as("__i"): _*)
+      .select((col(idCol) + col("__i") * 100000000L).as(idCol) +: rest: _*)
+  }
+
+  private def docs(s: SparkSession, dir: String, k: Int): DataFrame =
+    inflate(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text")),
+      k, "doc_id")
+
+  /** df-capped TRUTH index (TruthDfCap=64) — `dedup_lsh_recall` /
+    * `dedup_scurve_validation`'s exact-Jaccard side. */
+  private def lshTruth(s: SparkSession, dir: String, k: Int)
+      : Map[String, Long] = {
+    val shEx = docs(s, dir, k).select(col("doc_id"),
+      explode(shingleHashes(col("text"), 3)).as("h"))
+    val dfreq = shEx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df")).as("mx"), count(lit(1)).as("nk"),
+        sum(when(col("df") > DedupQueries.TruthDfCap, 1L).otherwise(0L))
+          .as("capped"),
+        sum(when(col("df") > DedupQueries.TruthDfCap,
+          col("df") * col("df")).otherwise(0L)).as("excluded_sq"))
+      .collect()(0)
+    val kept = DedupQueries.cappedShingleIndex(shEx,
+      DedupQueries.TruthDfCap)
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
+      .count()
+    Map("n_keys" -> dfreq.getLong(1), "max_df" -> dfreq.getLong(0),
+      "capped_keys" -> dfreq.getLong(2),
+      "excluded_sq_mass" -> dfreq.getLong(3), "n_pairs" -> pairs)
+  }
+
+  /** Winnowing fingerprint index, fp-df cap 8 — `dedup_winnow_pairs`. */
+  private def winnow(s: SparkSession, dir: String, k: Int)
+      : Map[String, Long] = {
+    val fps = docs(s, dir, k).select(col("doc_id"),
+      explode(winnowedFps(col("text"), 4, 8).getField("fps")).as("fp"))
+    val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+    val stats = dfreq.agg(max(col("dfc")).as("mx"),
+        sum(when(col("dfc") > 8, 1L).otherwise(0L)).as("capped"))
+      .collect()(0)
+    val b = fps.join(dfreq.filter(col("dfc") <= 8).select(col("fp")), "fp")
+    val pairs = b.as("x").join(b.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id"), col("y.doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2).count()
+    Map("max_df" -> stats.getLong(0), "capped_keys" -> stats.getLong(1),
+      "n_pairs" -> pairs)
+  }
+
+  /** df-capped n-gram Jaccard (cap 100 per (lang, source, shingle)) —
+    * `dedup_ngram_jaccard_capped`. */
+  private def ngramCapped(s: SparkSession, dir: String, k: Int)
+      : Map[String, Long] = {
+    val cap = 100
+    val tok = docs(s, dir, k).select(col("doc_id"), col("lang"),
+      col("source"), explode(shingleHashes(col("text"), 4)).as("h"))
+    val dfreq = tok.groupBy(col("lang"), col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+    val stats = dfreq.agg(max(col("df")).as("mx"),
+        sum(when(col("df") > cap, 1L).otherwise(0L)).as("capped"))
+      .collect()(0)
+    val kept = tok.join(dfreq.filter(col("df") <= cap),
+      Seq("lang", "source", "h"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.lang") === col("b.lang")
+          && col("a.source") === col("b.source")
+          && col("a.h") === col("b.h")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
+      .count()
+    Map("max_df" -> stats.getLong(0), "capped_keys" -> stats.getLong(1),
+      "n_pairs" -> pairs)
+  }
+
+  /** Salted skew join (8 salts) — `q_salted_skew_join`'s shape with the
+    * FACT side inflated ×k on unchanged join keys, so every orderkey's
+    * fan-in amplifies ×k and the salt split is what keeps any single
+    * reducer key bounded. */
+  private def saltedSkew(s: SparkSession, dir: String, k: Int)
+      : Map[String, Long] = {
+    val salts = 8
+    val li = inflate(Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .withColumn("__rid", monotonically_increasing_id()),
+        k, "__rid")
+      .withColumn("salt", pmod(hash(col("__rid")), lit(salts)))
+    val fan = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    val fanSalted = li.groupBy(col("l_orderkey"), col("salt"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n")))
+      .collect()(0).getLong(0)
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+    val out = li.join(ord, col("l_orderkey") === col("o_orderkey")
+        && li("salt") === ord("salt"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_items"))
+      .count()
+    Map("max_key_fanin" -> fan, "max_salted_fanin" -> fanSalted,
+      "n_groups" -> out)
+  }
+
+  /** Streaming LSH ingest through [[DedupQueries.bucketStep]] with a
+    * BINDING bucket cap (64) — the [[DedupQueries.StreamBucketCap]]
+    * semantics where the data makes them fire: exact copies multiply
+    * every band bucket's insert stream ×k. */
+  private def streamIngest(s: SparkSession, dir: String, k: Int)
+      : Map[String, Long] = {
+    import graft.cdc.ChangeRecord._
+    import s.implicits._
+    val cap = 64L
+    val base = inflate(Tables.load(s, dir, "documents"), k, "doc_id")
+    val sf = new java.io.File(dir).getName
+    val replay = s"/root/repo/.scratch/scalecheck_replay/${sf}_x$k"
+    def img = struct(base.schema.fieldNames.toSeq.map(col): _*)
+    val ins = base.select((lit(1L) + col("doc_id")).as(OffsetCol),
+      lit(ExternalOp.Create).as(OpCol), (lit(1L) + col("doc_id")).as(TsCol),
+      lit("graft").as(DbCol), lit("documents").as(TableCol),
+      lit(null).cast(base.schema).as(BeforeCol), img.as(AfterCol))
+    graft.cdc.FileCdcDatabase.write(s, replay, "documents", "graft",
+      "doc_id", snapshot = base.limit(0), changes = ins)
+    val n = base.count()
+    val name = s"scale_ingest_${k}_${System.nanoTime()}"
+    try graft.QueryUtil.withShufflePartitions(s, 4) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+      val evts = s.readStream.format("graft-cdc")
+        .option("path", replay).option("table", "documents")
+        .option("scan.startup.mode", "earliest")
+        .option("changelog.mode", "all")
+        .option("scan.stream.max-events-per-trigger",
+          math.max(64L, n / 3).toString)
+        .load()
+        .filter(col(OpCol).isin(RowKind.Insert, RowKind.Delete))
+        .select(col("doc_id"), col(OffsetCol).as("off"),
+          col(OpCol).as("op"),
+          minHashSignature(shingleHashes(col("text"), 3), 16).as("sig"))
+        .select(posexplode(bandKeys(col("sig"), 4, 4))
+          .as(Seq("band", "key")),
+          col("doc_id"), col("off"), col("op"), col("sig"))
+        .as[DedupQueries.BandEvt]
+      val q = evts.groupByKey(e => (e.band, e.key))
+        .flatMapGroupsWithState[DedupQueries.BucketState,
+          DedupQueries.BucketEvt](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          DedupQueries.bucketStep(cap))
+        .filter(_.op == "p").toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val pairs = graft.QueryUtil.detachMemorySink(s, name).count()
+      // batch-side bucket census: arrivals each bucket SAW vs the cap
+      val buckets = base.select(col("doc_id"),
+          minHashSignature(shingleHashes(col("text"), 3), 16).as("sig"))
+        .select(posexplode(bandKeys(col("sig"), 4, 4))
+          .as(Seq("band", "key")))
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("arr"))
+        .agg(max(col("arr")).as("mx"),
+          sum(when(col("arr") > cap, 1L).otherwise(0L)).as("hot"))
+        .collect()(0)
+      Map("n_pairs" -> pairs, "max_bucket_arrivals" -> buckets.getLong(0),
+        "hot_buckets" -> buckets.getLong(1), "cap" -> cap,
+        "stored_bound" -> math.min(cap, buckets.getLong(0)))
+    } finally graft.QueryUtil.deleteRecursively(new java.io.File(replay))
+  }
+
+  /** All probes, lazily — graft.ScaleCheck times each thunk. */
+  def families(s: SparkSession, dir: String, k: Int)
+      : Seq[(String, () => Map[String, Long])] = Seq(
+    "lsh_truth_dfcap" -> (() => lshTruth(s, dir, k)),
+    "winnow_fpcap" -> (() => winnow(s, dir, k)),
+    "ngram_dfcap" -> (() => ngramCapped(s, dir, k)),
+    "salted_skew" -> (() => saltedSkew(s, dir, k)),
+    "stream_ingest_bucketcap" -> (() => streamIngest(s, dir, k)))
+}

@@ -1359,21 +1359,39 @@ object PipelineQueries {
             .otherwise(graft.MoneyMath.dzero)).as("va"),
           sum(when(col("arm") === 1, col("value").cast(DecimalType(18, 2)))
             .otherwise(graft.MoneyMath.dzero)).as("vb"))
-        val tot = byType.agg(
-            sum(col("ca")).as("n_events_a"), sum(col("cb")).as("n_events_b"),
-            sum(col("va")).cast(DoubleType).as("sum_value_a"),
-            sum(col("vb")).cast(DoubleType).as("sum_value_b"))
-        val tv = byType.crossJoin(broadcast(tot
-            .select(col("n_events_a").as("na"), col("n_events_b").as("nb"))))
-          .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
-            .as("tvnum"))
-        users.crossJoin(tot).crossJoin(tv)
+        // the balance algebra needs the arm totals BEFORE the TV sum —
+        // rather than re-aggregating byType twice (each pass re-reading
+        // the corpus), the BOUNDED per-type frame (≤ #event_types rows)
+        // collapses to ONE array row and the dependent totals/TV ride
+        // array folds. TV cross-products widen to DECIMAL(38,0): ca·nb
+        // overflows int64 past ~3e9 events/arm — Spark would wrap
+        // silently while DuckDB sums in HUGEINT, so both engines carry
+        // the products exact (decimal38 holds ~1e15 events/arm)
+        val balance = byType
+          .agg(collect_list(struct(col("ca"), col("cb"), col("va"),
+            col("vb"))).as("rows"))
+          .select(col("rows"),
+            expr("aggregate(rows, 0L, (a, x) -> a + x.ca)")
+              .as("n_events_a"),
+            expr("aggregate(rows, 0L, (a, x) -> a + x.cb)")
+              .as("n_events_b"),
+            expr("CAST(aggregate(rows, CAST(0 AS DECIMAL(38,2)), " +
+              "(a, x) -> a + x.va) AS DOUBLE)").as("sum_value_a"),
+            expr("CAST(aggregate(rows, CAST(0 AS DECIMAL(38,2)), " +
+              "(a, x) -> a + x.vb) AS DOUBLE)").as("sum_value_b"))
+          .withColumn("tvnum",
+            expr("aggregate(rows, CAST(0 AS DECIMAL(38,0)), (a, x) -> " +
+              "a + abs(CAST(x.ca AS DECIMAL(38,0)) * n_events_b - " +
+              "CAST(x.cb AS DECIMAL(38,0)) * n_events_a))"))
+          .drop("rows")
+        users.crossJoin(balance)
           .select(col("n_users_a"), col("n_users_b"),
             expr("abs(n_users_a - n_users_b) * 1000000 " +
               "div (n_users_a + n_users_b)").as("srm_ppm"),
             col("n_events_a"), col("n_events_b"),
             col("sum_value_a"), col("sum_value_b"),
-            expr("tvnum * 1000000 div (2 * n_events_a * n_events_b)")
+            expr("CAST(tvnum * 1000000 div (2 * " +
+              "CAST(n_events_a AS DECIMAL(38,0)) * n_events_b) AS BIGINT)")
               .as("type_tv_ppm"))
       },
       Some {
@@ -1406,14 +1424,15 @@ object PipelineQueries {
            |    CAST(SUM(vb) AS DOUBLE) AS sum_value_b
            |  FROM bt),
            |tv AS (
-           |  SELECT CAST(SUM(abs(ca * t.n_events_b - cb * t.n_events_a))
-           |    AS BIGINT) AS tvnum
+           |  SELECT SUM(abs(CAST(ca AS HUGEINT) * t.n_events_b
+           |    - CAST(cb AS HUGEINT) * t.n_events_a)) AS tvnum
            |  FROM bt, tot t)
            |SELECT n_users_a, n_users_b,
            |  CAST(abs(n_users_a - n_users_b) * 1000000
            |    // (n_users_a + n_users_b) AS BIGINT) AS srm_ppm,
            |  n_events_a, n_events_b, sum_value_a, sum_value_b,
-           |  CAST(tvnum * 1000000 // (2 * n_events_a * n_events_b)
+           |  CAST(tvnum * 1000000
+           |    // (2 * CAST(n_events_a AS HUGEINT) * n_events_b)
            |    AS BIGINT) AS type_tv_ppm
            |FROM u, tot, tv""".stripMargin
       }),

@@ -359,8 +359,13 @@ object SimilarityQueries {
     * node-sized + K², and the edge table would be written bucketed by src
     * — the search scans it with frontier hash joins, never pointer-chases. */
   /** Bump when the graph-construction contract changes — versions the
-    * persisted navigable-graph edge artifact. */
-  private val NavGraphVersion = 1
+    * persisted navigable-graph edge artifact. v2: edges carry the
+    * DESTINATION vector + self-dot inline (the HNSW trick of storing
+    * vectors with the graph), so the beam search scores at expansion —
+    * one join per hop instead of expand + a second corpus-wide scoring
+    * join. Storage cost is out-degree-bounded (≤ NavKnn + uplink +
+    * mesh per node). */
+  private val NavGraphVersion = 2
 
   private def navGraph(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) =
@@ -412,9 +417,13 @@ object SimilarityQueries {
           val mesh = seeds.flatMap { case (_, x, _) =>
             seeds.collect { case (_, y, _) if y != x => (x, y) } }
             .toSeq.toDF("src", "dst")
-          graft.QueryUtil.writeArtifact(
-            knn.unionByName(toSeed).unionByName(mesh), "src",
-            s"$out/edges")
+          val topo = knn.unionByName(toSeed).unionByName(mesh)
+          val enriched = topo.join(assigned.select(
+              col("vec_id").as("dst"), col("qv").as("dst_qv"),
+              col("dself").as("dst_dself")), "dst")
+            .select(col("src"), col("dst"), col("dst_qv"),
+              col("dst_dself"))
+          graft.QueryUtil.writeArtifact(enriched, "src", s"$out/edges")
           new java.io.File(out, "_DONE").createNewFile()
         }
       }
@@ -465,11 +474,20 @@ object SimilarityQueries {
     for (r <- 1 to NavHops) {
       val frontier = seen.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= NavBeam).select(col("query_id"), col("node"))
-      val exp = edges.join(broadcast(frontier), col("node") === col("src"))
-        .select(col("query_id"), col("dst").as("node")).distinct()
-      // d2 is a pure function of (query, node): re-visits dedupe exactly
+      // fused expand+score: the v2 edge artifact carries the dst vector,
+      // so each hop is ONE broadcast hash join + a pure map — no second
+      // corpus-wide scoring join and no pre-score distinct (d2 is a pure
+      // function of (query, node); the union-level dropDuplicates dedups
+      // re-visits exactly)
+      val scored = edges
+        .join(broadcast(frontier), col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node"),
+          (element_at(qdMap, col("query_id")) + col("dst_dself") - lit(2L) *
+            graft.functions.TextFunctions.dotLong(
+              element_at(qvMap, col("query_id")), col("dst_qv")))
+            .as("d2"))
       seen = graft.operators.IterBarrier.cutDeferred(
-        seen.unionByName(scoreNodes(exp))
+        seen.unionByName(scored)
           .dropDuplicates("query_id", "node"), r, reliableEvery = 0)
     }
     seen
@@ -2754,10 +2772,16 @@ object SimilarityQueries {
         val c0 = sub.filter(col("vec_id") < PqK)
           .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
         val c1 = pqUpdate(pqAssign(sub, c0))
-        val a1 = pqAssign(sub, c1)
+        // a1 feeds the residual table AND the stage-1 report; r feeds
+        // rc0, rc1's assign and a2 — without the barriers each consumer
+        // re-runs the stage-1 Lloyd assign (~4 redundant shuffle jobs in
+        // one execution). At corpus scale this materialization is the
+        // standard write-between-Lloyd-passes checkpoint.
+        val a1 = pqAssign(sub, c1).cache()
         val r = a1.join(broadcast(c1), Seq("m", "cid"))
           .select(col("m"), col("vec_id"),
             zip_with(col("sv"), col("cv"), (a, b) => a - b).as("sv"))
+          .cache()
         val rc0 = r.filter(col("vec_id") < PqK)
           .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
         val rc1 = pqUpdate(pqAssign(r, rc0))
