@@ -10,14 +10,15 @@ import org.apache.spark.sql.SparkSession
  * ×16, post-cap fan-in bounded, wall-time sub-quadratic in the factor)
  * is recorded in BASELINE.md §4.
  *
- * Usage: sbt 'runMain graft.ScaleCheck [sfDir] [factors]'
- *        (defaults: /root/testdata/sf0.01 and 1,4,16)
+ * Usage: sbt 'runMain graft.ScaleCheck [sfDir] [factors] [familyFilter]'
+ *        (defaults: /root/testdata/sf0.01, 1,4,16, all families)
  */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val factors = args.lift(1).getOrElse("1,4,16")
       .split(",").map(_.trim.toInt).toSeq
+    val filter = args.lift(2).getOrElse("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -30,10 +31,10 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     // untimed JIT/codegen warmup at factor 1
     graft.queries.InflationProbes.families(spark, sfDir, 1)
-      .foreach { case (_, run) => run() }
+      .filter(_._1.contains(filter)).foreach { case (_, run) => run() }
     for (k <- factors) {
       for ((name, run) <- graft.queries.InflationProbes
-          .families(spark, sfDir, k)) {
+          .families(spark, sfDir, k).filter(_._1.contains(filter))) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val stats = run()

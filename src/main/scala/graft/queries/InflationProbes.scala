@@ -140,14 +140,16 @@ object InflationProbes {
   }
 
   /** Streaming LSH ingest through [[DedupQueries.bucketStep]] with a
-    * BINDING bucket cap (64) — the [[DedupQueries.StreamBucketCap]]
-    * semantics where the data makes them fire: exact copies multiply
-    * every band bucket's insert stream ×k. */
+    * BINDING bucket cap (32 — the sf0.01 corpus' hottest bucket reaches
+    * 48 arrivals at ×16, so saturation genuinely triggers) — the
+    * [[DedupQueries.StreamBucketCap]] semantics where the data makes
+    * them fire: exact copies multiply every band bucket's insert stream
+    * ×k. */
   private def streamIngest(s: SparkSession, dir: String, k: Int)
       : Map[String, Long] = {
     import graft.cdc.ChangeRecord._
     import s.implicits._
-    val cap = 64L
+    val cap = 32L
     val base = inflate(Tables.load(s, dir, "documents"), k, "doc_id")
     val sf = new java.io.File(dir).getName
     val replay = s"/root/repo/.scratch/scalecheck_replay/${sf}_x$k"
