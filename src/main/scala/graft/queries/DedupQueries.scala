@@ -1748,6 +1748,10 @@ object DedupQueries {
           .groupBy(col("df_band"))
           .agg(count(lit(1)).as("n_keys"),
             sum(col("df")).as("n_postings"),
+            // int64-exact while per-key df < ~3e9 (df² < 2^63) — beyond
+            // that a census would band df itself; DuckDB sums the same
+            // int64 products in HUGEINT and casts back, so both engines
+            // agree exactly within the documented bound
             sum(col("df") * col("df")).as("sq_mass"),
             sum(when(col("df") > TruthDfCap, 1L).otherwise(0L))
               .as("capped_keys"))
