@@ -70,21 +70,13 @@ object SequencePacking {
     // partition's min key — Spark's own ordering, not pid arithmetic
     val stats = parted.groupBy(col("__pid"))
       .agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"),
-        sum(col(weightCol)).as("__w"), count(lit(1)).as("__n"),
-        countDistinct(col(orderCol)).as("__nd"))
+        sum(col(weightCol)).as("__w"))
       .orderBy(col("__mn"))
       .collect()
-    // invariants, both checked LOUDLY: partitions must be disjoint key
-    // ranges (range exchange contract — covers cross-partition key
-    // duplication, since an equal boundary key fails the strict <), and
-    // orderCol must be unique WITHIN each partition (the ROWS-framed
-    // cumsum below would otherwise depend on intra-key row order)
-    stats.foreach { r =>
-      require(r.getLong(4) == r.getLong(5),
-        s"runningSum: order column '$orderCol' has duplicate values " +
-          s"(partition ${r.getInt(0)}: ${r.getLong(4)} rows, " +
-          s"${r.getLong(5)} distinct keys) — use a unique key")
-    }
+    // invariant: partitions must be disjoint key ranges (range exchange
+    // contract); the strict < also rejects an equal BOUNDARY key, so
+    // cross-partition duplicates fail loudly here — within-partition
+    // duplicates fail loudly in the output pass (uniqueGuard below)
     for (i <- 1 until stats.length) {
       safeCompare(stats(i - 1).get(2), stats(i).get(1)).foreach { c =>
         require(c < 0, "runningSum: range partitions overlap — " +
@@ -103,14 +95,31 @@ object SequencePacking {
       if (prefix.isEmpty) lit(0L)
       else coalesce(element_at(typedLit(prefix), col("__pid")), lit(0L))
     // explicit ROWS frame: the default RANGE frame includes peer rows on
-    // ties — unreachable given the uniqueness check above, but the frame
+    // ties — unreachable given the uniqueness guard below, but the frame
     // states the sequential semantics rather than relying on it
     val localCum = sum(col(weightCol))
       .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     parted
-      .withColumn(outCol, (localCum + prefixCol).cast("long"))
+      .withColumn(outCol, (localCum + prefixCol).cast("long") +
+        uniqueGuard("runningSum", orderCol))
       .drop("__pid")
+  }
+
+  /** LOUD within-partition duplicate-orderCol detection that rides the
+    * SAME window pass as the local scan (lag shares the (pid, order)
+    * window sort — zero extra jobs, zero extra aggregates, unlike a
+    * per-partition countDistinct which costs a full second aggregate
+    * over the data): evaluates to 0L on every row, throws if a key
+    * equals its predecessor. Folded into outCol so Catalyst cannot
+    * prune it. Cross-partition duplicates are caught by the strict
+    * range-overlap check on the driver stats. */
+  private def uniqueGuard(device: String, orderCol: String): Column = {
+    val prev = lag(col(orderCol), 1)
+      .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
+    coalesce(assert_true(prev.isNull || prev =!= col(orderCol),
+      lit(s"$device: order column '$orderCol' has duplicate values — " +
+        "use a unique key")).cast("long"), lit(0L))
   }
 
   /** `df` plus `outCol` (LongType) = the INCLUSIVE running MAX of
@@ -133,18 +142,11 @@ object SequencePacking {
       .localCheckpoint(true) // pin layout for the prefix map below
     val stats = parted.groupBy(col("__pid"))
       .agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"),
-        max(col(valueCol)).as("__v"), count(lit(1)).as("__n"),
-        countDistinct(col(orderCol)).as("__nd"))
+        max(col(valueCol)).as("__v"))
       .orderBy(col("__mn"))
       .collect()
-    // same loud contract as runningSum: unique orderCol within each
-    // partition, strictly disjoint ranges across partitions
-    stats.foreach { r =>
-      require(r.getLong(4) == r.getLong(5),
-        s"runningMax: order column '$orderCol' has duplicate values " +
-          s"(partition ${r.getInt(0)}: ${r.getLong(4)} rows, " +
-          s"${r.getLong(5)} distinct keys) — use a unique key")
-    }
+    // same loud contract as runningSum: strictly disjoint ranges here,
+    // within-partition uniqueness via uniqueGuard in the output pass
     for (i <- 1 until stats.length) {
       safeCompare(stats(i - 1).get(2), stats(i).get(1)).foreach { c =>
         require(c < 0, "runningMax: range partitions overlap — " +
@@ -167,7 +169,8 @@ object SequencePacking {
       .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     parted
-      .withColumn(outCol, greatest(localMax, prefixCol).cast("long"))
+      .withColumn(outCol, greatest(localMax, prefixCol).cast("long") +
+        uniqueGuard("runningMax", orderCol))
       .drop("__pid")
   }
 

@@ -76,6 +76,24 @@ class SequencePackingSpec extends SparkSpecBase {
     }
   }
 
+  test("duplicate order keys fail LOUDLY (uniqueGuard), not silently") {
+    // duplicate inside one partition: the per-row lag guard must throw
+    // when the output is materialized (the contract the ROWS-framed
+    // cumsum depends on)
+    val dup = Seq((1L, 2L), (5L, 3L), (5L, 4L), (9L, 1L)).toDF("k", "w")
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val ex = intercept[Exception] {
+      SequencePacking.runningSum(dup, "k", "w", "cum", Some(1)).collect()
+    }
+    assert(chainMsg(ex).contains("duplicate"), chainMsg(ex))
+    val ex2 = intercept[Exception] {
+      SequencePacking.runningMax(dup, "k", "w", "wm", Some(1)).collect()
+    }
+    assert(chainMsg(ex2).contains("duplicate"), chainMsg(ex2))
+  }
+
   test("runningMax equals the sequential inclusive running max, any " +
     "partitioning — including negative values and a descending tail") {
     val rnd = new scala.util.Random(23)
