@@ -554,11 +554,6 @@ object UpsertSink {
     deleteRecursively(new java.io.File(root, ".staging"))
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) {
-      val fs = f.listFiles()
-      if (fs != null) fs.foreach(deleteRecursively)
-    }
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.QueryUtil.deleteRecursively(f) // one shared definition
 }

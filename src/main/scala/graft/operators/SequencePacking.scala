@@ -111,15 +111,21 @@ object SequencePacking {
     * window sort — zero extra jobs, zero extra aggregates, unlike a
     * per-partition countDistinct which costs a full second aggregate
     * over the data): evaluates to 0L on every row, throws if a key
-    * equals its predecessor. Folded into outCol so Catalyst cannot
-    * prune it. Cross-partition duplicates are caught by the strict
-    * range-overlap check on the driver stats. */
+    * NULL-SAFE-equals its predecessor. A separate has-predecessor marker
+    * (lag of a constant) distinguishes "first row" from "predecessor
+    * with a NULL key", so tied NULL keys — which sort adjacent and would
+    * make the ROWS-framed scan order-dependent — also fail loudly, and a
+    * NULL following a distinct non-NULL key does NOT false-positive.
+    * Folded into outCol so Catalyst cannot prune it. Cross-partition
+    * duplicates are caught by the strict range-overlap check on the
+    * driver stats. */
   private def uniqueGuard(device: String, orderCol: String): Column = {
-    val prev = lag(col(orderCol), 1)
-      .over(Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
-    coalesce(assert_true(prev.isNull || prev =!= col(orderCol),
-      lit(s"$device: order column '$orderCol' has duplicate values — " +
-        "use a unique key")).cast("long"), lit(0L))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val prev = lag(col(orderCol), 1).over(w)
+    val hasPrev = lag(lit(1), 1).over(w).isNotNull
+    coalesce(assert_true(!(hasPrev && (prev <=> col(orderCol))),
+      lit(s"$device: order column '$orderCol' has duplicate (or tied " +
+        "NULL) values — use a unique key")).cast("long"), lit(0L))
   }
 
   /** `df` plus `outCol` (LongType) = the INCLUSIVE running MAX of

@@ -131,10 +131,12 @@ object DedupQueries {
     * key ORDER BY doc_id) <= cap` since replay offsets arrive in doc_id
     * order). A pair missed in one hot bucket still surfaces through any
     * of the doc's other 3 bands — identical to how the batch df-cap
-    * drops only boilerplate-keyed candidates. Mirrored VERBATIM in both
-    * queries' oracle CTEs; sized so it binds NOTHING at sf0.01/sf0.1
-    * (StreamBucketCapSpec proves saturation semantics with a forced
-    * tiny cap, and asserts the default never binds on the fixture). */
+    * drops only boilerplate-keyed candidates. Both queries' oracle CTEs
+    * mirror the EFFECTIVE cap ([[streamBucketCap]], so a sys-prop
+    * override can never desynchronize engine and oracle); the default
+    * is sized to bind NOTHING at sf0.01/sf0.1 (StreamBucketCapSpec
+    * proves saturation semantics with a forced tiny cap, and asserts
+    * the default never binds on the fixture). */
   private[graft] val StreamBucketCap = 4096
 
   /** Deterministic corpus-inflation factor for the cap-fire evidence
@@ -578,7 +580,7 @@ object DedupQueries {
            |brows AS ($bandRows),
            |-- StreamBucketCap mirror: replay offsets arrive in doc_id
            |-- order, so insertion rank per band bucket = ROW_NUMBER by
-           |-- doc_id; only the first $StreamBucketCap docs inserted into
+           |-- doc_id; only the first $streamBucketCap docs inserted into
            |-- a bucket are indexed there (cap does not bind at test SFs)
            |branks AS (
            |  SELECT doc_id, band, key,
@@ -589,7 +591,7 @@ object DedupQueries {
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM branks a JOIN branks b
            |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-           |  WHERE a.rk <= $StreamBucketCap AND b.rk <= $StreamBucketCap),
+           |  WHERE a.rk <= $streamBucketCap AND b.rk <= $streamBucketCap),
            |est AS (
            |  SELECT c.id_a, c.id_b,
            |    CAST(len(list_filter(range(1, 17),
@@ -799,17 +801,19 @@ object DedupQueries {
             ()
           }
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
         // materialize the final assignment BEFORE deleting the per-run
         // state dir — readState is a lazy parquet scan, and the
         // nanoTime-keyed dir would otherwise leak one orphaned bucketed
-        // store per run (unbounded disk growth across Verify/Bench)
-        val result = graft.cdc.UpsertSink.readState(s, out)
-          .select(col("doc_id"), col("cluster_id"))
-          .orderBy(col("doc_id"))
-          .localCheckpoint(true)
-        graft.QueryUtil.deleteRecursively(new java.io.File(out))
-        result
+        // store per run (unbounded disk growth across Verify/Bench);
+        // the finally covers the failure paths too (a failed stream or
+        // checkpoint must not orphan the dir either)
+        try {
+          q.awaitTermination()
+          graft.cdc.UpsertSink.readState(s, out)
+            .select(col("doc_id"), col("cluster_id"))
+            .orderBy(col("doc_id"))
+            .localCheckpoint(true)
+        } finally graft.QueryUtil.deleteRecursively(new java.io.File(out))
       },
       Some {
         val sh = sqlShingleHashes("text", 3)
@@ -850,7 +854,7 @@ object DedupQueries {
            |    ON a.band = b.band AND a.key = b.key
            |    AND a.doc_id < b.doc_id
            |  WHERE a.alive AND b.alive
-           |    AND a.rk <= $StreamBucketCap AND b.rk <= $StreamBucketCap),
+           |    AND a.rk <= $streamBucketCap AND b.rk <= $streamBucketCap),
            |p AS MATERIALIZED (
            |  SELECT id_a, id_b FROM (
            |    SELECT c.id_a, c.id_b,
@@ -1734,11 +1738,9 @@ object DedupQueries {
     // one map-side-combined aggregate, the report is ≤ ~20 band rows.
     "dedup_inflated_df_cap" -> QueryDef(
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        val corpus = d.select(col("doc_id"), col("text"),
-            explode(sequence(lit(0L), lit(InflateK - 1L))).as("i"))
-          .select((col("doc_id") + col("i") * 100000000L).as("doc_id"),
-            col("text"))
+        val corpus = InflationProbes.inflate(
+          Tables.load(s, dir, "documents").select(col("doc_id"),
+            col("text")), InflateK, "doc_id")
         val tok = corpus.select(col("doc_id"),
           explode(shingleHashes(col("text"), 3)).as("h"))
         val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
  */
 object InflationProbes {
 
-  /** ×k exact-copy inflation, id stride 10⁸ (the
-    * [[DedupQueries.InflateK]] convention shared with
-    * `dedup_inflated_df_cap`'s oracle). */
-  private def inflate(d: DataFrame, k: Int, idCol: String): DataFrame = {
+  /** ×k exact-copy inflation, id stride 10⁸ — THE definition of the
+    * [[DedupQueries.InflateK]] convention: `dedup_inflated_df_cap`'s
+    * Spark side calls this, its oracle re-encodes it in SQL (the usual
+    * cross-engine mirror), and every probe below inflates with it. */
+  private[queries] def inflate(d: DataFrame, k: Int, idCol: String)
+      : DataFrame = {
     val rest = d.columns.filterNot(_ == idCol).map(col).toSeq
     d.select(col(idCol) +: rest :+
         explode(sequence(lit(0L), lit(k - 1L))).as("__i"): _*)

@@ -1367,22 +1367,29 @@ object PipelineQueries {
         // overflows int64 past ~3e9 events/arm — Spark would wrap
         // silently while DuckDB sums in HUGEINT, so both engines carry
         // the products exact (decimal38 holds ~1e15 events/arm)
+        // each fold is NULL on an EMPTY per-type frame — SQL SUM-over-
+        // zero-rows semantics, matching the oracle's SUM → NULL on an
+        // empty events table (the old two-aggregate form had this for
+        // free; the array fold's seed would otherwise turn it into 0)
+        def fold(e: String) = s"CASE WHEN size(rows) = 0 THEN NULL " +
+          s"ELSE $e END"
         val balance = byType
           .agg(collect_list(struct(col("ca"), col("cb"), col("va"),
             col("vb"))).as("rows"))
           .select(col("rows"),
-            expr("aggregate(rows, 0L, (a, x) -> a + x.ca)")
+            expr(fold("aggregate(rows, 0L, (a, x) -> a + x.ca)"))
               .as("n_events_a"),
-            expr("aggregate(rows, 0L, (a, x) -> a + x.cb)")
+            expr(fold("aggregate(rows, 0L, (a, x) -> a + x.cb)"))
               .as("n_events_b"),
-            expr("CAST(aggregate(rows, CAST(0 AS DECIMAL(38,2)), " +
-              "(a, x) -> a + x.va) AS DOUBLE)").as("sum_value_a"),
-            expr("CAST(aggregate(rows, CAST(0 AS DECIMAL(38,2)), " +
-              "(a, x) -> a + x.vb) AS DOUBLE)").as("sum_value_b"))
+            expr(fold("CAST(aggregate(rows, CAST(0 AS DECIMAL(38,2)), " +
+              "(a, x) -> a + x.va) AS DOUBLE)")).as("sum_value_a"),
+            expr(fold("CAST(aggregate(rows, CAST(0 AS DECIMAL(38,2)), " +
+              "(a, x) -> a + x.vb) AS DOUBLE)")).as("sum_value_b"))
           .withColumn("tvnum",
-            expr("aggregate(rows, CAST(0 AS DECIMAL(38,0)), (a, x) -> " +
-              "a + abs(CAST(x.ca AS DECIMAL(38,0)) * n_events_b - " +
-              "CAST(x.cb AS DECIMAL(38,0)) * n_events_a))"))
+            expr(fold("aggregate(rows, CAST(0 AS DECIMAL(38,0)), " +
+              "(a, x) -> a + abs(CAST(x.ca AS DECIMAL(38,0)) * " +
+              "n_events_b - CAST(x.cb AS DECIMAL(38,0)) * " +
+              "n_events_a))")))
           .drop("rows")
         users.crossJoin(balance)
           .select(col("n_users_a"), col("n_users_b"),

@@ -397,6 +397,10 @@ object SimilarityQueries {
       val out = s"/root/repo/.scratch/nav_graph_v$NavGraphVersion/$sf"
       this.synchronized {
         if (!new java.io.File(out, "_DONE").isFile) {
+          // a version bump supersedes the previous artifact — remove it
+          // so bumping never strands dead parquet on disk
+          graft.QueryUtil.deleteRecursively(new java.io.File(
+            s"/root/repo/.scratch/nav_graph_v${NavGraphVersion - 1}/$sf"))
           val cand = assigned.as("a").join(assigned.as("b"),
               col("a.cell") === col("b.cell")
                 && col("a.vec_id") =!= col("b.vec_id"))
