@@ -27,4 +27,14 @@ class StreamClusterFallbackSpec extends SparkSpecBase {
           s"only-distributed=${viaDistributed -- viaDriverRepair}")
     } finally System.clearProperty("graft.dedup.repairGate")
   }
+
+  test("per-run cluster state dirs are deleted when the query returns " +
+    "(no .scratch/stream_clusters orphans)") {
+    // the preceding test ran the query twice; its nanoTime-keyed
+    // UpsertSink dirs must be gone (results are materialized via
+    // localCheckpoint before the delete)
+    val root = new java.io.File("/root/repo/.scratch/stream_clusters")
+    val left = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+    assert(left.isEmpty, s"orphaned state dirs: ${left.map(_.getName)}")
+  }
 }
