@@ -115,6 +115,14 @@ object DedupQueries {
     * so both engines measure recall on the identical capped space. */
   private[graft] val TruthDfCap = 64
 
+  /** Document-frequency cap for the winnowed-fingerprint index — shared
+    * by `dedup_winnow_pairs`, the ×16 inflated census
+    * (`dedup_inflated_winnow_cap`) and the composed exact→winnow
+    * pipeline (`dedup_pipeline_exact_winnow`): a fingerprint posted by
+    * more than this many documents is boilerplate and is dropped before
+    * the bucket self-join, bounding per-key fan-in. */
+  private[graft] val WinnowFpCap = 8
+
   /** Per-band-bucket member cap for the STREAMING LSH ingest state
     * ([[BucketState]] in `cdc_stream_lsh_ingest` and
     * `cdc_stream_dedup_clusters` stage 1) — the streaming analogue of
@@ -270,6 +278,70 @@ object DedupQueries {
        |    JOIN docs db ON db.doc_id = c.id_b)
        |  WHERE jac >= 0.5)""".stripMargin
   }
+
+  /** Winnowed-fingerprint postings (doc_id, fp) over any (doc_id, text)
+    * relation — the native [[winnowedFps]] extraction `dedup_winnow_pairs`
+    * introduced, factored so the inflated census and the composed
+    * exact→winnow pipeline measure the SAME shipped device. */
+  private[graft] def winnowFpsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      explode(winnowedFps(col("text"), 4, 8).getField("fps")).as("fp"))
+
+  /** Candidate pairs sharing ≥ 2 surviving fingerprints, fp df-capped at
+    * [[WinnowFpCap]] — the full `dedup_winnow_pairs` pipeline over an
+    * arbitrary (doc_id, text) relation. Unordered; callers sort. */
+  private[graft] def winnowPairsOf(d: DataFrame): DataFrame = {
+    val fps = winnowFpsOf(d)
+    val capped = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("dfc")).filter(col("dfc") <= WinnowFpCap)
+      .select(col("fp"))
+    val b = fps.join(capped, "fp")
+    b.as("x").join(b.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
+  /** Oracle CTE chain ending in `fps(doc_id, fp)` — the SQL twin of
+    * [[winnowFpsOf]] over `relation`. */
+  private def winnowFpsCteOver(relation: String): String = {
+    val hs = s"list_transform(${sqlShingles(sqlWords("text"), 4)}, " +
+      s"s -> ${sqlMd5Long("s")})"
+    s"""h AS (
+       |  SELECT doc_id, hs, len(hs) AS n, greatest(len(hs)-7, 1) AS m
+       |  FROM (SELECT doc_id, $hs AS hs FROM $relation)),
+       |sel AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n >= 1 THEN list_distinct(list_transform(
+       |      range(0, m), i -> list_min(hs[i+1:i+8]))) END AS fp
+       |  FROM h),
+       |fps AS (SELECT doc_id, unnest(fp) AS fp FROM sel)""".stripMargin
+  }
+
+  /** Oracle CTE chain ending in `wpairs(doc_a, doc_b, n_shared)` — the
+    * SQL twin of [[winnowPairsOf]] over `relation`. */
+  private def winnowPairsCteOver(relation: String): String =
+    s"""${winnowFpsCteOver(relation)},
+       |capped AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WinnowFpCap),
+       |b AS (SELECT f.doc_id, f.fp FROM fps f
+       |      JOIN capped c ON f.fp = c.fp),
+       |wpairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM b x JOIN b y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |  HAVING count(*) >= 2)""".stripMargin
+
+  /** Oracle CTE `corpus(doc_id, text)` — the SQL twin of
+    * [[InflationProbes.inflate]] at ×[[InflateK]] over documents. */
+  private def inflatedCorpusCte: String =
+    s"""corpus AS (
+       |  SELECT doc_id + 100000000 * i.i AS doc_id, text
+       |  FROM documents, (SELECT unnest(range(0, $InflateK)) AS i) i)"""
+      .stripMargin
 
   /** Changelog spec for the documents corpus: inserted rows are COPIES
     * (pk + 1e9, same text) — exact duplicates the dedup stage must catch. */
@@ -1792,6 +1864,89 @@ object DedupQueries {
            |FROM dfreq GROUP BY df_band ORDER BY df_band""".stripMargin
       }),
 
+    // ×16 INFLATED WINNOW-FP CENSUS — the SECOND oracle-checked leg of
+    // the cap-fire evidence (VERDICT r10 Next #5): dedup_inflated_df_cap
+    // pins the truth-index family; this pins dedup_winnow_pairs' cap.
+    // Exact-copy inflation multiplies every winnowed fingerprint's df
+    // ×16 (copies share text, so they winnow to identical fp sets),
+    // pushing thousands of genuine fps past WinnowFpCap=8 (ScaleCheck
+    // ×16 measured 5,018 capped — BASELINE §4 row 2). Output: per
+    // power-of-two df band — key count, postings, Σdf² (the quadratic
+    // self-join mass an uncapped index would pay), capped keys. Scale
+    // shape: the inflation is a pure flat-map, the winnow extraction is
+    // the shipped native expression run per inflated doc, df is one
+    // map-side-combined aggregate, the report is ≤ ~16 band rows.
+    "dedup_inflated_winnow_cap" -> QueryDef(
+      (s, dir) => {
+        val corpus = InflationProbes.inflate(
+          Tables.load(s, dir, "documents").select(col("doc_id"),
+            col("text")), InflateK, "doc_id")
+        val dfreq = winnowFpsOf(corpus)
+          .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        dfreq
+          .withColumn("df_band", expr("CAST(bit_count(" +
+            PipelineQueries.smearExpr("df") + ") AS BIGINT)"))
+          .groupBy(col("df_band"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("df")).as("n_postings"),
+            sum(col("df") * col("df")).as("sq_mass"),
+            sum(when(col("df") > WinnowFpCap, 1L).otherwise(0L))
+              .as("capped_keys"))
+          .orderBy(col("df_band"))
+      },
+      Some {
+        val band = s"CAST(bit_count(${PipelineQueries.smearExpr("df")}) " +
+          "AS BIGINT)"
+        s"""WITH $inflatedCorpusCte,
+           |${winnowFpsCteOver("corpus")},
+           |dfreq AS (
+           |  SELECT fp, CAST(count(*) AS BIGINT) AS df
+           |  FROM fps GROUP BY fp)
+           |SELECT $band AS df_band,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(df) AS BIGINT) AS n_postings,
+           |  CAST(sum(df * df) AS BIGINT) AS sq_mass,
+           |  CAST(sum(CASE WHEN df > $WinnowFpCap THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS capped_keys
+           |FROM dfreq GROUP BY df_band ORDER BY df_band""".stripMargin
+      }),
+
+    // EXACT-DEDUP → WINNOW, COMPOSED — the BASELINE §4 pipeline-order
+    // lesson as an oracle-checked query (VERDICT r10 Next #6). The ×16
+    // winnow measurement showed that if exact copies reach the
+    // fingerprint index, every shared fp's df inflates past the cap and
+    // post-cap pairs collapse to zero — so the production order is
+    // exact-hash dedup FIRST, near-dup detection on the survivors. This
+    // query runs that composition on the ×16 inflated corpus: stage 1
+    // keeps the smallest doc_id per md5(text) (one min_by aggregate —
+    // the shuffle carries one digest-keyed row per distinct text, not
+    // the corpus), stage 2 is the SAME winnowPairsOf device on the
+    // survivors. The order itself is what the oracle pins: skipping
+    // stage 1 would leave every fp at df ≥ 16 > cap and emit ZERO pairs,
+    // hash-diverging loudly.
+    "dedup_pipeline_exact_winnow" -> QueryDef(
+      (s, dir) => {
+        val corpus = InflationProbes.inflate(
+          Tables.load(s, dir, "documents").select(col("doc_id"),
+            col("text")), InflateK, "doc_id")
+        val survivors = corpus
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id"))
+            .as("k"))
+          .select(col("k.doc_id").as("doc_id"), col("k.text").as("text"))
+        winnowPairsOf(survivors).orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $inflatedCorpusCte,
+              |surv_ids AS (
+              |  SELECT min(doc_id) AS doc_id
+              |  FROM corpus GROUP BY md5(text)),
+              |survivors AS (
+              |  SELECT c.doc_id, c.text
+              |  FROM corpus c JOIN surv_ids s ON c.doc_id = s.doc_id),
+              |${winnowPairsCteOver("survivors")}
+              |SELECT doc_a, doc_b, n_shared FROM wpairs
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // CLUSTER-DOWNWEIGHTED SAMPLING — dedup as soft reweighting instead of
     // hard removal: each near-dup cluster of size k keeps each member with
     // probability 1/k (so every cluster contributes ~1 expected doc and
@@ -2262,48 +2417,14 @@ object DedupQueries {
     // bucket self-join, so bucket fan-out is bounded and the join stays
     // posting-shaped — never corpus².
     "dedup_winnow_pairs" -> QueryDef(
-      (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        // native WinnowedFps (see text_winnowing): the HOF winnow
-        // re-evaluates the positional hash tree per window — measured
-        // 340 s at sf0.1; the native expression computes it once per doc.
-        val fps = d.select(col("doc_id"),
-          explode(winnowedFps(col("text"), 4, 8).getField("fps")).as("fp"))
-        val capped = fps.groupBy(col("fp"))
-          .agg(count(lit(1)).as("dfc")).filter(col("dfc") <= 8)
-          .select(col("fp"))
-        val b = fps.join(capped, "fp")
-        b.as("x").join(b.as("y"), Seq("fp"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 2)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some {
-        val hs = s"list_transform(${sqlShingles(sqlWords("text"), 4)}, " +
-          s"s -> ${sqlMd5Long("s")})"
-        s"""WITH h AS (
-           |  SELECT doc_id, hs, len(hs) AS n, greatest(len(hs)-7, 1) AS m
-           |  FROM (SELECT doc_id, $hs AS hs FROM documents)),
-           |sel AS (
-           |  SELECT doc_id,
-           |    CASE WHEN n >= 1 THEN list_distinct(list_transform(
-           |      range(0, m), i -> list_min(hs[i+1:i+8]))) END AS fp
-           |  FROM h),
-           |fps AS (SELECT doc_id, unnest(fp) AS fp FROM sel),
-           |capped AS (
-           |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 8),
-           |b AS (SELECT f.doc_id, f.fp FROM fps f
-           |      JOIN capped c ON f.fp = c.fp)
-           |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           |  CAST(count(*) AS BIGINT) AS n_shared
-           |FROM b x JOIN b y ON x.fp = y.fp AND x.doc_id < y.doc_id
-           |GROUP BY x.doc_id, y.doc_id
-           |HAVING count(*) >= 2
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      // native WinnowedFps (see text_winnowing): the HOF winnow
+      // re-evaluates the positional hash tree per window — measured
+      // 340 s at sf0.1; the native expression computes it once per doc.
+      (s, dir) => winnowPairsOf(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH ${winnowPairsCteOver("documents")}
+              |SELECT doc_a, doc_b, n_shared FROM wpairs
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // TRIANGLE COUNT of the near-duplicate graph (edges = verified
     // MinHash-LSH pairs) — the cluster-cliquishness diagnostic that tells

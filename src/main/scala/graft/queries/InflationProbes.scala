@@ -32,7 +32,7 @@ object InflationProbes {
     * [[DedupQueries.InflateK]] convention: `dedup_inflated_df_cap`'s
     * Spark side calls this, its oracle re-encodes it in SQL (the usual
     * cross-engine mirror), and every probe below inflates with it. */
-  private[queries] def inflate(d: DataFrame, k: Int, idCol: String)
+  private[graft] def inflate(d: DataFrame, k: Int, idCol: String)
       : DataFrame = {
     val rest = d.columns.filterNot(_ == idCol).map(col).toSeq
     d.select(col(idCol) +: rest :+
@@ -69,16 +69,19 @@ object InflationProbes {
       "excluded_sq_mass" -> dfreq.getLong(3), "n_pairs" -> pairs)
   }
 
-  /** Winnowing fingerprint index, fp-df cap 8 — `dedup_winnow_pairs`. */
+  /** Winnowing fingerprint index, fp-df cap [[DedupQueries.WinnowFpCap]]
+    * — `dedup_winnow_pairs` (extraction shared via
+    * [[DedupQueries.winnowFpsOf]]; `dedup_inflated_winnow_cap` is this
+    * family's oracle-checked df census). */
   private def winnow(s: SparkSession, dir: String, k: Int)
       : Map[String, Long] = {
-    val fps = docs(s, dir, k).select(col("doc_id"),
-      explode(winnowedFps(col("text"), 4, 8).getField("fps")).as("fp"))
+    val cap = DedupQueries.WinnowFpCap
+    val fps = DedupQueries.winnowFpsOf(docs(s, dir, k))
     val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
     val stats = dfreq.agg(max(col("dfc")).as("mx"),
-        sum(when(col("dfc") > 8, 1L).otherwise(0L)).as("capped"))
+        sum(when(col("dfc") > cap, 1L).otherwise(0L)).as("capped"))
       .collect()(0)
-    val b = fps.join(dfreq.filter(col("dfc") <= 8).select(col("fp")), "fp")
+    val b = fps.join(dfreq.filter(col("dfc") <= cap).select(col("fp")), "fp")
     val pairs = b.as("x").join(b.as("y"), Seq("fp"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id"), col("y.doc_id"))

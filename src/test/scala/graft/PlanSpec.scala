@@ -1485,11 +1485,17 @@ class PlanSpec extends SparkSpecBase {
       plan.contains("SortAggregate"), plan.take(1500))
   }
 
-  test("ann_rq_distortion: every codebook broadcasts onto the corpus " +
-    "side; no shuffle join of an 8-row codebook, no cartesian") {
-    val plan = formatted(q("ann_rq_distortion"))
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  test("ann_rq_distortion: the literal-codebook assigns are pure maps — " +
+    "NO join of any kind (the ≤8-row codebooks ride the projection), no " +
+    "cartesian; the only exchanges are the two 1-row report aggregates") {
+    val plan = executed(q("ann_rq_distortion"))
+    assert(plan.collect {
+      case j if j.nodeName.contains("Join") => j
+    }.isEmpty, "RVQ assign must not join — codebooks are literals")
+    val f = formatted(q("ann_rq_distortion"))
+    assert(!f.contains("CartesianProduct"), f.take(3000))
+    assert(!f.contains("Window"), f.take(3000)) // argmin is array_position,
+    // not a row_number de-dup
   }
 
   test("ann_binary_hamming_recall: the 64-row dim-threshold table " +
