@@ -1444,6 +1444,26 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("runningSum: the uniqueGuard lag rides the SAME WindowExec as the " +
+    "local cumulative scan — every Window node computes both, none is " +
+    "guard-only (the zero-extra-jobs claim, checked in the plan)") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (5L, 3L), (9L, 4L)).toDF("k", "w")
+    val out = graft.operators.SequencePacking
+      .runningSum(df, "k", "w", "cum", Some(2))
+    // the Window sits inside a ResultQueryStage (a leaf wrapper collect()
+    // does not descend into) — assert on the formatted tree instead
+    val plan = formatted(out)
+    val windowLines = plan.linesIterator
+      .filter(_.replaceFirst("^[\\s:+\\-]*", "").startsWith("Window "))
+      .toSeq
+    assert(windowLines.size == 1,
+      s"expected exactly ONE WindowExec (scan + guard fused):\n$plan")
+    assert(windowLines.head.contains("sum(") &&
+      windowLines.head.contains("lag("),
+      s"guard lag not fused into the scan's WindowExec:\n${windowLines.head}")
+  }
+
   test("text_hash_collision_audit: one vocab distinct, then map-side-" +
     "combined aggregates — no join anywhere") {
     val plan = executed(q("text_hash_collision_audit"))
