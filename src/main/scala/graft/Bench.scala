@@ -77,18 +77,26 @@ object Bench {
     // HOST-HEAT CALIBRATION (VERDICT r10 Next #1): time graph_pagerank —
     // pinned quiet band 1.16-1.57 s on this host generation (BASELINE
     // §3d) — immediately before pass 1 and immediately after pass 3,
-    // and record both in the output JSON. A reading above the band says
-    // the run was hot (neighbor-tenant load), making >25% per-query
+    // and record both in the output JSON. A reading well above the band
+    // says the run was hot (neighbor-tenant load), making >25% per-query
     // deltas mechanically discountable from the artifact itself instead
-    // of post-hoc TimeQ notes. Bench semantics: caches cold, JIT warm.
+    // of post-hoc TimeQ notes. MIN OF 4 back-to-back runs (bench
+    // semantics: caches cleared each run, JIT warm): a single shot after
+    // 300+ other queries pays page-cache/JIT-code-cache re-warm that the
+    // pinned quiet band (taken from settled TimeQ runs) never sees —
+    // measured 2.4 s single-shot vs 1.2-1.6 settled on a provably cool
+    // run — so the settling repetition is what makes the reading
+    // band-comparable. ~8 s per calibration point, twice per bench.
     def calibrate(): Double = {
+      val runs = (1 to 4).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try SparkEntry.queries("graph_pagerank")(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try SparkEntry.queries("graph_pagerank")(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      val t = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      t
+      runs.min
     }
     val calStart = calibrate()
     // Three timed passes, min per query: the shared host shows rotating
