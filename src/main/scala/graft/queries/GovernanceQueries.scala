@@ -506,12 +506,17 @@ object GovernanceQueries {
               |  sequence(0, length(c_name) - 1),
               |  i -> concat(substring(c_name, 1, i),
               |              substring(c_name, i + 2))))""".stripMargin)))
-        val cand = dKeys.join(cKeys, "k")
+        // ONE cached pass carries the whole candidate set WITH its verify
+        // score: the expensive keys-join + distinct would otherwise run
+        // twice (once under ver, once under the n_candidates count) —
+        // this barrier is what holds the plan to a single key-join at
+        // any corpus size
+        val scored = dKeys.join(cKeys, "k")
           .select(col("d_key"), col("name_d"), col("c_custkey"),
             col("c_name")).distinct()
-        val ver = cand
           .withColumn("lev", levenshtein(col("name_d"), col("c_name")))
-          .filter(col("lev") <= 1).cache()
+          .cache()
+        val ver = scored.filter(col("lev") <= 1)
         val rk = Window.partitionBy(col("d_key"))
           .orderBy(col("lev"), col("c_custkey"))
         val resolved = ver.withColumn("rk", row_number().over(rk))
@@ -520,7 +525,7 @@ object GovernanceQueries {
         ver.agg(count(lit(1)).as("n_verified"),
             sum(when(col("c_custkey") === col("d_key"), 1L).otherwise(0L))
               .as("n_true_pairs"))
-          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+          .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_candidates"))))
           .crossJoin(broadcast(resolved.agg(
             count(lit(1)).as("n_resolved"),
             sum(when(col("c_custkey") === col("d_key"), 1L).otherwise(0L))
