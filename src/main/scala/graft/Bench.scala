@@ -88,15 +88,20 @@ object Bench {
     // run — so the settling repetition is what makes the reading
     // band-comparable. ~8 s per calibration point, twice per bench.
     def calibrate(): Double = {
-      val runs = (1 to 4).map { _ =>
+      val runs = (1 to 4).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try SparkEntry.queries("graph_pagerank")(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try {
+          SparkEntry.queries("graph_pagerank")(spark, sfDir).count(); true
+        } catch { case _: Throwable => false }
+        // a FAILED run must not contribute a sample: its fast
+        // time-to-failure would read as a provably-cool host exactly
+        // when the calibration measured nothing
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       spark.catalog.clearCache()
-      runs.min
+      // all-failed → -1.0: loudly out-of-band, never mistaken for quiet
+      if (runs.nonEmpty) runs.min else -1.0
     }
     val calStart = calibrate()
     // Three timed passes, min per query: the shared host shows rotating
@@ -137,10 +142,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def f3b(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+    // Locale.ROOT: a comma-decimal default locale would render 1,234 and
+    // break the JSON these lines exist to provide
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
-    val calFields = s""""calibration_start_s":${f3b(calStart)},""" +
-      s""""calibration_end_s":${f3b(calEnd)},"calibration_band":[1.16,1.57]"""
+    val calFields = s""""calibration_start_s":${f3(calStart)},""" +
+      s""""calibration_end_s":${f3(calEnd)},"calibration_band":[1.16,1.57]"""
     // Full-precision record (complete, for log readers that keep all output).
     println(s"""{"metric":"total","value":$total,"unit":"sec",$calFields,"queries":$qs,"sf":"$sfDir"}""")
     // The harness that records this run keeps only the LAST ~2000 chars of
@@ -149,10 +156,6 @@ object Bench {
     // artifact loses the totals. Emit a final compact line guaranteed to fit:
     // ms-precision values, slowest queries first, truncated (with an explicit
     // omitted count/sum) once the line would outgrow the capture window.
-    // Locale.ROOT: a comma-decimal default locale would render 1,234 and
-    // break the JSON this line exists to provide
-    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
-      Double.box(v))
     val bySlowest = results.toSeq.sortBy(-_._2)
     val budget = 1700 // line budget: capture window minus sbt's epilogue
     val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calFields,"sf":"$sfDir","queries":{"""

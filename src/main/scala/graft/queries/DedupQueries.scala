@@ -1847,9 +1847,7 @@ object DedupQueries {
         val sh = sqlShingleHashes("text", 3)
         val band = s"CAST(bit_count(${PipelineQueries.smearExpr("df")}) " +
           "AS BIGINT)"
-        s"""WITH corpus AS (
-           |  SELECT doc_id + 100000000 * i.i AS doc_id, text
-           |  FROM documents, (SELECT unnest(range(0, $InflateK)) AS i) i),
+        s"""WITH $inflatedCorpusCte,
            |tok AS (
            |  SELECT doc_id, unnest(sh) AS h
            |  FROM (SELECT doc_id, $sh AS sh FROM corpus)),

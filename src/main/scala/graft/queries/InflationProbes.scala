@@ -129,9 +129,19 @@ object InflationProbes {
     // monotonically_increasing_id, the salt assignment is then a pure
     // function of the ROW, not of the scan's partition layout, so the
     // BASELINE §4 fan-in numbers reproduce run-to-run
+    // loud contract (not just a comment): uniqueness of the inflated id
+    // needs the base rid under inflate's 10⁸ stride — true through sf1
+    // (orderkey ≤ 6M); a bigger SF fails here instead of silently
+    // colliding copies onto one rid/salt
+    val ridGuard = coalesce(assert_true(
+      col("l_orderkey") * 8L + col("l_linenumber") < 100000000L,
+      lit("saltedSkew: __rid >= inflate stride 10^8 — rid uniqueness " +
+        "broken at this SF; widen the stride or rekey")).cast("long"),
+      lit(0L))
     val li = inflate(Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"),
-          (col("l_orderkey") * 8L + col("l_linenumber")).as("__rid")),
+          (col("l_orderkey") * 8L + col("l_linenumber") + ridGuard)
+            .as("__rid")),
         k, "__rid")
       .withColumn("salt", pmod(hash(col("__rid")), lit(salts)))
     val fan = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))

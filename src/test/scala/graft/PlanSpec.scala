@@ -1508,11 +1508,11 @@ class PlanSpec extends SparkSpecBase {
   test("ann_rq_distortion: the literal-codebook assigns are pure maps — " +
     "NO join of any kind (the ≤8-row codebooks ride the projection), no " +
     "cartesian; the only exchanges are the two 1-row report aggregates") {
-    val plan = executed(q("ann_rq_distortion"))
-    assert(plan.collect {
-      case j if j.nodeName.contains("Join") => j
-    }.isEmpty, "RVQ assign must not join — codebooks are literals")
+    // ONE execution; string assertions (the formatted tree descends into
+    // ResultQueryStage leaves, which SparkPlan.collect does not)
     val f = formatted(q("ann_rq_distortion"))
+    assert(!f.contains("Join"),
+      s"RVQ assign must not join — codebooks are literals:\n${f.take(3000)}")
     assert(!f.contains("CartesianProduct"), f.take(3000))
     assert(!f.contains("Window"), f.take(3000)) // argmin is array_position,
     // not a row_number de-dup
