@@ -392,29 +392,34 @@ object DedupQueries {
         if (i >= 0) st = BucketState(
           st.ids.patch(i, Nil, 1), st.sigs.patch(i, Nil, 1), st.arrivals)
         if (e.band == 0) out += BucketEvt("d", e.doc_id, -1L, 0)
-      } else if (st.arrivals < cap) {
-        // NO-REINSERT PRECONDITION: each doc_id is inserted into a bucket
-        // at most once over the stream's lifetime (the replay fixtures
-        // mint fresh ids for re-posted content). A re-inserted id would
-        // consume a SECOND arrival slot and re-pair, while the oracle's
-        // ROW_NUMBER mirror ranks each (band, key, doc_id) once — a
-        // silent engine/oracle divergence. The live case fails loudly
-        // here; a delete-then-reinsert cannot be detected without an
-        // unbounded tombstone set, so it stays a documented contract.
+      } else {
+        // NO-REINSERT PRECONDITION — enforced on EVERY insert event, cap
+        // or not: each doc_id is inserted into a bucket at most once over
+        // the stream's lifetime (the replay fixtures mint fresh ids for
+        // re-posted content). A re-inserted id would consume a SECOND
+        // arrival slot and re-pair, while the oracle's ROW_NUMBER mirror
+        // ranks each (band, key, doc_id) once — a silent engine/oracle
+        // divergence. Checked BEFORE the arrivals-cap branch so a
+        // re-insert arriving after bucket saturation still fails loudly
+        // instead of vanishing into the hot-bucket drop path; a
+        // delete-then-reinsert cannot be detected without an unbounded
+        // tombstone set, so that case stays a documented contract.
         require(!st.ids.contains(e.doc_id),
           s"bucketStep: re-insert of live doc_id=${e.doc_id} into bucket " +
             s"$key violates the no-reinsert precondition (oracle mirror " +
             "ranks each doc once)")
-        st.ids.zip(st.sigs).foreach { case (id, sg) =>
-          val m = sg.iterator.zip(e.sig.iterator)
-            .count { case (x, y) => x == y }
-          if (m >= 8) out += BucketEvt("p", id, e.doc_id, m)
+        if (st.arrivals < cap) {
+          st.ids.zip(st.sigs).foreach { case (id, sg) =>
+            val m = sg.iterator.zip(e.sig.iterator)
+              .count { case (x, y) => x == y }
+            if (m >= 8) out += BucketEvt("p", id, e.doc_id, m)
+          }
+          st = BucketState(st.ids :+ e.doc_id, st.sigs :+ e.sig,
+            st.arrivals + 1L)
+        } else {
+          // hot bucket (StreamBucketCap): neither pair nor store
+          st = BucketState(st.ids, st.sigs, st.arrivals + 1L)
         }
-        st = BucketState(st.ids :+ e.doc_id, st.sigs :+ e.sig,
-          st.arrivals + 1L)
-      } else {
-        // hot bucket (StreamBucketCap): neither pair nor store
-        st = BucketState(st.ids, st.sigs, st.arrivals + 1L)
       }
     }
     state.update(st)

@@ -506,30 +506,36 @@ object GovernanceQueries {
               |  sequence(0, length(c_name) - 1),
               |  i -> concat(substring(c_name, 1, i),
               |              substring(c_name, i + 2))))""".stripMargin)))
-        // ONE cached pass carries the whole candidate set WITH its verify
-        // score: the expensive keys-join + distinct would otherwise run
-        // twice (once under ver, once under the n_candidates count) —
-        // this barrier is what holds the plan to a single key-join at
-        // any corpus size
+        // ONE pass carries the whole candidate set with its verify score
+        // AND every report counter: the keys-join + distinct runs exactly
+        // once, the resolver is one row_number window over it, and the
+        // five counters fold into a single conditional-sum aggregate —
+        // the previous shape ran three separate 1-row aggregates over a
+        // cached copy and crossJoined them, paying three traversals plus
+        // cache memory for a fixed-size report. The window ranks ALL
+        // candidates by (lev, c_custkey); lev ≤ 1 rows sort before lev-2
+        // rows, so `rk = 1 AND lev ≤ 1` is exactly the oracle's
+        // best-verified match per d_key (a d_key whose best candidate
+        // has lev ≥ 2 resolves to nothing, matching the oracle's empty
+        // ver set for that key).
+        val rk = Window.partitionBy(col("d_key"))
+          .orderBy(col("lev"), col("c_custkey"))
         val scored = dKeys.join(cKeys, "k")
           .select(col("d_key"), col("name_d"), col("c_custkey"),
             col("c_name")).distinct()
           .withColumn("lev", levenshtein(col("name_d"), col("c_name")))
-          .cache()
-        val ver = scored.filter(col("lev") <= 1)
-        val rk = Window.partitionBy(col("d_key"))
-          .orderBy(col("lev"), col("c_custkey"))
-        val resolved = ver.withColumn("rk", row_number().over(rk))
-          .filter(col("rk") === 1)
+          .withColumn("rk", row_number().over(rk))
+        val isVer = col("lev") <= 1
+        val isTrue = col("c_custkey") === col("d_key")
+        val isResolved = isVer && col("rk") === 1
         val nDirty = dirty.agg(count(lit(1)).as("n_dirty"))
-        ver.agg(count(lit(1)).as("n_verified"),
-            sum(when(col("c_custkey") === col("d_key"), 1L).otherwise(0L))
-              .as("n_true_pairs"))
-          .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_candidates"))))
-          .crossJoin(broadcast(resolved.agg(
-            count(lit(1)).as("n_resolved"),
-            sum(when(col("c_custkey") === col("d_key"), 1L).otherwise(0L))
-              .as("n_correct"))))
+        scored.agg(
+            count(lit(1)).as("n_candidates"),
+            sum(when(isVer, 1L).otherwise(0L)).as("n_verified"),
+            sum(when(isVer && isTrue, 1L).otherwise(0L)).as("n_true_pairs"),
+            sum(when(isResolved, 1L).otherwise(0L)).as("n_resolved"),
+            sum(when(isResolved && isTrue, 1L).otherwise(0L))
+              .as("n_correct"))
           .crossJoin(broadcast(nDirty))
           .selectExpr("n_dirty", "n_candidates", "n_verified", "n_resolved",
             "n_true_pairs", "n_correct",

@@ -133,10 +133,16 @@ object InflationProbes {
     // needs the base rid under inflate's 10⁸ stride — true through sf1
     // (orderkey ≤ 6M); a bigger SF fails here instead of silently
     // colliding copies onto one rid/salt
+    // rid uniqueness needs BOTH bounds: the stride (orderkey·8+linenumber
+    // < 10⁸, true through sf1) AND 0 ≤ linenumber < 8 — without the
+    // latter, a non-TPC-H-conforming linenumber ≥ 8 would silently
+    // collide rids ACROSS orderkeys while the stride check still passes
     val ridGuard = coalesce(assert_true(
-      col("l_orderkey") * 8L + col("l_linenumber") < 100000000L,
-      lit("saltedSkew: __rid >= inflate stride 10^8 — rid uniqueness " +
-        "broken at this SF; widen the stride or rekey")).cast("long"),
+      col("l_orderkey") * 8L + col("l_linenumber") < 100000000L
+        && col("l_linenumber") >= 0L && col("l_linenumber") < 8L,
+      lit("saltedSkew: __rid uniqueness broken — orderkey*8+linenumber " +
+        "must stay under inflate's 10^8 stride AND linenumber must be " +
+        "in [0,8); widen the stride or rekey")).cast("long"),
       lit(0L))
     val li = inflate(Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"),

@@ -309,6 +309,12 @@ object SimilarityQueries {
     * the same projection. */
   private def rqAssign(df: DataFrame,
       cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    // a degenerate corpus (no vec_id < PqK → empty codebook) would build
+    // array() of zero columns and emit null cid/cv/d2 rows; fail loudly
+    // instead of silently propagating nulls through four Lloyd passes
+    require(cents.nonEmpty,
+      "rqAssign: empty codebook — corpus has no seed vectors (vec_id < " +
+        s"$PqK); the RVQ device needs at least one centroid")
     val ds = array(cents.map { case (_, cv) =>
       aggregate(zip_with(col("sv"), typedLit(cv), (a, b) => (a - b) * (a - b)),
         lit(0L), _ + _) }: _*)
