@@ -55,7 +55,7 @@ object Bench {
         s"/root/repo/.scratch/qvecs_v1/$sfName",
         s"/root/repo/.scratch/nav_graph_v2/$sfName",
         s"/root/repo/.scratch/pq_model_v1/$sfName",
-        s"/root/repo/.scratch/phash_clusters_v1/$sfName",
+        s"/root/repo/.scratch/phash_clusters_v2/$sfName",
         s"/root/repo/.scratch/cdcdb_ddl/$sfName",
         s"/root/repo/.scratch/cdcdb_docs/$sfName",
         s"/root/repo/.scratch/cdcdb_docs_replay/$sfName",
@@ -103,7 +103,14 @@ object Bench {
       // all-failed → -1.0: loudly out-of-band, never mistaken for quiet
       if (runs.nonEmpty) runs.min else -1.0
     }
-    val calStart = calibrate()
+    // Per-PASS calibration (VERDICT r11 Next #2): one point before pass 1
+    // and one immediately after EVERY pass, so a hot stretch is localized
+    // to the pass it bracketed — the artifact itself shows which pass's
+    // samples to discount, instead of one start/end pair averaging over
+    // three passes. The per-query min across passes already discards a
+    // single hot pass's inflation; these points certify WHICH pass that
+    // was. ~8 s per point, 4 points.
+    val calPoints = scala.collection.mutable.ArrayBuffer[Double](calibrate())
     // Three timed passes, min per query: the shared host shows rotating
     // multi-second stalls (a query steady-stating at 1.6 s can record 19 s
     // in one pass while vmstat sits idle). The min of two independent
@@ -130,9 +137,13 @@ object Bench {
     // when the host stalls during two of the passes.
     val order = SparkEntry.queries.toSeq
     val rotated = order.drop(order.size / 2) ++ order.take(order.size / 2)
-    val passes = Seq(timedPass(order), timedPass(order.reverse),
-      timedPass(rotated))
-    val calEnd = calibrate()
+    val passes = Seq(order, order.reverse, rotated).map { o =>
+      val r = timedPass(o)
+      calPoints += calibrate()
+      r
+    }
+    val calStart = calPoints.head
+    val calEnd = calPoints.last
     val results = passes.head.map { case (name, _) =>
       val runs = passes.flatMap(_.get(name))
       val good = runs.collect { case (t, true) => t }
@@ -146,8 +157,16 @@ object Bench {
     // break the JSON these lines exist to provide
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
+    // The quiet band is pinned for sf0.1 on this host generation
+    // (BASELINE §3d); at any other SF the raw calibration seconds are
+    // still recorded but no band is claimed — a band the readings cannot
+    // legitimately be compared against would read as false certification.
+    val bandField =
+      if (sfName == "sf0.1") ""","calibration_band":[1.16,1.57]""" else ""
     val calFields = s""""calibration_start_s":${f3(calStart)},""" +
-      s""""calibration_end_s":${f3(calEnd)},"calibration_band":[1.16,1.57]"""
+      s""""calibration_end_s":${f3(calEnd)},""" +
+      s""""calibration_points_s":[${calPoints.map(f3).mkString(",")}]""" +
+      bandField
     // Full-precision record (complete, for log readers that keep all output).
     println(s"""{"metric":"total","value":$total,"unit":"sec",$calFields,"queries":$qs,"sf":"$sfDir"}""")
     // The harness that records this run keeps only the LAST ~2000 chars of

@@ -426,6 +426,119 @@ object DedupQueries {
     out.result().iterator
   }
 
+  // ---- Streaming winnow ingest (cdc_stream_winnow_ingest) ----
+
+  /** One changelog document event entering the streaming winnow pipeline:
+    * digest = md5(text) (the exact-dedup state key), fps = the doc's
+    * winnowed fingerprints (computed BEFORE stage 1 so both the admit
+    * and the retire path carry them). */
+  case class WinnowDocEvt(digest: String, doc_id: Long, off: Long,
+      op: String, fps: Seq[Long])
+  /** Per-digest exact-dedup state: the LIVE survivor of this exact text
+    * (live=false ⇒ the survivor was deleted and the digest is open for
+    * re-admission). */
+  case class DigestState(survivor: Long, live: Boolean)
+  /** One fingerprint-bucket event (stage 2 input). */
+  case class WinnowFpEvt(fp: Long, doc_id: Long, off: Long, op: String)
+  /** Winnow bucket state: live member ids + lifetime insert-arrival
+    * count (the [[WinnowFpCap]]-capped analogue of [[BucketState]];
+    * no signatures — winnow pairing is pure co-occurrence). */
+  case class WinnowBucketState(ids: Seq[Long], arrivals: Long)
+  /** A shared-fingerprint co-occurrence emission: id_a arrived before
+    * id_b; the batch post-pass counts these per pair (n_shared ≥ 2). */
+  case class WinnowPairEvt(id_a: Long, id_b: Long)
+
+  /** STAGE 1 of the streaming winnow ingest — per-digest EXACT-dedup
+    * keyed state, applying the §4 pipeline-ORDER lesson
+    * (`dedup_pipeline_exact_winnow`) at ingest time: exact copies must
+    * die BEFORE fingerprint indexing, or every copy family floods its
+    * fingerprint buckets. State is the LIVE survivor per md5(text):
+    * the first arrival admits and becomes survivor; later identical
+    * texts are suppressed (never reach the winnow index); deleting the
+    * survivor retires it downstream AND re-opens the digest, so
+    * re-posted content after a genuine removal is admitted as the new
+    * survivor. Deletes of never-admitted duplicates are no-ops. Within
+    * an insert-only prefix this is exactly digest → min-arrival doc. */
+  private[graft] def digestStep(
+      key: String, rows: Iterator[WinnowDocEvt],
+      state: org.apache.spark.sql.streaming.GroupState[DigestState])
+      : Iterator[WinnowDocEvt] = {
+    import graft.cdc.ChangeRecord.RowKind
+    var st = state.getOption
+    val out = Seq.newBuilder[WinnowDocEvt]
+    rows.toSeq.sortBy(_.off).foreach { e =>
+      if (e.op == RowKind.Delete) {
+        st match {
+          case Some(s) if s.live && s.survivor == e.doc_id =>
+            out += e
+            st = Some(DigestState(e.doc_id, live = false))
+          case _ => () // delete of a suppressed duplicate: nothing admitted
+        }
+      } else st match {
+        case Some(s) if s.live => () // exact duplicate of a live survivor
+        case _ =>
+          st = Some(DigestState(e.doc_id, live = true))
+          out += e
+      }
+    }
+    st.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** STAGE 2 of the streaming winnow ingest — per-fingerprint bucket
+    * state over exact-dedup SURVIVORS, with [[WinnowFpCap]] (the batch
+    * index's df-cap) as the bucket's arrival-rank state cap: only the
+    * first `cap` survivors ever inserted into a bucket are indexed
+    * there; later arrivals neither pair through it nor join it
+    * (saturation permanent, as in [[bucketStep]] — the SQL mirror is
+    * ROW_NUMBER by arrival ≤ cap). An arriving survivor emits one
+    * co-occurrence against every live member; deletes retire the doc
+    * from the bucket without freeing its arrival slot. */
+  private[graft] def winnowBucketStep(cap: Long)(
+      key: Long, rows: Iterator[WinnowFpEvt],
+      state: org.apache.spark.sql.streaming.GroupState[WinnowBucketState])
+      : Iterator[WinnowPairEvt] = {
+    import graft.cdc.ChangeRecord.RowKind
+    var st = state.getOption.getOrElse(WinnowBucketState(Nil, 0L))
+    val out = Seq.newBuilder[WinnowPairEvt]
+    rows.toSeq.sortBy(_.off).foreach { e =>
+      if (e.op == RowKind.Delete) {
+        val i = st.ids.indexOf(e.doc_id)
+        if (i >= 0) st = WinnowBucketState(st.ids.patch(i, Nil, 1),
+          st.arrivals)
+      } else {
+        // same loud no-reinsert precondition as bucketStep, enforced on
+        // every insert (stage 1 admits each doc_id at most once, and
+        // fps-per-doc are distinct, so a violation is an upstream bug)
+        require(!st.ids.contains(e.doc_id),
+          s"winnowBucketStep: re-insert of live doc_id=${e.doc_id} into " +
+            s"bucket $key violates the no-reinsert precondition")
+        if (st.arrivals < cap) {
+          st.ids.foreach(id => out += WinnowPairEvt(id, e.doc_id))
+          st = WinnowBucketState(st.ids :+ e.doc_id, st.arrivals + 1L)
+        } else {
+          // hot bucket: neither pair nor store
+          st = WinnowBucketState(st.ids, st.arrivals + 1L)
+        }
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Spec-overridable effective streaming winnow bucket cap — defaults
+    * to the batch index's [[WinnowFpCap]]: the df-cap IS the bucket
+    * state cap, so the streaming index holds at most cap ids per
+    * fingerprint by construction. The oracle mirrors the EFFECTIVE cap
+    * (arrival-rank ≤ cap), and StreamWinnowCapSpec proves both the
+    * forced-tiny-cap saturation semantics and the no-bind license (the
+    * fixture's hottest fingerprint df ≤ 6 < 8, so pinned hashes are
+    * cap-free — cap-fire evidence lives in the ×16 inflation family,
+    * BASELINE §4). */
+  private def streamWinnowCap: Long =
+    sys.props.getOrElse("graft.dedup.streamWinnowCap",
+      WinnowFpCap.toString).toLong
+
   /** Replay-log fixture: an EMPTY snapshot and the corpus itself arriving
     * through the log in three offset phases —
     *   1 + doc_id          every base document inserted,
@@ -695,6 +808,109 @@ object DedupQueries {
            |  -- never form (base × base pairs all formed in phase 1)
            |  AND NOT (id_b >= 1000000000 AND id_a < 1000000000
            |           AND id_a % 13 = 3)
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // INGEST-TIME streaming WINNOW dedup — the streaming twin of the
+    // winnowing index (the fingerprint scheme with the ≥ w+k−1 match-
+    // detection GUARANTEE), composed with the §4 pipeline-ORDER lesson
+    // the batch side proved (dedup_pipeline_exact_winnow /
+    // PipelineOrderSpec): stage 1 is per-digest EXACT-dedup keyed state
+    // (first arrival survives; identical text never reaches the index;
+    // a deleted survivor re-opens its digest), stage 2 is per-
+    // fingerprint bucket state over the survivors with the batch
+    // df-cap (WinnowFpCap) as the bucket's arrival-rank state cap —
+    // two chained flatMapGroupsWithState stages in ONE streaming query.
+    // Replay semantics the oracle encodes: every phase-3 exact copy of
+    // a LIVE source is suppressed by stage 1 (the order lesson, now at
+    // ingest time); a copy of a DELETED source is re-admitted and pairs
+    // only against docs still live in its buckets; the cap is mirrored
+    // as ROW_NUMBER ≤ cap (replay offsets arrive in doc_id order) and
+    // binds nothing at test SFs — StreamWinnowCapSpec proves the
+    // saturation semantics with a forced tiny cap plus the no-bind
+    // license. Scale shape: state is O(live
+    // digests) + O(buckets × cap), per-event work O(fps × cap); no
+    // batch job over the accumulated corpus ever reruns.
+    "cdc_stream_winnow_ingest" -> QueryDef(
+      (s, dir0) => graft.QueryUtil.withShufflePartitions(s, 2) {
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+        import graft.cdc.ChangeRecord._
+        import s.implicits._
+        val dir = prepareDocsReplay(s, dir0)
+        val name = s"swin_${System.nanoTime()}"
+        val nBase = Tables.load(s, dir0, "documents").count()
+        val evts = s.readStream.format("graft-cdc")
+          .option("path", dir).option("table", "documents")
+          .option("scan.startup.mode", "earliest")
+          .option("changelog.mode", "all")
+          // several micro-batches so digest AND bucket state genuinely
+          // persist across triggers (nBase/2 -> 3 triggers: phase
+          // boundaries land mid-batch, late copies arrive with both
+          // stages' state restored; each extra trigger costs ~0.8 s of
+          // pure per-batch machinery x 2 stateful stages - BASELINE 3)
+          .option("scan.stream.max-events-per-trigger",
+            math.max(64L, nBase / 2).toString)
+          .load()
+          .filter(col(OpCol).isin(RowKind.Insert, RowKind.Delete))
+          .select(md5(col("text")).as("digest"), col("doc_id"),
+            col(OffsetCol).as("off"), col(OpCol).as("op"),
+            coalesce(winnowedFps(col("text"), 4, 8).getField("fps"),
+              array().cast("array<bigint>")).as("fps"))
+          .as[WinnowDocEvt]
+        val admitted = evts.groupByKey(_.digest)
+          .flatMapGroupsWithState[DigestState, WinnowDocEvt](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout())(digestStep)
+        val fpEvts = admitted.flatMap(e =>
+          e.fps.map(fp => WinnowFpEvt(fp, e.doc_id, e.off, e.op)))
+        val pairs = fpEvts.groupByKey(_.fp)
+          .flatMapGroupsWithState[WinnowBucketState, WinnowPairEvt](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+            winnowBucketStep(streamWinnowCap))
+        val q = pairs.toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // one emission per shared surviving bucket → the match count
+        graft.QueryUtil.detachMemorySink(s, name)
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        s"""WITH surv AS (
+           |  SELECT text, min(doc_id) AS sdoc FROM documents
+           |  GROUP BY text),
+           |-- stage-1 mirror: admitted docs = base survivors (first
+           |-- arrival per digest) + the first copy of each text whose
+           |-- base survivor was deleted in phase 2 (digest re-opened);
+           |-- copies of live sources are suppressed — the order lesson
+           |adm AS (
+           |  SELECT sdoc AS doc_id, text FROM surv
+           |  UNION ALL
+           |  SELECT min(d.doc_id) + 1000000000 AS doc_id, d.text
+           |  FROM documents d JOIN surv s ON d.text = s.text
+           |  WHERE d.doc_id % 100 = 1 AND s.sdoc % 13 = 3
+           |  GROUP BY d.text),
+           |${winnowFpsCteOver("adm")},
+           |-- stage-2 mirror: arrival rank per bucket (replay offsets
+           |-- arrive in doc_id order: base phase then copy phase, both
+           |-- ascending, and copy ids = source + 10^9 keep that order)
+           |ranked AS (
+           |  SELECT doc_id, fp,
+           |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+           |  FROM fps),
+           |idx AS (SELECT doc_id, fp FROM ranked WHERE rk <= $streamWinnowCap)
+           |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           |  CAST(count(*) AS BIGINT) AS n_shared
+           |FROM idx x JOIN idx y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           |-- a phase-2-deleted base doc is retired from its buckets
+           |-- before any phase-3 copy arrives: no cross-phase pair forms
+           |WHERE NOT (y.doc_id >= 1000000000 AND x.doc_id < 1000000000
+           |           AND x.doc_id % 13 = 3)
+           |GROUP BY x.doc_id, y.doc_id
+           |HAVING count(*) >= 2
            |ORDER BY id_a, id_b""".stripMargin
       }),
 

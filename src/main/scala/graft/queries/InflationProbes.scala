@@ -231,6 +231,101 @@ object InflationProbes {
     } finally graft.QueryUtil.deleteRecursively(new java.io.File(replay))
   }
 
+  /** Two-stage streaming winnow ingest ([[DedupQueries.digestStep]] →
+    * [[DedupQueries.winnowBucketStep]] at the DEFAULT [[DedupQueries
+    * .WinnowFpCap]]) on a ×k exact-copy inflated insert stream — the §4
+    * pipeline-ORDER lesson measured AT INGEST TIME: stage 1's
+    * exact-dedup state absorbs ALL the inflation (admitted survivors =
+    * the distinct-text corpus at every k, since every copy family's
+    * first arrival is its block-0 base doc), so stage-2 bucket state,
+    * per-event work and the emitted pair surface are k-INVARIANT while
+    * the raw event stream grows ×k. The counters prove it: survivors /
+    * stream_pairs / mirror_pairs / max_bucket_arrivals must not move
+    * with k, and stream_pairs must equal the batch arrival-rank mirror
+    * on the survivor corpus. */
+  private def streamWinnow(s: SparkSession, dir: String, k: Int)
+      : Map[String, Long] = {
+    import graft.cdc.ChangeRecord._
+    import s.implicits._
+    val cap = DedupQueries.WinnowFpCap.toLong
+    val base = inflate(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")), k, "doc_id")
+    val sf = new java.io.File(dir).getName
+    val replay = s"/root/repo/.scratch/scalecheck_winnow/${sf}_x$k"
+    def img = struct(base.schema.fieldNames.toSeq.map(col): _*)
+    val ins = base.select((lit(1L) + col("doc_id")).as(OffsetCol),
+      lit(ExternalOp.Create).as(OpCol), (lit(1L) + col("doc_id")).as(TsCol),
+      lit("graft").as(DbCol), lit("documents").as(TableCol),
+      lit(null).cast(base.schema).as(BeforeCol), img.as(AfterCol))
+    graft.cdc.FileCdcDatabase.write(s, replay, "documents", "graft",
+      "doc_id", snapshot = base.limit(0), changes = ins)
+    val n = base.count()
+    val name = s"scale_winnow_${k}_${System.nanoTime()}"
+    try graft.QueryUtil.withShufflePartitions(s, 2) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+      val evts = s.readStream.format("graft-cdc")
+        .option("path", replay).option("table", "documents")
+        .option("scan.startup.mode", "earliest")
+        .option("changelog.mode", "all")
+        .option("scan.stream.max-events-per-trigger",
+          math.max(64L, n / 2).toString)
+        .load()
+        .filter(col(OpCol).isin(RowKind.Insert, RowKind.Delete))
+        .select(md5(col("text")).as("digest"), col("doc_id"),
+          col(OffsetCol).as("off"), col(OpCol).as("op"),
+          coalesce(winnowedFps(col("text"), 4, 8).getField("fps"),
+            array().cast("array<bigint>")).as("fps"))
+        .as[DedupQueries.WinnowDocEvt]
+      val admitted = evts.groupByKey(_.digest)
+        .flatMapGroupsWithState[DedupQueries.DigestState,
+          DedupQueries.WinnowDocEvt](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          DedupQueries.digestStep)
+      val pairEvts = admitted.flatMap(e => e.fps.map(fp =>
+          DedupQueries.WinnowFpEvt(fp, e.doc_id, e.off, e.op)))
+        .groupByKey(_.fp)
+        .flatMapGroupsWithState[DedupQueries.WinnowBucketState,
+          DedupQueries.WinnowPairEvt](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          DedupQueries.winnowBucketStep(cap))
+      val q = pairEvts.toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sunk = graft.QueryUtil.detachMemorySink(s, name).cache()
+      val emitted = sunk.count()
+      val streamPairs = sunk.groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2).count()
+      sunk.unpersist()
+      // batch mirror on the survivor corpus (first arrival per text =
+      // the block-0 base doc = min doc_id over the copy family)
+      val surv = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val fps = DedupQueries.winnowFpsOf(surv)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val idx = fps.withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= cap).select(col("doc_id"), col("fp")).cache()
+      val mirrorPairs = idx.as("x").join(idx.as("y"),
+          col("x.fp") === col("y.fp")
+            && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id"), col("y.doc_id"))
+        .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2).count()
+      val buckets = fps.groupBy(col("fp")).agg(count(lit(1)).as("arr"))
+        .agg(max(col("arr")).as("mx"),
+          sum(when(col("arr") > cap, 1L).otherwise(0L)).as("hot"))
+        .collect()(0)
+      idx.unpersist()
+      Map("n_events" -> n, "survivors" -> surv.count(),
+        "emitted_cooc" -> emitted, "stream_pairs" -> streamPairs,
+        "mirror_pairs" -> mirrorPairs,
+        "max_bucket_arrivals" -> buckets.getLong(0),
+        "hot_buckets" -> buckets.getLong(1), "cap" -> cap)
+    } finally graft.QueryUtil.deleteRecursively(new java.io.File(replay))
+  }
+
   /** All probes, lazily — graft.ScaleCheck times each thunk. */
   def families(s: SparkSession, dir: String, k: Int)
       : Seq[(String, () => Map[String, Long])] = Seq(
@@ -238,5 +333,6 @@ object InflationProbes {
     "winnow_fpcap" -> (() => winnow(s, dir, k)),
     "ngram_dfcap" -> (() => ngramCapped(s, dir, k)),
     "salted_skew" -> (() => saltedSkew(s, dir, k)),
-    "stream_ingest_bucketcap" -> (() => streamIngest(s, dir, k)))
+    "stream_ingest_bucketcap" -> (() => streamIngest(s, dir, k)),
+    "stream_winnow_orderlesson" -> (() => streamWinnow(s, dir, k)))
 }

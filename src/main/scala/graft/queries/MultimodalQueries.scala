@@ -70,26 +70,15 @@ object FakeCodec {
       }
     }
 
-  /** 32-bit perceptual-hash stand-in: the payload is cut into 32
-    * interleaved byte stripes, bit k set iff stripe k's unsigned sum is
-    * above the payload mean (integer cross-multiplied). A real pHash
-    * thresholds DCT coefficients of the decoded image the same way (STUB —
-    * stripe sums stand in for frequency coefficients; the signature/
-    * banding/hamming plumbing downstream is the real part). */
+  /** 63-bit DCT perceptual hash: the payload "decodes" to a 16×16 pixel
+    * block (byte-stripe sums — the only STUB part; a real image decoder
+    * hands a rescaled luma block to the same entry point), then
+    * [[graft.functions.PhashDct]] runs the REAL algorithm — separable
+    * integer DCT-II, 8×8 low-frequency block, mean-threshold bits — on
+    * fixed-point literal coefficients shared bit-for-bit with the
+    * oracle. */
   def phashBatch(batch: Seq[MediaBlob]): Seq[(Long, Long)] = batch.map { b =>
-    val stripes = new Array[Long](32)
-    var total = 0L; var i = 0
-    while (i < b.content.length) {
-      val v = (b.content(i) & 0xff).toLong
-      stripes(i % 32) += v; total += v
-      i += 1
-    }
-    var sig = 0L; var k = 0
-    while (k < 32) {
-      if (stripes(k) * 32 > total) sig |= (1L << k)
-      k += 1
-    }
-    (b.doc_id, sig)
+    (b.doc_id, graft.functions.PhashDct.phash(b.content))
   }
 
   /** Per-frame "energy": the payload cut into n_frames contiguous stripes
@@ -154,10 +143,26 @@ object FakeCodec {
  */
 object MultimodalQueries {
 
-  /** Verified pHash near-dup pairs (id_a < id_b, hamming ≤ 3) over the
-    * media column: batched stub-codec signatures, 4×8-bit band-bucket
-    * candidates (pigeonhole-lossless for the radius), hamming check on
-    * candidates only. Shared by the pair query and the cluster stage. */
+  /** Version of the phash-clusters scratch artifact; bumped whenever the
+    * signature definition changes (v2 = the 63-bit DCT pHash). */
+  private val PhashClustersVersion = 2
+
+  /** Near-dup hamming radius on the 63-bit DCT signature. 7 = the
+    * classic perceptual-dedup operating point (near-dups land at
+    * small-but-nonzero distance); the 8×8-bit banding below is
+    * pigeonhole-lossless exactly up to this radius. */
+  private val PhashRadius = 7
+
+  /** Verified pHash near-dup pairs (id_a < id_b, hamming ≤
+    * [[PhashRadius]]) over the media column: batched 63-bit DCT
+    * signatures ([[graft.functions.PhashDct]]), 8×8-bit band-bucket
+    * candidates (pigeonhole-lossless for the radius: ham ≤ 7 over 8
+    * disjoint bands leaves at least one band untouched), hamming check
+    * on candidates only. The radius is 7 — a real DCT pHash puts
+    * perceptual near-dups at SMALL-BUT-NONZERO distance (an appended
+    * word moves 4-7 of 63 bits; classic image pHash dedup thresholds
+    * ~7-10 of 64), unlike exact copies at 0. Shared by the pair query
+    * and the cluster stage. */
   private def phashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -170,7 +175,9 @@ object MultimodalQueries {
         .flatMap(b => FakeCodec.phashBatch(b.toSeq)))
       .toDF("doc_id", "sig")
       .cache()
-    val bandVals = array((0 until 4).map { i =>
+    // sig bits live in positions 0..62, so sig ≥ 0 and the arithmetic
+    // shift needs no unsigned handling; band 7 carries 7 live bits
+    val bandVals = array((0 until 8).map { i =>
       shiftright(col("sig"), i * 8).bitwiseAND(lit(255L))
     }: _*)
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -183,30 +190,47 @@ object MultimodalQueries {
         col("a.sig").as("sa"), col("b.sig").as("sb"))
       .distinct()
       .withColumn("ham", hamming(col("sa"), col("sb")))
-      .filter(col("ham") <= 3)
+      .filter(col("ham") <= PhashRadius)
   }
 
-  /** The recursive-closure oracle prefix over the brute-forced pHash pair
-    * set (`sig` CTE shared with the pair oracle). */
+  /** The pHash signature oracle prefix (`sig` CTE shared by the pair and
+    * cluster oracles): the EXACT DuckDB mirror of
+    * [[graft.functions.PhashDct]] — same byte-stripe 16×16 pixel decode
+    * (`ascii(substr)` ≡ unsigned byte on the all-ASCII corpus), same
+    * 128-integer fixed-point DCT literal (rendered from the one Scala
+    * table), same separable row/column passes, same cross-multiplied
+    * 63-bit mean threshold. All-integer arithmetic → bit-identical
+    * signatures. */
   private val sqlPhashSigCtes =
-    """base AS (
+    s"""base AS (
       |  SELECT doc_id, text,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS n
       |  FROM documents),
-      |st AS (
-      |  SELECT doc_id,
-      |    list_transform(range(0,32), k -> coalesce(list_sum(
-      |      list_transform(range(CAST(k+1 AS INTEGER), CAST(n+1 AS INTEGER), 32),
-      |        i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0)) AS stripes,
-      |    coalesce(list_sum(list_transform(range(1, CAST(n+1 AS INTEGER)),
-      |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS total
+      |ctab AS (SELECT ${graft.functions.PhashDct.sqlCoeffLiteral} AS dct),
+      |px AS (
+      |  SELECT doc_id, list_transform(range(0, 256), j -> coalesce(list_sum(
+      |    list_transform(range(CAST(j+1 AS INTEGER), CAST(n+1 AS INTEGER), 256),
+      |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0)) AS p
       |  FROM base),
+      |rowd AS (
+      |  SELECT doc_id, list_transform(range(0, 128), t ->
+      |    list_sum(list_transform(range(0, 16), y ->
+      |      dct[CAST((t % 8) * 16 + y + 1 AS INTEGER)]
+      |        * p[CAST((t // 8) * 16 + y + 1 AS INTEGER)]))) AS r
+      |  FROM px, ctab),
+      |fcoef AS (
+      |  SELECT doc_id, list_transform(range(0, 64), t ->
+      |    list_sum(list_transform(range(0, 16), x ->
+      |      dct[CAST((t // 8) * 16 + x + 1 AS INTEGER)]
+      |        * r[CAST(x * 8 + (t % 8) + 1 AS INTEGER)]))) AS f
+      |  FROM rowd, ctab),
       |sig AS (
-      |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32),
-      |    k -> CASE WHEN stripes[CAST(k+1 AS INTEGER)] * 32 > total
-      |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END))
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 64), k ->
+      |    CASE WHEN f[CAST(k + 1 AS INTEGER)] * 63 > s
+      |      THEN (CAST(1 AS BIGINT) << CAST(k - 1 AS INTEGER)) ELSE 0 END))
       |    AS BIGINT) AS sig
-      |  FROM st)""".stripMargin
+      |  FROM (SELECT doc_id, f, list_sum(list_slice(f, 2, 64)) AS s
+      |        FROM fcoef))""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -374,15 +398,18 @@ object MultimodalQueries {
              |FROM dims GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // PERCEPTUAL-HASH NEAR-DUP over the binary media column — image dedup
-    // without ever joining on pixels: the batched codec emits a 32-bit
-    // stripe-threshold signature per asset (STUB for a DCT pHash), then
-    // candidates come from 4×8-bit BAND buckets (hamming ≤ 3 over 4 bands
-    // pigeonholes at least one equal band, so banding loses nothing) and
-    // only candidates pay the hamming check. Scale shape: signature is a
-    // map over the scan; the band join never materializes non-colliding
-    // pairs (production widens to 16-bit bands of a 64-bit hash as the
-    // corpus grows — collision rate per band is corpus²/2^bandbits). The
-    // oracle brute-forces the same pair set.
+    // without ever joining on pixels: the batched codec emits the REAL
+    // 63-bit DCT pHash per asset (integer-exact 8×8 DCT-II low-frequency
+    // block on fixed-point literal coefficients — PhashDct), then
+    // candidates come from 8×8-bit BAND buckets (hamming ≤ 7 over 8
+    // disjoint bands pigeonholes at least one equal band, so banding
+    // loses nothing at the radius) and only candidates pay the hamming
+    // check. Scale shape: signature is a map over the scan; the band
+    // join never materializes non-colliding pairs. At 10⁹+ assets 8-bit
+    // buckets saturate — the scale path is a wider signature (256-bit
+    // pHash from a 32×32 block) with proportionally wider bands, same
+    // plan shape. The oracle brute-forces the same pair set from
+    // bit-identical signatures.
     "mm_phash_neardup" -> QueryDef(
       (s, dir) => phashPairs(s, dir)
         .select(col("id_a"), col("id_b"),
@@ -392,7 +419,7 @@ object MultimodalQueries {
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             |WHERE bit_count(xor(a.sig, b.sig)) <= $PhashRadius
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // PERCEPTUAL-HASH DEDUP CLUSTERS — the closure + canonical-election
@@ -410,11 +437,24 @@ object MultimodalQueries {
     "mm_phash_clusters" -> QueryDef(
       (s, dir) => {
         // same write-once artifact device as the text-side docClusters:
-        // the closure is a deterministic function of the corpus
+        // the closure is a deterministic function of the corpus. v2 =
+        // the DCT pHash signature (v1 was the stripe-threshold stub).
         val sf = new java.io.File(dir).getName
-        val out = s"/root/repo/.scratch/phash_clusters_v1/$sf"
+        val out = s"/root/repo/.scratch/phash_clusters_v$PhashClustersVersion/$sf"
         this.synchronized {
           if (!new java.io.File(out, "_DONE").isFile) {
+            // a version bump supersedes every older artifact — sweep all
+            // phash_clusters_v* below the current version (same device
+            // as the nav-graph sweep) so no dead parquet strands on disk
+            val vdir = "phash_clusters_v(\\d+)".r
+            val scratch = new java.io.File("/root/repo/.scratch").listFiles()
+            if (scratch != null) scratch.foreach { f =>
+              f.getName match {
+                case vdir(v) if v.toInt < PhashClustersVersion =>
+                  graft.QueryUtil.deleteRecursively(f)
+                case _ => ()
+              }
+            }
             val pairs = phashPairs(s, dir).select(col("id_a"), col("id_b"))
             graft.QueryUtil.writeArtifact(graft.operators.ConnectedComponents
               .components(pairs, "id_a", "id_b"),
@@ -432,7 +472,7 @@ object MultimodalQueries {
              |pairs AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+             |  WHERE bit_count(xor(a.sig, b.sig)) <= $PhashRadius),
              |edges AS (
              |  SELECT id_a AS u, id_b AS v FROM pairs
              |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
