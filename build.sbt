@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 executor threads at sf0.1 thrash an 8g heap (GC-driven run-to-run
   // variance in the bench); the box has 128g
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The whole-stage-codegen class cache (static conf, default 100 entries)
+  // is sized for few-query applications; this suite carries 337 distinct
+  // plan shapes per pass, so the LRU evicts every class between two
+  // executions of the same query and each pass re-pays Janino compilation
+  // per codegen unit. Size it to hold the suite (guide §1/§4: eliminate
+  // recurring per-query fixed work). Scale-independent: the cache is
+  // per-JVM and keyed on generated source, not data.
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
 )

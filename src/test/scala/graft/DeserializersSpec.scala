@@ -71,6 +71,26 @@ class DeserializersSpec extends SparkSpecBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("foreign-format documents (whitespace / key order) parse identically" +
+      " through the full-parse fallback") {
+    val env = envelope()
+    val jsons = Deserializers.toJsonStringsWithSchema(env, payload)
+    // Re-shape every document so it can NOT match the canonical constant
+    // prefix: payload first, a space after the opening brace. A correct
+    // reader must produce the same envelope rows through the general path.
+    val foreign = jsons.map { doc =>
+      val i = doc.indexOf(""","payload":""")
+      val schemaPart = doc.substring(1, i) // "schema":{...}
+      val payloadPart = doc.substring(i + 1, doc.length - 1) // "payload":{...}
+      s"""{ $payloadPart, $schemaPart }"""
+    }(org.apache.spark.sql.Encoders.STRING)
+    val canonical = Deserializers.fromJsonStringsWithSchema(jsons)
+      .orderBy("__offset").collect().map(_.toString)
+    val viaFallback = Deserializers.fromJsonStringsWithSchema(foreign)
+      .orderBy("__offset").collect().map(_.toString)
+    assert(viaFallback.toSeq === canonical.toSeq)
+  }
+
   test("schemaless documents are rejected by the schema-included reader") {
     val jsons = Deserializers.toJsonStrings(envelope())
     val e = intercept[IllegalArgumentException] {
